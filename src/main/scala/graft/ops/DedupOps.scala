@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection. Extension surface beyond
+  * the reference (which has none); designed so the pair-generation step is
+  * always an equi-join on a bucket key — never an O(n²) cross join — which
+  * is what survives 100 TB.
+  */
+object DedupOps {
+  import HashOps.P
+
+  /** Exact dedup: rank duplicates within identical `keyCol` content, keeping
+    * the lowest `idCol` as canonical. Adds `dup_rank` (1 = canonical) and
+    * `canonical_id`. One shuffle on the content hash. */
+  def exactDupRank(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(idCol.asc)
+    df.withColumn("dup_rank", row_number().over(w))
+      .withColumn("canonical_id", first(idCol).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** MinHash signature: for each of `nPerm` universal-hash permutations,
+    * the minimum permuted shingle hash — computed IN-ROW with higher-order
+    * functions over the shingle-hash array (no explode, no shuffle; the
+    * classic explode→groupBy formulation shuffles |docs|·|shingles|·|perms|
+    * rows, which is exactly what dies at scale).
+    * Returns array<bigint> of length nPerm.
+    * DuckDB mirror: list_transform(range(0, n), i -> list_min(
+    *   list_transform(hashes, h -> permute(h, i)))) */
+  def minhashSignature(shingleHashes: Column, nPerm: Int): Column =
+    transform(sequence(lit(0L), lit(nPerm.toLong - 1)),
+      i => array_min(transform(shingleHashes, h => HashOps.permute(h, i))))
+
+  /** LSH band keys from a MinHash signature: `nBands` bands of
+    * `rowsPerBand` signature positions, each rendered as a string key
+    * "band:v1,v2,...". Docs sharing ANY band key are candidate pairs.
+    * DuckDB: list_transform(range(0, bands), b ->
+    *   b || ':' || array_to_string(list_slice(sig, b*r+1, b*r+r), ',')) */
+  def lshBandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string")))))
+
+  /** SimHash fingerprint (nBits ≤ 32) over token hashes: bit j is set when
+    * Σ_tokens (2·bit_j(hash)−1) > 0. In-row fold, no shuffle.
+    * Bit extraction via (h div 2^j) % 2 — portable to DuckDB (`//`). */
+  def simhash(tokenHashes: Column, nBits: Int): Column = {
+    val contrib = (0 until nBits).map { j =>
+      val pw = 1L << j
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + ((h / pw).cast("long") % 2L) * 2L - 1L)
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    contrib.reduce(_ + _)
+  }
+
+  /** Hamming distance between two ≤63-bit fingerprints via arithmetic bit
+    * extraction (portable; Spark also has bit_count but DuckDB's operates on
+    * BIT — keep one portable formulation). */
+  def hamming(a: Column, b: Column, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val pw = 1L << j
+      ((a / pw).cast("long") % 2L - (b / pw).cast("long") % 2L) *
+        ((a / pw).cast("long") % 2L - (b / pw).cast("long") % 2L)
+    }.reduce(_ + _)
+
+  /** Candidate pairs from exploded bucket keys: equi-join on the key with
+    * `idL < idR` canonical ordering, deduplicated across buckets. The scale
+    * workhorse: shuffle is bounded by bucket membership, never |n|². */
+  def bucketPairs(df: DataFrame, idCol: String, bucketCol: String): DataFrame = {
+    val l = df.select(col(idCol).as("id_l"), col(bucketCol).as("__b"))
+    val r = df.select(col(idCol).as("id_r"), col(bucketCol).as("__b"))
+    l.join(r, "__b").where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-hash SET columns (arrays
+    * already distinct), as e4-scaled bigint for oracle-stable comparison. */
+  def jaccardE4(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
+    round(inter / union * 10000).cast("long")
+  }
+}

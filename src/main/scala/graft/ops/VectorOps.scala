@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector/similarity operators over `array<float>` embedding columns —
+  * brute-force cosine top-k as the exactness baseline and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * All arithmetic is double-precision with a FIXED sequential fold order
+  * (Spark `aggregate` ≡ DuckDB `list_reduce` with prepended seed), so both
+  * engines produce bit-identical sums — similarities are oracle-checkable
+  * without tolerance.
+  */
+object VectorOps {
+
+  /** Element products as doubles by explicit index (1-based `element_at`),
+    * matching DuckDB 1-based list indexing. `dim` is the embedding length. */
+  private def products(a: Column, b: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)),
+      i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+
+  /** Sequential left-fold sum (bit-reproducible).
+    * DuckDB: list_reduce(list_prepend(0.0, xs), (x, y) -> x + y) */
+  private def seqSum(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column, dim: Int): Column = seqSum(products(a, b, dim))
+
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates by cosine (desc), ties broken by candidate id.
+    *
+    * Scale design: `queries` is broadcast (queries are few relative to the
+    * corpus); candidates stream map-side — the only shuffle is the final
+    * per-query top-k window over |queries|·|corpus-partition-topk| rows,
+    * which AQE coalesces. At 100 TB the window input can be pre-reduced with
+    * a per-partition top-k if |queries| is large.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, dim: Int, k: Int,
+                     qId: String = "q_id", cId: String = "c_id",
+                     qVec: String = "q_vec", cVec: String = "c_vec"): DataFrame = {
+    val joined = candidates.crossJoin(broadcast(queries))
+      .where(col(qId) =!= col(cId))
+      .withColumn("cosine_sim", cosine(col(qVec), col(cVec), dim))
+    val w = Window.partitionBy(qId).orderBy(col("cosine_sim").desc, col(cId).asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * ((j*73856093 + d*19349663) % 2001 - 1000) / 1000.0 ∈ [-1, 1].
+    * Pure integer arithmetic — identical in DuckDB SQL. */
+  def planeComponent(j: Column, d: Column): Column =
+    (((j * 73856093L + d * 19349663L) % 2001L) - 1000L) / lit(1000.0)
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from `nPlanes`
+    * sign bits: bucket = Σ_j [dot(plane_j, v) >= 0] · 2^j.
+    * In-row, shuffle-free, codegen'd; the scale path for ANN — candidates
+    * are then equi-joined on `bucket` instead of cross-joined. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val d = seqSum(transform(sequence(lit(1), lit(dim)),
+        i => planeComponent(lit(j.toLong), i.cast("long")) * element_at(vec, i).cast("double")))
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

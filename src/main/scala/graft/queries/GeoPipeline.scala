@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CollectOps, GeoOps, TimeOps, WindowOps}
+
+/** The reference's four pipeline stages re-expressed Spark-first over the
+  * driver's test tables (FIXTURES.md §3 mapping):
+  *
+  *  1. geo_enrich      — save_mes_geo.py:27-50 (nearest city per event)
+  *  2. user_act_city / user_home_city / user_travel / user_city_mart
+  *                     — calculate_user_city.py (per-user mart)
+  *  3. zone_report     — calculate_zone_report.py (week/month zone mart)
+  *  4. recommendations — calculate_user_recommendations.py (intended
+  *                       semantics per SURVEY.md §2.8(b) — the committed
+  *                       script cannot run)
+  *
+  * All semantics follow the CORRECTED definitions of SURVEY.md §2.8
+  * (radians in haversine, day-grain gap arithmetic, deterministic
+  * tie-breaks). The home-stay threshold is parameterized; the reference
+  * uses 27 days over months of data, the 30-day test window uses 2.
+  */
+object GeoPipeline {
+
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  val HomeStayDays = 2
+  val RecsChannels = 50L
+  val RecsRadiusKm = 1500.0
+
+  /** Events enriched with nearest zone + the zone's centroid longitude
+    * (for local-time derivation). Zero-shuffle in-row argmin — see
+    * GeoOps.nearestZone. */
+  def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val zones = Tables.zones(spark, dir)
+    GeoOps.nearestZone(Tables.eventsGeo(spark, dir), zones, "lat_e", "lon_e")
+      .join(broadcast(zones.select(col("zone_id").cast("long").as("zone_id"), col("lon_z"))),
+        Seq("zone_id"))
+  }
+
+  /** Shared oracle-SQL prefix deriving the identical enriched events. */
+  private val hav = Tables.Sql.haversine("lat_e", "lon_e", "z.lat_z", "z.lon_z")
+  val SqlEnriched: String =
+    s"""WITH ${Tables.Sql.zones},
+       |${Tables.Sql.eventsGeo},
+       |d AS (
+       |  SELECT ev.*, z.zone_id, z.zone_name, z.lon_z, $hav AS dist_km
+       |  FROM ev CROSS JOIN zones z),
+       |nn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km, zone_id) AS rn
+       |  FROM d),
+       |enriched AS (SELECT * FROM nn WHERE rn = 1)""".stripMargin
+
+  /** Latest event per user with position and zone (reference W2 — basis of
+    * act_city and the recommendations' "last known position"). */
+  private def actPosition(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.latestPerKey(enriched(spark, dir), Seq("user_id"),
+      Seq(col("ts"), col("event_id")))
+
+  private val SqlActPosition: String =
+    """act AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS urn
+      |    FROM enriched) t
+      |  WHERE urn = 1)""".stripMargin
+
+  /** Stage 1 — nearest-zone enrichment (in-row argmin plan). */
+  val geoEnrich: Q = new Q {
+    val name = "geo_enrich"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      enriched(spark, dir)
+        .select(col("event_id"), col("zone_id"), col("zone_name"),
+          round(col("dist_km") * 100).cast("long").as("dist_km_e2"))
+        .orderBy("event_id")
+    val oracle = Some(
+      s"""$SqlEnriched
+         |SELECT event_id, CAST(zone_id AS BIGINT) AS zone_id, zone_name,
+         |       CAST(round(dist_km * 100) AS BIGINT) AS dist_km_e2
+         |FROM enriched ORDER BY event_id""".stripMargin)
+  }
+
+  /** Stage 1, reference plan shape — crossJoin + window argmin (J1+J2+W1,
+    * save_mes_geo.py:38-44). Same semantics and oracle as geo_enrich,
+    * different physical plan (broadcast nested-loop + window shuffle). */
+  val geoEnrichXjoin: Q = new Q {
+    val name = "geo_enrich_xjoin"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      GeoOps.nearestZoneViaWindow(
+        Tables.eventsGeo(spark, dir),
+        Tables.zones(spark, dir).withColumn("zone_id", col("zone_id").cast("long")),
+        "event_id", "lat_e", "lon_e")
+        .select(col("event_id"), col("zone_id"), col("zone_name"),
+          round(col("dist_km") * 100).cast("long").as("dist_km_e2"))
+        .orderBy("event_id")
+    val oracle = geoEnrich.oracle
+  }
+
+  /** Stage 2a — actual city: latest event's zone + longitude-band local time
+    * (calculate_user_city.py:42-52; tz semantics per SURVEY.md §2.7). */
+  val userActCity: Q = new Q {
+    val name = "user_act_city"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      actPosition(spark, dir)
+        .select(col("user_id"), col("zone_id").cast("long").as("act_zone_id"),
+          col("zone_name").as("act_zone"), col("ts").as("last_ts"),
+          TimeOps.localTimeByOffset(col("ts"), col("lon_z")).as("local_time"))
+        .orderBy("user_id")
+    val oracle = Some(
+      s"""$SqlEnriched,
+         |$SqlActPosition
+         |SELECT user_id, CAST(zone_id AS BIGINT) AS act_zone_id, zone_name AS act_zone,
+         |       ts AS last_ts,
+         |       ${TimeOps.sqlLocalTimeByOffset("ts", "lon_z")} AS local_time
+         |FROM act ORDER BY user_id""".stripMargin)
+  }
+
+  /** Day-grain visits: one (user, date, zone) row per day — zone of the
+    * day's last event. Basis for home_city and travel (the reference's
+    * `user_geo` projection, calculate_user_city.py:17-22, on day grain). */
+  private def visits(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.latestPerKey(
+      enriched(spark, dir).withColumn("visit_date", col("ts").cast("date")),
+      Seq("user_id", "visit_date"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "visit_date", "zone_id", "zone_name")
+
+  private val SqlVisits: String =
+    """visits AS (
+      |  SELECT user_id, visit_date, zone_id, zone_name FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS visit_date, zone_id, zone_name,
+      |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                              ORDER BY ts DESC, event_id DESC) AS vrn
+      |    FROM enriched) t
+      |  WHERE vrn = 1)""".stripMargin
+
+  /** Stage 2b — home city: zone of the most recent visit whose gap to the
+    * user's next visit is ≥ HomeStayDays (corrected §2.8(d) semantics;
+    * latest-wins top-1 resolves to exactly one home per user). */
+  val userHomeCity: Q = new Q {
+    val name = "user_home_city"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val g = WindowOps.gapDaysToNext(visits(spark, dir), Seq("user_id"), "visit_date")
+      WindowOps.topKPerKey(g.where(col("gap_days") >= HomeStayDays),
+        Seq("user_id"), Seq(col("visit_date").desc), 1)
+        .select(col("user_id"), col("zone_id").cast("long").as("home_zone_id"),
+          col("zone_name").as("home_zone"), col("visit_date").as("home_since"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      s"""$SqlEnriched,
+         |$SqlVisits,
+         |g AS (
+         |  SELECT *, date_diff('day', visit_date,
+         |           lead(visit_date) OVER (PARTITION BY user_id ORDER BY visit_date)) AS gap_days
+         |  FROM visits),
+         |h AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY visit_date DESC) AS hrn
+         |  FROM g WHERE gap_days >= $HomeStayDays)
+         |SELECT user_id, CAST(zone_id AS BIGINT) AS home_zone_id, zone_name AS home_zone,
+         |       visit_date AS home_since
+         |FROM h WHERE hrn = 1 ORDER BY user_id""".stripMargin)
+  }
+
+  /** Stage 2c — travel history: ordered array of zone changes + count
+    * (A5–A7, calculate_user_city.py:63-69; ordered collect restores
+    * determinism). */
+  val userTravel: Q = new Q {
+    val name = "user_travel"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("visit_date")
+      visits(spark, dir)
+        .withColumn("prev_zone", lag(col("zone_id"), 1).over(w))
+        .where(col("prev_zone").isNull || col("zone_id") =!= col("prev_zone"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("travel_count"),
+          CollectOps.orderedCollect(col("visit_date"), col("zone_name")).as("travel_array"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      s"""$SqlEnriched,
+         |$SqlVisits,
+         |c AS (
+         |  SELECT *, lag(zone_id) OVER (PARTITION BY user_id ORDER BY visit_date) AS prev_zone
+         |  FROM visits),
+         |t AS (SELECT * FROM c WHERE prev_zone IS NULL OR zone_id != prev_zone)
+         |SELECT user_id, count(*) AS travel_count,
+         |       list(zone_name ORDER BY visit_date) AS travel_array
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** Stage 2 assembled — the reference's `user_city` mart shape
+    * (calculate_user_city.py:72-77): act ⟕ home ⟕ travel on user_id. */
+  val userCityMart: Q = new Q {
+    val name = "user_city_mart"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val act = userActCity.run(spark, dir)
+      val home = userHomeCity.run(spark, dir).drop("home_since")
+      val travel = userTravel.run(spark, dir)
+      act.join(home, Seq("user_id"), "left")
+        .join(travel, Seq("user_id"), "left")
+        .select(col("user_id"), col("act_zone"), col("local_time"), col("home_zone"),
+          col("travel_count"), col("travel_array"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      s"""$SqlEnriched,
+         |$SqlActPosition,
+         |$SqlVisits,
+         |g AS (
+         |  SELECT *, date_diff('day', visit_date,
+         |           lead(visit_date) OVER (PARTITION BY user_id ORDER BY visit_date)) AS gap_days
+         |  FROM visits),
+         |h AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY visit_date DESC) AS hrn
+         |  FROM g WHERE gap_days >= $HomeStayDays),
+         |home AS (SELECT user_id, zone_name AS home_zone FROM h WHERE hrn = 1),
+         |c AS (
+         |  SELECT *, lag(zone_id) OVER (PARTITION BY user_id ORDER BY visit_date) AS prev_zone
+         |  FROM visits),
+         |t AS (SELECT * FROM c WHERE prev_zone IS NULL OR zone_id != prev_zone),
+         |travel AS (
+         |  SELECT user_id, count(*) AS travel_count,
+         |         list(zone_name ORDER BY visit_date) AS travel_array
+         |  FROM t GROUP BY user_id)
+         |SELECT a.user_id, a.zone_name AS act_zone,
+         |       ${TimeOps.sqlLocalTimeByOffset("a.ts", "a.lon_z")} AS local_time,
+         |       home.home_zone, travel.travel_count, travel.travel_array
+         |FROM act a
+         |LEFT JOIN home ON a.user_id = home.user_id
+         |LEFT JOIN travel ON a.user_id = travel.user_id
+         |ORDER BY a.user_id""".stripMargin)
+  }
+
+  /** Stage 3 — zone report: week/month × zone pivoted event-type counts,
+    * month rollups, first-event "registrations" (calculate_zone_report.py;
+    * output grain (week, month, zone) per §2.8(e)). */
+  val zoneReport: Q = new Q {
+    val name = "zone_report"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val b = enriched(spark, dir)
+        .withColumn("week", weekofyear(col("ts")).cast("long"))
+        .withColumn("month", month(col("ts")).cast("long"))
+        .select("user_id", "event_id", "ts", "event_type", "zone_id", "week", "month")
+        .persist()
+      val wk = CollectOps.pivotCounts(
+        b.groupBy("week", "month", "zone_id"), "event_type", EventTypes, "week_")
+      val mo = wk.groupBy("month", "zone_id")
+        .agg(sum(s"week_${EventTypes.head}").as(s"month_${EventTypes.head}"),
+          EventTypes.tail.map(t => sum(s"week_$t").as(s"month_$t")): _*)
+      val regs = WindowOps.firstPerKey(b, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      val rw = regs.groupBy("week", "zone_id").agg(count(lit(1)).as("week_user"))
+      val rm = regs.groupBy("month", "zone_id").agg(count(lit(1)).as("month_user"))
+      wk.join(mo, Seq("month", "zone_id"))
+        .join(rw, Seq("week", "zone_id"), "left")
+        .join(rm, Seq("month", "zone_id"), "left")
+        .na.fill(0L, Seq("week_user", "month_user"))
+        .select(Seq(col("week"), col("month"), col("zone_id").cast("long").as("zone_id")) ++
+          EventTypes.map(t => col(s"week_$t")) ++ Seq(col("week_user")) ++
+          EventTypes.map(t => col(s"month_$t")) ++ Seq(col("month_user")): _*)
+        .orderBy("week", "month", "zone_id")
+    }
+    val oracle = {
+      val wkCols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS week_$t").mkString(",\n         ")
+      val moCols = EventTypes.map(t =>
+        s"CAST(sum(week_$t) AS BIGINT) AS month_$t").mkString(",\n         ")
+      Some(
+        s"""$SqlEnriched,
+           |b AS (
+           |  SELECT user_id, event_id, ts, event_type, zone_id,
+           |         CAST(weekofyear(ts) AS BIGINT) AS week,
+           |         CAST(month(ts) AS BIGINT) AS month
+           |  FROM enriched),
+           |wk AS (
+           |  SELECT week, month, zone_id,
+           |         $wkCols
+           |  FROM b GROUP BY week, month, zone_id),
+           |mo AS (
+           |  SELECT month, zone_id,
+           |         $moCols
+           |  FROM wk GROUP BY month, zone_id),
+           |regs AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn2
+           |    FROM b) t WHERE rn2 = 1),
+           |rw AS (SELECT week, zone_id, count(*) AS week_user FROM regs GROUP BY week, zone_id),
+           |rm AS (SELECT month, zone_id, count(*) AS month_user FROM regs GROUP BY month, zone_id)
+           |SELECT wk.week, wk.month, CAST(wk.zone_id AS BIGINT) AS zone_id,
+           |       ${EventTypes.map(t => s"week_$t").mkString(", ")}, coalesce(week_user, 0) AS week_user,
+           |       ${EventTypes.map(t => s"month_$t").mkString(", ")}, coalesce(month_user, 0) AS month_user
+           |FROM wk
+           |JOIN mo ON wk.month = mo.month AND wk.zone_id = mo.zone_id
+           |LEFT JOIN rw ON wk.week = rw.week AND wk.zone_id = rw.zone_id
+           |LEFT JOIN rm ON wk.month = rm.month AND wk.zone_id = rm.zone_id
+           |ORDER BY wk.week, wk.month, wk.zone_id""".stripMargin)
+    }
+  }
+
+  /** Stage 4 — friend recommendations, INTENDED semantics (§2.8(b)): users
+    * sharing a subscription channel and an actual zone, last-known positions
+    * within RecsRadiusKm, canonical user_left < user_right, stamped with the
+    * left user's local time. Channel = props.k mod RecsChannels over
+    * 'signup' events (FIXTURES.md §3 channel mapping). */
+  val recommendations: Q = new Q {
+    val name = "recommendations"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val subs = Tables.events(spark, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % RecsChannels).as("channel"))
+        .distinct()
+      val act = actPosition(spark, dir)
+        .select(col("user_id"), col("ts"), col("lat_e"), col("lon_e"),
+          col("zone_id").cast("long").as("zone_id"), col("lon_z"))
+      val pairs = subs.select(col("user_id").as("user_left"), col("channel"))
+        .join(subs.select(col("user_id").as("user_right"), col("channel")), Seq("channel"))
+        .where(col("user_left") < col("user_right"))
+      val al = act.select(col("user_id").as("user_left"), col("ts").as("ts_l"),
+        col("lat_e").as("lat_l"), col("lon_e").as("lon_l"),
+        col("zone_id").as("zone_l"), col("lon_z").as("lon_z_l"))
+      val ar = act.select(col("user_id").as("user_right"),
+        col("lat_e").as("lat_r"), col("lon_e").as("lon_r"), col("zone_id").as("zone_r"))
+      pairs.join(broadcast(al), Seq("user_left"))
+        .join(broadcast(ar), Seq("user_right"))
+        .where(col("zone_l") === col("zone_r"))
+        .withColumn("dist_km",
+          GeoOps.haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")))
+        .where(col("dist_km") <= RecsRadiusKm)
+        .select(col("user_left"), col("user_right"), col("channel"),
+          col("zone_l").as("zone_id"),
+          round(col("dist_km") * 100).cast("long").as("dist_km_e2"),
+          TimeOps.localTimeByOffset(col("ts_l"), col("lon_z_l")).as("local_time"))
+        .orderBy("user_left", "user_right", "channel")
+    }
+    val oracle = {
+      val havLR = Tables.Sql.haversine("lat_l", "lon_l", "lat_r", "lon_r")
+      Some(
+        s"""$SqlEnriched,
+           |$SqlActPosition,
+           |subs AS (
+           |  SELECT DISTINCT user_id,
+           |         CAST(json_extract_string(props, '$$.k') AS BIGINT) % $RecsChannels AS channel
+           |  FROM events WHERE event_type = 'signup'),
+           |p AS (
+           |  SELECT l.user_id AS user_left, r.user_id AS user_right, l.channel
+           |  FROM subs l JOIN subs r ON l.channel = r.channel
+           |  WHERE l.user_id < r.user_id),
+           |j AS (
+           |  SELECT p.user_left, p.user_right, p.channel,
+           |         CAST(al.zone_id AS BIGINT) AS zone_id,
+           |         al.ts AS ts_l, al.lon_z AS lon_z_l,
+           |         al.lat_e AS lat_l, al.lon_e AS lon_l,
+           |         ar.lat_e AS lat_r, ar.lon_e AS lon_r
+           |  FROM p
+           |  JOIN act al ON p.user_left = al.user_id
+           |  JOIN act ar ON p.user_right = ar.user_id
+           |  WHERE al.zone_id = ar.zone_id)
+           |SELECT user_left, user_right, channel, zone_id,
+           |       CAST(round($havLR * 100) AS BIGINT) AS dist_km_e2,
+           |       ${TimeOps.sqlLocalTimeByOffset("ts_l", "lon_z_l")} AS local_time
+           |FROM j
+           |WHERE $havLR <= $RecsRadiusKm
+           |ORDER BY user_left, user_right, channel""".stripMargin)
+    }
+  }
+
+  val all: Seq[Q] = Seq(geoEnrich, geoEnrichXjoin, userActCity, userHomeCity,
+    userTravel, userCityMart, zoneReport, recommendations)
+}

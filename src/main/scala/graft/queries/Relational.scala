@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.WindowOps
+
+/** Core relational operator coverage (SURVEY.md §2.1–2.6) over the TPC-H-ish
+  * tables: scans, filters, projections, equi/left/self joins, hash
+  * aggregation, pivot, ranking/offset windows, JSON extraction.
+  *
+  * Determinism conventions (SURVEY.md §5.1): money exported as exact
+  * per-element-rounded cents (BIGINT), averages as e2-scaled BIGINT, total
+  * ORDER BY on a unique key in both engines.
+  */
+object Relational {
+
+  /** Per-element money→cents: exact on both engines (scale-0 rounding of a
+    * double is identical in Spark HALF_UP and DuckDB round-half-away). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val q1Agg: Q = new Q {
+    val name = "q1_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("2000-01-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity") * 100.0 / count(lit(1))).cast("long").as("avg_qty_e2"))
+        .orderBy("l_returnflag", "l_linestatus")
+    val oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS cnt,
+        |  CAST(round(sum(l_quantity) * 100.0 / count(*)) AS BIGINT) AS avg_qty_e2
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Multi-way star join: fact × orders × customer with broadcast dims
+    * (reference J4 composite-key assembly, generalized). */
+  val qRevenueNation: Q = new Q {
+    val name = "q_revenue_nation"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    val oracle = Some(
+      """SELECT n_name, r_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  /** Left outer join keeping order-less customers (reference J3,
+    * calculate_user_city.py:72-74). */
+  val qCustOrderStats: Q = new Q {
+    val name = "q_cust_order_stats"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_cents"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy("c_custkey")
+    val oracle = Some(
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents,
+        |  max(o_orderdate) AS last_order
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Top-K per key by ranking window (reference W2 generalized to k>1). */
+  val qTopkOrdersPerCust: Q = new Q {
+    val name = "q_topk_orders_per_cust"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      WindowOps.topKPerKey(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+            col("o_totalprice")),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("price_cents"), col("__rn").as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    val oracle = Some(
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, price_cents, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)
+  }
+
+  /** Pivot with explicit value list (reference A3,
+    * calculate_zone_report.py:23-25). */
+  val qPivotOrderStatus: Q = new Q {
+    val name = "q_pivot_order_status"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val base = Tables.orders(spark, dir)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+      val piv = base.groupBy("yr", "mo").pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .na.fill(0L, Seq("F", "O", "P"))
+      piv.select(col("yr"), col("mo"), col("F").as("st_f"), col("O").as("st_o"),
+        col("P").as("st_p")).orderBy("yr", "mo")
+    }
+    val oracle = Some(
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** First-per-key window (reference W3 "registration",
+    * calculate_zone_report.py:28-35). */
+  val qFirstEventPerUser: Q = new Q {
+    val name = "q_first_event_per_user"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      WindowOps.firstPerKey(Tables.events(spark, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("ts").as("first_ts"), col("event_type").as("first_type"))
+        .orderBy("user_id")
+    val oracle = Some(
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS first_event_id, ts AS first_ts, event_type AS first_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  }
+
+  /** Gap-based sessionization (cumulative window frame — extension W
+    * pattern; 30-minute gap). */
+  val qSessionize: Q = new Q {
+    val name = "q_sessionize"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      WindowOps.sessionize(Tables.events(spark, dir), Seq("user_id"), "ts",
+        Seq(col("ts"), col("event_id")), 1800000000L)
+        .groupBy("user_id")
+        .agg((max("session_idx") + 1).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(max(session_idx) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  /** JSON extraction from the `props` column (extension; FIXTURES.md §3). */
+  val qEventsJson: Q = new Q {
+    val name = "q_events_json"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    val oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
+    qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson)
+}
