@@ -9,7 +9,9 @@ import graft.queries._
 object SparkEntry {
 
   /** The full query catalog. */
-  def catalog: Seq[Q] = Relational.all ++ GeoPipeline.all
+  def catalog: Seq[Q] =
+    Relational.all ++ GeoPipeline.all ++ TextQueries.all ++ DedupQueries.all ++
+      VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * zone_report is the widest end-to-end slice (scan → geo argmin →

@@ -33,9 +33,11 @@ object TextOps {
     * DuckDB: list_transform(range(1, len(toks)-k+2),
     *                        i -> array_to_string(list_slice(toks, i, i+k-1), ' ')) */
   def shingles(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct shingle hashes in the 1e9+7 field — the doc's shingle set. */
   def shingleHashes(text: Column, k: Int): Column =

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, HashOps, TextOps}
+
+/** Deduplication extension queries over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Candidate generation is always bucket-equi-join
+  * shaped (shared shingle / shared LSH band), never an O(n²) cross join —
+  * the property that survives 100 TB.
+  */
+object DedupQueries {
+  import HashOps.P
+
+  val ShingleK = 3
+  val JaccardThreshold = 0.7
+  val NumPerms = 64
+  val NumBands = 16
+  val RowsPerBand = 4 // NumPerms / NumBands
+
+  private val SqlToks = "regexp_extract_all(lower(text), '\\S+')"
+
+  /** Distinct shingle-hash set per doc, as SQL (mirrors
+    * TextOps.shingleHashes with k=3). range(1, len-1) is empty when the doc
+    * has < 3 tokens — same guard as the Spark side. */
+  private val SqlShingleSets: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, greatest(len($SqlToks) - ${ShingleK - 1}, 0) + 1),
+       |        i -> array_to_string(list_slice($SqlToks, i, i + ${ShingleK - 1}), ' ')),
+       |      s -> ${HashOps.sqlHashP("s")})) AS hs
+       |  FROM documents)""".stripMargin
+
+  /** Exact duplicate ranking by content hash (keep-lowest-id canonical). */
+  val dedupExact: Q = new Q {
+    val name = "dedup_exact"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      DedupOps.exactDupRank(Tables.documents(spark, dir), md5(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("dup_rank").cast("long").as("dup_rank"),
+          col("canonical_id"), (col("dup_rank") > 1).cast("int").as("is_dup"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS INT) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard over candidates that share at
+    * least one shingle (inverted-index candidate generation). */
+  val dedupNgramJaccard: Q = new Q {
+    val name = "dedup_ngram_jaccard"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+      val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val cand = ex.select(col("doc_id").as("id_l"), col("h"))
+        .join(ex.select(col("doc_id").as("id_r"), col("h")), Seq("h"))
+        .where(col("id_l") < col("id_r"))
+        .select("id_l", "id_r").distinct()
+      val withSets = cand
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+        .withColumn("inter", size(array_intersect(col("hs_l"), col("hs_r"))))
+        .withColumn("uni", size(col("hs_l")) + size(col("hs_r")) - col("inter"))
+        .withColumn("jac", col("inter").cast("double") / col("uni"))
+        .where(col("jac") >= JaccardThreshold)
+      withSets.select(col("id_l"), col("id_r"),
+        round(col("jac") * 10000).cast("long").as("jac_e4"))
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH $SqlShingleSets,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_l, id_r,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |      (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+         |  FROM cand JOIN sh sa ON id_l = sa.doc_id JOIN sh sb ON id_r = sb.doc_id)
+         |SELECT id_l, id_r, CAST(round(jac * 10000) AS BIGINT) AS jac_e4
+         |FROM j WHERE jac >= $JaccardThreshold ORDER BY id_l, id_r""".stripMargin)
+  }
+
+  /** MinHash + banded LSH candidates, refined with exact Jaccard — the
+    * linear-scale near-dup path. Signatures are computed IN-ROW (higher-
+    * order functions, no explode/shuffle); only band keys are exploded. */
+  val dedupMinhashLsh: Q = new Q {
+    val name = "dedup_minhash_lsh"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+        .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
+        .withColumn("bands", DedupOps.lshBandKeys(col("sig"), NumBands, RowsPerBand))
+        .persist()
+      val banded = docs.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = DedupOps.bucketPairs(banded, "doc_id", "bk")
+      cand
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+        .withColumn("inter", size(array_intersect(col("hs_l"), col("hs_r"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
+        .where(col("jac") >= JaccardThreshold)
+        .select(col("id_l"), col("id_r"), round(col("jac") * 10000).cast("long").as("jac_e4"))
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH $SqlShingleSets,
+         |shn AS (SELECT * FROM sh WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
+         |m AS (
+         |  SELECT doc_id, i,
+         |    min((((2*i + 1) * h + (i * 2654435761) % $P) % $P)) AS mh
+         |  FROM e CROSS JOIN range($NumPerms) r(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // $RowsPerBand AS band,
+         |         string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM m GROUP BY doc_id, i // $RowsPerBand),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_l, id_r,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |      (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+         |  FROM cand JOIN shn sa ON id_l = sa.doc_id JOIN shn sb ON id_r = sb.doc_id)
+         |SELECT id_l, id_r, CAST(round(jac * 10000) AS BIGINT) AS jac_e4
+         |FROM j WHERE jac >= $JaccardThreshold ORDER BY id_l, id_r""".stripMargin)
+  }
+
+  /** 32-bit SimHash fingerprint per document (multiset token hashes,
+    * arithmetic bit extraction — portable). Pairing by hamming distance is
+    * covered in the ScalaTest suite; the fingerprint itself is the
+    * oracle-checked unit. */
+  val dedupSimhash: Q = new Q {
+    val name = "dedup_simhash"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          DedupOps.simhash(
+            transform(TextOps.tokens(col("text")), t => HashOps.hashP(t)), 32)
+            .as("simhash32"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($SqlToks, tk -> ${HashOps.sqlHashP("tk")}) AS hs
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM t),
+         |b AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN sum(2 * ((h // (CAST(1 AS BIGINT) << j)) % 2) - 1) > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+         |  FROM e CROSS JOIN range(32) r(j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash32
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+}

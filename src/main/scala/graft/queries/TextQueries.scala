@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{HashOps, TextOps}
+
+/** Text-analysis extension queries over `documents` (no analogue in the
+  * reference — LLM-training-pipeline surface): quality stats, language ID,
+  * token counting, fingerprinting, term frequencies. All pure column
+  * expressions; every query oracle-checked.
+  */
+object TextQueries {
+  import HashOps.P
+
+  private val SqlToks = "regexp_extract_all(lower(text), '\\S+')"
+  private def sqlHashP(e: String) = HashOps.sqlHashP(e)
+
+  /** Per-document quality statistics: token/char counts, punctuation and
+    * stopword ratios, and a composite quality score — the usual first-pass
+    * quality filter of a training-data pipeline. */
+  val textStats: Q = new Q {
+    val name = "text_stats"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      val nToks = TextOps.tokenCount(col("text"))
+      val nChars = length(col("text"))
+      val tokChars = length(regexp_replace(col("text"), "\\s", ""))
+      val punct = TextOps.punctCount(col("text"))
+      val alpha = regexp_count(col("text"), lit("[A-Za-z]"))
+      val stops = TextOps.stopwordHits(toks, TextOps.Stopwords.head._2)
+      val quality = round(lit(10000.0) * (
+        lit(0.5) * least(stops * 5.0 / nToks, lit(1.0)) +
+          lit(0.3) * least(nToks / 200.0, lit(1.0)) +
+          lit(0.2) * (alpha * 1.0 / nChars))).cast("long")
+      Tables.documents(spark, dir)
+        .where(nToks > 0)
+        .select(col("doc_id"),
+          nToks.cast("long").as("n_tokens"),
+          nChars.cast("long").as("n_chars_obs"),
+          round(tokChars * 100.0 / nToks).cast("long").as("avg_token_len_e2"),
+          round(punct * 10000.0 / nChars).cast("long").as("punct_ratio_e4"),
+          round(stops * 10000.0 / nToks).cast("long").as("stop_ratio_e4"),
+          quality.as("quality_e4"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val stopList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      Some(
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           |    CAST(length(text) AS BIGINT) AS n_chars,
+           |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS tok_chars,
+           |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+           |    CAST(len(list_filter($SqlToks, t -> t IN ($stopList))) AS BIGINT) AS stops
+           |  FROM documents)
+           |SELECT doc_id, n_tokens, n_chars AS n_chars_obs,
+           |  CAST(round(tok_chars * 100.0 / n_tokens) AS BIGINT) AS avg_token_len_e2,
+           |  CAST(round(punct * 10000.0 / n_chars) AS BIGINT) AS punct_ratio_e4,
+           |  CAST(round(stops * 10000.0 / n_tokens) AS BIGINT) AS stop_ratio_e4,
+           |  CAST(round(10000.0 * (0.5 * least(stops * 5.0 / n_tokens, 1.0)
+           |       + 0.3 * least(n_tokens / 200.0, 1.0)
+           |       + 0.2 * (alpha * 1.0 / n_chars))) AS BIGINT) AS quality_e4
+           |FROM b WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin)
+    }
+  }
+
+  /** Stopword-profile language ID vs the table's claimed language. */
+  val langId: Q = new Q {
+    val name = "lang_id"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang").as("claimed_lang"),
+          TextOps.langId(toks).as("pred_lang"))
+        .withColumn("is_match", (col("claimed_lang") === col("pred_lang")).cast("int"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val scores = TextOps.Stopwords.map { case (lang, words) =>
+        val l = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($SqlToks, t -> t IN ($l))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextOps.Stopwords.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      Some(
+        s"""WITH s AS (
+           |  SELECT doc_id, lang AS claimed_lang,
+           |    $scores
+           |  FROM documents),
+           |g AS (SELECT *, $best AS best FROM s)
+           |SELECT doc_id, claimed_lang,
+           |  CASE $cases ELSE 'und' END AS pred_lang,
+           |  CAST(claimed_lang = (CASE $cases ELSE 'und' END) AS INT) AS is_match
+           |FROM g ORDER BY doc_id""".stripMargin)
+    }
+  }
+
+  /** Whitespace vs BPE-ish token counts (cost estimation for training). */
+  val tokenCounts: Q = new Q {
+    val name = "token_counts"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_obs"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_obs
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Rolling polynomial fingerprint over token hashes (portable 60-bit md5
+    * base, sequential fold — bit-identical across engines). */
+  val docFingerprint: Q = new Q {
+    val name = "doc_fingerprint"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($SqlToks, t -> ${sqlHashP("t")})),
+         |    (a, b) -> (a * 31 + b) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Corpus term frequencies: explode → count → global top-50
+    * (deterministic tie-break on the term). */
+  val topTerms: Q = new Q {
+    val name = "top_terms"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(50)
+    val oracle = Some(
+      s"""SELECT term, count(*) AS cnt
+         |FROM (SELECT unnest($SqlToks) AS term FROM documents) t
+         |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms)
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.VectorOps
+
+/** Similarity-search extension queries over `embeddings` (array<float>,
+  * 64-dim): brute-force cosine top-k (exact baseline), random-hyperplane
+  * LSH bucketing (the scale path), and cosine near-dup pairs. Double
+  * arithmetic uses a fixed sequential fold order in both engines, so
+  * similarities are bit-identical and oracle-checkable.
+  */
+object VectorQueries {
+
+  val Dim = 64
+  val TopK = 5
+  val QueryStride = 50 // vec_id % stride == 0 → query set
+  val NearDupCos = 0.4 // testdata has no planted vector dups; 0.4 yields pairs
+  val NumPlanes = 8
+
+  /** DuckDB: products of two 64-dim float lists as doubles, 1-based. */
+  private def sqlProducts(a: String, b: String): String =
+    s"list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+  private def sqlSeqSum(xs: String): String =
+    s"list_reduce(list_prepend(0.0, $xs), (x, y) -> x + y)"
+  private def sqlDot(a: String, b: String): String = sqlSeqSum(sqlProducts(a, b))
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  /** Brute-force exact cosine top-k for a strided query set against the
+    * whole corpus. Queries are broadcast; candidates stream map-side. */
+  val annBruteTopk: Q = new Q {
+    val name = "ann_brute_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      VectorOps.bruteForceTopK(queries, cands, Dim, TopK)
+        .select(col("q_id"), col("c_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % $QueryStride = 0),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+         |s AS (
+         |  SELECT q_id, c_id,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cosine_sim
+         |  FROM c CROSS JOIN q WHERE q_id != c_id),
+         |r AS (
+         |  SELECT q_id, c_id, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS rank
+         |  FROM s)
+         |SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
+  /** Random-hyperplane LSH bucket assignment — the in-row, shuffle-free
+    * primitive that replaces the cross join at scale. */
+  val annLshBuckets: Q = new Q {
+    val name = "ann_lsh_buckets"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          VectorOps.lshBucket(col("embedding"), Dim, NumPlanes).as("bucket"))
+        .orderBy("vec_id")
+    val oracle = {
+      val planeDot = sqlSeqSum(
+        s"list_transform(range(1, ${Dim + 1}), i -> " +
+          s"((((j*73856093 + i*19349663) % 2001) - 1000) / 1000.0) * CAST(embedding[i] AS DOUBLE))")
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, j,
+           |    CASE WHEN $planeDot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+           |  FROM embeddings CROSS JOIN range($NumPlanes) r(j)),
+           |k AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM b GROUP BY vec_id)
+           |SELECT k.vec_id, CAST(e.label AS BIGINT) AS label, k.bucket
+           |FROM k JOIN embeddings e ON k.vec_id = e.vec_id
+           |ORDER BY k.vec_id""".stripMargin)
+    }
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * bucket (equi-join on bucket — the 100 TB plan shape). Recall < 1 by
+    * design; the oracle mirrors the same algorithm exactly. */
+  val annLshTopk: Q = new Q {
+    val name = "ann_lsh_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val withB = Tables.embeddings(spark, dir)
+        .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NumPlanes))
+      val queries = withB.where(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+      val cands = withB
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
+      val joined = cands.join(broadcast(queries), Seq("bucket"))
+        .where(col("q_id") =!= col("c_id"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec"), Dim))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id").asc)
+      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+        .select(col("q_id"), col("c_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = {
+      val planeDot = sqlSeqSum(
+        s"list_transform(range(1, ${Dim + 1}), i -> " +
+          s"((((j*73856093 + i*19349663) % 2001) - 1000) / 1000.0) * CAST(embedding[i] AS DOUBLE))")
+      Some(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, j,
+           |    CASE WHEN $planeDot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+           |  FROM embeddings CROSS JOIN range($NumPlanes) r(j)),
+           |k AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM b GROUP BY vec_id),
+           |wb AS (SELECT e.vec_id, e.embedding, k.bucket
+           |       FROM embeddings e JOIN k ON e.vec_id = k.vec_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM wb
+           |      WHERE vec_id % $QueryStride = 0),
+           |c AS (SELECT vec_id AS c_id, embedding AS c_vec, bucket FROM wb),
+           |s AS (
+           |  SELECT q_id, c_id,
+           |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cosine_sim
+           |  FROM c JOIN q USING (bucket) WHERE q_id != c_id),
+           |r AS (
+           |  SELECT q_id, c_id, cosine_sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS rank
+           |  FROM s)
+           |SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank,
+           |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+           |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+    }
+  }
+
+  /** Embedding near-duplicate pairs: brute-force all-pairs cosine ≥
+    * threshold at test scale (the LSH bucket variant above is the scale
+    * path; norms precomputed per side so the pair stage is one fold). */
+  val dedupEmbedding: Q = new Q {
+    val name = "dedup_embedding"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+      val l = emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
+        col("nrm").as("n_l"))
+      val r = emb.select(col("vec_id").as("id_r"), col("embedding").as("v_r"),
+        col("nrm").as("n_r"))
+      l.crossJoin(r).where(col("id_l") < col("id_r"))
+        .withColumn("cosine_sim",
+          VectorOps.dot(col("v_l"), col("v_r"), Dim) / (col("n_l") * col("n_r")))
+        .where(col("cosine_sim") >= NearDupCos)
+        .select(col("id_l"), col("id_r"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_l, id_r, CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM p WHERE cosine_sim >= $NearDupCos ORDER BY id_l, id_r""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding)
+}
