@@ -24,16 +24,17 @@ object DedupOps {
   }
 
   /** MinHash signature: for each of `nPerm` universal-hash permutations,
-    * the minimum permuted shingle hash — computed IN-ROW with higher-order
-    * functions over the shingle-hash array (no explode, no shuffle; the
+    * the minimum permuted shingle hash — computed IN-ROW by a codegen'd
+    * expression over the shingle-hash array (no explode, no shuffle; the
     * classic explode→groupBy formulation shuffles |docs|·|shingles|·|perms|
-    * rows, which is exactly what dies at scale).
-    * Returns array<bigint> of length nPerm.
-    * DuckDB mirror: list_transform(range(0, n), i -> list_min(
-    *   list_transform(hashes, h -> permute(h, i)))) */
-  def minhashSignature(shingleHashes: Column, nPerm: Int): Column =
-    transform(sequence(lit(0L), lit(nPerm.toLong - 1)),
-      i => array_min(transform(shingleHashes, h => HashOps.permute(h, i))))
+    * rows, which is exactly what dies at scale, and the higher-order-
+    * function formulation is interpreted).
+    * Returns array<bigint> of length nPerm (null for an empty set).
+    * DuckDB mirror: min((a_i*h + b_i) % P) grouped by (doc, i). */
+  def minhashSignature(shingleHashes: Column, nPerm: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.MinHashSig(Shim.expression(shingleHashes), nPerm))
+  }
 
   /** LSH band keys from a MinHash signature: `nBands` bands of
     * `rowsPerBand` signature positions, each rendered as a string key
@@ -77,6 +78,14 @@ object DedupOps {
     val r = df.select(col(idCol).as("id_r"), col(bucketCol).as("__b"))
     l.join(r, "__b").where(col("id_l") < col("id_r"))
       .select("id_l", "id_r").distinct()
+  }
+
+  /** Intersection cardinality of two SORTED distinct long-array columns
+    * (as produced by ShingleHashSet) — codegen'd two-pointer merge. */
+  def intersectSizeSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.IntersectSizeSorted(
+      Shim.expression(a), Shim.expression(b)))
   }
 
   /** Exact Jaccard similarity between two shingle-hash SET columns (arrays

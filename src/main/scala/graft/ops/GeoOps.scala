@@ -44,35 +44,17 @@ object GeoOps {
     * @return df + `zone_id`, `zone_name`, `dist_km` of the nearest zone
     */
   def nearestZone(df: DataFrame, zones: DataFrame, latCol: String, lonCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
     val zs = zones.select("zone_id", "zone_name", "lat_z", "lon_z")
       .collect()
       .sortBy(_.getAs[Number]("zone_id").longValue())
     require(zs.nonEmpty, "nearestZone: empty zone dimension")
-    val zoneArr = array(zs.map { r =>
-      struct(
-        lit(r.getAs[Number]("zone_id").longValue()).as("zone_id"),
-        lit(r.getAs[String]("zone_name")).as("zone_name"),
-        lit(r.getAs[Double]("lat_z")).as("lat_z"),
-        lit(r.getAs[Double]("lon_z")).as("lon_z"))
-    }.toIndexedSeq: _*)
-
-    def dist(z: Column): Column =
-      haversineKm(col(latCol), col(lonCol), z.getField("lat_z"), z.getField("lon_z"))
-
-    val init = struct(
-      lit(-1L).as("zone_id"), lit("").as("zone_name"),
-      lit(Double.MaxValue).as("dist_km"))
-    val best = aggregate(
-      zoneArr,
-      init,
-      (acc, z) => {
-        val d = dist(z)
-        when(d < acc.getField("dist_km"),
-          struct(z.getField("zone_id").as("zone_id"),
-                 z.getField("zone_name").as("zone_name"),
-                 d.as("dist_km")))
-          .otherwise(acc)
-      })
+    val best = Shim.column(graft.expressions.NearestZone(
+      Shim.expression(col(latCol)), Shim.expression(col(lonCol)),
+      zs.map(_.getAs[Number]("zone_id").longValue()),
+      zs.map(_.getAs[String]("zone_name")),
+      zs.map(_.getAs[Double]("lat_z")),
+      zs.map(_.getAs[Double]("lon_z"))))
 
     df.withColumn("__best", best)
       .withColumn("zone_id", col("__best.zone_id"))

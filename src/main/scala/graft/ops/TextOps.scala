@@ -39,9 +39,13 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle hashes in the 1e9+7 field — the doc's shingle set. */
-  def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(tokens(text), k), s => HashOps.hashP(s)))
+  /** Distinct shingle hashes in the 1e9+7 field — the doc's shingle set.
+    * Codegen'd kernel (fuses shingle join + md5 + distinct into one loop);
+    * result identical to array_distinct ∘ hashP ∘ shingles. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.ShingleHashSet(Shim.expression(tokens(text)), k))
+  }
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: deterministic and SQL-mirrorable. */
@@ -74,11 +78,11 @@ object TextOps {
     * seed), so results are bit-identical.
     * DuckDB: list_reduce(list_prepend(0, list_transform(toks, t -> hashP t)),
     *                     (a, b) -> (a*31 + b) % P) */
-  def fingerprint(toks: Column): Column =
-    aggregate(
-      transform(toks, t => HashOps.hashP(t)),
-      lit(0L),
-      (h, x) => (h * 31L + x) % P)
+  def fingerprint(toks: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.PolyFold(Shim.expression(
+      Shim.column(graft.expressions.HashPArray(Shim.expression(toks))))))
+  }
 
   /** Punctuation character count. DuckDB: len(regexp_extract_all(..)). */
   def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))

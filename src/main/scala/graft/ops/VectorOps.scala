@@ -15,18 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Element products as doubles by explicit index (1-based `element_at`),
-    * matching DuckDB 1-based list indexing. `dim` is the embedding length. */
-  private def products(a: Column, b: Column, dim: Int): Column =
-    transform(sequence(lit(1), lit(dim)),
-      i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-
   /** Sequential left-fold sum (bit-reproducible).
     * DuckDB: list_reduce(list_prepend(0.0, xs), (x, y) -> x + y) */
   private def seqSum(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column, dim: Int): Column = seqSum(products(a, b, dim))
+  /** Dot product via the codegen'd [[graft.expressions.DotProduct]] kernel
+    * (higher-order functions are interpreted; unrolled trees overflow JIT
+    * method limits — a generated loop is the fast shape). Accumulation
+    * order (0.0 + p1) + p2 + … matches the sequential fold, so results are
+    * bit-equal to the DuckDB `list_reduce` oracle. `dim` kept for API
+    * symmetry; the kernel reads the runtime array length. */
+  def dot(a: Column, b: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.DotProduct(Shim.expression(a), Shim.expression(b)))
+  }
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
@@ -63,11 +66,7 @@ object VectorOps {
     * In-row, shuffle-free, codegen'd; the scale path for ANN — candidates
     * are then equi-joined on `bucket` instead of cross-joined. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      val d = seqSum(transform(sequence(lit(1), lit(dim)),
-        i => planeComponent(lit(j.toLong), i.cast("long")) * element_at(vec, i).cast("double")))
-      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graftshim.Shim
+    Shim.column(graft.expressions.LshBucket(Shim.expression(vec), nPlanes))
   }
 }

@@ -15,6 +15,8 @@ object DedupQueries {
 
   val ShingleK = 3
   val JaccardThreshold = 0.7
+  val MaxDf = 10 // candidate-generation document-frequency cap
+  val MinCoOccur = 5 // min shared rare shingles for a candidate pair
   val NumPerms = 64
   val NumBands = 16
   val RowsPerBand = 4 // NumPerms / NumBands
@@ -56,28 +58,39 @@ object DedupQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+      // Candidate generation with document-frequency pruning (prefix-filter
+      // style): only shingles with 2 ≤ df ≤ MaxDf generate pairs — hot
+      // shingles would make the self-join quadratic in the hottest key.
+      // Exact Jaccard is then computed from the FULL sets per candidate.
       val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
-      val cand = ex.select(col("doc_id").as("id_l"), col("h"))
-        .join(ex.select(col("doc_id").as("id_r"), col("h")), Seq("h"))
+      val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, MaxDf)).select("h")
+      val exPruned = ex.join(dfq, Seq("h"))
+      val cand = exPruned.select(col("doc_id").as("id_l"), col("h"))
+        .join(exPruned.select(col("doc_id").as("id_r"), col("h")), Seq("h"))
         .where(col("id_l") < col("id_r"))
-        .select("id_l", "id_r").distinct()
-      val withSets = cand
+        .groupBy("id_l", "id_r").agg(count(lit(1)).as("co"))
+        .where(col("co") >= MinCoOccur).select("id_l", "id_r")
+      cand
         .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
         .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
-        .withColumn("inter", size(array_intersect(col("hs_l"), col("hs_r"))))
-        .withColumn("uni", size(col("hs_l")) + size(col("hs_r")) - col("inter"))
-        .withColumn("jac", col("inter").cast("double") / col("uni"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+        .withColumn("jac",
+          col("inter").cast("double") / (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
         .where(col("jac") >= JaccardThreshold)
-      withSets.select(col("id_l"), col("id_r"),
-        round(col("jac") * 10000).cast("long").as("jac_e4"))
+        .select(col("id_l"), col("id_r"),
+          round(col("jac") * 10000).cast("long").as("jac_e4"))
         .orderBy("id_l", "id_r")
     }
     val oracle = Some(
       s"""WITH $SqlShingleSets,
          |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |dfq AS (SELECT h FROM e GROUP BY h HAVING count(*) BETWEEN 2 AND $MaxDf),
+         |ep AS (SELECT e.doc_id, e.h FROM e JOIN dfq USING (h)),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
-         |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM ep a JOIN ep b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $MinCoOccur),
          |j AS (
          |  SELECT id_l, id_r,
          |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
@@ -104,7 +117,7 @@ object DedupQueries {
       cand
         .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
         .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
-        .withColumn("inter", size(array_intersect(col("hs_l"), col("hs_r"))))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
         .withColumn("jac", col("inter").cast("double") /
           (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
         .where(col("jac") >= JaccardThreshold)
@@ -143,13 +156,15 @@ object DedupQueries {
     * oracle-checked unit. */
   val dedupSimhash: Q = new Q {
     val name = "dedup_simhash"
-    def run(spark: SparkSession, dir: String): DataFrame =
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.graftshim.Shim
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          DedupOps.simhash(
-            transform(TextOps.tokens(col("text")), t => HashOps.hashP(t)), 32)
-            .as("simhash32"))
+          Shim.column(graft.expressions.SimHash(
+            Shim.expression(Shim.column(graft.expressions.HashPArray(
+              Shim.expression(TextOps.tokens(col("text")))))), 32)).as("simhash32"))
         .orderBy("doc_id")
+    }
     val oracle = Some(
       s"""WITH t AS (
          |  SELECT doc_id, list_transform($SqlToks, tk -> ${HashOps.sqlHashP("tk")}) AS hs
