@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Parquet sink/scan operators — the reference's storage layer (S1–S5 in
+  * SURVEY.md §2.1): idempotent full-overwrite marts and hive-partitioned
+  * layouts with pruning on read.
+  */
+object Sinks {
+
+  /** Idempotent full-refresh mart write (reference S4:
+    * save_mes_geo.py:50 `mode("overwrite")`). */
+  def writeMart(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-partitioned mart (reference S5: calculate_zone_report.py:60
+    * `partitionBy("week")`) — downstream readers prune partitions via
+    * filters on the partition column. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode(SaveMode.Overwrite).parquet(path)
+
+  /** Root-path read + partition-column filter: Catalyst's
+    * PruneFileSourcePartitions turns the filter into directory pruning —
+    * replaces the reference's manual `date=...` path enumeration
+    * (save_mes_geo.py:16-22, S2/S3) with the declarative form. */
+  def readPartition(spark: SparkSession, path: String, partitionCol: String,
+                    value: Any): DataFrame =
+    spark.read.parquet(path).where(col(partitionCol) === value)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators. The reference models its event stream as
+  * weekly batch over date partitions (SURVEY.md §1.1 — no streaming); a
+  * Spark-native engine gets true incremental processing from the same
+  * DataFrame declarations: `readStream` → identical transforms →
+  * `writeStream`. These helpers mirror the batch operators' semantics so a
+  * pipeline can run either mode:
+  *
+  *  - [[windowedEventCounts]] ≈ zone_report's calendar bucketing, as
+  *    watermarked tumbling windows (late data handled by the watermark
+  *    instead of weekly full refresh).
+  *  - [[sessionize]] ≈ WindowOps.sessionize, as arbitrary stateful
+  *    processing (flatMapGroupsWithState) emitting CLOSED sessions
+  *    incrementally.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts per event_type with late-data watermark.
+    * Works on either a batch or streaming DataFrame with (ts, event_type). */
+  def windowedEventCounts(events: DataFrame, watermarkDelay: String,
+                          windowDuration: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  case class UserEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, last_us: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Incremental gap-based sessionization: state = the user's open session;
+    * a new event more than `gapMicros` after the last closes it (emitted)
+    * and opens a new one. Batch-equivalent of WindowOps.sessionize for the
+    * closed sessions. */
+  def sessionize(events: Dataset[UserEvent], gapMicros: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val evs = it.toIndexedSeq.sortBy(_.ts_us)
+          var closed = List.empty[ClosedSession]
+          var open = state.getOption
+          evs.foreach { e =>
+            open = open match {
+              case Some(s) if e.ts_us - s.last_us > gapMicros =>
+                closed ::= ClosedSession(uid, s.start_us, s.last_us, s.n)
+                Some(SessionState(e.ts_us, e.ts_us, 1))
+              case Some(s) =>
+                Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+              case None =>
+                Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+}

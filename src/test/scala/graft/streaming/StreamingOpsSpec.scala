@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  test("windowedEventCounts aggregates tumbling windows incrementally") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"), "10 minutes", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 10:30:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00.0", "click", 3L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions across micro-batches, keeps open state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val sessions = sessionize(input.toDS(), gapMicros = 60L * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(UserEvent(1, 0), UserEvent(1, 30000000)) // one open session
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // nothing closed yet
+      input.addData(UserEvent(1, 200000000)) // gap > 60s → closes first session
+      q.processAllAvailable()
+      val got = spark.table("sess").as[ClosedSession].collect().toSeq
+      assert(got === Seq(ClosedSession(1, 0, 30000000, 2)))
+    } finally q.stop()
+  }
+}
