@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's codegen'd
+  * kernels as SQL functions, so `spark.sql("SELECT graft_dot(a, b) …")`
+  * works anywhere the library jar is on the classpath. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (done by the
+  * Verify/Bench/Explain mains and the test harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage),
+        builder))
+
+    reg("graft_dot", "dot product of two float arrays (double accumulate)") {
+      case Seq(a, b) => DotProduct(a, b)
+    }
+    reg("graft_lsh_bucket", "graft_lsh_bucket(vec, nPlanes): hyperplane-LSH bucket id") {
+      case Seq(v, n) => LshBucket(v, intLit(n, "nPlanes"))
+    }
+    reg("graft_minhash", "graft_minhash(hashes, nPerm): MinHash signature array") {
+      case Seq(hs, n) => MinHashSig(hs, intLit(n, "nPerm"))
+    }
+    reg("graft_simhash", "graft_simhash(hashes, nBits): SimHash fingerprint") {
+      case Seq(hs, n) => SimHash(hs, intLit(n, "nBits"))
+    }
+    reg("graft_hashp_array", "per-element portable md5-based hash of a string array") {
+      case Seq(a) => HashPArray(a)
+    }
+    reg("graft_shingle_hashes", "graft_shingle_hashes(tokens, k): distinct sorted k-shingle hashes") {
+      case Seq(t, k) => ShingleHashSet(t, intLit(k, "k"))
+    }
+    reg("graft_polyfold", "rolling polynomial fold of a long array (mod 1e9+7)") {
+      case Seq(a) => PolyFold(a)
+    }
+    reg("graft_intersect_size", "intersection size of two sorted distinct long arrays") {
+      case Seq(a, b) => IntersectSizeSorted(a, b)
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-in strategies: as-of (point-in-time)
+  * lookup and radius/interval joins — both expressed as shuffle-bounded
+  * built-in plans (union+window, bucket equi-join) rather than O(n·m)
+  * theta joins, which is the shape that survives 100 TB.
+  */
+object JoinOps {
+
+  /** As-of lookup: for every left row, the greatest `rightTs` of a right
+    * row with the same keys and rightTs ≤ leftTs (null if none).
+    *
+    * Implemented as the classic merge formulation: union the two sides
+    * tagged, sort within key by (ts, side) via one window, and carry the
+    * last seen right timestamp forward — ONE shuffle on the keys, no
+    * range-join explosion. Right rows at exactly leftTs are visible
+    * (ties order right before left).
+    *
+    * Returns the left rows + `asof_ts` column.
+    */
+  def asofLookup(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__isR", lit(0))
+      .withColumn("__rts", lit(null).cast(left.schema(leftTs).dataType))
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(1).as("__isR"), col(rightTs).as("__rts")): _*)
+    // align schemas: right side carries nulls for non-key left columns
+    val rAligned = lCols.foldLeft(r2) { (df, c) =>
+      if (keys.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lCols.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
+    val unioned = l2.select(lCols.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
+      .unionByName(rAligned)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
+      .where(col("__isR") === 0)
+      .drop("__ts", "__isR", "__rts")
+  }
+
+  /** Radius join on a timestamp axis: pairs (l, r) with
+    * |ts_l − ts_r| ≤ radiusMicros. Buckets both sides into radius-sized
+    * epochs and equi-joins each left bucket to {b−1, b, b+1} — turns the
+    * inequality theta join into a bounded equi-join + residual filter
+    * (same grid trick as GeoOps.distanceBandJoin, on the time axis). */
+  def timeRadiusJoin(left: DataFrame, right: DataFrame, leftTs: String,
+                     rightTs: String, radiusMicros: Long): DataFrame = {
+    // exact integer bucket (SQL `div`): Column `/` is double division and
+    // can land one ulp across a bucket boundary
+    val lB = left.withColumn("__b", expr(s"unix_micros($leftTs) div ${radiusMicros}L"))
+    val offsets = array(lit(-1L), lit(0L), lit(1L))
+    val rB = right
+      .withColumn("__d", explode(offsets))
+      .withColumn("__b", expr(s"unix_micros($rightTs) div ${radiusMicros}L") + col("__d"))
+      .drop("__d")
+    lB.join(rB, Seq("__b"))
+      .where(abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <= radiusMicros)
+      .drop("__b")
+  }
+}

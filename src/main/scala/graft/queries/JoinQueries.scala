@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.JoinOps
+
+/** Advanced join / grouping operator coverage: as-of (point-in-time)
+  * lookup, time-radius join, semi/anti joins, rollup grouping sets,
+  * distinct aggregation, and nested-struct access via from_json (the
+  * reference's `event.X` projections — P1 in SURVEY.md §2.2 — re-created
+  * from the JSON props column since the test tables are flat). */
+object JoinQueries {
+
+  /** As-of: for each purchase, the user's latest click at-or-before it
+    * (union+window merge — one shuffle, no range explosion). */
+  val qAsofClick: Q = new Q {
+    val name = "q_asof_click_before_purchase"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click").select("user_id", "ts")
+      JoinOps.asofLookup(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("last_click_ts"))
+        .orderBy("event_id")
+    }
+    val oracle = Some(
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)
+  }
+
+  /** Time-radius join: errors within ±30 min of each signup, counted —
+    * bucketed equi-join (the scale path), exact residual filter. */
+  val qRangeErrors: Q = new Q {
+    val name = "q_range_errors_near_signup"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"))
+      val joined = JoinOps.timeRadiusJoin(signups, errors, "ts", "r_ts", 1800000000L)
+        .groupBy("event_id").agg(count(col("r_id")).as("n_errors"))
+      signups.join(joined, Seq("event_id"), "left")
+        .na.fill(0L, Seq("n_errors"))
+        .select("event_id", "user_id", "n_errors")
+        .orderBy("event_id")
+    }
+    val oracle = Some(
+      """SELECT s.event_id, s.user_id, count(e.event_id) AS n_errors
+        |FROM events s LEFT JOIN events e
+        |  ON e.event_type = 'error'
+        | AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 1800000000
+        |WHERE s.event_type = 'signup'
+        |GROUP BY s.event_id, s.user_id ORDER BY s.event_id""".stripMargin)
+  }
+
+  /** Semi/anti join: per-customer order-existence flag (semi ∪ anti). */
+  val qSemiAnti: Q = new Q {
+    val name = "q_semi_anti_customers"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      val o = Tables.orders(spark, dir).select(col("o_custkey"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_order", lit(1))
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("has_order", lit(0))
+      withO.unionByName(withoutO).orderBy("c_custkey")
+    }
+    val oracle = Some(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS INT) AS has_order
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** ROLLUP grouping sets over order year/month with grouping_id. */
+  val qRollup: Q = new Q {
+    val name = "q_rollup_orders"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .withColumn("mo", month(col("o_orderdate")).cast("long"))
+        .rollup("yr", "mo")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("yr"), lit(-1L)).as("yr"),
+          coalesce(col("mo"), lit(-1L)).as("mo"), col("n"), col("total_cents"), col("gid"))
+        .orderBy("gid", "yr", "mo")
+    val oracle = Some(
+      """SELECT coalesce(yr, -1) AS yr, coalesce(mo, -1) AS mo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(GROUPING(yr, mo) AS BIGINT) AS gid
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |             CAST(month(o_orderdate) AS BIGINT) AS mo, o_totalprice
+        |      FROM orders) t
+        |GROUP BY ROLLUP(yr, mo)
+        |ORDER BY gid, yr, mo""".stripMargin)
+  }
+
+  /** Exact distinct aggregation (count + sum of distinct values). */
+  val qDistinctUsers: Q = new Q {
+    val name = "q_distinct_users"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    val oracle = Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Nested-struct access: parse props to a struct, project through the
+    * struct field (reference P1 `event.message_from` pattern). */
+  val qNestedStruct: Q = new Q {
+    val name = "q_nested_struct_props"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("p", from_json(col("props"), lit("k BIGINT")))
+        .select(col("event_id"), col("p.k").as("k")) // struct-field projection
+        .where(col("k") >= 90)
+        .orderBy("event_id")
+    val oracle = Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup,
+    qDistinctUsers, qNestedStruct)
+}

@@ -1,0 +1,35 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("kernels are callable from SQL via SparkSessionExtensions") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(dot === 11.0)
+
+    val sig = spark.sql(
+      "SELECT graft_minhash(array(CAST(17 AS BIGINT), CAST(99 AS BIGINT)), 8)")
+      .head().getSeq[Long](0)
+    assert(sig.length === 8)
+    assert(sig.forall(v => v >= 0 && v < 1000000007L))
+
+    val inter = spark.sql(
+      "SELECT graft_intersect_size(array(1L, 3L, 7L), array(3L, 7L, 9L))")
+      .head().getInt(0)
+    assert(inter === 2)
+
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', 'b', 'c', 'd'), 3)")
+      .head().getSeq[Long](0)
+    assert(sh.length === 2) // "a b c", "b c d"
+  }
+
+  test("non-literal parameter yields a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
