@@ -28,12 +28,18 @@ object GeoPipeline {
   val RecsChannels = 50L
   val RecsRadiusKm = 1500.0
 
-  /** Events enriched with nearest zone + the zone's centroid longitude
-    * (for local-time derivation). Zero-shuffle in-row argmin — see
-    * GeoOps.nearestZone. */
+  /** Events enriched with nearest zone — zero-shuffle, zero-join in-row
+    * argmin (GeoOps.nearestZone). Use this unless the consumer needs the
+    * zone centroid longitude. */
+  def enrichedCore(spark: SparkSession, dir: String): DataFrame =
+    GeoOps.nearestZone(Tables.eventsGeo(spark, dir), Tables.zones(spark, dir),
+      "lat_e", "lon_e")
+
+  /** enrichedCore + the zone's centroid longitude (local-time derivation
+    * needs it) via one broadcast dim join. */
   def enriched(spark: SparkSession, dir: String): DataFrame = {
     val zones = Tables.zones(spark, dir)
-    GeoOps.nearestZone(Tables.eventsGeo(spark, dir), zones, "lat_e", "lon_e")
+    enrichedCore(spark, dir)
       .join(broadcast(zones.select(col("zone_id").cast("long").as("zone_id"), col("lon_z"))),
         Seq("zone_id"))
   }
@@ -68,7 +74,7 @@ object GeoPipeline {
   val geoEnrich: Q = new Q {
     val name = "geo_enrich"
     def run(spark: SparkSession, dir: String): DataFrame =
-      enriched(spark, dir)
+      enrichedCore(spark, dir)
         .select(col("event_id"), col("zone_id"), col("zone_name"),
           round(col("dist_km") * 100).cast("long").as("dist_km_e2"))
         .orderBy("event_id")
@@ -119,7 +125,7 @@ object GeoPipeline {
     * `user_geo` projection, calculate_user_city.py:17-22, on day grain). */
   private def visits(spark: SparkSession, dir: String): DataFrame =
     WindowOps.latestPerKey(
-      enriched(spark, dir).withColumn("visit_date", col("ts").cast("date")),
+      enrichedCore(spark, dir).withColumn("visit_date", col("ts").cast("date")),
       Seq("user_id", "visit_date"), Seq(col("ts"), col("event_id")))
       .select("user_id", "visit_date", "zone_id", "zone_name")
 
@@ -237,7 +243,7 @@ object GeoPipeline {
   val zoneReport: Q = new Q {
     val name = "zone_report"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val b = enriched(spark, dir)
+      val b = enrichedCore(spark, dir)
         .withColumn("week", weekofyear(col("ts")).cast("long"))
         .withColumn("month", month(col("ts")).cast("long"))
         .select("user_id", "event_id", "ts", "event_type", "zone_id", "week", "month")

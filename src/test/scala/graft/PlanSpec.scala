@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{GeoPipeline, Relational, TextQueries}
+
+/** Physical-plan regression tests: the properties that matter at scale —
+  * filter pushdown to the parquet scan, column pruning, broadcast of small
+  * dimensions, and the zero-exchange shape of the in-row geo argmin. These
+  * lock in plan quality, not just result correctness. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("geo enrichment core is map-only: no exchange, no join, custom argmin") {
+    val plan = planString(GeoPipeline.enrichedCore(spark, sf))
+    assert(plan.toLowerCase.contains("nearestzone"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val df = Relational.q1Agg.run(spark, sf)
+    val scanMeta = df.queryExecution.executedPlan.toString
+    assert(scanMeta.contains("PushedFilters") &&
+      scanMeta.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$scanMeta")
+  }
+
+  test("doc_fingerprint prunes the documents scan to doc_id + text") {
+    val df = TextQueries.docFingerprint.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("revenue star join broadcasts the small dimensions") {
+    val df = Relational.qRevenueNation.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the argmin projection") {
+    // the `*(n)` prefix marks WholeStageCodegen stages in plan toString
+    val plan = GeoPipeline.enrichedCore(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.toLowerCase.contains("nearestzone")),
+      s"argmin projection not inside a codegen stage:\n$plan")
+  }
+}
