@@ -199,9 +199,22 @@ object GeoPipeline {
   val userCityMart: Q = new Q {
     val name = "user_city_mart"
     def run(spark: SparkSession, dir: String): DataFrame = {
+      // visits feeds both home and travel — persist so the enrichment +
+      // per-(user, day) window run once (tiny frame: |users|·|days| rows)
+      val v = visits(spark, dir).persist()
       val act = userActCity.run(spark, dir)
-      val home = userHomeCity.run(spark, dir).drop("home_since")
-      val travel = userTravel.run(spark, dir)
+      val g = WindowOps.gapDaysToNext(v, Seq("user_id"), "visit_date")
+      val home = WindowOps.topKPerKey(g.where(col("gap_days") >= HomeStayDays),
+        Seq("user_id"), Seq(col("visit_date").desc), 1)
+        .select(col("user_id"), col("zone_name").as("home_zone"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("visit_date")
+      val travel = v
+        .withColumn("prev_zone", lag(col("zone_id"), 1).over(w))
+        .where(col("prev_zone").isNull || col("zone_id") =!= col("prev_zone"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("travel_count"),
+          CollectOps.orderedCollect(col("visit_date"), col("zone_name")).as("travel_array"))
       act.join(home, Seq("user_id"), "left")
         .join(travel, Seq("user_id"), "left")
         .select(col("user_id"), col("act_zone"), col("local_time"), col("home_zone"),

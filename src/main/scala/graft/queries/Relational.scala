@@ -204,6 +204,65 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Tumbling-window counts via the batch/streaming-unified helper
+    * (StreamingOps.windowedEventCounts runs the same code on a stream). */
+  val qWindowedCounts: Q = new Q {
+    val name = "q_windowed_counts"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      graft.streaming.StreamingOps.windowedEventCounts(
+        Tables.events(spark, dir).select("ts", "event_type"), "10 minutes", "1 hour")
+        .orderBy("window_start", "event_type")
+    val oracle = Some(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Ranking-function family over one window (rank / dense_rank / ntile). */
+  val qRankFunctions: Q = new Q {
+    val name = "q_rank_functions"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("c_custkey")
+    }
+    val oracle = Some(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** String-function coverage (upper/substring/replace/concat/length). */
+  val qStringFuncs: Q = new Q {
+    val name = "q_string_funcs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devoweled"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy("p_partkey")
+    val oracle = Some(
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
-    qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson)
+    qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
+    qWindowedCounts, qRankFunctions, qStringFuncs)
 }
