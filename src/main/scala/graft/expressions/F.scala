@@ -1,0 +1,38 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Shim
+
+/** Column-level facade over the custom codegen expressions (the Scala-API
+  * twin of the SQL functions GraftExtensions registers). */
+object F {
+  def dot(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    Shim.column(LshBucket(Shim.expression(vec), nPlanes))
+
+  def minhash(hashes: Column, nPerm: Int): Column =
+    Shim.column(MinHashSig(Shim.expression(hashes), nPerm))
+
+  def simhash(hashes: Column, nBits: Int): Column =
+    Shim.column(SimHash(Shim.expression(hashes), nBits))
+
+  def hashPArray(strings: Column): Column =
+    Shim.column(HashPArray(Shim.expression(strings)))
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    Shim.column(ShingleHashSet(Shim.expression(tokens), k))
+
+  def polyFold(longs: Column): Column =
+    Shim.column(PolyFold(Shim.expression(longs)))
+
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    Shim.column(IntersectSizeSorted(Shim.expression(a), Shim.expression(b)))
+
+  def nearestZone(lat: Column, lon: Column, zoneIds: Array[Long],
+                  zoneNames: Array[String], zoneLats: Array[Double],
+                  zoneLons: Array[Double]): Column =
+    Shim.column(NearestZone(Shim.expression(lat), Shim.expression(lon),
+      zoneIds, zoneNames, zoneLats, zoneLons))
+}

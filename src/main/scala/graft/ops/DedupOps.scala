@@ -31,10 +31,8 @@ object DedupOps {
     * function formulation is interpreted).
     * Returns array<bigint> of length nPerm (null for an empty set).
     * DuckDB mirror: min((a_i*h + b_i) % P) grouped by (doc, i). */
-  def minhashSignature(shingleHashes: Column, nPerm: Int): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.MinHashSig(Shim.expression(shingleHashes), nPerm))
-  }
+  def minhashSignature(shingleHashes: Column, nPerm: Int): Column =
+    graft.expressions.F.minhash(shingleHashes, nPerm)
 
   /** LSH band keys from a MinHash signature: `nBands` bands of
     * `rowsPerBand` signature positions, each rendered as a string key
@@ -82,11 +80,8 @@ object DedupOps {
 
   /** Intersection cardinality of two SORTED distinct long-array columns
     * (as produced by ShingleHashSet) — codegen'd two-pointer merge. */
-  def intersectSizeSorted(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.IntersectSizeSorted(
-      Shim.expression(a), Shim.expression(b)))
-  }
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    graft.expressions.F.intersectSizeSorted(a, b)
 
   /** Exact Jaccard similarity between two shingle-hash SET columns (arrays
     * already distinct), as e4-scaled bigint for oracle-stable comparison. */
@@ -94,5 +89,39 @@ object DedupOps {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
     round(inter / union * 10000).cast("long")
+  }
+
+  /** Connected components over undirected pair edges by min-label
+    * propagation: every node's label converges to the minimum node id
+    * reachable from it (= deterministic cluster id). Iterates driver-side
+    * until fixpoint (≤ graph diameter rounds, each one join + aggregate) —
+    * the dedup-pipeline step that turns near-dup PAIRS into keep-one
+    * CLUSTERS. `nodes` must have column `id`; `pairs` columns `id_l`,`id_r`.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
+      .union(pairs.select(col("id_r").as("src"), col("id_l").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id").as("node"), col("id").as("label")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val newLabels = labels.alias("l")
+        .join(nbrMin.alias("n"), col("l.node") === col("n.src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+        .persist()
+      changed = newLabels.alias("nw")
+        .join(labels.alias("ol"), col("nw.node") === col("ol.node"))
+        .where(col("nw.label") =!= col("ol.label")).count()
+      labels.unpersist()
+      labels = newLabels
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

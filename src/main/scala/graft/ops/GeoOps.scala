@@ -44,17 +44,15 @@ object GeoOps {
     * @return df + `zone_id`, `zone_name`, `dist_km` of the nearest zone
     */
   def nearestZone(df: DataFrame, zones: DataFrame, latCol: String, lonCol: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.Shim
     val zs = zones.select("zone_id", "zone_name", "lat_z", "lon_z")
       .collect()
       .sortBy(_.getAs[Number]("zone_id").longValue())
     require(zs.nonEmpty, "nearestZone: empty zone dimension")
-    val best = Shim.column(graft.expressions.NearestZone(
-      Shim.expression(col(latCol)), Shim.expression(col(lonCol)),
+    val best = graft.expressions.F.nearestZone(col(latCol), col(lonCol),
       zs.map(_.getAs[Number]("zone_id").longValue()),
       zs.map(_.getAs[String]("zone_name")),
       zs.map(_.getAs[Double]("lat_z")),
-      zs.map(_.getAs[Double]("lon_z"))))
+      zs.map(_.getAs[Double]("lon_z")))
 
     df.withColumn("__best", best)
       .withColumn("zone_id", col("__best.zone_id"))

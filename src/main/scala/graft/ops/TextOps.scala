@@ -42,10 +42,8 @@ object TextOps {
   /** Distinct shingle hashes in the 1e9+7 field — the doc's shingle set.
     * Codegen'd kernel (fuses shingle join + md5 + distinct into one loop);
     * result identical to array_distinct ∘ hashP ∘ shingles. */
-  def shingleHashes(text: Column, k: Int): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.ShingleHashSet(Shim.expression(tokens(text)), k))
-  }
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.expressions.F.shingleHashes(tokens(text), k)
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: deterministic and SQL-mirrorable. */
@@ -78,11 +76,8 @@ object TextOps {
     * seed), so results are bit-identical.
     * DuckDB: list_reduce(list_prepend(0, list_transform(toks, t -> hashP t)),
     *                     (a, b) -> (a*31 + b) % P) */
-  def fingerprint(toks: Column): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.PolyFold(Shim.expression(
-      Shim.column(graft.expressions.HashPArray(Shim.expression(toks))))))
-  }
+  def fingerprint(toks: Column): Column =
+    graft.expressions.F.polyFold(graft.expressions.F.hashPArray(toks))
 
   /** Punctuation character count. DuckDB: len(regexp_extract_all(..)). */
   def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))

@@ -26,10 +26,8 @@ object VectorOps {
     * order (0.0 + p1) + p2 + … matches the sequential fold, so results are
     * bit-equal to the DuckDB `list_reduce` oracle. `dim` kept for API
     * symmetry; the kernel reads the runtime array length. */
-  def dot(a: Column, b: Column, dim: Int): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.DotProduct(Shim.expression(a), Shim.expression(b)))
-  }
+  def dot(a: Column, b: Column, dim: Int): Column =
+    graft.expressions.F.dot(a, b)
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
@@ -65,8 +63,6 @@ object VectorOps {
     * sign bits: bucket = Σ_j [dot(plane_j, v) >= 0] · 2^j.
     * In-row, shuffle-free, codegen'd; the scale path for ANN — candidates
     * are then equi-joined on `bucket` instead of cross-joined. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    import org.apache.spark.sql.graftshim.Shim
-    Shim.column(graft.expressions.LshBucket(Shim.expression(vec), nPlanes))
-  }
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.expressions.F.lshBucket(vec, nPlanes)
 }

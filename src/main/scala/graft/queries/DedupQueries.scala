@@ -35,6 +35,31 @@ object DedupQueries {
        |      s -> ${HashOps.sqlHashP("s")})) AS hs
        |  FROM documents)""".stripMargin
 
+  /** MinHash→LSH→exact-Jaccard candidate CTE chain (ends in `j`:
+    * id_l, id_r, jac) — shared by the pair and cluster oracles. */
+  private lazy val SqlMinhashPairCtes: String =
+    s"""$SqlShingleSets,
+       |shn AS (SELECT * FROM sh WHERE len(hs) > 0),
+       |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
+       |m AS (
+       |  SELECT doc_id, i,
+       |    min((((2*i + 1) * h + (i * 2654435761) % $P) % $P)) AS mh
+       |  FROM e CROSS JOIN range($NumPerms) r(i)
+       |  GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band,
+       |         string_agg(mh, ',' ORDER BY i) AS sig
+       |  FROM m GROUP BY doc_id, i // $RowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT id_l, id_r,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |      (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+       |  FROM cand JOIN shn sa ON id_l = sa.doc_id JOIN shn sb ON id_r = sb.doc_id)""".stripMargin
+
   /** Exact duplicate ranking by content hash (keep-lowest-id canonical). */
   val dedupExact: Q = new Q {
     val name = "dedup_exact"
@@ -100,52 +125,38 @@ object DedupQueries {
          |FROM j WHERE jac >= $JaccardThreshold ORDER BY id_l, id_r""".stripMargin)
   }
 
+  /** MinHash-LSH near-dup pairs with exact-Jaccard refinement (id_l, id_r,
+    * jac) — Spark side of SqlMinhashPairCtes, shared by the pair and
+    * cluster queries. */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+      .where(size(col("hs")) > 0)
+      .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
+      .withColumn("bands", DedupOps.lshBandKeys(col("sig"), NumBands, RowsPerBand))
+      .persist()
+    val banded = docs.select(col("doc_id"), explode(col("bands")).as("bk"))
+    val cand = DedupOps.bucketPairs(banded, "doc_id", "bk")
+    cand
+      .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+      .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+      .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
+      .where(col("jac") >= JaccardThreshold)
+  }
+
   /** MinHash + banded LSH candidates, refined with exact Jaccard — the
-    * linear-scale near-dup path. Signatures are computed IN-ROW (higher-
-    * order functions, no explode/shuffle); only band keys are exploded. */
+    * linear-scale near-dup path. Signatures are computed IN-ROW (codegen
+    * kernel, no explode/shuffle); only band keys are exploded. */
   val dedupMinhashLsh: Q = new Q {
     val name = "dedup_minhash_lsh"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
-        .where(size(col("hs")) > 0)
-        .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
-        .withColumn("bands", DedupOps.lshBandKeys(col("sig"), NumBands, RowsPerBand))
-        .persist()
-      val banded = docs.select(col("doc_id"), explode(col("bands")).as("bk"))
-      val cand = DedupOps.bucketPairs(banded, "doc_id", "bk")
-      cand
-        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
-        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
-        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
-        .withColumn("jac", col("inter").cast("double") /
-          (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
-        .where(col("jac") >= JaccardThreshold)
+    def run(spark: SparkSession, dir: String): DataFrame =
+      minhashPairs(spark, dir)
         .select(col("id_l"), col("id_r"), round(col("jac") * 10000).cast("long").as("jac_e4"))
         .orderBy("id_l", "id_r")
-    }
     val oracle = Some(
-      s"""WITH $SqlShingleSets,
-         |shn AS (SELECT * FROM sh WHERE len(hs) > 0),
-         |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
-         |m AS (
-         |  SELECT doc_id, i,
-         |    min((((2*i + 1) * h + (i * 2654435761) % $P) % $P)) AS mh
-         |  FROM e CROSS JOIN range($NumPerms) r(i)
-         |  GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // $RowsPerBand AS band,
-         |         string_agg(mh, ',' ORDER BY i) AS sig
-         |  FROM m GROUP BY doc_id, i // $RowsPerBand),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT id_l, id_r,
-         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-         |      (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
-         |  FROM cand JOIN shn sa ON id_l = sa.doc_id JOIN shn sb ON id_r = sb.doc_id)
+      s"""WITH $SqlMinhashPairCtes
          |SELECT id_l, id_r, CAST(round(jac * 10000) AS BIGINT) AS jac_e4
          |FROM j WHERE jac >= $JaccardThreshold ORDER BY id_l, id_r""".stripMargin)
   }
@@ -157,12 +168,10 @@ object DedupQueries {
   val dedupSimhash: Q = new Q {
     val name = "dedup_simhash"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      import org.apache.spark.sql.graftshim.Shim
+      import graft.expressions.{F => GF}
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          Shim.column(graft.expressions.SimHash(
-            Shim.expression(Shim.column(graft.expressions.HashPArray(
-              Shim.expression(TextOps.tokens(col("text")))))), 32)).as("simhash32"))
+          GF.simhash(GF.hashPArray(TextOps.tokens(col("text"))), 32).as("simhash32"))
         .orderBy("doc_id")
     }
     val oracle = Some(
@@ -180,5 +189,38 @@ object DedupQueries {
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+  /** Near-dup clusters: connected components over the MinHash-LSH pair
+    * graph (min-reachable-id labels), with cluster sizes — the keep-one
+    * step of a dedup pipeline. Oracle: recursive-CTE transitive closure. */
+  val dedupClusters: Q = new Q {
+    val name = "dedup_clusters"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, dir).select("id_l", "id_r")
+      val cc = DedupOps.connectedComponents(nodes, pairs)
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster_id"))
+        .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
+         |ORDER BY cc.doc_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+    dedupClusters)
 }

@@ -383,6 +383,41 @@ object GeoPipeline {
     }
   }
 
+  /** Recommendations via the grid-bucketed distance-band join (J6 at
+    * scale): pairs of users whose last known positions are within 500 km,
+    * regardless of channel/zone — the O(n²) cross join becomes a 3×3-cell
+    * equi-join (cellDeg=10° ≥ 500 km in longitude at |lat| ≤ 60°). */
+  val recommendationsGrid: Q = new Q {
+    val name = "recommendations_grid"
+    val RadiusKm = 500.0
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val act = WindowOps.latestPerKey(enrichedCore(spark, dir), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("lat_e"), col("lon_e"))
+      val l = act.select(col("user_id").as("user_left"),
+        col("lat_e").as("lat_l"), col("lon_e").as("lon_l"))
+      val r = act.select(col("user_id").as("user_right"),
+        col("lat_e").as("lat_r"), col("lon_e").as("lon_r"))
+      GeoOps.distanceBandJoin(l, r, RadiusKm, cellDeg = 10.0)
+        .where(col("user_left") < col("user_right"))
+        .select(col("user_left"), col("user_right"),
+          round(GeoOps.haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")) * 100)
+            .cast("long").as("dist_km_e2"))
+        .orderBy("user_left", "user_right")
+    }
+    val oracle = {
+      val havLR = Tables.Sql.haversine("l.lat_e", "l.lon_e", "r.lat_e", "r.lon_e")
+      Some(
+        s"""$SqlEnriched,
+           |$SqlActPosition
+           |SELECT l.user_id AS user_left, r.user_id AS user_right,
+           |       CAST(round($havLR * 100) AS BIGINT) AS dist_km_e2
+           |FROM act l JOIN act r ON l.user_id < r.user_id
+           |WHERE $havLR <= $RadiusKm
+           |ORDER BY user_left, user_right""".stripMargin)
+    }
+  }
+
   val all: Seq[Q] = Seq(geoEnrich, geoEnrichXjoin, userActCity, userHomeCity,
-    userTravel, userCityMart, zoneReport, recommendations)
+    userTravel, userCityMart, zoneReport, recommendations, recommendationsGrid)
 }

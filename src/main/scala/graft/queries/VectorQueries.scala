@@ -165,5 +165,98 @@ object VectorQueries {
          |FROM p WHERE cosine_sim >= $NearDupCos ORDER BY id_l, id_r""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding)
+  val IvfStride = 41 // vec_id % stride == 0 → centroid set
+
+  /** IVF assignment: nearest centroid (argmax cosine) per vector, with a
+    * data-derived centroid set (strided sample — a k-means iteration would
+    * slot in identically). Broadcast centroids + window top-1. */
+  val ivfAssign: Q = new Q {
+    val name = "ivf_assign"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = emb.where(col("vec_id") % IvfStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cosine_sim", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosine_sim").desc, col("c_id").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("centroid_id"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("vec_id")
+    }
+    val oracle = Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |  WHERE vec_id % $IvfStride = 0),
+         |s AS (
+         |  SELECT e.vec_id, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cosine_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, c_id, cosine_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine_sim DESC, c_id) AS rn
+         |  FROM s)
+         |SELECT vec_id, c_id AS centroid_id,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+  }
+
+  /** IVF-probed ANN: queries search only their own centroid's inverted
+    * list (nprobe=1) — candidates shrink from |corpus| to |list|, the
+    * data-partitioned alternative to hyperplane-LSH bucketing. */
+  val annIvfTopk: Q = new Q {
+    val name = "ann_ivf_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = emb.where(col("vec_id") % IvfStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      val assigned = scored.withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("centroid_id"))
+      val queries = assigned.where(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("centroid_id"))
+      val cands = assigned
+        .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"), col("centroid_id"))
+      val joined = cands.join(broadcast(queries), Seq("centroid_id"))
+        .where(col("q_id") =!= col("c_id2"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
+      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+        .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |  WHERE vec_id % $IvfStride = 0),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM s) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM assigned
+         |      WHERE vec_id % $QueryStride = 0),
+         |cd AS (SELECT vec_id AS c_id2, embedding AS c_vec2, centroid_id FROM assigned),
+         |sc AS (
+         |  SELECT q_id, c_id2,
+         |    ${sqlDot("q_vec", "c_vec2")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec2")}) AS cosine_sim
+         |  FROM cd JOIN q USING (centroid_id) WHERE q_id != c_id2),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
+    ivfAssign, annIvfTopk)
 }

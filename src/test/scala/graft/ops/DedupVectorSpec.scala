@@ -37,10 +37,9 @@ class DedupVectorSpec extends SparkSpec {
       (2L, "spark scala window join group"),
       (3L, "totally different words entirely here"))
       .toDF("doc_id", "text")
-    import org.apache.spark.sql.graftshim.Shim
-    val fp = df.select($"doc_id", Shim.column(graft.expressions.SimHash(
-      Shim.expression(Shim.column(graft.expressions.HashPArray(
-        Shim.expression(TextOps.tokens($"text"))))), 32)).as("fp"))
+    import graft.expressions.{F => GF}
+    val fp = df.select($"doc_id",
+      GF.simhash(GF.hashPArray(TextOps.tokens($"text")), 32).as("fp"))
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
