@@ -27,4 +27,19 @@ object Sinks {
   def readPartition(spark: SparkSession, path: String, partitionCol: String,
                     value: Any): DataFrame =
     spark.read.parquet(path).where(col(partitionCol) === value)
+
+  /** Bucketed + sorted table write: repeated joins/aggregations on the
+    * bucket key read co-located data and skip the exchange entirely — the
+    * standing-layout answer to "this join shuffles 100 TB every night".
+    * Requires a catalog table (saveAsTable); both join sides bucketed by
+    * the same key into the same bucket count → sort-merge join with NO
+    * shuffle on either side. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -31,4 +31,25 @@ class SinksSpec extends SparkSpec {
     assert(scan.relation.location.inputFiles.forall(_.contains("week=1")) ||
       scan.metadata.get("PartitionFilters").exists(_.contains("week")))
   }
+
+  test("bucketed tables join without a shuffle on either side") {
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+    Sinks.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }
