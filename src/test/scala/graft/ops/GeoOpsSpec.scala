@@ -72,6 +72,15 @@ class GeoOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("zone_id") === 0L)
   }
 
+  test("nearestZone: null coordinates produce null zone columns") {
+    val pts = Seq((1L, Some(10.0), Some(0.5)), (2L, None, Some(1.0)))
+      .toDF("id", "lat", "lon")
+    val out = GeoOps.nearestZone(pts, zones, "lat", "lon")
+      .orderBy("id").select("zone_id").collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+  }
+
   test("distanceBandJoin finds exactly the pairs within radius") {
     val left = Seq((1L, 0.0, 0.0), (2L, 0.0, 3.0)).toDF("lid", "lat_l", "lon_l")
     val right = Seq((10L, 0.05, 0.05), (11L, 50.0, 50.0)).toDF("rid", "lat_r", "lon_r")

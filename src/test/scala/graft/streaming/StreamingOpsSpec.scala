@@ -33,6 +33,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet dir → windowed counts, AvailableNow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "view"))
+      .toDF("ts", "event_type").write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .parquet(s"$dir/in")
+    val q = windowedEventCounts(stream, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("fwc")
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val got = spark.table("fwc").as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions across micro-batches, keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[UserEvent]
