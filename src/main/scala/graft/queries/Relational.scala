@@ -262,7 +262,79 @@ object Relational {
         |FROM part ORDER BY p_partkey""".stripMargin)
   }
 
+  /** TPC-H Q6 shape: tight filter + single-pass sum (the canonical
+    * pushdown-and-scan query). */
+  val q6Forecast: Q = new Q {
+    val name = "q6_forecast_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+          .as("revenue_cents"), count(lit(1)).as("n"))
+    val oracle = Some(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** Analytic window frames: running total (unbounded preceding) and
+    * 3-row moving sum per customer over order history. */
+  val qRunningRevenue: Q = new Q {
+    val name = "q_running_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents.as("price_cents"))
+        .withColumn("running_cents",
+          sum(col("price_cents")).over(w.rowsBetween(Long.MinValue, 0)))
+        .withColumn("moving3_cents",
+          sum(col("price_cents")).over(w.rowsBetween(-2, 0)))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }
+    val oracle = Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both index by p·(n−1) with linear interpolation). */
+  val qPercentiles: Q = new Q {
+    val name = "q_percentiles"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)") * 10000).cast("long").as("p50_e4"),
+          round(expr("percentile(l_quantity, 0.9)") * 10000).cast("long").as("p90_e4"),
+          round(expr("percentile(l_extendedprice, 0.95)") * 10000).cast("long").as("price_p95_e4"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 10000) AS BIGINT) AS p50_e4,
+        |  CAST(round(quantile_cont(l_quantity, 0.9) * 10000) AS BIGINT) AS p90_e4,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.95) * 10000) AS BIGINT) AS price_p95_e4
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
     qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
-    qWindowedCounts, qRankFunctions, qStringFuncs)
+    qWindowedCounts, qRankFunctions, qStringFuncs, q6Forecast, qRunningRevenue,
+    qPercentiles)
 }
