@@ -78,27 +78,34 @@ object GeoOps {
   }
 
   /** Grid-bucketed distance-band self/two-table join for large×large scale:
-    * assign each row to its 1°×1° cell, replicate the right side into the
-    * 3×3 neighborhood, equi-join on the cell, post-filter with haversine.
-    * Turns an O(n²) cross join into a shuffle-bounded equi-join — the 100 TB
-    * path for the reference's ≤-1 km pair search
+    * assign each row to its cellDeg×cellDeg cell, replicate the right side
+    * into the 3×3 neighborhood, equi-join on the cell, post-filter with
+    * haversine. Turns an O(n²) cross join into a shuffle-bounded equi-join —
+    * the 100 TB path for the reference's ≤-1 km pair search
     * (calculate_user_recommendations.py:40-41, J6 in SURVEY.md §2.3).
     *
-    * `cellDeg` must be ≥ the search radius expressed in degrees at the
-    * highest latitude of interest for completeness.
+    * Longitude cells are MODULAR (360/cellDeg cells) so pairs straddling
+    * the ±180° antimeridian are found — haversine itself is periodic in
+    * Δlon, only the grid needs the wrap. `cellDeg` must divide 360 and be
+    * ≥ the radius in longitude degrees at the highest |lat| of interest
+    * (completeness near the poles needs a dedicated cap cell — out of scope
+    * for |lat| ≤ 90° − radius).
     */
   def distanceBandJoin(left: DataFrame, right: DataFrame, radiusKm: Double,
                        cellDeg: Double = 1.0): DataFrame = {
     require(radiusKm > 0 && cellDeg > 0)
+    val nLon = math.round(360.0 / cellDeg)
+    require(math.abs(nLon * cellDeg - 360.0) < 1e-9, s"cellDeg=$cellDeg must divide 360")
     val lCell = left
       .withColumn("__clat", floor(col("lat_l") / cellDeg).cast("long"))
-      .withColumn("__clon", floor(col("lon_l") / cellDeg).cast("long"))
+      .withColumn("__clon", pmod(floor(col("lon_l") / cellDeg).cast("long"), lit(nLon)))
     val offsets = Seq(-1L, 0L, 1L)
     val rRep = right
       .withColumn("__dlat", explode(array(offsets.map(lit(_)): _*)))
       .withColumn("__dlon", explode(array(offsets.map(lit(_)): _*)))
       .withColumn("__clat", floor(col("lat_r") / cellDeg).cast("long") + col("__dlat"))
-      .withColumn("__clon", floor(col("lon_r") / cellDeg).cast("long") + col("__dlon"))
+      .withColumn("__clon",
+        pmod(floor(col("lon_r") / cellDeg).cast("long") + col("__dlon"), lit(nLon)))
       .drop("__dlat", "__dlon")
     lCell.join(rRep, Seq("__clat", "__clon"))
       .where(haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")) <= radiusKm)

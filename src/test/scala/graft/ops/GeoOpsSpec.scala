@@ -88,4 +88,12 @@ class GeoOpsSpec extends SparkSpec {
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L)))
   }
+
+  test("distanceBandJoin finds pairs straddling the ±180° antimeridian") {
+    val left = Seq((1L, 0.0, 179.9)).toDF("lid", "lat_l", "lon_l")
+    val right = Seq((10L, 0.0, -179.9), (11L, 0.0, 170.0)).toDF("rid", "lat_r", "lon_r")
+    val got = GeoOps.distanceBandJoin(left, right, radiusKm = 50.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L))) // 0.2° apart across the seam ≈ 22 km
+  }
 }
