@@ -331,17 +331,20 @@ object GeoPipeline {
       val act = actPosition(spark, dir)
         .select(col("user_id"), col("ts"), col("lat_e"), col("lon_e"),
           col("zone_id").cast("long").as("zone_id"), col("lon_z"))
-      val pairs = subs.select(col("user_id").as("user_left"), col("channel"))
-        .join(subs.select(col("user_id").as("user_right"), col("channel")), Seq("channel"))
+      // join channel AND zone jointly (reference J5 joins on [subc, city_id],
+      // calculate_user_recommendations.py:37-38): attaching the actual zone
+      // BEFORE the self-join keeps the pair space (channel, zone)-bounded
+      // instead of exploding per channel and filtering after
+      val subsZ = subs.join(broadcast(act.select(col("user_id"),
+        col("zone_id"), col("ts"), col("lat_e"), col("lon_e"), col("lon_z"))), Seq("user_id"))
+      val al = subsZ.select(col("user_id").as("user_left"), col("channel"),
+        col("zone_id"), col("ts").as("ts_l"),
+        col("lat_e").as("lat_l"), col("lon_e").as("lon_l"), col("lon_z").as("lon_z_l"))
+      val ar = subsZ.select(col("user_id").as("user_right"), col("channel"),
+        col("zone_id"), col("lat_e").as("lat_r"), col("lon_e").as("lon_r"))
+      al.join(ar, Seq("channel", "zone_id"))
         .where(col("user_left") < col("user_right"))
-      val al = act.select(col("user_id").as("user_left"), col("ts").as("ts_l"),
-        col("lat_e").as("lat_l"), col("lon_e").as("lon_l"),
-        col("zone_id").as("zone_l"), col("lon_z").as("lon_z_l"))
-      val ar = act.select(col("user_id").as("user_right"),
-        col("lat_e").as("lat_r"), col("lon_e").as("lon_r"), col("zone_id").as("zone_r"))
-      pairs.join(broadcast(al), Seq("user_left"))
-        .join(broadcast(ar), Seq("user_right"))
-        .where(col("zone_l") === col("zone_r"))
+        .withColumn("zone_l", col("zone_id"))
         .withColumn("dist_km",
           GeoOps.haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")))
         .where(col("dist_km") <= RecsRadiusKm)
