@@ -30,6 +30,12 @@ object F {
   def intersectSizeSorted(a: Column, b: Column): Column =
     Shim.column(IntersectSizeSorted(Shim.expression(a), Shim.expression(b)))
 
+  /** Bounded top-k aggregate column: array<struct<ord,id>> of the k best
+    * (ord DESC, id ASC) pairs per group with O(k) map-side state. */
+  def boundedTopK(ord: Column, id: Column, k: Int): Column =
+    Shim.column(BoundedTopK(Shim.expression(ord), Shim.expression(id), k)
+      .toAggregateExpression())
+
   def nearestZone(lat: Column, lon: Column, zoneIds: Array[Long],
                   zoneNames: Array[String], zoneLats: Array[Double],
                   zoneLons: Array[Double]): Column =

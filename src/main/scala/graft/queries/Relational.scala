@@ -313,6 +313,23 @@ object Relational {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** Top-K per key via the BoundedTopK TypedImperativeAggregate: map-side
+    * O(k) state per group instead of the window's full per-key sort — same
+    * results (and the same oracle) as q_topk_orders_per_cust. */
+  val qTopkOrdersAgg: Q = new Q {
+    val name = "q_topk_orders_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(graft.expressions.F.boundedTopK(
+          cents(col("o_totalprice")), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+          col("col.ord").as("price_cents"), (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    val oracle = qTopkOrdersPerCust.oracle
+  }
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`: both index by p·(n−1) with linear interpolation). */
   val qPercentiles: Q = new Q {
@@ -336,5 +353,5 @@ object Relational {
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
     qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
     qWindowedCounts, qRankFunctions, qStringFuncs, q6Forecast, qRunningRevenue,
-    qPercentiles)
+    qPercentiles, qTopkOrdersAgg)
 }

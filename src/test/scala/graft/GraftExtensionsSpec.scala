@@ -26,6 +26,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh.length === 2) // "a b c", "b c d"
   }
 
+  test("BoundedTopK aggregate equals the ranking-window formulation") {
+    import spark.implicits._
+    val window = graft.queries.Relational.qTopkOrdersPerCust
+      .run(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    val agg = graft.queries.Relational.qTopkOrdersAgg
+      .run(spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    assert(agg === window)
+
+    // SQL surface too
+    val viaSql = spark.sql(
+      """SELECT k, graft_topk(v, id, 2) AS top FROM VALUES
+        | (1, 10L, 100L), (1, 30L, 101L), (1, 20L, 102L), (2, 5L, 103L)
+        | AS t(k, v, id) GROUP BY k ORDER BY k""".stripMargin)
+      .as[(Int, Seq[(Long, Long)])].collect().toSeq
+    assert(viaSql === Seq(
+      (1, Seq((30L, 101L), (20L, 102L))),
+      (2, Seq((5L, 103L)))))
+  }
+
   test("non-literal parameter yields a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array(1L), CAST(rand() * 4 AS INT))").collect()
