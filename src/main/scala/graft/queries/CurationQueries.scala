@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, TextOps}
+
+/** The end-to-end training-data curation flow — the composition the whole
+  * extension surface exists for: score quality, identify language,
+  * near-dup-cluster, and emit per-document keep/drop decisions plus
+  * dataset-mixing statistics. Everything derives from operators that are
+  * individually oracle-checked; the composed queries are oracle-checked
+  * again as a whole.
+  */
+object CurationQueries {
+
+  val QualityKeep = 5000L // quality_e4 threshold for the keep flag
+  val KeepLang = "en"
+
+  /** quality_e4 (same formula as text_stats). */
+  private def qualityE4(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val nToks = TextOps.tokenCount(text)
+    val nChars = length(text)
+    val alpha = regexp_count(text, lit("[A-Za-z]"))
+    val stops = TextOps.stopwordHits(toks, TextOps.Stopwords.head._2)
+    round(lit(10000.0) * (
+      lit(0.5) * least(stops * 5.0 / nToks, lit(1.0)) +
+        lit(0.3) * least(nToks / 200.0, lit(1.0)) +
+        lit(0.2) * (alpha * 1.0 / nChars))).cast("long")
+  }
+
+  private val SqlQuality: String = {
+    val stopList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""q AS (
+       |  SELECT doc_id,
+       |    CAST(round(10000.0 * (
+       |      0.5 * least(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+       |                    t -> t IN ($stopList))) * 5.0
+       |            / len(regexp_extract_all(text, '\\S+')), 1.0)
+       |      + 0.3 * least(len(regexp_extract_all(text, '\\S+')) / 200.0, 1.0)
+       |      + 0.2 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text))))
+       |      AS BIGINT) AS quality_e4
+       |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0)""".stripMargin
+  }
+
+  private val SqlLang: String = {
+    val scores = TextOps.Stopwords.map { case (lang, words) =>
+      val l = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> t IN ($l))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.Stopwords.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"""lg AS (
+       |  SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+       |  FROM (SELECT doc_id, $scores FROM documents) t)""".stripMargin
+  }
+
+  /** Per-document curation decision: quality, language, near-dup cluster,
+    * canonical flag, and the final keep flag. */
+  val corpusCuration: Q = new Q {
+    val name = "corpus_curation"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+      val scored = docs
+        .where(TextOps.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), qualityE4(col("text")).as("quality_e4"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"))
+      val cc = DedupOps.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        DedupQueries.minhashPairs(spark, dir).select("id_l", "id_r"))
+      scored.join(cc, scored("doc_id") === cc("node"))
+        .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+        .withColumn("keep",
+          (col("is_canonical") === 1 && col("quality_e4") >= QualityKeep &&
+            col("pred_lang") === KeepLang).cast("int"))
+        .select("doc_id", "quality_e4", "pred_lang", "cluster_id", "is_canonical", "keep")
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE ${DedupQueries.SqlMinhashPairCtes},
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= ${DedupQueries.JaccardThreshold}),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |$SqlQuality,
+         |$SqlLang
+         |SELECT q.doc_id, q.quality_e4, lg.pred_lang, cc.cluster_id,
+         |  CAST(q.doc_id = cc.cluster_id AS INT) AS is_canonical,
+         |  CAST(q.doc_id = cc.cluster_id AND q.quality_e4 >= $QualityKeep
+         |       AND lg.pred_lang = '$KeepLang' AS INT) AS keep
+         |FROM q JOIN lg ON q.doc_id = lg.doc_id JOIN cc ON q.doc_id = cc.doc_id
+         |ORDER BY q.doc_id""".stripMargin)
+  }
+
+  /** Dataset-mixing statistics per source over the curated corpus. */
+  val corpusStatsBySource: Q = new Q {
+    val name = "corpus_stats_by_source"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(TextOps.tokenCount(col("text")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(qualityE4(col("text")))).cast("long").as("avg_quality_e4"))
+        .orderBy("source")
+    val oracle = Some(
+      s"""WITH $SqlQuality,
+         |t AS (
+         |  SELECT d.source, q.quality_e4,
+         |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_toks
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(round(avg(quality_e4)) AS BIGINT) AS avg_quality_e4
+         |FROM t GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource)
+}

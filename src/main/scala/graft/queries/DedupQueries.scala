@@ -37,7 +37,7 @@ object DedupQueries {
 
   /** MinHash→LSH→exact-Jaccard candidate CTE chain (ends in `j`:
     * id_l, id_r, jac) — shared by the pair and cluster oracles. */
-  private lazy val SqlMinhashPairCtes: String =
+  private[queries] lazy val SqlMinhashPairCtes: String =
     s"""$SqlShingleSets,
        |shn AS (SELECT * FROM sh WHERE len(hs) > 0),
        |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
@@ -128,7 +128,7 @@ object DedupQueries {
   /** MinHash-LSH near-dup pairs with exact-Jaccard refinement (id_l, id_r,
     * jac) — Spark side of SqlMinhashPairCtes, shared by the pair and
     * cluster queries. */
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
       .where(size(col("hs")) > 0)
