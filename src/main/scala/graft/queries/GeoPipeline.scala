@@ -59,9 +59,12 @@ object GeoPipeline {
 
   /** Latest event per user with position and zone (reference W2 — basis of
     * act_city and the recommendations' "last known position"). */
-  private def actPosition(spark: SparkSession, dir: String): DataFrame =
-    WindowOps.latestPerKey(enriched(spark, dir), Seq("user_id"),
+  def actPositionFrom(enrichedDf: DataFrame): DataFrame =
+    WindowOps.latestPerKey(enrichedDf, Seq("user_id"),
       Seq(col("ts"), col("event_id")))
+
+  private def actPosition(spark: SparkSession, dir: String): DataFrame =
+    actPositionFrom(enriched(spark, dir))
 
   private val SqlActPosition: String =
     """act AS (
@@ -123,11 +126,14 @@ object GeoPipeline {
   /** Day-grain visits: one (user, date, zone) row per day — zone of the
     * day's last event. Basis for home_city and travel (the reference's
     * `user_geo` projection, calculate_user_city.py:17-22, on day grain). */
-  private def visits(spark: SparkSession, dir: String): DataFrame =
+  def visitsFrom(enrichedDf: DataFrame): DataFrame =
     WindowOps.latestPerKey(
-      enrichedCore(spark, dir).withColumn("visit_date", col("ts").cast("date")),
+      enrichedDf.withColumn("visit_date", col("ts").cast("date")),
       Seq("user_id", "visit_date"), Seq(col("ts"), col("event_id")))
       .select("user_id", "visit_date", "zone_id", "zone_name")
+
+  private def visits(spark: SparkSession, dir: String): DataFrame =
+    visitsFrom(enrichedCore(spark, dir))
 
   private val SqlVisits: String =
     """visits AS (
