@@ -151,5 +151,45 @@ object TextQueries {
          |GROUP BY term ORDER BY cnt DESC, term LIMIT 50""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms)
+  /** Within-document repetition: fraction of duplicate k-gram shingles
+    * (1 − distinct/total) — the Gopher-style repetitiveness quality signal.
+    * Spark side counts total shingles arithmetically (n_tokens − k + 1) and
+    * distinct via the sorted-set kernel. */
+  val textRepetition: Q = new Q {
+    val name = "text_repetition"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val k = 3
+      val nToks = TextOps.tokenCount(col("text"))
+      val total = greatest(nToks - (k - 1), lit(0)).cast("long")
+      val distinctSh = size(TextOps.shingleHashes(col("text"), k)).cast("long")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), total.as("n_shingles"), distinctSh.as("n_distinct"))
+        .withColumn("rep_ratio_e4",
+          when(col("n_shingles") > 0,
+            round((lit(1.0) - col("n_distinct") * 1.0 / col("n_shingles")) * 10000)
+              .cast("long"))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      Some(
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CAST(greatest(len($toks) - 2, 0) AS BIGINT) AS n_shingles,
+           |    CAST(len(list_distinct(list_transform(
+           |      list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
+           |        i -> array_to_string(list_slice($toks, i, i + 2), ' ')),
+           |      s -> ${HashOps.sqlHashP("s")}))) AS BIGINT) AS n_distinct
+           |  FROM documents)
+           |SELECT doc_id, n_shingles, n_distinct,
+           |  CASE WHEN n_shingles > 0
+           |       THEN CAST(round((1.0 - n_distinct * 1.0 / n_shingles) * 10000) AS BIGINT)
+           |       ELSE 0 END AS rep_ratio_e4
+           |FROM b ORDER BY doc_id""".stripMargin)
+    }
+  }
+
+  val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
+    textRepetition)
 }
