@@ -45,18 +45,8 @@ object DedupOps {
         concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string")))))
 
-  /** SimHash fingerprint (nBits ≤ 32) over token hashes: bit j is set when
-    * Σ_tokens (2·bit_j(hash)−1) > 0. In-row fold, no shuffle.
-    * Bit extraction via (h div 2^j) % 2 — portable to DuckDB (`//`). */
-  def simhash(tokenHashes: Column, nBits: Int): Column = {
-    val contrib = (0 until nBits).map { j =>
-      val pw = 1L << j
-      val bitSum = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + ((h / pw).cast("long") % 2L) * 2L - 1L)
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    contrib.reduce(_ + _)
-  }
+  /** SimHash fingerprint: see graft.expressions.SimHash (codegen kernel)
+    * via graft.expressions.F.simhash. */
 
   /** Hamming distance between two ≤63-bit fingerprints via arithmetic bit
     * extraction (portable; Spark also has bit_count but DuckDB's operates on

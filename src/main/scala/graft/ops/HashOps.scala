@@ -40,6 +40,4 @@ object HashOps {
   def permute(x: Column, i: Column): Column =
     ((lit(2L) * i + 1L) * x + (i * 2654435761L) % P) % P
 
-  def sqlPermute(x: String, i: String): String =
-    s"(((2*$i + 1) * $x + ($i * 2654435761) % $P) % $P)"
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed k-means (Lloyd's) over an `array<float>` embedding
+  * column — the clustering complement to the ANN/dedup vector operators.
+  *
+  * Scale shape per iteration: one broadcast of k·dim centroid floats into
+  * an in-row argmin (no join, no shuffle for assignment — distances via
+  * the codegen DotProduct kernel and the identity ‖x−c‖² = ‖x‖² − 2x·c +
+  * ‖c‖², where ‖x‖² is assignment-invariant), then ONE groupBy computing
+  * per-dimension means (partial aggregation map-side). Centroids live on
+  * the driver between iterations (k·dim doubles — trivially small).
+  *
+  * Initialization is deterministic (k lowest ids); note float-mean
+  * accumulation order makes centroid low bits run-dependent, so exact
+  * centroid values are not oracle-comparable — consumers should treat
+  * assignments/inertia as approximate (rows-only checks + property tests).
+  */
+object KMeansOps {
+
+  case class Model(centroids: Array[Array[Double]], inertia: Double)
+
+  private def sqNormL(c: Array[Double]): Double = c.map(x => x * x).sum
+
+  /** Squared distance to centroid j minus the row-constant ‖x‖² term. */
+  private def scoreTo(vec: Column, c: Array[Double]): Column = {
+    val cFloat = typedLit(c.map(_.toFloat).toSeq)
+    lit(-2.0) * graft.expressions.F.dot(vec, cFloat) + lit(sqNormL(c))
+  }
+
+  /** Index of the nearest centroid (ties → lowest index). */
+  def assignment(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroids.map(c => scoreTo(vec, c))
+    val best = scores.reduce((a, b) => least(a, b))
+    scores.zipWithIndex.foldRight(lit(centroids.length - 1)) {
+      case ((s, idx), rest) => when(s === best, lit(idx)).otherwise(rest)
+    }
+  }
+
+  /** Run `iters` Lloyd iterations from the k lowest-id vectors. */
+  def fit(emb: DataFrame, k: Int, iters: Int, dim: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    require(k >= 1 && iters >= 0)
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.withColumn("__c", assignment(col(vecCol), centroids))
+      val means = assigned.groupBy("__c")
+        .agg(count(lit(1)).as("n"),
+          (1 to dim).map(i =>
+            avg(element_at(col(vecCol), i).cast("double")).as(s"m$i")): _*)
+        .collect()
+      means.foreach { r =>
+        val c = r.getAs[Int]("__c")
+        centroids(c) = (1 to dim).map(i => r.getAs[Double](s"m$i")).toArray
+      }
+      it += 1
+    }
+    val inertia = emb.select(
+      centroids.map(c => scoreTo(col(vecCol), c)).reduce((a, b) => least(a, b)).as("s"),
+      graft.expressions.F.dot(col(vecCol), col(vecCol)).as("xx"))
+      .agg(sum(col("s") + col("xx"))).head().getDouble(0)
+    Model(centroids, inertia)
+  }
+
+  /** Assignment DataFrame for a fitted model. */
+  def transform(emb: DataFrame, model: Model,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), assignment(col(vecCol), model.centroids).as("cluster"))
+}

@@ -15,11 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential left-fold sum (bit-reproducible).
-    * DuckDB: list_reduce(list_prepend(0.0, xs), (x, y) -> x + y) */
-  private def seqSum(xs: Column): Column =
-    aggregate(xs, lit(0.0), (acc, x) => acc + x)
-
   /** Dot product via the codegen'd [[graft.expressions.DotProduct]] kernel
     * (higher-order functions are interpreted; unrolled trees overflow JIT
     * method limits — a generated loop is the fast shape). Accumulation
@@ -52,12 +47,6 @@ object VectorOps {
     val w = Window.partitionBy(qId).orderBy(col("cosine_sim").desc, col(cId).asc)
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
-
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * ((j*73856093 + d*19349663) % 2001 - 1000) / 1000.0 ∈ [-1, 1].
-    * Pure integer arithmetic — identical in DuckDB SQL. */
-  def planeComponent(j: Column, d: Column): Column =
-    (((j * 73856093L + d * 19349663L) % 2001L) - 1000L) / lit(1000.0)
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id from `nPlanes`
     * sign bits: bucket = Σ_j [dot(plane_j, v) >= 0] · 2^j.

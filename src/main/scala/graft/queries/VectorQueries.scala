@@ -257,6 +257,20 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** k-means cluster assignment (Lloyd's, deterministic init). Rows-only:
+    * float-mean accumulation order makes centroid low bits run-dependent,
+    * so values aren't oracle-comparable — properties are covered by
+    * KMeansOpsSpec. */
+  val kmeansClusters: Q = new Q {
+    val name = "kmeans_clusters"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val model = graft.ops.KMeansOps.fit(emb, k = 8, iters = 3, dim = Dim)
+      graft.ops.KMeansOps.transform(emb, model).orderBy("vec_id")
+    }
+    val oracle = None
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
-    ivfAssign, annIvfTopk)
+    ivfAssign, annIvfTopk, kmeansClusters)
 }
