@@ -185,9 +185,15 @@ object GeoPipeline {
         .where(col("prev_zone").isNull || col("zone_id") =!= col("prev_zone"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("travel_count"),
-          CollectOps.orderedCollect(col("visit_date"), col("zone_name")).as("travel_array"))
+          concat_ws("|",
+            CollectOps.orderedCollect(col("visit_date"), col("zone_name")))
+            .as("travel_path"))
         .orderBy("user_id")
     }
+    // travel_path is the '|'-joined ordered zone array — exported as a
+    // string so the cross-engine hash compare is representation-stable
+    // (list-column pandas hashing differs between engines); the array form
+    // itself is CollectOps.orderedCollect, covered by its spec.
     val oracle = Some(
       s"""$SqlEnriched,
          |$SqlVisits,
@@ -196,7 +202,7 @@ object GeoPipeline {
          |  FROM visits),
          |t AS (SELECT * FROM c WHERE prev_zone IS NULL OR zone_id != prev_zone)
          |SELECT user_id, count(*) AS travel_count,
-         |       list(zone_name ORDER BY visit_date) AS travel_array
+         |       array_to_string(list(zone_name ORDER BY visit_date), '|') AS travel_path
          |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
@@ -220,11 +226,13 @@ object GeoPipeline {
         .where(col("prev_zone").isNull || col("zone_id") =!= col("prev_zone"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("travel_count"),
-          CollectOps.orderedCollect(col("visit_date"), col("zone_name")).as("travel_array"))
+          concat_ws("|",
+            CollectOps.orderedCollect(col("visit_date"), col("zone_name")))
+            .as("travel_path"))
       act.join(home, Seq("user_id"), "left")
         .join(travel, Seq("user_id"), "left")
         .select(col("user_id"), col("act_zone"), col("local_time"), col("home_zone"),
-          col("travel_count"), col("travel_array"))
+          col("travel_count"), col("travel_path"))
         .orderBy("user_id")
     }
     val oracle = Some(
@@ -245,11 +253,11 @@ object GeoPipeline {
          |t AS (SELECT * FROM c WHERE prev_zone IS NULL OR zone_id != prev_zone),
          |travel AS (
          |  SELECT user_id, count(*) AS travel_count,
-         |         list(zone_name ORDER BY visit_date) AS travel_array
+         |         array_to_string(list(zone_name ORDER BY visit_date), '|') AS travel_path
          |  FROM t GROUP BY user_id)
          |SELECT a.user_id, a.zone_name AS act_zone,
          |       ${TimeOps.sqlLocalTimeByOffset("a.ts", "a.lon_z")} AS local_time,
-         |       home.home_zone, travel.travel_count, travel.travel_array
+         |       home.home_zone, travel.travel_count, travel.travel_path
          |FROM act a
          |LEFT JOIN home ON a.user_id = home.user_id
          |LEFT JOIN travel ON a.user_id = travel.user_id
