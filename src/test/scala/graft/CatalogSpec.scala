@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog integrity: the driver consumes Maps keyed by query name, so a
+  * duplicated name would silently drop a query from the gate. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("query names are unique (no silent Map collapse)") {
+    val names = SparkEntry.catalog.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size === names.size)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("oracle SQL strings are non-empty and reference at least one table") {
+    val tables = Seq("lineitem", "orders", "customer", "nation", "region",
+      "events", "documents", "embeddings", "part", "supplier")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      assert(tables.exists(sql.contains), s"$name: oracle references no known table")
+    }
+  }
+}
