@@ -30,6 +30,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup on a key column: duplicates arriving within the
+    * watermark horizon are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark` expires keys once the watermark
+    * passes them — the streaming twin of DedupOps.exactDupRank's keep-first
+    * semantics). `df` needs an event-time column `ts`. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    df.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

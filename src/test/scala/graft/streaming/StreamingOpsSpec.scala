@@ -59,6 +59,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = dedupStream(
+      input.toDF().toDF("ts", "doc_id", "payload"), Seq("doc_id"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "a-dup"),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 10:03:00"), 1L, "a-dup2"))
+      q.processAllAvailable()
+      val got = spark.table("dd").select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got === Seq(1L, 2L)) // one row per key survives
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions across micro-batches, keeps open state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[UserEvent]
