@@ -59,6 +59,25 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom codegen expressions run inside streaming plans (geo argmin)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val zones = Seq((0L, "Z0", 0.0, 0.0), (1L, "Z1", 40.0, 10.0))
+      .toDF("zone_id", "zone_name", "lat_z", "lon_z")
+    val input = MemoryStream[(Long, Double, Double)]
+    val enriched = graft.ops.GeoOps.nearestZone(
+      input.toDF().toDF("id", "lat", "lon"), zones, "lat", "lon")
+      .select(col("id"), col("zone_name"))
+    val q = enriched.writeStream.format("memory").queryName("gz")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, 1.0, 1.0), (2L, 39.0, 11.0))
+      q.processAllAvailable()
+      val got = spark.table("gz").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "Z0", 2L -> "Z1"))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark horizon") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
