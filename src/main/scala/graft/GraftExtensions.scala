@@ -55,5 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_topk", "graft_topk(ord, id, k): bounded top-k aggregate (ord DESC, id ASC)") {
       case Seq(o, i, kk) => BoundedTopK(o, i, intLit(kk, "k")).toAggregateExpression()
     }
+    reg("graft_vector_sum", "graft_vector_sum(vec, dim): element-wise float-vector sum aggregate") {
+      case Seq(v, d) => VectorSum(v, intLit(d, "dim")).toAggregateExpression()
+    }
   }
 }

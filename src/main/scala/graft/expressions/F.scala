@@ -36,6 +36,10 @@ object F {
     Shim.column(BoundedTopK(Shim.expression(ord), Shim.expression(id), k)
       .toAggregateExpression())
 
+  /** Element-wise vector-sum aggregate (array<float> → array<double>). */
+  def vectorSum(vec: Column, dim: Int): Column =
+    Shim.column(VectorSum(Shim.expression(vec), dim).toAggregateExpression())
+
   def nearestZone(lat: Column, lon: Column, zoneIds: Array[Long],
                   zoneNames: Array[String], zoneLats: Array[Double],
                   zoneLons: Array[Double]): Column =

@@ -50,14 +50,15 @@ object KMeansOps {
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("__c", assignment(col(vecCol), centroids))
+      // one VectorSum aggregate + count instead of `dim` avg() columns
       val means = assigned.groupBy("__c")
         .agg(count(lit(1)).as("n"),
-          (1 to dim).map(i =>
-            avg(element_at(col(vecCol), i).cast("double")).as(s"m$i")): _*)
+          graft.expressions.F.vectorSum(col(vecCol), dim).as("s"))
         .collect()
       means.foreach { r =>
         val c = r.getAs[Int]("__c")
-        centroids(c) = (1 to dim).map(i => r.getAs[Double](s"m$i")).toArray
+        val n = r.getAs[Long]("n").toDouble
+        centroids(c) = r.getSeq[Double](r.fieldIndex("s")).map(_ / n).toArray
       }
       it += 1
     }

@@ -45,6 +45,18 @@ class GraftExtensionsSpec extends SparkSpec {
       (2, Seq((5L, 103L)))))
   }
 
+  test("VectorSum aggregate sums float vectors element-wise") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT k, graft_vector_sum(v, 2) FROM VALUES
+        | (1, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        | (1, array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        | (2, array(CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT)))
+        | AS t(k, v) GROUP BY k ORDER BY k""".stripMargin)
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(got === Seq((1, Seq(4.0, 6.0)), (2, Seq(5.0, 6.0))))
+  }
+
   test("non-literal parameter yields a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array(1L), CAST(rand() * 4 AS INT))").collect()
