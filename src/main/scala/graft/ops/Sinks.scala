@@ -34,6 +34,18 @@ object Sinks {
   def readPaths(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** The reference's N-day sliding window (save_mes_geo.py:16-22 builds
+    * `date=` paths for [date−depth+1, date]) as a declarative
+    * partition-pruned read: root scan + BETWEEN on the partition column —
+    * Catalyst prunes to exactly the window's directories. */
+  def readDateWindow(spark: SparkSession, path: String, partitionCol: String,
+                     endDate: String, depthDays: Int): DataFrame = {
+    val end = java.time.LocalDate.parse(endDate)
+    val start = end.minusDays(depthDays - 1L)
+    spark.read.parquet(path)
+      .where(col(partitionCol).between(start.toString, end.toString))
+  }
+
   /** Bucketed + sorted table write: repeated joins/aggregations on the
     * bucket key read co-located data and skip the exchange entirely — the
     * standing-layout answer to "this join shuffles 100 TB every night".

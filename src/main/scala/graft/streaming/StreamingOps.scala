@@ -30,6 +30,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Incremental zone activity report — the reference's stage 3
+    * (calculate_zone_report.py) as a streaming aggregation: tumbling
+    * windows × zone × per-event-type conditional counts (streaming plans
+    * don't support pivot; conditional aggregation is the equivalent with
+    * an explicit value list). `events` needs ts, zone_id, event_type. */
+  def zoneActivityStream(events: DataFrame, eventTypes: Seq[String],
+                         watermarkDelay: String, windowDuration: String): DataFrame = {
+    val counts = eventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("zone_id"))
+      .agg(counts.head, counts.tail: _*)
+      .select(Seq(col("window.start").as("window_start"), col("zone_id")) ++
+        eventTypes.map(t => col(s"n_$t")): _*)
+  }
+
   /** Streaming exact dedup on a key column: duplicates arriving within the
     * watermark horizon are dropped with bounded state
     * (`dropDuplicatesWithinWatermark` expires keys once the watermark

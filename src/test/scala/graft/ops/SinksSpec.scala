@@ -41,6 +41,24 @@ class SinksSpec extends SparkSpec {
     assert(got === Set("a", "c"))
   }
 
+  test("readDateWindow prunes to the N-day partition window (reference S3)") {
+    val dir = Files.createTempDirectory("graft-dates").toString + "/events"
+    val df = Seq(
+      ("2024-01-05", 1L), ("2024-01-06", 2L), ("2024-01-07", 3L),
+      ("2024-01-08", 4L), ("2024-01-10", 5L))
+      .toDF("date", "event_id")
+    Sinks.writePartitioned(df, dir, Seq("date"))
+    val got = Sinks.readDateWindow(spark, dir, "date", "2024-01-08", 3)
+      .select("event_id").as[Long].collect().toSet
+    assert(got === Set(2L, 3L, 4L)) // window [01-06, 01-08]; 01-10 out, 01-05 out
+    val scan = Sinks.readDateWindow(spark, dir, "date", "2024-01-08", 3)
+      .queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.get
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("date")),
+      "window filter not applied as partition pruning")
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")

@@ -59,6 +59,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zoneActivityStream: incremental stage-3 report (window × zone × type)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val report = zoneActivityStream(
+      input.toDF().toDF("ts", "zone_id", "event_type"),
+      Seq("click", "view"), "10 minutes", "1 hour")
+    val q = report.writeStream.format("memory").queryName("zr")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click"),
+        (Timestamp.valueOf("2024-01-01 10:06:00"), 1L, "click"),
+        (Timestamp.valueOf("2024-01-01 10:07:00"), 1L, "view"),
+        (Timestamp.valueOf("2024-01-01 10:08:00"), 2L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("zr")
+        .select(col("zone_id"), col("n_click"), col("n_view"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L, 1L), (2L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("custom codegen expressions run inside streaming plans (geo argmin)") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions.col
