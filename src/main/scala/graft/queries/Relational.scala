@@ -350,8 +350,53 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Fixed-width binned histogram (pure integer bucket arithmetic — no
+    * data-dependent bounds, so both engines bin identically). */
+  val qPriceHistogram: Q = new Q {
+    val name = "q_price_histogram"
+    val BinWidth = 10000.0
+    val NBins = 10
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .withColumn("bin",
+          least(floor(col("l_extendedprice") / BinWidth), lit(NBins - 1.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("bin")
+    val oracle = Some(
+      s"""SELECT CAST(least(floor(l_extendedprice / $BinWidth), ${NBins - 1}.0) AS BIGINT) AS bin,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Statistical aggregates (sample stddev / covariance / correlation),
+    * e6-rounded. Both engines accumulate in double with the same textbook
+    * two-pass-free formulations; e6 rounding absorbs accumulation-order
+    * noise (~1e-12 relative). */
+  val qStatAggs: Q = new Q {
+    val name = "q_stat_aggs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")) * 1000000).cast("long").as("sd_qty_e6"),
+          round(covar_samp(col("l_quantity"), col("l_discount")) * 1000000).cast("long")
+            .as("cov_qd_e6"),
+          round(corr(col("l_quantity"), col("l_extendedprice")) * 1000000).cast("long")
+            .as("corr_qp_e6"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(round(stddev_samp(l_quantity) * 1000000) AS BIGINT) AS sd_qty_e6,
+        |  CAST(round(covar_samp(l_quantity, l_discount) * 1000000) AS BIGINT) AS cov_qd_e6,
+        |  CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_qp_e6
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
     qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
     qWindowedCounts, qRankFunctions, qStringFuncs, q6Forecast, qRunningRevenue,
-    qPercentiles, qTopkOrdersAgg)
+    qPercentiles, qTopkOrdersAgg, qPriceHistogram, qStatAggs)
 }
