@@ -134,6 +134,32 @@ object JoinQueries {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics) between the
+    * high-balance and has-recent-order customer sets. */
+  val qSetOps: Q = new Q {
+    val name = "q_set_ops"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val rich = Tables.customer(spark, dir)
+        .where(col("c_acctbal") > 5000).select("c_custkey")
+      val active = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("o_custkey").as("c_custkey"))
+      val both = rich.intersect(active).withColumn("set_kind", lit("rich_and_active"))
+      val richOnly = rich.except(active).withColumn("set_kind", lit("rich_only"))
+      both.unionByName(richOnly).orderBy("set_kind", "c_custkey")
+    }
+    val oracle = Some(
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT c_custkey, 'rich_and_active' AS set_kind
+        |FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM active) t
+        |UNION ALL
+        |SELECT c_custkey, 'rich_only' AS set_kind
+        |FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM active) t
+        |ORDER BY set_kind, c_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup,
-    qDistinctUsers, qNestedStruct)
+    qDistinctUsers, qNestedStruct, qSetOps)
 }
