@@ -395,8 +395,33 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Calendar-function coverage: trunc, last_day, quarter, day-of-week,
+    * epoch-day arithmetic. (DuckDB numbers Sunday 0, Spark 1 — the oracle
+    * normalizes.) */
+  val qDateFunctions: Q = new Q {
+    val name = "q_date_functions"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+            .as("epoch_days"))
+        .orderBy("o_orderkey")
+    val oracle = Some(
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS epoch_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
     qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
     qWindowedCounts, qRankFunctions, qStringFuncs, q6Forecast, qRunningRevenue,
-    qPercentiles, qTopkOrdersAgg, qPriceHistogram, qStatAggs)
+    qPercentiles, qTopkOrdersAgg, qPriceHistogram, qStatAggs, qDateFunctions)
 }
