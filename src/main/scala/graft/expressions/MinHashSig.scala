@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
   * results are identical to the higher-order-function formulation and to
   * the DuckDB oracle's arithmetic.
   *
+  * Inputs are reduced into [0, P) first (Math.floorMod), so arbitrary
+  * longs fed through the registered SQL function `graft_minhash` cannot
+  * overflow the a·h multiply — for ShingleHashSet output (already in
+  * [0, P)) the reduction is the identity and results are unchanged.
+  *
   * Why an Expression: `transform`+`array_min` higher-order functions fall
   * back to interpreted eval in Spark; this loop (nPerm × |shingles| fused
   * multiply-add-min, no allocation) runs inside whole-stage codegen —
@@ -46,7 +51,7 @@ case class MinHashSig(child: Expression, nPerm: Int)
       var m = Long.MaxValue
       var k = 0
       while (k < n) {
-        val v = (a * hs.getLong(k) + b) % P
+        val v = (a * Math.floorMod(hs.getLong(k), P) + b) % P
         if (v < m) m = v
         k += 1
       }
@@ -78,7 +83,7 @@ case class MinHashSig(child: Expression, nPerm: Int)
             final long $b = ($i * ${MULT}L) % ${P}L;
             long $m = Long.MAX_VALUE;
             for (int $k = 0; $k < $n; $k++) {
-              final long $v = ($a * $hs.getLong($k) + $b) % ${P}L;
+              final long $v = ($a * java.lang.Math.floorMod($hs.getLong($k), ${P}L) + $b) % ${P}L;
               if ($v < $m) $m = $v;
             }
             $sig[$i] = $m;

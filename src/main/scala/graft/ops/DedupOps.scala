@@ -50,12 +50,14 @@ object DedupOps {
 
   /** Hamming distance between two ≤63-bit fingerprints via arithmetic bit
     * extraction (portable; Spark also has bit_count but DuckDB's operates on
-    * BIT — keep one portable formulation). */
+    * BIT — keep one portable formulation). Bits come from integer
+    * `shiftright`, never `/` (double division truncates the 53-bit mantissa
+    * for fingerprints ≥ 2^53, corrupting low-order bits). */
   def hamming(a: Column, b: Column, nBits: Int): Column =
     (0 until nBits).map { j =>
-      val pw = 1L << j
-      ((a / pw).cast("long") % 2L - (b / pw).cast("long") % 2L) *
-        ((a / pw).cast("long") % 2L - (b / pw).cast("long") % 2L)
+      val bitA = shiftright(a.cast("long"), j) % 2L
+      val bitB = shiftright(b.cast("long"), j) % 2L
+      (bitA - bitB) * (bitA - bitB)
     }.reduce(_ + _)
 
   /** Candidate pairs from exploded bucket keys: equi-join on the key with
@@ -81,37 +83,61 @@ object DedupOps {
     round(inter / union * 10000).cast("long")
   }
 
-  /** Connected components over undirected pair edges by min-label
-    * propagation: every node's label converges to the minimum node id
-    * reachable from it (= deterministic cluster id). Iterates driver-side
-    * until fixpoint (≤ graph diameter rounds, each one join + aggregate) —
-    * the dedup-pipeline step that turns near-dup PAIRS into keep-one
-    * CLUSTERS. `nodes` must have column `id`; `pairs` columns `id_l`,`id_r`.
+  /** Connected components over undirected pair edges: every node's label
+    * converges to the minimum node id reachable from it (= deterministic
+    * cluster id) — the dedup-pipeline step that turns near-dup PAIRS into
+    * keep-one CLUSTERS. `nodes` must have column `id`; `pairs` columns
+    * `id_l`,`id_r`.
+    *
+    * Scale shape: only nodes that appear in an edge are iterated —
+    * singletons (the overwhelming majority of a near-dup graph at corpus
+    * scale) short-circuit to their own id with zero rounds. Each round
+    * combines one-hop min-label propagation with pointer doubling
+    * (label := min(label, label(label), min neighbor label)), so
+    * convergence is O(log diameter) rounds rather than O(diameter); change
+    * detection reads the already-materialized round output (old label kept
+    * alongside new — no extra join). Labels only ever move within a
+    * component and never below its min id, so the fixpoint is exactly the
+    * min-reachable-id labeling the recursive-CTE oracle computes.
+    *
+    * Throws if the loop exits before fixpoint — silently returning
+    * unconverged labels would corrupt downstream keep/drop decisions.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
       .union(pairs.select(col("id_r").as("src"), col("id_l").as("dst")))
-      .persist()
-    var labels = nodes.select(col("id").as("node"), col("id").as("label")).persist()
+      .localCheckpoint()
+    // localCheckpoint (not persist): the doubling self-join would otherwise
+    // triple the logical plan every round — lineage must be cut, not cached.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val newLabels = labels.alias("l")
+      // pointer doubling: every label is itself a node id in `labels`
+      val ll = labels.alias("x")
+        .join(labels.alias("y"), col("x.label") === col("y.node"))
+        .select(col("x.node").as("dnode"), col("y.label").as("dlabel"))
+      val stepped = labels.alias("l")
+        .join(ll.alias("d"), col("l.node") === col("d.dnode"))
         .join(nbrMin.alias("n"), col("l.node") === col("n.src"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
-        .persist()
-      changed = newLabels.alias("nw")
-        .join(labels.alias("ol"), col("nw.node") === col("ol.node"))
-        .where(col("nw.label") =!= col("ol.label")).count()
-      labels.unpersist()
-      labels = newLabels
+        .select(col("l.node").as("node"), col("l.label").as("old_label"),
+          least(col("l.label"), col("d.dlabel"),
+            coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = stepped.where(col("label") =!= col("old_label")).count()
+      labels = stepped.select("node", "label")
       i += 1
     }
-    edges.unpersist()
-    labels.select(col("node"), col("label").as("cluster_id"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
+    val singletons = nodes.select(col("id").as("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_id"))
+    labels.select(col("node"), col("label").as("cluster_id")).union(singletons)
   }
 }

@@ -22,12 +22,15 @@ object KMeansOps {
 
   case class Model(centroids: Array[Array[Double]], inertia: Double)
 
-  private def sqNormL(c: Array[Double]): Double = c.map(x => x * x).sum
-
-  /** Squared distance to centroid j minus the row-constant ‖x‖² term. */
+  /** Squared distance to centroid j minus the row-constant ‖x‖² term.
+    * Both the cross term and ‖c‖² use the SAME float-cast centroid values
+    * (the dot kernel operates on floats), so the score is exactly
+    * ‖x−c_f‖² − ‖x‖² for the float representation — mixing precisions
+    * would flip borderline assignments relative to either formulation. */
   private def scoreTo(vec: Column, c: Array[Double]): Column = {
-    val cFloat = typedLit(c.map(_.toFloat).toSeq)
-    lit(-2.0) * graft.expressions.F.dot(vec, cFloat) + lit(sqNormL(c))
+    val cf = c.map(x => x.toFloat.toDouble)
+    val cFloat = typedLit(cf.map(_.toFloat).toSeq)
+    lit(-2.0) * graft.expressions.F.dot(vec, cFloat) + lit(cf.map(x => x * x).sum)
   }
 
   /** Index of the nearest centroid (ties → lowest index). */

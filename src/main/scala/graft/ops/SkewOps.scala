@@ -13,12 +13,14 @@ object SkewOps {
     * deterministic salt derived from `saltSource` (any left column with
     * per-row variety — an id, not the hot key); the (smaller) right side is
     * replicated once per salt. The join key becomes (keys, salt), spreading
-    * each hot key over `nSalts` tasks. Result equals the plain inner join.
+    * each hot key over `nSalts` tasks. Result equals the plain inner join
+    * (a NULL saltSource lands in salt 0 rather than dropping the row).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltSource: Column, nSalts: Int): DataFrame = {
     require(nSalts >= 1)
-    val l = left.withColumn("__salt", pmod(saltSource, lit(nSalts)).cast("int"))
+    val l = left.withColumn("__salt",
+      coalesce(pmod(saltSource, lit(nSalts)), lit(0)).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until nSalts).map(i => lit(i)): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")

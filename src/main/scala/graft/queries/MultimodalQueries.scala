@@ -38,19 +38,58 @@ object MultimodalQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
-  /** Full Dataset-API decode pipeline (mapPartitions batch stage) — the
-    * features array is produced by the stub codec, so this is a rows-only
-    * check; the metadata portion is cross-checked by mm_meta. */
+  /** Full Dataset-API decode pipeline (mapPartitions batch stage). The
+    * float feature array itself is not driver-comparable (array columns
+    * defeat the harness's sort/hash, and floats aren't oracle-stable), so
+    * the query exports exact INTEGER projections of it: the histogram bin
+    * counts are recovered from the L1-normalized floats by round(f·len) —
+    * exact because counts ≤ len ≪ 2^24 — giving a fully DuckDB-checkable
+    * fingerprint of every feature value. The raw array round-trips in the
+    * MultimodalSpec suite. */
   val mmFeatures: Q = new Q {
     val name = "mm_features"
-    def run(spark: SparkSession, dir: String): DataFrame =
-      Multimodal.decodeImages(
-        Multimodal.mediaFromDocuments(Tables.documents(spark, dir)))
-        .toDF()
-        .select(col("media_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("n_bytes"), col("features"))
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val feats = Multimodal.decodeImages(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, dir))).toDF()
+      val total = greatest(col("n_bytes"), lit(1L)).cast("double")
+      val cnts = (0 until Multimodal.FeatureDim).map(j =>
+        round(element_at(col("features"), j + 1) * total).cast("long"))
+      val maxC = cnts.reduce((a, b) => greatest(a, b))
+      val argmax = cnts.zipWithIndex.foldRight(lit(-1L)) {
+        case ((c, j), rest) => when(c === maxC, lit(j.toLong)).otherwise(rest)
+      }
+      feats.select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          cnts.map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_nonzero_bins"),
+          argmax.as("argmax_bin"),
+          cnts.zipWithIndex.map { case (c, j) => c * (j + 1) }.reduce(_ + _).as("hist_fp"))
         .orderBy("media_id")
-    val oracle = None
+    }
+    // documents.text is pure ASCII in the test corpus (verified all SFs), so
+    // DuckDB character codes == the codec's byte values.
+    val oracle = Some(
+      """WITH ch AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) // 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(strlen(text))) AS i FROM documents)),
+        |h AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY doc_id, bin),
+        |amax AS (
+        |  SELECT doc_id, bin AS argmax_bin FROM (
+        |    SELECT doc_id, bin,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin ASC) AS rn
+        |    FROM h) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_nonzero_bins, sum((bin + 1) * c) AS hist_fp
+        |  FROM h GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(strlen(d.text) % 64 + 1 AS BIGINT) AS width,
+        |  CAST((strlen(d.text) // 64) % 64 + 1 AS BIGINT) AS height,
+        |  CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+        |  CAST(a.n_nonzero_bins AS BIGINT) AS n_nonzero_bins,
+        |  CAST(m.argmax_bin AS BIGINT) AS argmax_bin,
+        |  CAST(a.hist_fp AS BIGINT) AS hist_fp
+        |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+        |  JOIN amax m ON d.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin)
   }
 
   /** Frame sampling of "video" payloads: 4 evenly-spaced byte slices; the

@@ -15,6 +15,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sig.length === 8)
     assert(sig.forall(v => v >= 0 && v < 1000000007L))
 
+    // arbitrary longs (negative / > P) are reduced mod P, never overflow
+    val sigWild = spark.sql(
+      "SELECT graft_minhash(array(CAST(-17 AS BIGINT), CAST(9223372036854775807 AS BIGINT)), 8)")
+      .head().getSeq[Long](0)
+    assert(sigWild.forall(v => v >= 0 && v < 1000000007L))
+
     val inter = spark.sql(
       "SELECT graft_intersect_size(array(1L, 3L, 7L), array(3L, 7L, 9L))")
       .head().getInt(0)

@@ -106,4 +106,43 @@ class DedupVectorSpec extends SparkSpec {
       .map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }
     assert(got === want)
   }
+
+  test("hamming is exact above 2^53 (double division would corrupt low bits)") {
+    val pairs = Seq(
+      ((1L << 62) | 1L, 1L << 62),          // differ in bit 0 only
+      ((1L << 62) | (1L << 61), 1L << 62),  // differ in bit 61
+      (Long.MaxValue, Long.MaxValue - 1))
+    val got = pairs.toDF("a", "b")
+      .select(DedupOps.hamming($"a", $"b", 63)).as[Long].collect().toSeq
+    val want = pairs.map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }
+    assert(got === want)
+  }
+
+  test("connectedComponents labels a >20-hop chain with its min id") {
+    // path graph 0-1-2-...-59: diameter 59 > the old per-hop iteration cap;
+    // pointer doubling converges in O(log n) rounds.
+    val nodes = (0L to 59L).toDF("id")
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 60 && got.values.forall(_ === 0L))
+  }
+
+  test("connectedComponents: singletons keep own id; components get min id") {
+    val nodes = (0L to 9L).toDF("id")
+    val pairs = Seq((3L, 7L), (7L, 5L), (8L, 9L)).toDF("id_l", "id_r")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 3L, 6L -> 6L, 7L -> 3L, 8L -> 8L, 9L -> 8L)
+    assert(got === want)
+  }
+
+  test("connectedComponents throws rather than returning unconverged labels") {
+    val nodes = (0L to 9L).toDF("id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_l", "id_r")
+    assertThrows[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, pairs, maxIter = 1).collect()
+    }
+  }
 }

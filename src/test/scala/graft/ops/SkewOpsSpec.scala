@@ -19,6 +19,15 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin keeps rows whose saltSource is NULL") {
+    val l = Seq((Some(1L), 1), (None, 1), (None, 3)).toDF("row_id", "k")
+    val plain = l.join(right, Seq("k")).select("k", "v").collect().map(_.toSeq).toSet
+    val salted = SkewOps.saltedJoin(l, right, Seq("k"), col("row_id"), 8)
+      .select("k", "v").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.size === 2) // both null-salt rows survived
+  }
+
   test("saltedCount equals plain groupBy count") {
     val plain = left.groupBy("k").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
