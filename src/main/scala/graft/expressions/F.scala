@@ -40,6 +40,11 @@ object F {
   def vectorSum(vec: Column, dim: Int): Column =
     Shim.column(VectorSum(Shim.expression(vec), dim).toAggregateExpression())
 
+  /** Argmin centroid index for a quantized long vector (ties → lowest). */
+  def nearestCentroid(v: Column, centroids: Array[Array[Long]]): Column =
+    Shim.column(NearestCentroidLong(Shim.expression(v),
+      centroids.map(_.toSeq).toSeq))
+
   def nearestZone(lat: Column, lon: Column, zoneIds: Array[Long],
                   zoneNames: Array[String], zoneLats: Array[Double],
                   zoneLons: Array[Double]): Column =

@@ -112,6 +112,70 @@ case class LshBucket(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Argmin over k integer centroids for a quantized `array<long>` vector:
+  * index of the centroid minimizing Σ_d (v_d − c_d)², ties → lowest index
+  * (strict `<` while scanning ascending). Centroids are embedded in the
+  * plan as a flat reference array — one expression node instead of the
+  * k·dim-literal `when`-fold tree, which costs seconds of analysis per
+  * k-means iteration and falls back to interpreted HOF eval. */
+case class NearestCentroidLong(child: Expression, centroids: Seq[Seq[Long]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  private lazy val k = centroids.length
+  private lazy val dim = if (centroids.isEmpty) 0 else centroids.head.length
+  private lazy val flat: Array[Long] = centroids.flatten.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var best = Long.MaxValue
+    var bestIdx = 0
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = v.getLong(i) - flat(off + i); s += d * d; i += 1 }
+      if (s < best) { best = s; bestIdx = j }
+      j += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("cents", flat, "long[]")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+        final int $n = Math.min($v.numElements(), $dim);
+        long $best = Long.MAX_VALUE;
+        int $bestIdx = 0;
+        for (int $j = 0; $j < $k; $j++) {
+          final int $off = $j * $dim;
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            final long $d = $v.getLong($i) - $cents[$off + $i];
+            $s += $d * $d;
+          }
+          if ($s < $best) { $best = $s; $bestIdx = $j; }
+        }
+        ${ev.value} = $bestIdx;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fold over a long-array column:
   * h ← (h*31 + x) mod 1e9+7, seed 0 — the document-fingerprint kernel
   * (mirrors DuckDB list_reduce with a prepended 0 seed). */

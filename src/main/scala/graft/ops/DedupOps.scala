@@ -117,12 +117,17 @@ object DedupOps {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // pointer doubling: every label is itself a node id in `labels`
-      val ll = labels.alias("x")
-        .join(labels.alias("y"), col("x.label") === col("y.node"))
-        .select(col("x.node").as("dnode"), col("y.label").as("dlabel"))
+      // pointer doubling: every label is itself a node id in `labels`.
+      // Round 1 skips it — labels are still the identity map, so
+      // label(label) = label and the self-join would be a pure-overhead
+      // shuffle.
+      val doubled =
+        if (i == 0) labels.select(col("node").as("dnode"), col("label").as("dlabel"))
+        else labels.alias("x")
+          .join(labels.alias("y"), col("x.label") === col("y.node"))
+          .select(col("x.node").as("dnode"), col("y.label").as("dlabel"))
       val stepped = labels.alias("l")
-        .join(ll.alias("d"), col("l.node") === col("d.dnode"))
+        .join(doubled.alias("d"), col("l.node") === col("d.dnode"))
         .join(nbrMin.alias("n"), col("l.node") === col("n.src"), "left")
         .select(col("l.node").as("node"), col("l.label").as("old_label"),
           least(col("l.label"), col("d.dlabel"),

@@ -76,4 +76,65 @@ object KMeansOps {
   def transform(emb: DataFrame, model: Model,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     emb.select(col(idCol), assignment(col(vecCol), model.centroids).as("cluster"))
+
+  // ----- exact integer path ------------------------------------------------
+  //
+  // The float path above is run-dependent in its centroid low bits (parallel
+  // mean accumulation order), so its assignments can't be cross-checked
+  // against an external oracle. The exact path quantizes the embedding to
+  // BIGINT (round(x·scale)) and runs Lloyd's entirely in integer arithmetic:
+  // integer squared distances (ties → lowest centroid index) and centroids as
+  // round-half-up integer means, floor((2s+n)/(2n)). Every step is
+  // order-independent, so results are bit-identical run-to-run AND engine-to-
+  // engine — a DuckDB SQL unrolling of the same iterations reproduces the
+  // assignments exactly. Bounds (|x| < 1, scale=1e6, dim=64, n ≤ 1e6 rows):
+  // per-row distance ≤ 64·(2e6)² ≈ 2.6e14, dimension sums ≤ 1e12 — far
+  // inside BIGINT.
+
+  /** round(x·scale) per element, as `array<long>`. */
+  def quantize(vec: Column, scale: Long): Column =
+    // functions.transform — the object's own `transform` shadows the import
+    org.apache.spark.sql.functions.transform(
+      vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Index of the nearest integer centroid (ties → lowest index) — one
+    * codegen kernel node (NearestCentroidLong); an unrolled `when`-fold of
+    * k interpreted HOF scores costs seconds of analysis per iteration. */
+  def assignmentExact(v: Column, centroids: Array[Array[Long]]): Column =
+    graft.expressions.F.nearestCentroid(v, centroids)
+
+  /** `iters` integer Lloyd iterations from the k lowest-id vectors; empty
+    * clusters keep their previous centroid. */
+  def fitExact(emb: DataFrame, k: Int, iters: Int, scale: Long = 1000000L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0)
+    val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol), scale).as("__v"))
+    var centroids: Array[Array[Long]] = q
+      .orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = q.withColumn("__c", assignmentExact(col("__v"), centroids))
+      val stats = assigned.select(col("__c"), posexplode(col("__v")))
+        .groupBy("__c", "pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone) // empty clusters keep previous
+      stats.foreach { r =>
+        val s = r.getAs[Long]("s"); val n = r.getAs[Long]("n")
+        next(r.getAs[Int]("__c"))(r.getAs[Int]("pos")) = Math.floorDiv(2 * s + n, 2 * n)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assignment DataFrame for exact integer centroids. */
+  def transformExact(emb: DataFrame, centroids: Array[Array[Long]],
+                     scale: Long = 1000000L, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+      assignmentExact(quantize(col(vecCol), scale), centroids)
+        .cast("long").as("cluster"))
 }

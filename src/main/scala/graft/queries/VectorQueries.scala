@@ -257,18 +257,66 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
-  /** k-means cluster assignment (Lloyd's, deterministic init). Rows-only:
-    * float-mean accumulation order makes centroid low bits run-dependent,
-    * so values aren't oracle-comparable — properties are covered by
-    * KMeansOpsSpec. */
+  /** k-means cluster assignment (Lloyd's, deterministic init) on the
+    * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
+    * assignments by integer squared distance (ties → lowest index),
+    * centroids as round-half-up integer means — order-independent, hence
+    * bit-identical to a DuckDB unrolling of the same iterations. The float
+    * path (KMeansOps.fit) stays the library default; its centroid low bits
+    * are accumulation-order-dependent and only property-tested. */
+  val KmK = 8
+  val KmIters = 3
+
+  /** DuckDB SQL for `iters` exact Lloyd iterations + final assignment.
+    * Relational form: vectors and centroids as (id, dim-index, value) rows;
+    * floordiv(a,b) spelled (a - pmod(a,b)) // b — the numerator is exactly
+    * divisible, so DuckDB's truncating `//` equals floor. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def floordiv(a: String, b: String) =
+      s"($a - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+    def assign(a: String, c: String) =
+      s"""$a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT qd.vec_id, $c.cid,
+         |      row_number() OVER (PARTITION BY qd.vec_id
+         |        ORDER BY sum((qd.x - $c.x) * (qd.x - $c.x)) ASC, $c.cid ASC) AS rn
+         |    FROM qd JOIN $c ON qd.i = $c.i
+         |    GROUP BY qd.vec_id, $c.cid) t WHERE rn = 1)""".stripMargin
+    def update(cNew: String, a: String, cPrev: String) =
+      s"""$cNew AS (
+         |  SELECT cid, i, ${floordiv("2 * s + n", "2 * n")} AS x FROM (
+         |    SELECT a.cid, qd.i, sum(qd.x) AS s, count(*) AS n
+         |    FROM $a a JOIN qd ON a.vec_id = qd.vec_id GROUP BY a.cid, qd.i) st
+         |  UNION ALL
+         |  SELECT cid, i, x FROM $cPrev
+         |  WHERE cid NOT IN (SELECT DISTINCT cid FROM $a))""".stripMargin
+    val steps = (1 to iters).flatMap { t =>
+      Seq(assign(s"a$t", s"c${t - 1}"), update(s"c$t", s"a$t", s"c${t - 1}"))
+    } :+ assign("afinal", s"c$iters")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |qd AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+       |  FROM q, range(1, ${Dim + 1}) t(i)),
+       |c0 AS (
+       |  SELECT cid, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       |        FROM q ORDER BY vec_id LIMIT $k) s, range(1, ${Dim + 1}) t(i)),
+       |${steps.mkString(",\n")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   val kmeansClusters: Q = new Q {
     val name = "kmeans_clusters"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(spark, dir)
-      val model = graft.ops.KMeansOps.fit(emb, k = 8, iters = 3, dim = Dim)
-      graft.ops.KMeansOps.transform(emb, model).orderBy("vec_id")
+      val cents = graft.ops.KMeansOps.fitExact(emb, k = KmK, iters = KmIters)
+      graft.ops.KMeansOps.transformExact(emb, cents).orderBy("vec_id")
     }
-    val oracle = None
+    val oracle = Some(kmeansOracle(KmK, KmIters))
   }
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
