@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /** Parquet sink/scan operators — the reference's storage layer (S1–S5 in
   * SURVEY.md §2.1): idempotent full-overwrite marts and hive-partitioned
@@ -60,4 +61,20 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Format-parameterized full-overwrite sink — completes the lake's
+    * storage matrix beyond parquet ("orc", "csv", "json", "parquet"); the
+    * header option is honored by CSV and ignored by the binary formats. */
+  def writeAs(df: DataFrame, path: String, format: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .option("header", "true").save(path)
+
+  /** Format-parameterized scan with an explicit schema — CSV/JSON carry no
+    * (or weak) type information, so the reader never infers: inference
+    * costs an extra full pass at scale AND can silently change types
+    * between runs. ORC/parquet validate the supplied schema instead. */
+  def readAs(spark: SparkSession, path: String, format: String,
+             schema: StructType): DataFrame =
+    spark.read.format(format).schema(schema)
+      .option("header", "true").load(path)
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Sinks
+
+/** Multi-format source/sink coverage (north star: "native HDFS/Parquet/ORC
+  * support"): each query round-trips a parquet table through another
+  * storage format (ORC / CSV / JSON) via Sinks.writeAs/readAs and
+  * aggregates the read-back copy. The DuckDB oracle aggregates the ORIGINAL
+  * parquet — values match only if the foreign-format write+read is
+  * loss-free (timestamps, doubles via shortest-round-trip text repr, longs,
+  * strings), so this is a value-exact check of the whole source+sink path,
+  * not a rows-only smoke test.
+  *
+  * Scale shape: the write is a plain distributed sink (one file per
+  * partition, no coalesce); the read-back supplies an explicit schema —
+  * text-format inference would cost an extra full pass at 100 TB. Reads
+  * prune columns where the format supports it (ORC), and the aggregations
+  * are partial-agg friendly (groupBy low-cardinality keys).
+  */
+object SourceQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Round-trip staging dir, keyed by scale factor so concurrent runs on
+    * different inputs never collide. */
+  private def stage(dir: String, leaf: String): String =
+    s"/tmp/graft_fmt/${new java.io.File(dir).getName}/$leaf"
+
+  private def roundTrip(spark: SparkSession, src: DataFrame, dir: String,
+                        format: String, leaf: String): DataFrame = {
+    val path = stage(dir, leaf)
+    Sinks.writeAs(src, path, format)
+    Sinks.readAs(spark, path, format, src.schema)
+  }
+
+  /** lineitem → ORC → read → pricing summary. */
+  val orcLineitem: Q = new Q {
+    val name = "q_orc_lineitem_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      roundTrip(spark, Tables.lineitem(spark, dir), dir, "orc", "lineitem_orc")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** orders → CSV (header, explicit schema on read) → status summary.
+    * Exercises the text round-trip of timestamps and doubles. */
+  val csvOrders: Q = new Q {
+    val name = "q_csv_orders_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      roundTrip(spark, Tables.orders(spark, dir), dir, "csv", "orders_csv")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          max(col("o_orderdate")).as("max_dt"))
+        .orderBy("o_orderstatus")
+    val oracle = Some(
+      """SELECT o_orderstatus,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  max(o_orderdate) AS max_dt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** customer → JSON (explicit schema on read) → market-segment summary. */
+  val jsonCustomer: Q = new Q {
+    val name = "q_json_customer_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      roundTrip(spark, Tables.customer(spark, dir), dir, "json", "customer_json")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("c_acctbal"))).as("sum_bal_cents"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    val oracle = Some(
+      """SELECT c_mktsegment,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer)
+}
