@@ -18,7 +18,7 @@ object CurationQueries {
   val KeepLang = "en"
 
   /** quality_e4 (same formula as text_stats). */
-  private def qualityE4(text: Column): Column = {
+  private[queries] def qualityE4(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val nToks = TextOps.tokenCount(text)
     val nChars = length(text)
@@ -30,7 +30,7 @@ object CurationQueries {
         lit(0.2) * (alpha * 1.0 / nChars))).cast("long")
   }
 
-  private val SqlQuality: String = {
+  private[queries] val SqlQuality: String = {
     val stopList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
     s"""q AS (
        |  SELECT doc_id,

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{HashOps, TextOps}
+
+/** Dataset-assembly operators a large-scale training pipeline needs after
+  * curation: benchmark decontamination, concat-and-chunk sequence packing,
+  * deterministic mixture sampling, and curriculum quality binning.
+  * Extension surface beyond the reference (which has none); every query is
+  * DuckDB-oracle-checked.
+  */
+object MixQueries {
+
+  val DecontamK = 5 // shingle width for benchmark-overlap matching
+  val PackBudget = 256L // tokens per packed training sequence
+  val BenchSource = "src0" // held-out "benchmark" slice of `documents`
+
+  /** Per-language mixture sampling rates (percent kept). */
+  val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 100, "de" -> 60, "es" -> 40, "fr" -> 20)
+  val MixRateDefault = 10
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * `DecontamK`-gram with the held-out benchmark slice — the standard
+    * test-set-overlap filter of a training pipeline.
+    *
+    * Scale shape: the benchmark's distinct shingle-hash set is tiny
+    * relative to the corpus (benchmarks are small by construction), so it
+    * is broadcast and the probe is a map-side hash join over the exploded
+    * corpus shingles — no shuffle of corpus-sized data, no O(n²) pairing.
+    */
+  val decontaminate: Q = new Q {
+    val name = "decontaminate"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.shingleHashes(col("text"), DecontamK).as("hs"))
+      val bench = docs.where(col("source") === BenchSource)
+        .select(explode(col("hs")).as("h")).distinct()
+      val corpus = docs.where(col("source") =!= BenchSource)
+      val hits = corpus.select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      corpus.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(
+         |      list_transform(range(1, greatest(len($toks) - ${DecontamK - 1}, 0) + 1),
+         |        i -> array_to_string(list_slice($toks, i, i + ${DecontamK - 1}), ' ')),
+         |      s -> ${HashOps.sqlHashP("s")})) AS hs
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE source = '$BenchSource'),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE source <> '$BenchSource'),
+         |hit AS (SELECT doc_id, count(*) AS c FROM e JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(coalesce(hit.c, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(hit.c, 0) > 0 AS INT) AS is_contaminated
+         |FROM sh s LEFT JOIN hit ON s.doc_id = hit.doc_id
+         |WHERE s.source <> '$BenchSource'
+         |ORDER BY s.doc_id""".stripMargin
+    }
+  }
+
+  /** Concat-and-chunk sequence packing (GPT-style): within each source,
+    * documents are concatenated in doc_id order and cut into fixed
+    * `PackBudget`-token training sequences; a document may span sequences.
+    * Emits each doc's token offset and its first/last sequence index.
+    *
+    * Scale shape: the running offset is a window partitioned BY SOURCE —
+    * each shard packs independently (exactly how sharded training data is
+    * laid out), so no global single-partition sort ever exists.
+    */
+  val packSequences: Q = new Q {
+    val name = "pack_sequences"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+        .where(col("n_toks") > 0)
+        .withColumn("tok_start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .withColumn("seq_first", (col("tok_start") / PackBudget).cast("long"))
+        .withColumn("seq_last",
+          ((col("tok_start") + col("n_toks") - 1) / PackBudget).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("tok_start"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+         |o AS (
+         |  SELECT doc_id, source, n_toks,
+         |    CAST(coalesce(sum(n_toks) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM t)
+         |SELECT doc_id, source, n_toks, tok_start,
+         |  tok_start // $PackBudget AS seq_first,
+         |  (tok_start + n_toks - 1) // $PackBudget AS seq_last,
+         |  (tok_start + n_toks - 1) // $PackBudget - tok_start // $PackBudget + 1 AS n_seqs
+         |FROM o ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Deterministic mixture sampling: per-language keep rates applied via a
+    * content-derived hash bucket (hash60(doc_id) mod 100 < rate), with the
+    * inverse-rate weight exported for unbiased downstream estimates.
+    * Deterministic ⇒ reproducible dataset builds and oracle-checkable —
+    * no rand(), no seed drift across engines.
+    *
+    * Scale shape: a pure row-local filter — no shuffle at all; the output
+    * keeps the pipeline streaming-friendly at any corpus size.
+    */
+  val mixSample: Q = new Q {
+    val name = "mix_sample"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val bucket = pmod(HashOps.hash60(col("doc_id").cast("string")), lit(100L))
+      val rate = MixRates.foldRight(lit(MixRateDefault)) { case ((lang, r), rest) =>
+        when(col("lang") === lang, lit(r)).otherwise(rest)
+      }
+      Tables.documents(spark, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("rate_pct", rate.cast("long"))
+        .where(col("bucket") < col("rate_pct"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rate_pct"),
+          (lit(10000L) / col("rate_pct")).cast("long").as("weight_e2"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some {
+      val cases = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ${HashOps.sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |    CAST(CASE $cases ELSE $MixRateDefault END AS BIGINT) AS rate_pct
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, rate_pct,
+         |  10000 // rate_pct AS weight_e2
+         |FROM t WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin
+    }
+  }
+
+  /** Curriculum quality binning: quartile (ntile) of the composite quality
+    * score within each source — the bucketing step of quality-ordered
+    * (curriculum) training schedules. ntile is per-source, so the window
+    * never concentrates more than one shard on an executor. */
+  val qualityCurriculum: Q = new Q {
+    val name = "quality_curriculum"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_e4").asc, col("doc_id").asc)
+      Tables.documents(spark, dir)
+        .where(TextOps.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          CurationQueries.qualityE4(col("text")).as("quality_e4"))
+        .withColumn("q_bin", ntile(4).over(w).cast("long"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |t AS (
+         |  SELECT d.doc_id, d.source, q.quality_e4
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT doc_id, source, quality_e4,
+         |  CAST(ntile(4) OVER (
+         |    PARTITION BY source ORDER BY quality_e4 ASC, doc_id ASC) AS BIGINT) AS q_bin
+         |FROM t ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum)
+}
