@@ -40,6 +40,10 @@ object F {
   def vectorSum(vec: Column, dim: Int): Column =
     Shim.column(VectorSum(Shim.expression(vec), dim).toAggregateExpression())
 
+  /** Exact-integer vector-sum aggregate (array<long> → array<long>). */
+  def vectorSumLong(vec: Column, dim: Int): Column =
+    Shim.column(VectorSumLong(Shim.expression(vec), dim).toAggregateExpression())
+
   /** Argmin centroid index for a quantized long vector (ties → lowest). */
   def nearestCentroid(v: Column, centroids: Array[Array[Long]]): Column =
     Shim.column(NearestCentroidLong(Shim.expression(v),

@@ -104,9 +104,21 @@ object DedupOps {
     * unconverged labels would corrupt downstream keep/drop decisions.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_l").as("src"), col("id_r").as("dst"))
-      .union(pairs.select(col("id_r").as("src"), col("id_l").as("dst")))
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("id_l").cast("long").as("src"),
+      col("id_r").cast("long").as("dst")).localCheckpoint()
+    val nPairs = p.count()
+    // Adaptive plan choice, AQE-style: the near-dup pair graph is usually
+    // orders of magnitude smaller than the corpus (it exists only where
+    // near-dups exist), so below `driverEdgeLimit` pairs the component
+    // labeling runs as driver-side union-find (exact min-root invariant) in
+    // one pass, and only the label map — ≤ 2·pairs entries — is broadcast
+    // back. Above the limit, the distributed pointer-doubling loop below
+    // takes over; both paths produce identical min-reachable-id labels
+    // (equality is pinned by a spec).
+    if (nPairs <= driverEdgeLimit) return ccViaDriver(nodes, p)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // localCheckpoint (not persist): the doubling self-join would otherwise
     // triple the logical plan every round — lineage must be cut, not cached.
@@ -144,5 +156,36 @@ object DedupOps {
       .join(labels.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("cluster_id"))
     labels.select(col("node"), col("label").as("cluster_id")).union(singletons)
+  }
+
+  /** Small-graph path: min-root union-find on the driver. The root of each
+    * tree is always its component's minimum id (union attaches the larger
+    * root under the smaller), so labels equal min-reachable-id exactly. */
+  private def ccViaDriver(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val spark = nodes.sparkSession
+    import scala.jdk.CollectionConverters._
+    val labels = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+    import spark.implicits._
+    val labelDf = labels.toDF("node", "__cc_label")
+    nodes.select(col("id").as("node"))
+      .join(broadcast(labelDf), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__cc_label"), col("node")).as("cluster_id"))
   }
 }

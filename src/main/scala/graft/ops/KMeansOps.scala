@@ -113,16 +113,25 @@ object KMeansOps {
       .orderBy(col("__id")).limit(k)
       .select(col("__v")).collect()
       .map(_.getSeq[Long](0).toArray)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
       val assigned = q.withColumn("__c", assignmentExact(col("__v"), centroids))
-      val stats = assigned.select(col("__c"), posexplode(col("__v")))
-        .groupBy("__c", "pos").agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      // one VectorSumLong aggregate: shuffle carries partitions·k dim-long
+      // buffers (map-side combined), not the n·dim exploded rows a
+      // posexplode→groupBy moves — the difference between a constant-size
+      // and a data-size shuffle per Lloyd round at corpus scale.
+      val stats = assigned.groupBy("__c")
+        .agg(count(lit(1)).as("n"),
+          graft.expressions.F.vectorSumLong(col("__v"), dim).as("s"))
         .collect()
       val next = centroids.map(_.clone) // empty clusters keep previous
       stats.foreach { r =>
-        val s = r.getAs[Long]("s"); val n = r.getAs[Long]("n")
-        next(r.getAs[Int]("__c"))(r.getAs[Int]("pos")) = Math.floorDiv(2 * s + n, 2 * n)
+        val n = r.getAs[Long]("n")
+        val s = r.getSeq[Long](r.fieldIndex("s"))
+        val c = next(r.getAs[Int]("__c"))
+        var j = 0
+        while (j < dim) { c(j) = Math.floorDiv(2 * s(j) + n, 2 * n); j += 1 }
       }
       centroids = next
       it += 1

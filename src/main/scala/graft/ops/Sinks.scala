@@ -77,4 +77,39 @@ object Sinks {
              schema: StructType): DataFrame =
     spark.read.format(format).schema(schema)
       .option("header", "true").load(path)
+
+  /** Incremental partition refresh: overwrite ONLY the partitions present
+    * in `df`, leaving all others untouched (dynamic partitionOverwriteMode,
+    * scoped to this one write). The 100 TB upgrade over the reference's
+    * full-refresh overwrite (S4): a daily batch rewrites its own `date=`
+    * directories idempotently instead of deleting the whole mart. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`
+    * row files. Long-running lakes accrete tiny files (every incremental
+    * write adds some); scans then pay per-file open/footer costs and the
+    * namenode pays per-object metadata — compaction restores scan-sized
+    * files. Row-count proxy avoids a full size scan; the rewrite is a
+    * narrow round-robin repartition (no key shuffle). Returns output file
+    * count. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Int = {
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: the rewritten copy replaces the original directory
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    nFiles
+  }
 }

@@ -18,7 +18,7 @@ object CurationQueries {
   val KeepLang = "en"
 
   /** quality_e4 (same formula as text_stats). */
-  private[queries] def qualityE4(text: Column): Column = {
+  private[graft] def qualityE4(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val nToks = TextOps.tokenCount(text)
     val nChars = length(text)

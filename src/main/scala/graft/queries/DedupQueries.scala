@@ -128,7 +128,7 @@ object DedupQueries {
   /** MinHash-LSH near-dup pairs with exact-Jaccard refinement (id_l, id_r,
     * jac) — Spark side of SqlMinhashPairCtes, shared by the pair and
     * cluster queries. */
-  private[queries] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
       .where(size(col("hs")) > 0)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.queries.{GeoPipeline, Relational, TextQueries}
+import graft.queries.{GeoPipeline, MixQueries, Relational, TextQueries}
 
 /** Physical-plan regression tests: the properties that matter at scale —
   * filter pushdown to the parquet scan, column pruning, broadcast of small
@@ -53,6 +53,29 @@ class PlanSpec extends SparkSpec {
     val df = Relational.qRevenueNation.run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("decontaminate probes the benchmark set via broadcast hash join") {
+    val plan = planString(MixQueries.decontaminate.run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark probe should be a broadcast join:\n$plan")
+  }
+
+  test("pack_sequences never plans a single-partition global window") {
+    val plan = MixQueries.packSequences.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the final orderBy is rangepartitioning; the packing window itself must
+    // hash-partition by source, never collapse to SinglePartition
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage in packing plan:\n$plan")
+  }
+
+  test("mix_sample is a pure narrow filter — no exchange before the sort") {
+    val df = MixQueries.mixSample.run(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // exactly the one range-partitioning exchange for the output orderBy
+    assert(exchanges <= 1, s"sampling should not shuffle:\n$exchanges exchanges")
   }
 
   test("whole-stage codegen covers the argmin projection") {

@@ -118,12 +118,13 @@ class DedupVectorSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("connectedComponents labels a >20-hop chain with its min id") {
+  test("connectedComponents (iterative path) labels a >20-hop chain with its min id") {
     // path graph 0-1-2-...-59: diameter 59 > the old per-hop iteration cap;
-    // pointer doubling converges in O(log n) rounds.
+    // pointer doubling converges in O(log n) rounds. driverEdgeLimit=0
+    // forces the distributed loop even for this small fixture.
     val nodes = (0L to 59L).toDF("id")
     val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_l", "id_r")
-    val got = DedupOps.connectedComponents(nodes, pairs)
+    val got = DedupOps.connectedComponents(nodes, pairs, driverEdgeLimit = 0)
       .as[(Long, Long)].collect().toMap
     assert(got.size === 60 && got.values.forall(_ === 0L))
   }
@@ -138,11 +139,31 @@ class DedupVectorSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("connectedComponents: driver and iterative paths label identically") {
+    // random-ish multi-component graph incl. a chain, a star, a cycle,
+    // cross-links, and singletons — both plan choices must agree exactly
+    val nodes = (0L to 99L).toDF("id")
+    val edges = (0L until 19L).map(i => (i, i + 1)) ++ // chain 0..19
+      (21L to 29L).map(i => (20L, i)) ++                // star at 20
+      Seq((30L, 31L), (31L, 32L), (32L, 30L)) ++        // cycle
+      Seq((19L, 25L), (32L, 40L), (41L, 45L))           // cross-links
+    val pairs = edges.toDF("id_l", "id_r")
+    val viaDriver = DedupOps.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = DedupOps.connectedComponents(nodes, pairs, driverEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaLoop)
+    assert(viaDriver(19L) === 0L && viaDriver(25L) === 0L) // chain+star merged
+    assert(viaDriver(40L) === 30L && viaDriver(45L) === 41L)
+    assert(viaDriver(99L) === 99L)
+  }
+
   test("connectedComponents throws rather than returning unconverged labels") {
     val nodes = (0L to 9L).toDF("id")
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_l", "id_r")
     assertThrows[IllegalStateException] {
-      DedupOps.connectedComponents(nodes, pairs, maxIter = 1).collect()
+      DedupOps.connectedComponents(nodes, pairs, maxIter = 1, driverEdgeLimit = 0)
+        .collect()
     }
   }
 }

@@ -79,4 +79,34 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  test("overwritePartitions replaces only the incoming partitions") {
+    val dir = Files.createTempDirectory("graft-dyn").toString + "/mart"
+    val day1 = Seq(("2024-01-01", 1L, "old1"), ("2024-01-02", 2L, "old2"))
+      .toDF("date", "id", "v")
+    Sinks.writePartitioned(day1, dir, Seq("date"))
+    // incremental batch touches only 2024-01-02 (revised) and 2024-01-03 (new)
+    val batch = Seq(("2024-01-02", 2L, "new2"), ("2024-01-03", 3L, "new3"))
+      .toDF("date", "id", "v")
+    Sinks.overwritePartitions(batch, dir, Seq("date"))
+    val got = spark.read.parquet(dir)
+      .select("date", "v").as[(String, String)].collect().toSet
+    assert(got === Set(("2024-01-01", "old1"), ("2024-01-02", "new2"),
+      ("2024-01-03", "new3")),
+      "untouched partitions must survive; incoming ones must be replaced")
+  }
+
+  test("compact rewrites a fragmented table into few files, preserving rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(64).write.parquet(dir) // simulate small-file accretion
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 32, "fixture should start fragmented")
+    val out = Sinks.compact(spark, dir, targetRowsPerFile = 500L)
+    assert(out === 2)
+    assert(nFiles === 2, s"expected 2 compacted files, found $nFiles")
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got === (1 to 1000).map(i => (i.toLong, s"v$i")).toSet)
+  }
 }

@@ -137,4 +137,33 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got === Seq(ClosedSession(1, 0, 30000000, 2)))
     } finally q.stop()
   }
+
+  test("stateless curation surface (quality, lang-ID, mix filter) streams unchanged") {
+    // the batch curation expressions are pure column functions, so the same
+    // code path runs under readStream with no modification — documents
+    // arriving on a stream get scored/filtered per micro-batch
+    import org.apache.spark.sql.functions._
+    import graft.ops.{HashOps, TextOps}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .withColumn("quality_e4",
+        graft.queries.CurationQueries.qualityE4(col("text")))
+      .withColumn("pred_lang", TextOps.langId(TextOps.tokens(col("text"))))
+      .withColumn("bucket",
+        pmod(HashOps.hash60(col("doc_id").cast("string")), lit(100L)))
+      .where(col("bucket") < 100) // rate-100 lane of the mix filter
+    val q = scored.writeStream.format("memory").queryName("cur")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "the cat sat on the mat and that is a fact of the day"),
+        (2L, "der hund ist nicht ein der die das und zu klein"))
+      q.processAllAvailable()
+      val got = spark.table("cur")
+        .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "en", 2L -> "de"))
+      assert(spark.table("cur").where(col("quality_e4") > 0).count() === 2)
+    } finally q.stop()
+  }
 }
