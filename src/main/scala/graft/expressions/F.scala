@@ -27,6 +27,10 @@ object F {
   def polyFold(longs: Column): Column =
     Shim.column(PolyFold(Shim.expression(longs)))
 
+  /** Codegen'd count of tokens in a fixed word set (stopword hits). */
+  def stopwordCount(tokens: Column, words: Seq[String]): Column =
+    Shim.column(StopwordCount(Shim.expression(tokens), words))
+
   def intersectSizeSorted(a: Column, b: Column): Column =
     Shim.column(IntersectSizeSorted(Shim.expression(a), Shim.expression(b)))
 

@@ -227,3 +227,53 @@ case class SimHash(child: Expression, nBits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Count of tokens contained in a fixed word set — the codegen twin of
+  * size(filter(toks, t => t.isin(words))). Spark's higher-order `filter`
+  * evaluates its lambda interpreted AND materializes the filtered array;
+  * this kernel is one generated hash-set-probe loop per row, no
+  * allocation. Semantics identical to the SQL
+  * len(list_filter(toks, t -> t IN (...))) the oracles use. */
+case class StopwordCount(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(8, words.size * 2))
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (wordSet.contains(xs.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", wordSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+        final int $n = $xs.numElements();
+        long $c = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($setRef.contains($xs.getUTF8String($i))) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -53,10 +53,12 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "es"),
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"))
 
-  /** Count of tokens that appear in `words`.
+  /** Count of tokens that appear in `words` — codegen'd set-probe loop
+    * (the higher-order size∘filter form evaluates interpreted and
+    * allocates the filtered array; this is the same count in one pass).
     * DuckDB: len(list_filter(toks, t -> t IN (...))) */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    graft.expressions.F.stopwordCount(toks, words)
 
   /** Language-ID: argmax of per-language stopword hit counts, ties broken by
     * the declaration order above, 'und' (undetermined) when all scores are 0.
