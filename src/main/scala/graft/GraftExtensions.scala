@@ -58,5 +58,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_vector_sum", "graft_vector_sum(vec, dim): element-wise float-vector sum aggregate") {
       case Seq(v, d) => VectorSum(v, intLit(d, "dim")).toAggregateExpression()
     }
+    reg("graft_vector_sum_long", "graft_vector_sum_long(vec, dim): exact element-wise long-vector sum aggregate") {
+      case Seq(v, d) => VectorSumLong(v, intLit(d, "dim")).toAggregateExpression()
+    }
+    reg("graft_stopword_count",
+      "graft_stopword_count(tokens, 'w1,w2,...'): count of tokens in the fixed comma-separated word set") {
+      case Seq(t, w) =>
+        val words = w match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"word list must be a string literal, got $other")
+        }
+        StopwordCount(t, words)
+    }
   }
 }

@@ -31,6 +31,20 @@ object Pipeline {
   def interim(spark: SparkSession, lake: String): DataFrame =
     spark.read.parquet(s"$lake/$InterimPath")
 
+  /** Incremental stage 1 — the 100 TB upgrade over the reference's full
+    * refresh: enrich ONLY the `depthDays`-day window of a date-partitioned
+    * events root (partition-pruned scan, Sinks.readDateWindow) and
+    * dynamic-overwrite exactly those `date=` partitions of the interim
+    * (Sinks.overwritePartitions). Days outside the window are untouched;
+    * re-running a day is idempotent. `enrich` maps a raw window batch to
+    * its enriched form (the same builder stage 1 uses). */
+  def runStage1Incremental(spark: SparkSession, eventsRoot: String,
+                           lake: String, endDate: String, depthDays: Int)
+                          (enrich: DataFrame => DataFrame): Unit = {
+    val window = Sinks.readDateWindow(spark, eventsRoot, "date", endDate, depthDays)
+    Sinks.overwritePartitions(enrich(window), s"$lake/$InterimPath", Seq("date"))
+  }
+
   def runStage2UserCity(spark: SparkSession, lake: String): Unit = {
     val mes = interim(spark, lake)
     val act = GeoPipeline.actPositionFrom(mes)

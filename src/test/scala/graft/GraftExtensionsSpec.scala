@@ -63,6 +63,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got === Seq((1, Seq(4.0, 6.0)), (2, Seq(5.0, 6.0))))
   }
 
+  test("VectorSumLong aggregate is exact and StopwordCount counts set hits from SQL") {
+    import spark.implicits._
+    val sums = spark.sql(
+      """SELECT k, graft_vector_sum_long(v, 2) FROM VALUES
+        | (1, array(1L, 2L)), (1, array(30L, 40L)), (2, array(5L, 6L))
+        | AS t(k, v) GROUP BY k ORDER BY k""".stripMargin)
+      .as[(Int, Seq[Long])].collect().toSeq
+    assert(sums === Seq((1, Seq(31L, 42L)), (2, Seq(5L, 6L))))
+    val hits = spark.sql(
+      """SELECT graft_stopword_count(array('the','cat','and','the'), 'the,and,of')""")
+      .as[Long].head()
+    assert(hits === 3L)
+  }
+
   test("non-literal parameter yields a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array(1L), CAST(rand() * 4 AS INT))").collect()

@@ -63,4 +63,36 @@ class PipelineSpec extends SparkSpec {
     val after = spark.read.parquet(s"$lake/analytics/user_city").count()
     assert(before === after)
   }
+
+  test("incremental stage 1 refreshes only the date window, idempotently") {
+    // date-partitioned events root: 4 days of synthetic rows
+    val root = Files.createTempDirectory("graft-evroot").toString + "/events"
+    val ilake = Files.createTempDirectory("graft-ilake").toString
+    def day(d: String, ids: Seq[Long], tag: String) =
+      ids.map(i => (d, i, s"$tag$i")).toDF("date", "event_id", "payload")
+    ops.Sinks.writePartitioned(
+      day("2024-01-01", Seq(1L, 2L), "a")
+        .union(day("2024-01-02", Seq(3L), "a"))
+        .union(day("2024-01-03", Seq(4L, 5L), "a"))
+        .union(day("2024-01-04", Seq(6L), "a")),
+      root, Seq("date"))
+    // "enrichment" = any per-batch transform; keep it inspectable
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("enriched_at_run", lit(currentRun))
+    // run 1: days 2..3
+    currentRun = 1
+    Pipeline.runStage1Incremental(spark, root, ilake, "2024-01-03", 2)(enrich)
+    val i1 = spark.read.parquet(s"$ilake/interim/mes_geo")
+    assert(i1.select($"date").distinct().as[String].collect().toSet ===
+      Set("2024-01-02", "2024-01-03"))
+    // run 2: days 3..4 — day 2 must survive untouched from run 1
+    currentRun = 2
+    Pipeline.runStage1Incremental(spark, root, ilake, "2024-01-04", 2)(enrich)
+    val i2 = spark.read.parquet(s"$ilake/interim/mes_geo")
+    val byRun = i2.groupBy("date").agg(max("enriched_at_run").as("run"))
+      .as[(String, Int)].collect().toMap
+    assert(byRun === Map("2024-01-02" -> 1, "2024-01-03" -> 2, "2024-01-04" -> 2))
+    assert(i2.count() === 4) // ids 3,4,5,6 — day 1 never loaded
+  }
+  private var currentRun: Int = 0
 }
