@@ -337,10 +337,16 @@ object Relational {
     def run(spark: SparkSession, dir: String): DataFrame =
       Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
+        // one array-form percentile per source column: the exact-percentile
+        // aggregate buffers its input per group, so asking for [p50, p90]
+        // in one call halves the buffered copies of l_quantity
         .agg(
-          round(expr("percentile(l_quantity, 0.5)") * 10000).cast("long").as("p50_e4"),
-          round(expr("percentile(l_quantity, 0.9)") * 10000).cast("long").as("p90_e4"),
+          expr("percentile(l_quantity, array(0.5, 0.9))").as("qp"),
           round(expr("percentile(l_extendedprice, 0.95)") * 10000).cast("long").as("price_p95_e4"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qp"), 1) * 10000).cast("long").as("p50_e4"),
+          round(element_at(col("qp"), 2) * 10000).cast("long").as("p90_e4"),
+          col("price_p95_e4"))
         .orderBy("l_returnflag")
     val oracle = Some(
       """SELECT l_returnflag,
