@@ -103,6 +103,31 @@ object JoinQueries {
         |ORDER BY gid, yr, mo""".stripMargin)
   }
 
+  /** CUBE grouping sets over order status × priority — all four grouping
+    * combinations in one pass (rollup's lattice sibling). */
+  val qCube: Q = new Q {
+    val name = "q_cube_orders"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_cents"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    val oracle = Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
   /** Exact distinct aggregation (count + sum of distinct values). */
   val qDistinctUsers: Q = new Q {
     val name = "q_distinct_users"
@@ -160,6 +185,6 @@ object JoinQueries {
         |ORDER BY set_kind, c_custkey""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup,
+  val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup, qCube,
     qDistinctUsers, qNestedStruct, qSetOps)
 }

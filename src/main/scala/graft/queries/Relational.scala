@@ -426,8 +426,34 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Typed-Dataset aggregation: a case-class-state Aggregator[IN,BUF,OUT]
+    * (graft.ops.TypedAggs.AvgUnitCents) over groupByKey — the typed API
+    * surface complementing the expression-level custom aggregates. State
+    * is integer-exact, so the result is order-independent and
+    * oracle-comparable. */
+  val qTypedAvgUnitPrice: Q = new Q {
+    val name = "q_typed_avg_unit_price"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .agg(graft.ops.TypedAggs.AvgUnitCents.toColumn.name("avg_unit_cents"))
+        .toDF("l_returnflag", "avg_unit_cents")
+        .orderBy("l_returnflag")
+    }
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1.0
+        |             / sum(CAST(l_quantity AS BIGINT))) AS BIGINT) AS avg_unit_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q1Agg, qRevenueNation, qCustOrderStats, qTopkOrdersPerCust,
     qPivotOrderStatus, qFirstEventPerUser, qSessionize, qEventsJson,
     qWindowedCounts, qRankFunctions, qStringFuncs, q6Forecast, qRunningRevenue,
-    qPercentiles, qTopkOrdersAgg, qPriceHistogram, qStatAggs, qDateFunctions)
+    qPercentiles, qTopkOrdersAgg, qPriceHistogram, qStatAggs, qDateFunctions,
+    qTypedAvgUnitPrice)
 }
