@@ -103,6 +103,34 @@ object JoinQueries {
         |ORDER BY gid, yr, mo""".stripMargin)
   }
 
+  /** Hot-key-salted equi-join at the oracle gate: lineitem⋈orders with the
+    * join key spread over 8 salts (SkewOps.saltedJoin — the right side is
+    * replicated per salt, so one hot orderkey fans across 8 tasks instead
+    * of one straggler). The oracle is the PLAIN join — proving the salted
+    * plan changes distribution, never semantics. */
+  val qSaltedJoin: Q = new Q {
+    val name = "q_salted_join_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SkewOps.saltedJoin(l, o, Seq("l_orderkey"),
+          saltSource = col("l_extendedprice").cast("long"), nSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    }
+    val oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** CUBE grouping sets over order status × priority — all four grouping
     * combinations in one pass (rollup's lattice sibling). */
   val qCube: Q = new Q {
@@ -186,5 +214,5 @@ object JoinQueries {
   }
 
   val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup, qCube,
-    qDistinctUsers, qNestedStruct, qSetOps)
+    qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin)
 }
