@@ -45,11 +45,12 @@ object KMeansOps {
   /** Run `iters` Lloyd iterations from the k lowest-id vectors. */
   def fit(emb: DataFrame, k: Int, iters: Int, dim: Int,
           idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    require(k >= 1 && iters >= 0)
+    require(k >= 1 && iters >= 0, s"k-means: need k >= 1 and iters >= 0, got k=$k iters=$iters")
     var centroids: Array[Array[Double]] = emb
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (centroids.isEmpty) return Model(Array.empty, 0.0)
     var it = 0
     while (it < iters) {
       val assigned = emb.withColumn("__c", assignment(col(vecCol), centroids))
@@ -107,12 +108,14 @@ object KMeansOps {
     * clusters keep their previous centroid. */
   def fitExact(emb: DataFrame, k: Int, iters: Int, scale: Long = 1000000L,
                idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
-    require(k >= 1 && iters >= 0)
+    require(k >= 1 && iters >= 0, s"k-means: need k >= 1 and iters >= 0, got k=$k iters=$iters")
     val q = emb.select(col(idCol).as("__id"), quantize(col(vecCol), scale).as("__v"))
     var centroids: Array[Array[Long]] = q
       .orderBy(col("__id")).limit(k)
       .select(col("__v")).collect()
       .map(_.getSeq[Long](0).toArray)
+    // empty input → no centroids; transformExact mirrors with empty output
+    if (centroids.isEmpty) return Array.empty
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
     while (it < iters) {
@@ -143,7 +146,10 @@ object KMeansOps {
   def transformExact(emb: DataFrame, centroids: Array[Array[Long]],
                      scale: Long = 1000000L, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol),
-      assignmentExact(quantize(col(vecCol), scale), centroids)
-        .cast("long").as("cluster"))
+    if (centroids.isEmpty) // empty-corpus fit: empty, correctly-typed result
+      emb.where(lit(false)).select(col(idCol), lit(0L).as("cluster"))
+    else
+      emb.select(col(idCol),
+        assignmentExact(quantize(col(vecCol), scale), centroids)
+          .cast("long").as("cluster"))
 }

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness gate: every catalog query against EMPTY twins of the test
+  * tables (same schemas, zero rows). Empty partitions / date windows are
+  * everyday inputs at 100 TB; an operator must degrade to an empty result,
+  * or fail with a deliberate, clearly-worded IllegalArgumentException —
+  * never an obscure crash from deep inside a plan. */
+class EmptyInputSpec extends SparkSpec {
+
+  // queries whose semantics REQUIRE a non-empty dimension: enriching
+  // against an empty zone dim is an upstream config error and must fail
+  // loudly (silent NULL zones would poison every downstream mart)
+  private val requiresZoneDim = Set("geo_enrich", "recommendations",
+    "recommendations_grid", "user_act_city", "user_city_mart",
+    "user_home_city", "user_travel", "zone_report")
+
+  // global aggregates (no GROUP BY): one row over empty input is standard
+  // SQL semantics — DuckDB returns the same single null-sum row
+  private val globalAggOneRow = Set("q6_forecast_revenue")
+
+  test("every query on empty tables: empty result or clear config error") {
+    val src = "/root/testdata/sf0.001"
+    val dst = Files.createTempDirectory("graft-empty").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .limit(0).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, dst).collect().length
+        val maxRows = if (globalAggOneRow(name)) 1 else 0
+        if (n > maxRows) failures += s"$name: non-empty result ($n rows) from empty input"
+        if (requiresZoneDim(name))
+          failures += s"$name: expected loud empty-dimension error, got success"
+      } catch {
+        case e: IllegalArgumentException
+          if requiresZoneDim(name) && String.valueOf(e.getMessage).contains("empty zone dimension") =>
+          () // deliberate, clearly-worded config error
+        case e: Throwable =>
+          failures += s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(100)}"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
