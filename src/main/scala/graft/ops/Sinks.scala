@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, shiftleft, shiftright}
 import org.apache.spark.sql.types.StructType
 
 /** Parquet sink/scan operators — the reference's storage layer (S1–S5 in
@@ -90,6 +90,33 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Morton (Z-order) interleave of two bucketized dimensions — the
+    * data-layout key behind multi-column data skipping: rows close in
+    * (a, b) space land in the same files, so per-file min/max statistics
+    * prune scans on EITHER dimension. `a`,`b` must already be bucketized
+    * into [0, 2^bits). Pure bitwise column arithmetic (codegen'd). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue: bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i) % 2L, 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i) % 2L, 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-ordered table write: range-partition and sort by the Morton value
+    * of two bucketized columns, so file-level min/max stats become tight
+    * bounding boxes in BOTH dimensions (Delta/Iceberg OPTIMIZE ZORDER,
+    * expressed with stock Spark: repartitionByRange + sortWithinPartitions).
+    * At 100 TB this is the difference between scanning every file and
+    * pruning to the handful intersecting the query's predicate box. */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                    bits: Int, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`
     * row files. Long-running lakes accrete tiny files (every incremental

@@ -96,6 +96,43 @@ class SinksSpec extends SparkSpec {
       "untouched partitions must survive; incoming ones must be replaced")
   }
 
+  test("zValue interleaves bits (Morton order)") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Sinks.zValue($"a", $"b", 4)).as[Long].collect().toSeq
+    // interleave: a bits at even positions, b bits at odd
+    // (3,5) = a=0011, b=0101 → z = b3 a3 b2 a2 b1 a1 b0 a0 = 0 0 1 0 0 1 1 1
+    assert(got === Seq(0L, 1L, 2L, 3L, 39L))
+  }
+
+  test("z-ordered write tightens per-file bounding boxes on both dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // uniform grid of 4096 (x, y) points in [0,64)²
+    val pts = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val shuffled = pts.orderBy(md5(concat($"x", lit(":"), $"y"))) // random layout
+    shuffled.repartitionByRange(16, $"x".asc).write.parquet(s"$dir/rows")
+    Sinks.writeZOrdered(shuffled, s"$dir/zord", $"x", $"y", bits = 6, nFiles = 16)
+    def avgBoxArea(path: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max($"x") - min($"x") + 1) * (max($"y") - min($"y") + 1)).as("area"))
+      perFile.agg(avg($"area")).as[Double].head()
+    }
+    val rowLayout = avgBoxArea(s"$dir/rows")  // tight in x, 64-wide in y
+    val zLayout = avgBoxArea(s"$dir/zord")
+    // 16 z-files over a 64×64 grid ≈ 16×16 tiles (area ~256+slack); the
+    // x-range layout is 4-wide in x but full-height → area 4·64 = 256 too,
+    // BUT z-order must be tight in BOTH dims: assert per-dimension spans
+    val spans = spark.read.parquet(s"$dir/zord")
+      .groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(max($"sx"), max($"sy")).as[(Int, Int)].head()
+    assert(spans._1 <= 31 && spans._2 <= 31,
+      s"z-order files must be bounded in BOTH dims, got spans $spans")
+    assert(zLayout <= rowLayout * 2,
+      s"z-order area $zLayout should be comparable or better than $rowLayout")
+  }
+
   test("compact rewrites a fragmented table into few files, preserving rows") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
