@@ -56,6 +56,60 @@ object StreamingOps {
     df.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup (MinHash-LSH) via foreachBatch against a
+    * persistent band store — the pattern for dedup state that outgrows
+    * executor memory at corpus scale: seen LSH band keys live as a parquet
+    * table in the lake (joinable, compactable, restart-safe), and each
+    * micro-batch is (1) deduped within itself, (2) anti-joined against the
+    * store, (3) its surviving bands appended back.
+    *
+    * A doc is dropped iff it shares ANY band key with an earlier-kept doc
+    * (standard LSH-candidate semantics without the refinement join — a
+    * streaming-appropriate recall/latency trade documented here). Returns
+    * the kept docs of this batch. Wire into
+    * `docs.writeStream.foreachBatch { (b, _) => nearDupDedupBatch(b, store) … }`.
+    *
+    * `batch` must have columns `doc_id` (long) and `text` (string). */
+  def nearDupDedupBatch(batch: DataFrame, storePath: String,
+                        shingleK: Int = 3, nPerm: Int = 64,
+                        nBands: Int = 16): DataFrame = {
+    import graft.ops.{DedupOps, TextOps}
+    val spark = batch.sparkSession
+    val banded = batch
+      .withColumn("__hs", TextOps.shingleHashes(col("text"), shingleK))
+      .where(size(col("__hs")) > 0)
+      .withColumn("__band",
+        explode(DedupOps.lshBandKeys(
+          DedupOps.minhashSignature(col("__hs"), nPerm), nBands, nPerm / nBands)))
+      .select(col("doc_id"), col("__band"))
+      .persist()
+    val seen: DataFrame =
+      try spark.read.parquet(storePath).select(col("__band"))
+      catch { case _: Throwable => // first batch: empty store
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__band",
+              org.apache.spark.sql.types.StringType))))
+      }
+    // within-batch: keep the lowest doc_id per band; a doc survives only if
+    // it wins (or is alone in) EVERY one of its bands AND none of its bands
+    // is already in the store
+    val batchLoser = banded.groupBy("__band")
+      .agg(min(col("doc_id")).as("__keep"))
+    val dropped = banded
+      .join(batchLoser, Seq("__band"))
+      .where(col("doc_id") =!= col("__keep"))
+      .select("doc_id")
+      .union(banded.join(seen, Seq("__band")).select("doc_id"))
+      .distinct()
+    val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+    val newBands = banded.join(kept.select("doc_id"), Seq("doc_id"))
+      .select("__band").distinct()
+    newBands.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
+    banded.unpersist()
+    kept
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

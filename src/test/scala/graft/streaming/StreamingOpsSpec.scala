@@ -138,6 +138,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupDedupBatch drops LSH near-dups across micro-batches via the band store") {
+    implicit val sc = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-bands").toString + "/bands"
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ListBuffer.empty[Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= StreamingOps.nearDupDedupBatch(batch, store)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val b = "completely different words about spark shuffles and parquet files"
+      input.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(1L, 2L))
+      // batch 2: doc 3 duplicates doc 1's text (every band collides → drop);
+      // doc 4 is novel (kept); doc 5 duplicates doc 4 WITHIN the batch (drop)
+      val c = "fresh unseen tokens forming a brand new document body here"
+      input.addData((3L, a), (4L, c), (5L, c))
+      q.processAllAvailable()
+      assert(kept.sorted == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("stateless curation surface (quality, lang-ID, mix filter) streams unchanged") {
     // the batch curation expressions are pure column functions, so the same
     // code path runs under readStream with no modification — documents
