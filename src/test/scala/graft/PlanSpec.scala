@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"sampling should not shuffle:\n$exchanges exchanges")
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // 32+ shuffle partitions declared, tiny data → the executed adaptive
+    // plan must read the shuffle through coalesced AQEShuffleRead instead
+    // of launching one task per declared partition — the runtime re-plan
+    // every operator here relies on at scale
+    val df = Relational.q1Agg.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") && finalPlan.contains("coalesced"),
+      s"expected AQE-coalesced shuffle read in final plan:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the argmin projection") {
     // the `*(n)` prefix marks WholeStageCodegen stages in plan toString
     val plan = GeoPipeline.enrichedCore(spark, sf).queryExecution.executedPlan.toString
