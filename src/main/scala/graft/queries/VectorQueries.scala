@@ -257,6 +257,71 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
+  val NProbe = 2 // centroid lists searched per query in the multi-probe IVF
+
+  /** Multi-probe IVF ANN: each query searches its `NProbe` nearest
+    * centroids' inverted lists — the standard recall lever when nprobe=1
+    * misses neighbors that fell just across a cell boundary. Candidate
+    * lists are disjoint (corpus vectors belong to exactly one list), so
+    * probing more cells only widens the candidate union; shuffle stays
+    * bounded by list sizes, never |corpus|². */
+  val annIvfMpTopk: Q = new Q {
+    val name = "ann_ivf_mp_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = emb.where(col("vec_id") % IvfStride === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      val ranked = scored.withColumn("rn", row_number().over(wAssign))
+      val assigned = ranked.where(col("rn") === 1)
+        .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
+          col("c_id").as("centroid_id"))
+      val probes = ranked.where(col("rn") <= NProbe && col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("c_id").as("centroid_id"))
+      val joined = assigned.join(broadcast(probes), Seq("centroid_id"))
+        .where(col("q_id") =!= col("c_id2"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
+      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+        .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |  WHERE vec_id % $IvfStride = 0),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM embeddings e CROSS JOIN c),
+         |r0 AS (
+         |  SELECT vec_id, embedding, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |  FROM s),
+         |assigned AS (
+         |  SELECT vec_id AS c_id2, embedding AS c_vec2, c_id AS centroid_id
+         |  FROM r0 WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, c_id AS centroid_id
+         |  FROM r0 WHERE rn <= $NProbe AND vec_id % $QueryStride = 0),
+         |sc AS (
+         |  SELECT q_id, c_id2,
+         |    ${sqlDot("q_vec", "c_vec2")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec2")}) AS cosine_sim
+         |  FROM assigned JOIN probes USING (centroid_id)
+         |  WHERE q_id <> c_id2),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
   /** k-means cluster assignment (Lloyd's, deterministic init) on the
     * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
     * assignments by integer squared distance (ties → lowest index),
@@ -320,5 +385,5 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
-    ivfAssign, annIvfTopk, kmeansClusters)
+    ivfAssign, annIvfTopk, annIvfMpTopk, kmeansClusters)
 }

@@ -166,4 +166,21 @@ class DedupVectorSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("multi-probe IVF recall dominates single-probe against brute force") {
+    import graft.queries.VectorQueries
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame, q: String, c: String) =
+      df.select(col(q).cast("long"), col(c).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(VectorQueries.annBruteTopk.run(spark, dir), "q_id", "c_id")
+    val sp = pairs(VectorQueries.annIvfTopk.run(spark, dir), "q_id", "c_id")
+    val mp = pairs(VectorQueries.annIvfMpTopk.run(spark, dir), "q_id", "c_id")
+    val rSp = (sp & truth).size.toDouble / truth.size
+    val rMp = (mp & truth).size.toDouble / truth.size
+    assert(rMp >= rSp, s"multi-probe recall $rMp must be >= single-probe $rSp")
+    // random synthetic embeddings spread candidates thinly across cells;
+    // the point is the ORDERING above — the floor just guards degeneracy
+    assert(rMp >= 0.3, s"multi-probe recall $rMp unexpectedly low")
+  }
 }
