@@ -17,20 +17,23 @@ object Bench {
     // noop sink: materializes every output row/column of the plan AS
     // DECLARED (a count() would let the optimizer prune aggregates and
     // sorts, under-measuring the queries)
-    // min of two independent runs per query: steady-state throughput (the
-    // 100 TB-relevant number) rather than one sample of JVM warmup + host
-    // noise; cache cleared between runs so each run replans and rescans
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // queries persist() internally; keep runs independent
-        t
-      }
-      name -> times.min
+    // min over two FULL passes of the catalog: steady-state throughput
+    // (the 100 TB-relevant number) rather than one sample of JVM warmup +
+    // host noise. Whole-catalog passes (not back-to-back reruns) keep a
+    // query's two samples minutes apart, so a transient host-contention
+    // storm cannot poison both. Cache cleared between queries so each run
+    // replans and rescans.
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // queries persist() internally; keep runs independent
+      name -> t
     }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
