@@ -118,6 +118,33 @@ class KernelPropertySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("NearestZone equals brute-force haversine argmin over random coords") {
+    // random points incl. near-pole and near-antimeridian; random zone dim
+    val latG = Gen.chooseNum(-899, 899).map(_ / 10.0)
+    val lonG = Gen.chooseNum(-1800, 1799).map(_ / 10.0)
+    val zones = sample(Gen.listOfN(15, Gen.zip(latG, lonG)))
+      .zipWithIndex.map { case ((la, lo), i) => (i.toLong, s"z$i", la, lo) }
+    val pts = sample(Gen.listOfN(200, Gen.zip(latG, lonG)))
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val (f1, f2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val (dF, dL) = (math.toRadians(lat2 - lat1), math.toRadians(lon2 - lon1))
+      val a = math.pow(math.sin(dF / 2), 2) +
+        math.cos(f1) * math.cos(f2) * math.pow(math.sin(dL / 2), 2)
+      2 * 6371.0 * math.asin(math.sqrt(a))
+    }
+    val got = pts.zipWithIndex.map { case ((la, lo), i) => (i, la, lo) }
+      .toDF("i", "lat", "lon")
+      .select($"i", F.nearestZone($"lat", $"lon",
+        zones.map(_._1).toArray, zones.map(_._2).toArray,
+        zones.map(_._3).toArray, zones.map(_._4).toArray).as("best"))
+      .select($"i", $"best.zone_id")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val want = pts.map { case (la, lo) =>
+      zones.map(z => (hav(la, lo, z._3, z._4), z._1)).minBy(identity)._2
+    }
+    assert(got.toSeq == want)
+  }
+
   test("hamming column formulation equals Long.bitCount of xor") {
     val gen = Gen.listOfN(200,
       Gen.zip(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(0L, Long.MaxValue)))
