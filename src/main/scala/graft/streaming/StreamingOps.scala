@@ -83,14 +83,18 @@ object StreamingOps {
           DedupOps.minhashSignature(col("__hs"), nPerm), nBands, nPerm / nBands)))
       .select(col("doc_id"), col("__band"))
       .persist()
+    // explicit existence probe, NOT try/catch on the read: a corrupted or
+    // unreadable store must fail the batch loudly — treating it as "first
+    // batch" would silently restart dedup state and re-admit duplicates
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
     val seen: DataFrame =
-      try spark.read.parquet(storePath).select(col("__band"))
-      catch { case _: Throwable => // first batch: empty store
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__band",
-              org.apache.spark.sql.types.StringType))))
-      }
+      if (storeExists) spark.read.parquet(storePath).select(col("__band"))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__band",
+            org.apache.spark.sql.types.StringType))))
     // within-batch: keep the lowest doc_id per band; a doc survives only if
     // it wins (or is alone in) EVERY one of its bands AND none of its bands
     // is already in the store
