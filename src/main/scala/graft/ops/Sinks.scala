@@ -131,12 +131,17 @@ object Sinks {
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: the rewritten copy replaces the original directory
+    // backup-first swap: at every instant either the old or the new copy is
+    // intact under a recoverable name (delete-then-rename would have a
+    // window where an interruption loses the table entirely)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
+    fs.delete(bak, true)
+    fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
     nFiles
   }
 }
