@@ -211,10 +211,20 @@ object GeoPipeline {
   val userCityMart: Q = new Q {
     val name = "user_city_mart"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      // visits feeds both home and travel — persist so the enrichment +
-      // per-(user, day) window run once (tiny frame: |users|·|days| rows)
-      val v = visits(spark, dir).persist()
-      val act = userActCity.run(spark, dir)
+      // one enrichment pass feeds ALL THREE sub-marts (act via a broadcast
+      // lon join, home+travel via day-grain visits) — without the shared
+      // persist the events scan + argmin would run twice
+      val core = enrichedCore(spark, dir).persist()
+      val zones = Tables.zones(spark, dir)
+      val act = actPositionFrom(core.join(
+          broadcast(zones.select(col("zone_id").cast("long").as("zone_id"), col("lon_z"))),
+          Seq("zone_id")))
+        .select(col("user_id"), col("zone_id").cast("long").as("act_zone_id"),
+          col("zone_name").as("act_zone"), col("ts").as("last_ts"),
+          TimeOps.localTimeByOffset(col("ts"), col("lon_z")).as("local_time"))
+      // visits feeds both home and travel — persist so the per-(user, day)
+      // window runs once (tiny frame: |users|·|days| rows)
+      val v = visitsFrom(core).persist()
       val g = WindowOps.gapDaysToNext(v, Seq("user_id"), "visit_date")
       val home = WindowOps.topKPerKey(g.where(col("gap_days") >= HomeStayDays),
         Seq("user_id"), Seq(col("visit_date").desc), 1)
