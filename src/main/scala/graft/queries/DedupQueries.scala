@@ -81,8 +81,12 @@ object DedupQueries {
   val dedupNgramJaccard: Q = new Q {
     val name = "dedup_ngram_jaccard"
     def run(spark: SparkSession, dir: String): DataFrame = {
+      // persisted: this frame is referenced five times below (df counting,
+      // both self-join sides, both full-set refinement joins) and DataFrame
+      // lineage re-executes the scan + shingle kernel per reference
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .persist()
       // Candidate generation with document-frequency pruning (prefix-filter
       // style): only shingles with 2 ≤ df ≤ MaxDf generate pairs — hot
       // shingles would make the self-join quadratic in the hottest key.
