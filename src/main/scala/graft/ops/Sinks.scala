@@ -118,6 +118,54 @@ object Sinks {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Key-based SCD-1 merge into a hive-partitioned parquet snapshot: rows in
+    * `updates` replace same-key rows (highest `versionCol` wins; `updates`
+    * beats the snapshot on version ties), new keys append. Only partitions
+    * present in `updates` are read back and rewritten — a partition-pruned
+    * scan plus dynamic partition overwrite — so the cost scales with the
+    * update batch's partition footprint, not the table size: the stock-Spark
+    * expression of a Delta/Iceberg MERGE for append-mostly lakes (upgrade of
+    * the reference's full-refresh S4 overwrite, save_mes_geo.py:50).
+    *
+    * PRECONDITIONS: the snapshot exists (first load goes through
+    * `writePartitioned`); a key never changes partition (the partition
+    * column is immutable per key) — a moved key would strand its old row in
+    * an untouched directory. The distinct partition-tuple collect is
+    * driver-side but bounded by the batch's partition count, not by rows.
+    *
+    * The merged slice stages through a sibling temp dir because Spark
+    * (correctly) refuses to overwrite a path that feeds the running plan.
+    */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
+                  keyCols: Seq[String], partitionCols: Seq[String],
+                  versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
+    if (parts.isEmpty) return
+    val pred = parts.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // explicit schema (the documented precondition: updates match the
+    // snapshot's shape) — also keeps a file-less snapshot dir readable,
+    // e.g. a first load whose source window was empty
+    val existing = spark.read.schema(updates.schema).parquet(path).where(pred)
+    val merged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    val latest = merged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__src")
+    val tmp = path.stripSuffix("/") + "__merge_tmp"
+    latest.write.mode(SaveMode.Overwrite).parquet(tmp)
+    overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`
     * row files. Long-running lakes accrete tiny files (every incremental
     * write adds some); scans then pay per-file open/footer costs and the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Sinks
+import graft.ops.{Sinks, WindowOps}
 
 /** Multi-format source/sink coverage (north star: "native HDFS/Parquet/ORC
   * support"): each query round-trips a parquet table through another
@@ -106,5 +106,43 @@ object SourceQueries {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer)
+  /** End-to-end snapshot maintenance through REAL files: build a
+    * user-position snapshot from events before the split, merge the last
+    * 10 days (the reference's depth window, reports_dag.py:11) into it with
+    * Sinks.mergeUpsert — partition-pruned read + dynamic overwrite of only
+    * the touched `part=` directories — and read the snapshot back. The
+    * oracle is the PLAIN global latest-event-per-user: the merged snapshot
+    * must be indistinguishable from recomputing from scratch, proving the
+    * incremental path changes cost, never results. Both halves are reduced
+    * to one row per key BEFORE the merge so the version window inside
+    * mergeUpsert never sees an intra-batch tie. */
+  val lakeMergeUpsert: Q = new Q {
+    val name = "lake_merge_upsert"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val split = lit("2024-01-21 00:00:00").cast("timestamp")
+      val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"))
+      def latest(half: DataFrame): DataFrame =
+        WindowOps.latestPerKey(half, Seq("user_id"), Seq(col("ts"), col("event_id")))
+          .withColumn("part", pmod(col("user_id"), lit(8)).cast("int"))
+      val snapPath = s"/tmp/graft_merge/${new java.io.File(dir).getName}/user_pos"
+      val pre = latest(ev.where(col("ts") < split))
+      Sinks.writePartitioned(pre, snapPath, Seq("part"))
+      Sinks.mergeUpsert(spark, snapPath, latest(ev.where(col("ts") >= split)),
+        Seq("user_id"), Seq("part"), "ts")
+      // explicit schema: readable even when the empty-input gate leaves the
+      // snapshot dir file-less
+      spark.read.schema(pre.schema).parquet(snapPath)
+        .select(col("user_id"), col("ts").as("last_ts"), col("event_id").as("last_event_id"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert)
 }

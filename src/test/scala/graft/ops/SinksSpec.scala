@@ -96,6 +96,42 @@ class SinksSpec extends SparkSpec {
       "untouched partitions must survive; incoming ones must be replaced")
   }
 
+  test("mergeUpsert: latest version wins, new keys append, untouched partitions keep their files") {
+    val dir = Files.createTempDirectory("graft-merge").toString + "/snap"
+    val snap = Seq(
+      ("A", 1L, 1L, "a1-v1"), ("A", 2L, 1L, "a2-v1"),
+      ("B", 3L, 5L, "b3-v5"), ("C", 4L, 1L, "c4-v1"))
+      .toDF("part", "id", "ver", "v")
+    Sinks.writePartitioned(snap, dir, Seq("part"))
+    val untouched = new java.io.File(s"$dir/part=C").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val batch = Seq(
+      ("A", 1L, 2L, "a1-v2"),   // newer version → replaces
+      ("A", 9L, 1L, "a9-v1"),   // new key → appends
+      ("B", 3L, 4L, "b3-v4"))   // STALE (ver 4 < snapshot's 5) → ignored
+      .toDF("part", "id", "ver", "v")
+    Sinks.mergeUpsert(spark, dir, batch, Seq("part", "id"), Seq("part"), "ver")
+    val got = spark.read.parquet(dir)
+      .select("part", "id", "ver", "v").as[(String, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      ("A", 1L, 2L, "a1-v2"), ("A", 2L, 1L, "a2-v1"), ("A", 9L, 1L, "a9-v1"),
+      ("B", 3L, 5L, "b3-v5"), ("C", 4L, 1L, "c4-v1")))
+    val after = new java.io.File(s"$dir/part=C").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(after === untouched, "partition absent from the batch must not be rewritten")
+    assert(!new java.io.File(dir + "__merge_tmp").exists(), "staging dir must be cleaned up")
+  }
+
+  test("mergeUpsert on a version tie prefers the update batch") {
+    val dir = Files.createTempDirectory("graft-merge-tie").toString + "/snap"
+    Sinks.writePartitioned(Seq(("A", 1L, 3L, "old")).toDF("part", "id", "ver", "v"),
+      dir, Seq("part"))
+    Sinks.mergeUpsert(spark, dir,
+      Seq(("A", 1L, 3L, "new")).toDF("part", "id", "ver", "v"),
+      Seq("part", "id"), Seq("part"), "ver")
+    assert(spark.read.parquet(dir).select("v").as[String].collect().toSeq === Seq("new"))
+  }
+
   test("zValue interleaves bits (Morton order)") {
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
       .toDF("a", "b")
