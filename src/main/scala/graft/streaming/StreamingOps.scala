@@ -114,6 +114,31 @@ object StreamingOps {
     kept
   }
 
+  /** Streaming snapshot maintenance via foreachBatch: fold each micro-batch
+    * of (key, version, …) rows into a hive-partitioned lake snapshot with
+    * [[graft.ops.Sinks.mergeUpsert]] — the incremental twin of the batch
+    * mart refresh. The batch is reduced to its latest row per key first, so
+    * the merge's version window never sees an intra-batch tie (rows sharing
+    * BOTH key and version resolve arbitrarily — supply a unique version,
+    * e.g. event time, if that matters); cost per micro-batch is bounded by
+    * the batch's partition footprint, not the snapshot size. Wire into
+    * `updates.writeStream.foreachBatch { (b, _) => snapshotMaintainBatch(b, …) }`.
+    *
+    * First batch bootstraps the snapshot (plain partitioned write). */
+  def snapshotMaintainBatch(batch: DataFrame, snapPath: String,
+                            keyCols: Seq[String], partitionCols: Seq[String],
+                            versionCol: String): Unit = {
+    import graft.ops.{Sinks, WindowOps}
+    val spark = batch.sparkSession
+    val reduced = WindowOps.latestPerKey(batch, keyCols, Seq(col(versionCol)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapPath), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(snapPath)))
+      Sinks.mergeUpsert(spark, snapPath, reduced, keyCols, partitionCols, versionCol)
+    else
+      Sinks.writePartitioned(reduced, snapPath, partitionCols)
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 
@@ -162,6 +163,30 @@ class StreamingOpsSpec extends SparkSpec {
       input.addData((3L, a), (4L, c), (5L, c))
       q.processAllAvailable()
       assert(kept.sorted == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("snapshotMaintainBatch folds micro-batches into the lake snapshot (latest version wins)") {
+    implicit val sc = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/user_pos"
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("user_id", "ver", "pos").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.snapshotMaintainBatch(
+          batch.withColumn("part", pmod($"user_id", lit(4)).cast("int")),
+          snap, Seq("user_id"), Seq("part"), "ver")
+      }
+      .start()
+    try {
+      // batch 1 bootstraps; user 1 appears twice — latest version must win
+      input.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "x"))
+      q.processAllAvailable()
+      // batch 2: update user 1, stale row for user 2 (ignored), new user 3
+      input.addData((1L, 3L, "c"), (2L, 0L, "stale"), (3L, 1L, "z"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select("user_id", "ver", "pos").as[(Long, Long, String)].collect().toSet
+      assert(got === Set((1L, 3L, "c"), (2L, 1L, "x"), (3L, 1L, "z")))
     } finally q.stop()
   }
 
