@@ -159,7 +159,13 @@ object Sinks {
     val latest = merged.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "__src")
     val tmp = path.stripSuffix("/") + "__merge_tmp"
-    latest.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // cluster by partition column before writing: the window above leaves
+    // the data hash-partitioned by KEY, where every task holds rows of
+    // every partition — writing that directly fans out tasks × partitions
+    // tiny files per merge (the small-file accretion compact() exists to
+    // undo; don't create it here)
+    latest.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
     overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)

@@ -126,7 +126,9 @@ object SourceQueries {
           .withColumn("part", pmod(col("user_id"), lit(8)).cast("int"))
       val snapPath = s"/tmp/graft_merge/${new java.io.File(dir).getName}/user_pos"
       val pre = latest(ev.where(col("ts") < split))
-      Sinks.writePartitioned(pre, snapPath, Seq("part"))
+      // cluster by the partition column so the bootstrap writes one file
+      // per partition dir, not one per (task × partition)
+      Sinks.writePartitioned(pre.repartition(col("part")), snapPath, Seq("part"))
       Sinks.mergeUpsert(spark, snapPath, latest(ev.where(col("ts") >= split)),
         Seq("user_id"), Seq("part"), "ts")
       // explicit schema: readable even when the empty-input gate leaves the

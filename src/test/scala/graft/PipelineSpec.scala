@@ -16,6 +16,10 @@ class PipelineSpec extends SparkSpec {
     dir
   }
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("stage 1 materializes the enriched interim with zone columns") {
     val mes = spark.read.parquet(s"$lake/interim/mes_geo")
     assert(mes.count() === 1000) // all sf0.001 events
