@@ -141,35 +141,40 @@ object Sinks {
                   versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{lit, row_number}
-    val parts = updates.select(partitionCols.map(col): _*).distinct().collect()
-    if (parts.isEmpty) return
-    val pred = parts.map { r =>
-      partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
-        .reduce(_ && _)
-    }.reduce(_ || _)
-    // explicit schema (the documented precondition: updates match the
-    // snapshot's shape) — also keeps a file-less snapshot dir readable,
-    // e.g. a first load whose source window was empty
-    val existing = spark.read.schema(updates.schema).parquet(path).where(pred)
-    val merged = existing.withColumn("__src", lit(0))
-      .unionByName(updates.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__src").desc)
-    val latest = merged.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn", "__src")
-    val tmp = path.stripSuffix("/") + "__merge_tmp"
-    // cluster by partition column before writing: the window above leaves
-    // the data hash-partitioned by KEY, where every task holds rows of
-    // every partition — writing that directly fans out tasks × partitions
-    // tiny files per merge (the small-file accretion compact() exists to
-    // undo; don't create it here)
-    latest.repartition(partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // the batch is consumed twice (footprint probe + merge) — cache it
+    // rather than recompute the caller's lineage per action
+    val u = updates.persist()
+    try {
+      val parts = u.select(partitionCols.map(col): _*).distinct().collect()
+      if (parts.isEmpty) return
+      val pred = parts.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      // explicit schema (the documented precondition: updates match the
+      // snapshot's shape) — also keeps a file-less snapshot dir readable,
+      // e.g. a first load whose source window was empty
+      val existing = spark.read.schema(u.schema).parquet(path).where(pred)
+      val merged = existing.withColumn("__src", lit(0))
+        .unionByName(u.withColumn("__src", lit(1)))
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(versionCol).desc, col("__src").desc)
+      val latest = merged.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "__src")
+      val tmp = path.stripSuffix("/") + "__merge_tmp"
+      // cluster by partition column before writing: the window above leaves
+      // the data hash-partitioned by KEY, where every task holds rows of
+      // every partition — writing that directly fans out tasks × partitions
+      // tiny files per merge (the small-file accretion compact() exists to
+      // undo; don't create it here)
+      latest.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } finally u.unpersist()
   }
 
   /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`
