@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic-SQL surface beyond the reference's ranking/offset windows
+  * (SURVEY.md §2.5 notes the reference uses only `row_number`/`lag` with
+  * default frames): explicit GROUPING SETS, ROWS/RANGE window frames,
+  * ignore-nulls LOCF, time-series gap fill, correlated scalar subqueries,
+  * and sketch-based approximate distinct counting.
+  *
+  * Scale shape: every query pre-aggregates to a small keyed frame before
+  * any window/cross-join (days × statuses is O(spans), never O(rows)), so
+  * the only row-count-proportional stages are partial-aggregated scans.
+  */
+object AnalyticQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** Non-hierarchical GROUPING SETS ((status),(priority),()) — not
+    * expressible as cube/rollup; planned as a single Expand + hash agg. */
+  val qGroupingSets: Q = new Q {
+    val name = "q_grouping_sets"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_cents"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    val oracle = Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
+  /** ROWS vs RANGE window frames over per-day revenue: a 7-slot ROWS
+    * moving sum and a 7-day RANGE moving sum (they differ exactly where
+    * calendar days are missing). Frame input is the pre-aggregated daily
+    * frame — the window never sees raw orders. */
+  val qMovingAvg: Q = new Q {
+    val name = "q_moving_avg"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+      val byDayRows = Window.partitionBy("o_orderstatus").orderBy("dn").rowsBetween(-6, 0)
+      val byDayRange = Window.partitionBy("o_orderstatus").orderBy("dn").rangeBetween(-6, 0)
+      daily.select(col("day"), col("o_orderstatus"), col("rev_cents"),
+          sum("rev_cents").over(byDayRows).as("ma7_cents"),
+          count(lit(1)).over(byDayRows).as("ma7_n"),
+          sum("rev_cents").over(byDayRange).as("rng7_cents"))
+        .orderBy("o_orderstatus", "day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily)
+        |SELECT day, o_orderstatus, rev_cents,
+        |  sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_cents,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY dn
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_n,
+        |  sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rng7_cents
+        |FROM d2 ORDER BY o_orderstatus, day""".stripMargin)
+  }
+
+  /** Time-series gap fill: dense (day × status) grid via sequence+explode,
+    * zero-fill plus last-observation-carried-forward (ignore-nulls window).
+    * The grid is built from the 1-row span aggregate — O(days × statuses),
+    * independent of fact cardinality. */
+  val qGapfill: Q = new Q {
+    val name = "q_gapfill_daily_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val orders = Tables.orders(spark, dir)
+      val daily = orders
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
+      val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val grid = days.crossJoin(broadcast(orders.select("o_orderstatus").distinct()))
+      val locf = Window.partitionBy("o_orderstatus").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("day", "o_orderstatus"), "left")
+        .select(col("day"), col("o_orderstatus"),
+          coalesce(col("rev"), lit(0L)).as("rev_cents"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(last("rev", ignoreNulls = true).over(locf), lit(0L)).as("rev_locf"))
+        .orderBy("day", "o_orderstatus")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                     CAST(d1 AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |grid AS (SELECT day, o_orderstatus
+        |         FROM days CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)),
+        |j AS (SELECT g.day, g.o_orderstatus, d.rev, d.n
+        |      FROM grid g LEFT JOIN daily d
+        |        ON g.day = d.day AND g.o_orderstatus = d.o_orderstatus)
+        |SELECT day, o_orderstatus,
+        |  coalesce(rev, 0) AS rev_cents,
+        |  coalesce(n, 0) AS n_orders,
+        |  coalesce(last_value(rev IGNORE NULLS) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS rev_locf
+        |FROM j ORDER BY day, o_orderstatus""".stripMargin)
+  }
+
+  /** Correlated + uncorrelated scalar subqueries through the SQL parser
+    * (Catalyst decorrelates the COUNT into a left-outer aggregate join).
+    * The above-average test is integer-exact: bal > avg ⟺ bal·cnt > sum
+    * in cents, so no float threshold can flip between engines. */
+  val qScalarSubquery: Q = new Q {
+    val name = "q_scalar_subquery"
+    private val sql =
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  CAST(CASE WHEN (SELECT count(*) FROM customer)
+        |                 * CAST(round(c.c_acctbal * 100) AS BIGINT)
+        |              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS above_avg
+        |FROM customer c ORDER BY c_custkey""".stripMargin
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+    val oracle = Some(sql)
+  }
+
+  /** Sketch-based distinct counting: HLL++ (`approx_count_distinct`) and a
+    * DataSketches HLL (`hll_sketch_agg`) side by side with the exact count.
+    * Sketches are mergeable partial aggregates — constant-size shuffle per
+    * group at any scale, the whole point at 100 TB. No oracle: estimates
+    * are implementation-defined (driver records rows-only; the error bound
+    * is spec-checked in AnalyticQueriesSpec). */
+  val approxDistinctUsers: Q = new Q {
+    val name = "approx_distinct_users"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("hll_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    val oracle = None
+  }
+
+  val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
+    approxDistinctUsers)
+}

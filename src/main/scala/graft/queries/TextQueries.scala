@@ -190,6 +190,47 @@ object TextQueries {
     }
   }
 
+  /** PII redaction: scrub emails and phone numbers with regex rewrite and
+    * count the hits. The corpus text carries no contact strings, so each
+    * document is suffixed with a deterministic doc_id-derived contact line
+    * (same derivation in the oracle) — the regexes then have real matches
+    * to find, and the md5 of the redacted text value-checks the whole
+    * rewrite, not just the counts. Pure per-row column expressions
+    * (codegen'd regexp_replace/regexp_count) — trivially partition-parallel
+    * at any scale. Patterns stay in the RE2 ∩ Java-regex common subset so
+    * both engines match identically. */
+  val piiRedact: Q = new Q {
+    val name = "pii_redact"
+    private val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    private val phone = "\\+\\d[\\d-]{6,}\\d"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val withPii = concat(col("text"),
+        lit(" contact doc"), col("doc_id"), lit("@mail.example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val redacted = regexp_replace(regexp_replace(withPii, email, "<EMAIL>"),
+        phone, "<PHONE>")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          regexp_count(withPii, lit(email)).cast("long").as("n_emails"),
+          regexp_count(withPii, lit(phone)).cast("long").as("n_phones"),
+          md5(redacted).as("redacted_md5"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || doc_id || '@mail.example.com or call +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS with_pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(with_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(with_pii, '\+\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(with_pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition)
+    textRepetition, piiRedact)
 }

@@ -384,6 +384,52 @@ object VectorQueries {
     val oracle = Some(kmeansOracle(KmK, KmIters))
   }
 
+  /** Int8 symmetric scalar quantization of the embedding column (the
+    * standard 4× shrink before ANN indexing at scale): per-vector max-abs
+    * scale, quantized array, and an integer-exact reconstruction-error
+    * metric (each |x−x̂| term is e6-rounded to a BIGINT before summing, so
+    * no float-accumulation-order drift between engines). Pure per-row
+    * higher-order array expressions — embarrassingly parallel. */
+  val embedQuantize: Q = new Q {
+    val name = "embed_quantize"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val x = Tables.embeddings(spark, dir)
+        .withColumn("maxabs",
+          array_max(transform(col("embedding"), v => abs(v.cast("double")))))
+      val quant = (v: org.apache.spark.sql.Column) =>
+        round(v.cast("double") * 127.0 / col("maxabs")).cast("int")
+      val errTerm = (v: org.apache.spark.sql.Column) =>
+        abs(round(v.cast("double") * 1e6).cast("long") -
+          round(quant(v).cast("double") * col("maxabs") / 127.0 * 1e6).cast("long"))
+      x.select(col("vec_id"),
+          round(col("maxabs") * 1e6).cast("long").as("maxabs_e6"),
+          when(col("maxabs") === 0.0, transform(col("embedding"), _ => lit(0)))
+            .otherwise(transform(col("embedding"), quant)).as("qvec"),
+          when(col("maxabs") === 0.0, lit(0L))
+            .otherwise(aggregate(transform(col("embedding"), errTerm),
+              lit(0L), (acc, t) => acc + t)).as("err_e6"))
+        .orderBy("vec_id")
+    }
+    val oracle = Some(
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(round(maxabs * 1e6) AS BIGINT) AS maxabs_e6,
+        |  CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT))
+        |  END AS qvec,
+        |  CASE WHEN maxabs = 0 THEN 0
+        |       ELSE CAST(list_aggregate(list_transform(embedding,
+        |         x -> abs(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) -
+        |                  CAST(round(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS DOUBLE)
+        |                             * maxabs / 127.0 * 1e6) AS BIGINT))), 'sum') AS BIGINT)
+        |  END AS err_e6
+        |FROM e ORDER BY vec_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
-    ivfAssign, annIvfTopk, annIvfMpTopk, kmeansClusters)
+    ivfAssign, annIvfTopk, annIvfMpTopk, kmeansClusters, embedQuantize)
 }
