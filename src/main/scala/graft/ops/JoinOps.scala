@@ -67,4 +67,34 @@ object JoinOps {
       .where(abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <= radiusMicros)
       .drop("__b")
   }
+
+  /** Bloom-filter semi-join reduction: build a Bloom filter over the (small,
+    * already-filtered) dim side's long key, broadcast it, and pre-filter the
+    * fact side BEFORE the equi-join. The join re-verifies every survivor, so
+    * false positives cost only wasted shuffle rows — the result is exactly
+    * the plain join.
+    *
+    * At 100 TB this is the semi-join reduction AQE's runtime row-level
+    * filters apply automatically to some plans: a KB–MB bitset prunes the
+    * fact at the scan/map side, so the shuffle moves only rows that can
+    * match. The explicit form also covers shapes AQE won't inject into
+    * (multi-stage pipelines, keyed sinks, non-equi residuals). */
+  def bloomPruneJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, expectedItems: Long,
+                     fpp: Double): DataFrame = {
+    // a filter aggregated over ZERO rows carries a null bitset and NPEs on
+    // build/probe — detect once on the driver and skip the prune (the plain
+    // join of an empty dim is empty anyway)
+    val bfOpt = try {
+      val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+      bf.mightContainLong(0L)
+      Some(bf)
+    } catch { case _: NullPointerException => None }
+    val pruned = bfOpt.fold(fact) { bf =>
+      val bc = fact.sparkSession.sparkContext.broadcast(bf)
+      val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      fact.where(might(col(factKey)))
+    }
+    pruned.join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second analytic-SQL wave: the classic selective-join report (TPC-H Q3
+  * shape), wide↔long reshaping (pivot + unpivot round-trip), correlated
+  * EXISTS / NOT EXISTS decorrelation, correlated LATERAL top-n subqueries,
+  * and deterministic hash sampling.
+  *
+  * Scale shape: Q3 broadcasts only the filtered customer key set and lets
+  * the orders⋈lineitem equi-join shuffle on the join key (AQE picks the
+  * physical strategy at real scale); unpivot is a per-row Expand with no
+  * shuffle beyond its input aggregate; EXISTS/LATERAL decorrelate into
+  * aggregate-then-join plans rather than per-row subquery execution; md5
+  * sampling is a pure scan-side filter — no shuffle, no sort, the way a
+  * 100 TB corpus gets a fixed-rate deterministic sample. */
+object AdvancedQueries {
+
+  private def cents(c: Column) = round(c * 100).cast("long")
+
+  /** TPC-H Q3 shape: segment-filtered customers × date-filtered orders ×
+    * date-filtered lineitems, revenue per order, top-10. The customer key
+    * set is the only broadcast side; at 100 TB orders⋈lineitem stays a
+    * shuffled equi-join (both sides filter-pruned at the scan — the date
+    * predicates reach PushedFilters). */
+  val qTpchQ3: Q = new Q {
+    val name = "q_tpch_q3"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val cust = Tables.customer(spark, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev"))
+      val co = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      li.join(co, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum("rev").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue_cents")
+    }
+    val oracle = Some(
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Wide↔long reshape: pivot revenue to (linestatus × returnflag) columns,
+    * then unpivot (melt) back to long form — the oracle computes the long
+    * form directly, so the round-trip must be lossless. Missing grid cells
+    * surface as NULL after unpivot and are dropped to match the direct
+    * aggregation. */
+  val qUnpivotReturns: Q = new Q {
+    val name = "q_unpivot_returns"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val wide = Tables.lineitem(spark, dir)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(cents(col("l_extendedprice"))))
+      wide.unpivot(Array(col("l_linestatus")),
+          Array(col("A"), col("N"), col("R")), "returnflag", "rev_cents")
+        .where(col("rev_cents").isNotNull)
+        .orderBy("l_linestatus", "returnflag")
+    }
+    val oracle = Some(
+      """SELECT l_linestatus, l_returnflag AS returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_linestatus, returnflag""".stripMargin)
+  }
+
+  /** Correlated EXISTS + NOT EXISTS through the SQL parser — Catalyst
+    * decorrelates both into semi/anti joins (one pass over orders each,
+    * never per-customer subquery execution). */
+  val qExistsCustomers: Q = new Q {
+    val name = "q_exists_customers"
+    private def sql(cust: String, ord: String) =
+      s"""SELECT c_custkey, c_name
+         |FROM $cust c
+         |WHERE EXISTS (SELECT 1 FROM $ord o
+         |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         |  AND NOT EXISTS (SELECT 1 FROM $ord o
+         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+         |ORDER BY c_custkey""".stripMargin
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_ex_customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("graft_ex_orders")
+      try spark.sql(sql("graft_ex_customer", "graft_ex_orders"))
+      finally {
+        spark.catalog.dropTempView("graft_ex_customer")
+        spark.catalog.dropTempView("graft_ex_orders")
+      }
+    }
+    val oracle = Some(sql("customer", "orders"))
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers by
+    * balance per nation. Catalyst plans the correlated limit as a
+    * partitioned window top-n, not a per-nation re-scan. */
+  val qLateralTopn: Q = new Q {
+    val name = "q_lateral_topn"
+    private def sql(nat: String, cust: String) =
+      s"""SELECT n.n_name, t.c_custkey, t.bal_cents
+         |FROM $nat n, LATERAL (
+         |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM $cust c WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      Tables.nation(spark, dir).createOrReplaceTempView("graft_lat_nation")
+      Tables.customer(spark, dir).createOrReplaceTempView("graft_lat_customer")
+      try spark.sql(sql("graft_lat_nation", "graft_lat_customer"))
+      finally {
+        spark.catalog.dropTempView("graft_lat_nation")
+        spark.catalog.dropTempView("graft_lat_customer")
+      }
+    }
+    val oracle = Some(sql("nation", "customer"))
+  }
+
+  /** Deterministic ~10% sample via md5 prefix (hex '00'..'19' = 26/256):
+    * engine-agnostic (md5 is md5 everywhere, unlike xxhash64/hash whose
+    * algorithms differ between Spark and DuckDB), reproducible across runs
+    * and cluster sizes, and a pure scan-side filter — sampling a 100 TB
+    * table costs one filtered scan, no shuffle. */
+  val qSampleMd5: Q = new Q {
+    val name = "q_sample_md5"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .where(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy("o_orderstatus")
+    val oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qTpchQ3, qUnpivotReturns, qExistsCustomers,
+    qLateralTopn, qSampleMd5)
+}

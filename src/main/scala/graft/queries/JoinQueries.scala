@@ -213,6 +213,33 @@ object JoinQueries {
         |ORDER BY set_kind, c_custkey""".stripMargin)
   }
 
+  /** Bloom-filter semi-join reduction (JoinOps.bloomPruneJoin): brand-
+    * filtered parts build a broadcast Bloom filter that prunes lineitem
+    * before the join shuffles. The join re-checks every survivor, so the
+    * output is exactly the plain join — the oracle IS the plain join. */
+  val qBloomPrune: Q = new Q {
+    val name = "q_bloom_prune_join"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val dim = Tables.part(spark, dir)
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand")
+      val fact = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("rev"))
+      JoinOps.bloomPruneJoin(fact, dim, "l_partkey", "p_partkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("rev").as("rev_cents"))
+        .orderBy("p_brand")
+    }
+    val oracle = Some(
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup, qCube,
-    qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin)
+    qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin, qBloomPrune)
 }

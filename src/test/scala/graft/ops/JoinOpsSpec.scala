@@ -69,4 +69,19 @@ class JoinOpsSpec extends SparkSpec {
       .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(fast === brute)
   }
+
+  test("bloomPruneJoin: exactly the plain join (false positives re-verified, nulls dropped)") {
+    val fact = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (null, "e"))
+      .toDF("fk", "payload")
+    val dim = Seq((1L, "x"), (3L, "y"), (9L, "z")).toDF("dk", "tag")
+    val fast = JoinOps.bloomPruneJoin(fact, dim, "fk", "dk", 100L, 0.03)
+      .select("fk", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(fast === plain)
+    assert(fast === Set((1L, "a", "x"), (3L, "c", "y")))
+  }
 }
