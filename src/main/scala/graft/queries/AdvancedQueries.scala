@@ -156,6 +156,101 @@ object AdvancedQueries {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** SCD-2 history build via gaps-and-islands: collapse each customer's
+    * consecutive same-status order runs into [valid_from, valid_to)
+    * intervals with a current-row flag. Runs are numbered with a
+    * change-flag running sum (island = sum of status≠lag(status)), so BOTH
+    * windows partition by the customer key alone — one exchange feeds the
+    * whole history build, where the row_number-difference trick would
+    * shuffle the full fact twice on different keys. run_id is chronological
+    * and unique per customer, making every downstream ordering total. */
+  val qScd2OrderStatus: Q = new Q {
+    val name = "scd2_order_status"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runs = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("chg",
+          when(col("o_orderstatus") === lag("o_orderstatus", 1).over(w), lit(0L))
+            .otherwise(lit(1L)))
+        .withColumn("run_id",
+          sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy("o_custkey", "o_orderstatus", "run_id")
+        .agg(min("o_orderdate").as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to",
+          lead("valid_from", 1).over(
+            Window.partitionBy("o_custkey").orderBy("run_id")))
+        .withColumn("is_current", col("valid_to").isNull.cast("int").cast("long"))
+        .select(col("o_custkey"), col("o_orderstatus"), col("run_id"),
+          col("valid_from"), col("valid_to"), col("n_orders"), col("is_current"))
+        .orderBy("o_custkey", "run_id")
+    }
+    val oracle = Some(
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    CASE WHEN o_orderstatus = lag(o_orderstatus) OVER w
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    sum(chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT o_custkey, o_orderstatus, run_id,
+        |    min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderstatus, CAST(run_id AS BIGINT) AS run_id, valid_from,
+        |  lead(valid_from, 1) OVER w2 AS valid_to,
+        |  n_orders,
+        |  CAST(CASE WHEN lead(valid_from, 1) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_current
+        |FROM islands
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)
+        |ORDER BY o_custkey, run_id""".stripMargin)
+  }
+
+  /** Remaining analytic window functions in one sweep: lead, first_value,
+    * nth_value, percent_rank, cume_dist over the per-customer order
+    * timeline (rank/dense_rank/ntile and lag live in q_rank_functions and
+    * the user pipeline). One shuffle: every window shares the partition
+    * and ordering. */
+  val qWindowAnalytics: Q = new Q {
+    val name = "q_window_analytics"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead("o_orderkey", 1).over(w).as("next_orderkey"),
+          first("o_orderkey").over(w).as("first_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_orderkey"),
+          round(percent_rank().over(w) * 1e6).cast("long").as("pct_rank_e6"),
+          round(cume_dist().over(w) * 1e6).cast("long").as("cume_dist_e6"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+    val oracle = Some(
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_orderkey,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_orderkey,
+        |  CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) AS pct_rank_e6,
+        |  CAST(round(cume_dist() OVER w * 1e6) AS BIGINT) AS cume_dist_e6
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qTpchQ3, qUnpivotReturns, qExistsCustomers,
-    qLateralTopn, qSampleMd5)
+    qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics)
 }
