@@ -96,4 +96,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.toLowerCase.contains("nearestzone")),
       s"argmin projection not inside a codegen stage:\n$plan")
   }
+
+  test("q_tpch_q3: all three filters pushed, top-10 as TakeOrdered (no global sort)") {
+    val df = graft.queries.AdvancedQueries.qTpchQ3.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(l_shipdate") &&
+      plan.contains("LessThan(o_orderdate") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"filters not pushed to scans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a global sort instead of TakeOrdered:\n$plan")
+  }
+
+  test("q_lateral_topn decorrelates to a window top-n, not a nested loop") {
+    val df = graft.queries.AdvancedQueries.qLateralTopn.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window top-n in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"lateral planned as nested loop:\n$plan")
+  }
+
+  test("scd2_order_status: one data exchange feeds flag, run-sum, agg, and lead windows") {
+    val df = graft.queries.AdvancedQueries.qScd2OrderStatus.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly 2 Exchanges: one hash partitioning on o_custkey for the whole
+    // history build + the rangepartitioning for the final output orderBy
+    val nExchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nExchanges <= 2, s"history build shuffles more than once:\n$plan")
+  }
 }
