@@ -139,6 +139,30 @@ object StreamingOps {
       Sinks.writePartitioned(reduced, snapPath, partitionCols)
   }
 
+  /** Stream-stream inner interval join: left rows match right rows with the
+    * same keys and rightTs ∈ [leftTs, leftTs + maxGap]. Both sides carry a
+    * watermark and the join condition bounds event-time in BOTH directions,
+    * so Spark can expire join state — without the time bound a stream-stream
+    * join buffers both streams forever. State per key is O(rows within the
+    * watermark+gap horizon), independent of stream length — the property
+    * that matters when the streams never end.
+    *
+    * Output columns: all left columns, then right columns renamed with
+    * `rightPrefix` (stream-stream joins on same-named columns would
+    * otherwise be ambiguous to downstream selects). */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTs: String, rightTs: String, watermark: String,
+                         maxGap: String, rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val rRenamed = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, rightPrefix + c))
+    val r = rRenamed.withWatermark(rightPrefix + rightTs, watermark)
+    val rts = col(rightPrefix + rightTs)
+    val cond = keys.map(k => col(k) === col(rightPrefix + k)).reduce(_ && _) &&
+      rts >= col(leftTs) && rts <= col(leftTs) + expr(s"INTERVAL $maxGap")
+    l.join(r, cond, "inner")
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -218,4 +218,31 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.table("cur").where(col("quality_e4") > 0).count() === 2)
     } finally q.stop()
   }
+
+  test("streamIntervalJoin: stream-stream join within the gap, state bounded by watermark") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = streamIntervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      buys.toDF().toDF("user_id", "ts", "amount"),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      watermark = "10 minutes", maxGap = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      buys.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:20:00"), 5.0), // within 30 min → joins
+        (2L, Timestamp.valueOf("2024-01-01 11:20:00"), 7.0), // 80 min later → no join
+        (3L, Timestamp.valueOf("2024-01-01 10:10:00"), 9.0)) // no matching click
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("user_id", "r_amount")
+        .as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 5.0)))
+    } finally q.stop()
+  }
 }
