@@ -251,6 +251,58 @@ object AdvancedQueries {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** Spark 4 VARIANT path for semi-structured data: parse_json once into
+    * the binary variant encoding, then typed variant_get extraction — at
+    * scale this beats per-access get_json_object re-parsing (q_events_json
+    * keeps the string-path twin). Aggregates must match the string path
+    * bit-for-bit. */
+  val qVariantExtract: Q = new Q {
+    val name = "q_variant_extract"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          avg("k").cast("double").as("avg_k_raw"))
+        .select(col("event_type"), col("n"), col("sum_k"),
+          round(col("avg_k_raw") * 1e4).cast("long").as("avg_k_e4"))
+        .orderBy("event_type")
+    val oracle = Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(round(avg(k) * 1e4) AS BIGINT) AS avg_k_e4
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** regexp_extract_all + split + array slicing over documents — arrays are
+    * reduced to scalars (counts, joined prefixes) so the verifier can
+    * compare them. Pure per-row narrow work: no shuffle before the final
+    * sort at any scale. */
+  val qRegexpArrays: Q = new Q {
+    val name = "q_regexp_arrays"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)))
+            .cast("long").as("n_long_words"),
+          array_join(slice(split(col("text"), " "), 1, 3), "_").as("prefix3"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("n_consonant_chars"))
+        .orderBy("doc_id")
+    val oracle = Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{5,}', 0)) AS BIGINT) AS n_long_words,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS prefix3,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+        |    AS n_consonant_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qTpchQ3, qUnpivotReturns, qExistsCustomers,
-    qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics)
+    qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics,
+    qVariantExtract, qRegexpArrays)
 }
