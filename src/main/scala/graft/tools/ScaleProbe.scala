@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicate the FACT tables N× with shifted keys
+  * (dims stay fixed — the realistic growth shape: facts accrete, dimensions
+  * don't), run representative catalog queries at 1× and N×, and print the
+  * warm-time ratio per query. Near-linear ratios (≲ N) are the evidence
+  * that a plan's shuffle/agg structure survives scale-up; super-linear
+  * ratios flag a plan that would fall over at 100 TB.
+  *
+  * Key shifting keeps join consistency: l_orderkey/o_orderkey shift
+  * together; o_custkey, user_id stay (more activity per entity over a
+  * longer window). documents/embeddings replicate content verbatim, which
+  * makes dedup/ANN probes WORST-case (every replica is a near-dup / exact
+  * tie).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [replicas] [query...]
+  */
+object ScaleProbe {
+  private val KeyStride = 1000000000000L // far above any real key
+
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "q1_agg", "q_tpch_q3", "q_topk_orders_agg", "scd2_order_status",
+      "q_windowed_counts", "dedup_minhash_lsh", "ann_ivf_topk",
+      "geo_enrich", "zone_report", "q_sessionize")
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale/x$replicas"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, scaled, replicas)
+
+    val qs = graft.SparkEntry.queries
+    println(f"${"query"}%-24s ${"t1x_warm"}%10s ${"tNx_warm"}%10s  ratio (replicas=$replicas)")
+    names.foreach { name =>
+      val t1 = warm(spark, qs(name), base)
+      val tN = warm(spark, qs(name), scaled)
+      println(f"$name%-24s $t1%9.2fs $tN%9.2fs  ${tN / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  private def warm(spark: SparkSession,
+                   fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    var best = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      spark.catalog.clearCache()
+    }
+    best
+  }
+
+  private def buildScaled(spark: SparkSession, base: String, out: String,
+                          replicas: Int): Unit = {
+    if (new java.io.File(s"$out/_done").exists()) return
+    def reps(df: DataFrame, shifts: Map[String, Boolean]): DataFrame =
+      (0 until replicas).map { i =>
+        shifts.foldLeft(df) { case (d, (c, shift)) =>
+          if (shift) d.withColumn(c, col(c) + lit(i * KeyStride)) else d
+        }
+      }.reduce(_ unionByName _)
+
+    val copyAsIs = Seq("region", "nation", "customer", "supplier", "part")
+    copyAsIs.foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    reps(spark.read.parquet(s"$base/orders.parquet"),
+      Map("o_orderkey" -> true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    reps(spark.read.parquet(s"$base/lineitem.parquet"),
+      Map("l_orderkey" -> true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    // events.ts is TIMESTAMP(NANOS); copy through the raw-long loader shape
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reps(spark.read.parquet(s"$base/events.parquet"),
+      Map("event_id" -> true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    reps(spark.read.parquet(s"$base/documents.parquet"),
+      Map("doc_id" -> true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    reps(spark.read.parquet(s"$base/embeddings.parquet"),
+      Map("vec_id" -> true))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    new java.io.File(s"$out/_done").createNewFile()
+    ()
+  }
+}
