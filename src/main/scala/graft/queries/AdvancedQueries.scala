@@ -302,7 +302,65 @@ object AdvancedQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4): per-region linked-list walk over the nation
+    * dimension — a window derives predecessor edges, the recursion follows
+    * them counting depth. Iterative graph traversal inside one SQL
+    * statement; each recursion step is a self-contained join, so at scale
+    * the iteration count is the chain depth, not the row count (the same
+    * fixpoint shape as DedupOps.connectedComponents). */
+  val qRecursiveWalk: Q = new Q {
+    val name = "q_recursive_walk"
+    private def sql(nat: String) =
+      s"""WITH RECURSIVE base AS (
+         |  SELECT n_nationkey, n_regionkey,
+         |    lag(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)
+         |      AS prev_key
+         |  FROM $nat),
+         |walk(n_nationkey, n_regionkey, depth) AS (
+         |  SELECT n_nationkey, n_regionkey, CAST(0 AS BIGINT)
+         |  FROM base WHERE prev_key IS NULL
+         |  UNION ALL
+         |  SELECT b.n_nationkey, b.n_regionkey, w.depth + 1
+         |  FROM walk w JOIN base b ON b.prev_key = w.n_nationkey)
+         |SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+         |       CAST(n_nationkey AS BIGINT) AS nation_key, depth
+         |FROM walk ORDER BY region_key, depth, nation_key""".stripMargin
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      Tables.nation(spark, dir).createOrReplaceTempView("graft_rec_nation")
+      try spark.sql(sql("graft_rec_nation"))
+      finally spark.catalog.dropTempView("graft_rec_nation")
+    }
+    val oracle = Some(sql("nation"))
+  }
+
+  /** NULL-semantics parity: nulls synthesized with nullif, grouped (NULL is
+    * its own group), counted (count(col) skips nulls, count(*) doesn't),
+    * probed with null-safe equality, and ordered with an EXPLICIT NULLS
+    * FIRST — Spark sorts nulls first by default, DuckDB last, so implicit
+    * ordering is an engine-divergence trap this query pins down. */
+  val qNullSemantics: Q = new Q {
+    val name = "q_null_semantics"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.customer(spark, dir)
+        .groupBy(expr("nullif(c_nationkey % 5, 2)").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(expr("nullif(c_nationkey % 5, 2)")).as("n_nonnull"),
+          max(expr("CAST(nullif(c_nationkey % 5, 2) <=> 2 AS INT)")).cast("long")
+            .as("any_nullsafe_eq2"),
+          sum(cents(col("c_acctbal"))).as("bal_cents"))
+        .orderBy(col("bucket").asc_nulls_first)
+    val oracle = Some(
+      """SELECT nullif(c_nationkey % 5, 2) AS bucket,
+        |  count(*) AS n_rows,
+        |  count(nullif(c_nationkey % 5, 2)) AS n_nonnull,
+        |  CAST(max(CASE WHEN nullif(c_nationkey % 5, 2) IS NOT DISTINCT FROM 2
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS any_nullsafe_eq2,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer
+        |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qTpchQ3, qUnpivotReturns, qExistsCustomers,
     qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics,
-    qVariantExtract, qRegexpArrays)
+    qVariantExtract, qRegexpArrays, qRecursiveWalk, qNullSemantics)
 }
