@@ -82,15 +82,14 @@ object JoinOps {
   def bloomPruneJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                      dimKey: String, expectedItems: Long,
                      fpp: Double): DataFrame = {
-    // a filter aggregated over ZERO rows carries a null bitset and NPEs on
-    // build/probe — detect once on the driver and skip the prune (the plain
-    // join of an empty dim is empty anyway)
-    val bfOpt = try {
+    // building the filter is inherently eager (an aggregation job over dim
+    // runs at construction time — dim is the SMALL side, so this is cheap);
+    // a filter aggregated over zero non-null keys carries a null bitset and
+    // NPEs on probe, so that case is guarded explicitly and skips the prune
+    // (the plain join of an empty dim is empty anyway)
+    val hasKeys = !dim.where(col(dimKey).isNotNull).isEmpty
+    val pruned = if (!hasKeys) fact else {
       val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-      bf.mightContainLong(0L)
-      Some(bf)
-    } catch { case _: NullPointerException => None }
-    val pruned = bfOpt.fold(fact) { bf =>
       val bc = fact.sparkSession.sparkContext.broadcast(bf)
       val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
       fact.where(might(col(factKey)))

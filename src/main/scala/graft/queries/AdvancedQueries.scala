@@ -18,7 +18,7 @@ import graft.Tables
   * 100 TB corpus gets a fixed-rate deterministic sample. */
 object AdvancedQueries {
 
-  private def cents(c: Column) = round(c * 100).cast("long")
+  private def cents(c: Column) = Q.cents(c)
 
   /** TPC-H Q3 shape: segment-filtered customers × date-filtered orders ×
     * date-filtered lineitems, revenue per order, top-10. The customer key
@@ -70,7 +70,12 @@ object AdvancedQueries {
   val qUnpivotReturns: Q = new Q {
     val name = "q_unpivot_returns"
     def run(spark: SparkSession, dir: String): DataFrame = {
+      // both sides restrict to the explicit pivot value list, so the
+      // round-trip is lossless by construction even if the data ever grows
+      // a flag outside {A,N,R} (pivot would silently drop it; the oracle's
+      // direct GROUP BY would not)
       val wide = Tables.lineitem(spark, dir)
+        .where(col("l_returnflag").isin("A", "N", "R"))
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(cents(col("l_extendedprice"))))
@@ -82,7 +87,9 @@ object AdvancedQueries {
     val oracle = Some(
       """SELECT l_linestatus, l_returnflag AS returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
-        |FROM lineitem GROUP BY 1, 2
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY 1, 2
         |ORDER BY l_linestatus, returnflag""".stripMargin)
   }
 
@@ -345,16 +352,18 @@ object AdvancedQueries {
         .groupBy(expr("nullif(c_nationkey % 5, 2)").as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           count(expr("nullif(c_nationkey % 5, 2)")).as("n_nonnull"),
-          max(expr("CAST(nullif(c_nationkey % 5, 2) <=> 2 AS INT)")).cast("long")
-            .as("any_nullsafe_eq2"),
+          // <=> against NULL is TRUE exactly for the NULL group (plain = would
+          // be NULL everywhere) — the probe distinguishes null-safe equality
+          max(expr("CAST(nullif(c_nationkey % 5, 2) <=> CAST(NULL AS INT) AS INT)"))
+            .cast("long").as("is_null_bucket"),
           sum(cents(col("c_acctbal"))).as("bal_cents"))
         .orderBy(col("bucket").asc_nulls_first)
     val oracle = Some(
       """SELECT nullif(c_nationkey % 5, 2) AS bucket,
         |  count(*) AS n_rows,
         |  count(nullif(c_nationkey % 5, 2)) AS n_nonnull,
-        |  CAST(max(CASE WHEN nullif(c_nationkey % 5, 2) IS NOT DISTINCT FROM 2
-        |               THEN 1 ELSE 0 END) AS BIGINT) AS any_nullsafe_eq2,
+        |  CAST(max(CASE WHEN nullif(c_nationkey % 5, 2) IS NOT DISTINCT FROM NULL
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS is_null_bucket,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer
         |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)

@@ -17,7 +17,7 @@ import graft.Tables
   */
 object AnalyticQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = Q.cents(c)
 
   /** Non-hierarchical GROUPING SETS ((status),(priority),()) — not
     * expressible as cube/rollup; planned as a single Expand + hash agg. */

@@ -14,3 +14,12 @@ trait Q {
     * records a weaker rows-only check. */
   def oracle: Option[String]
 }
+
+object Q {
+  /** THE money-to-integer convention for every oracle-checked double:
+    * scale-0 round to cents, then BIGINT (Spark HALF_UP on the decimal
+    * string and DuckDB binary round agree only at scale 0 — see the verify
+    * notes). One definition so the convention can't drift per-file. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c * 100).cast("long")
+}

@@ -17,7 +17,7 @@ object Relational {
 
   /** Per-element money→cents: exact on both engines (scale-0 rounding of a
     * double is identical in Spark HALF_UP and DuckDB round-half-away). */
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = Q.cents(c)
 
   val q1Agg: Q = new Q {
     val name = "q1_agg"

@@ -22,7 +22,7 @@ import graft.ops.{Sinks, WindowOps}
   */
 object SourceQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: org.apache.spark.sql.Column) = Q.cents(c)
 
   /** Round-trip staging dir, keyed by scale factor so concurrent runs on
     * different inputs never collide. */

@@ -153,9 +153,15 @@ object StreamingOps {
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                          leftTs: String, rightTs: String, watermark: String,
                          maxGap: String, rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "streamIntervalJoin: keys must be non-empty")
+    val clash = right.columns.map(rightPrefix + _).toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"streamIntervalJoin: rightPrefix '$rightPrefix' collides with left columns $clash")
     val l = left.withWatermark(leftTs, watermark)
-    val rRenamed = right.columns.foldLeft(right)((df, c) =>
-      df.withColumnRenamed(c, rightPrefix + c))
+    // atomic select-alias rename (a sequential withColumnRenamed fold would
+    // collide mid-way when right contains both 'c' and '<prefix>c')
+    val rRenamed = right.select(
+      right.columns.map(c => col(c).as(rightPrefix + c)).toIndexedSeq: _*)
     val r = rRenamed.withWatermark(rightPrefix + rightTs, watermark)
     val rts = col(rightPrefix + rightTs)
     val cond = keys.map(k => col(k) === col(rightPrefix + k)).reduce(_ && _) &&

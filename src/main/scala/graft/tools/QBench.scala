@@ -3,7 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch harness: time named catalog queries (args = sfDir, names...) the
-  * same way graft.Bench does (noop sink, cache cleared between runs). */
+  * same way graft.Bench does (noop sink, cache cleared between runs) but
+  * printing each pass separately — change the recipe together with
+  * Bench.pass / ScaleProbe.warm so numbers stay comparable. */
 object QBench {
   def main(args: Array[String]): Unit = {
     val dir = args.head

@@ -50,6 +50,9 @@ object ScaleProbe {
     spark.stop()
   }
 
+  // measurement recipe mirrors graft.Bench.pass (noop sink + clearCache,
+  // min over passes) so probe numbers stay comparable to BENCH — change both
+  // together (same note in QBench)
   private def warm(spark: SparkSession,
                    fn: (SparkSession, String) => DataFrame, dir: String): Double = {
     var best = Double.MaxValue

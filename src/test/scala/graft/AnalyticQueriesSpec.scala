@@ -33,17 +33,21 @@ class AnalyticQueriesSpec extends SparkSpec {
       s"temp views leaked: $views")
   }
 
-  test("q_moving_avg: ROWS and RANGE frames agree exactly on dense days, count capped at 7") {
+  test("q_moving_avg: ROWS frame contains RANGE frame on the daily grid") {
     val rows = AnalyticQueries.qMovingAvg.run(spark, dir).collect()
     assert(rows.nonEmpty)
+    // with ≤1 row per (status, day), every row within 6 day-numbers is also
+    // within the last 7 rows: RANGE(-6,0) ⊆ ROWS(-6,0). With non-negative
+    // revenues that containment becomes rng7 ≤ ma7 — a frame-boundary bug
+    // that drops or double-counts gap days breaks it.
+    assert(rows.forall(_.getAs[Long]("rev_cents") >= 0),
+      "containment check assumes non-negative daily revenue")
     rows.foreach { r =>
       val n = r.getAs[Long]("ma7_n")
       assert(n >= 1 && n <= 7, s"ROWS frame count out of range: $r")
-      // RANGE(-6,0) on day numbers can only see ≤ what ROWS(-6,0) sees minus
-      // gaps, so rng7 ≤ ma7 never holds in general — but both must be ≥ the
-      // current row's own revenue contribution when rev is non-negative.
-      assert(r.getAs[Long]("ma7_cents") >= r.getAs[Long]("rev_cents") ||
-             r.getAs[Long]("rev_cents") < 0)
+      assert(r.getAs[Long]("rng7_cents") <= r.getAs[Long]("ma7_cents"),
+        s"RANGE frame sum exceeds containing ROWS frame sum: $r")
+      assert(r.getAs[Long]("ma7_cents") >= r.getAs[Long]("rev_cents"))
     }
   }
 

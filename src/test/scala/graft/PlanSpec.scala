@@ -120,9 +120,12 @@ class PlanSpec extends SparkSpec {
     val df = graft.queries.AdvancedQueries.qScd2OrderStatus.run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     // exactly 2 Exchanges: one hash partitioning on o_custkey for the whole
-    // history build + the rangepartitioning for the final output orderBy
-    val nExchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    // history build + the rangepartitioning for the final output orderBy.
+    // Count by node name anywhere on the line (tree branches print as
+    // ':- Exchange …' which a startsWith check would miss), excluding reuse
+    // markers — ReusedExchange reads an existing shuffle, it doesn't add one.
+    val nExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
     assert(nExchanges <= 2, s"history build shuffles more than once:\n$plan")
   }
 }
