@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Engine-parity wave: bag-semantics set ops, ordered string aggregation,
+  * arg-min/max selection, error-tolerant arithmetic/casts, bitwise
+  * aggregates, MapType plumbing, conditional aggregates, and a two-phase
+  * salted aggregation — each hash-checked against the DuckDB oracle.
+  *
+  * The reference delegates all of these to its engine (no explicit use),
+  * but a user replacing it needs the full relational function surface;
+  * SURVEY.md §2.4/§2.6 mark them "not present" — these queries close those
+  * rows as extensions. Scale notes per query below.
+  */
+object ParityQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = Q.cents(c)
+
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL), verified by
+    * multiplicity: the post-op groupBy count exposes exactly how many
+    * duplicates survived, which distinct-semantics set ops would collapse.
+    * Scale: both ops plan as aggregates/joins on the hashed key — one
+    * shuffle each, no sort, AQE-coalesced. */
+  val qSetOpsAll: Q = new Q {
+    val name = "q_set_ops_all"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val o = Tables.orders(spark, dir)
+      val all = o.select(col("o_custkey"))
+      val fin = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val open = o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val exc = all.exceptAll(fin).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt")).withColumn("set_kind", lit("except_all"))
+      val inter = fin.intersectAll(open).groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt")).withColumn("set_kind", lit("intersect_all"))
+      exc.unionByName(inter)
+        .select(col("set_kind"), col("o_custkey"), col("cnt"))
+        .orderBy("set_kind", "o_custkey")
+    }
+    val oracle = Some(
+      """WITH exc AS (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |inter AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'except_all' AS set_kind, o_custkey, count(*) AS cnt
+        |FROM exc GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'intersect_all' AS set_kind, o_custkey, count(*) AS cnt
+        |FROM inter GROUP BY o_custkey
+        |ORDER BY set_kind, o_custkey""".stripMargin)
+  }
+
+  /** LISTAGG/string_agg: per-customer ordered concatenation of order keys.
+    * Sorted AFTER collection (array_sort∘collect_list) so the result is
+    * deterministic despite collect_list's arrival order — the A5 pattern
+    * (SURVEY §2.4) applied to strings. Scale: state is the group's own
+    * rows only; one shuffle on the group key. */
+  val qStringAgg: Q = new Q {
+    val name = "q_string_agg"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey").cast("string").as("k"))
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_list(col("k"))), ",").as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    val oracle = Some(
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** arg-min/arg-max selection (min_by/max_by): cheapest and priciest order
+    * per customer WITHOUT a per-group sort — O(1) state per group vs the
+    * ranking window's full sort; at 100 TB this is a single partial-agg
+    * pass over the fact table. Ties broken deterministically by packing
+    * (price_cents, orderkey) into one BIGINT ordering value: cents ≤ ~6e7
+    * and orderkey < 1e7 at any tested SF, so cents*1e7+key never collides
+    * or overflows. */
+  val qMinMaxBy: Q = new Q {
+    val name = "q_minmax_by"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ordv = (cents(col("o_totalprice")) * 10000000L) + col("o_orderkey")
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), ordv.as("ordv"))
+        .groupBy("o_custkey")
+        .agg(expr("max_by(o_orderkey, ordv)").as("priciest_order"),
+          expr("min_by(o_orderkey, ordv)").as("cheapest_order"))
+        .orderBy("o_custkey")
+    }
+    val oracle = Some(
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS priciest_order,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |    AS cheapest_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Error-tolerant arithmetic: try_cast (malformed → NULL, never a thrown
+    * task failure) and null-propagating division — at 100 TB a single dirty
+    * row must not kill a 1000-executor job hours in; TRY semantics turn
+    * data errors into auditable NULLs. prio_num parses the leading digit of
+    * 'N-LABEL'; full-string cast is NULL for every row (exercised to pin
+    * the semantics); div3_e3 divides by (key mod 3), NULL on zero. */
+  val qTryArith: Q = new Q {
+    val name = "q_try_arith"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          expr("try_cast(substr(o_orderpriority, 1, 1) AS LONG)").as("prio_num"),
+          expr("try_cast(o_orderpriority AS LONG)").as("full_cast"),
+          round(expr("try_divide(round(o_totalprice * 100), o_orderkey % 3)") * 1000)
+            .cast("long").as("div3_e3"))
+        .orderBy("o_orderkey")
+    val oracle = Some(
+      """SELECT o_orderkey,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+        |  TRY_CAST(o_orderpriority AS BIGINT) AS full_cast,
+        |  CAST(round(round(o_totalprice * 100) / nullif(o_orderkey % 3, 0) * 1000) AS BIGINT)
+        |    AS div3_e3
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) — order-independent and
+    * associative, so they partial-aggregate map-side like sum; the xor
+    * doubles as a cheap whole-column checksum for lake integrity checks
+    * (same fold both engines). */
+  val qBitwiseAggs: Q = new Q {
+    val name = "q_bitwise_aggs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .agg(expr("bit_and(o_orderkey)").as("key_and"),
+          expr("bit_or(o_orderkey)").as("key_or"),
+          expr("bit_xor(o_orderkey)").as("key_xor"),
+          expr("bit_xor(o_custkey)").as("cust_xor"))
+        .orderBy("o_orderstatus")
+    val oracle = Some(
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor,
+        |  bit_xor(o_custkey) AS cust_xor
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** MapType surface (absent from the reference — SURVEY §1.3): build a
+    * map column, transform its values, merge with map_concat, read back
+    * with element_at. The map stays inside one codegen'd projection — no
+    * shuffle; the oracle computes the same scalars directly (DuckDB maps
+    * exist but the CHECK is on values, not the container). */
+  val qMapFunctions: Q = new Q {
+    val name = "q_map_functions"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .withColumn("m", map(
+          lit("qty"), col("l_quantity"),
+          lit("price"), col("l_extendedprice")))
+        .withColumn("m2", map_concat(
+          expr("transform_values(m, (k, v) -> round(v * 100))"),
+          map(lit("disc"), round(col("l_discount") * 10000))))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+          element_at(col("m2"), "qty").cast("long").as("qty_cents"),
+          element_at(col("m2"), "price").cast("long").as("price_cents"),
+          element_at(col("m2"), "disc").cast("long").as("disc_e4"),
+          size(map_keys(col("m2"))).cast("long").as("n_keys"))
+        .orderBy("l_orderkey", "line_no")
+    val oracle = Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount * 10000) AS BIGINT) AS disc_e4,
+        |  CAST(3 AS BIGINT) AS n_keys
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin)
+  }
+
+  /** Conditional/boolean aggregates: count_if, bool_and/bool_or, and the
+    * FILTER-style conditional sum — the idiomatic "several metrics in one
+    * scan" shape (vs one pass per metric: at 100 TB, N passes over the
+    * fact table collapse to 1). */
+  val qCondAggs: Q = new Q {
+    val name = "q_cond_aggs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("count_if(l_discount > 0.05)").as("n_deep_disc"),
+          expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+          expr("bool_or(l_tax > 0.07)").as("any_high_tax"),
+          sum(when(col("l_linestatus") === "F", cents(col("l_extendedprice")))
+            .otherwise(lit(0L))).as("finished_cents"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_deep_disc,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS finished_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Two-phase (salted) aggregation for pathological group skew:
+    * l_returnflag has 3 values, so a direct groupBy at 1000 executors
+    * funnels a third of 100 TB through single reducers. Phase 1 aggregates
+    * on (key, salt) — 64-way fan-out, map-side partials stay effective;
+    * phase 2 re-aggregates the 3×64 partials. Same result as the direct
+    * groupBy (the oracle), different shuffle shape: no reducer ever sees
+    * more than 1/64th of a hot key. */
+  val qSkewTwoPhaseAgg: Q = new Q {
+    val name = "q_skew_twophase_agg"
+    val Salts = 64
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(Salts)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(cents(col("l_extendedprice"))).as("p_cents"),
+          count(lit(1)).as("p_cnt"),
+          max(col("l_quantity")).as("p_maxq"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("p_cents")).as("sum_cents"),
+          sum(col("p_cnt")).as("cnt"),
+          max(col("p_maxq")).cast("long").as("max_qty"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS cnt,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
+    qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg)
+}
