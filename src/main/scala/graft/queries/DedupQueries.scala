@@ -225,6 +225,56 @@ object DedupQueries {
          |ORDER BY cc.doc_id""".stripMargin)
   }
 
+  /** The keep-one step that completes the near-dup pipeline: per cluster,
+    * keep the representative with the most content (max n_chars, ties to
+    * the smallest doc_id) and flag everything else for drop. Tie-break is
+    * packed into one BIGINT ordering value (n_chars·1e9 + (1e9 − doc_id),
+    * exact while doc_id < 1e9), so selection is a single arg-max aggregate
+    * per cluster — O(1) state, no per-cluster sort. At 100 TB the kept-set
+    * decision is a groupBy over cluster labels, nothing rescans text. */
+  val dedupKeepCanonical: Q = new Q {
+    val name = "dedup_keep_canonical"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+      val nodes = docs.select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, dir).select("id_l", "id_r")
+      val cc = DedupOps.connectedComponents(nodes, pairs)
+      val ordv = (col("n_chars") * 1000000000L) + (lit(1000000000L) - col("doc_id"))
+      val labeled = cc.join(docs.select(col("doc_id"), col("n_chars")),
+          cc("node") === docs("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), ordv.as("ordv"))
+      val canon = labeled.groupBy("cluster_id")
+        .agg(expr("max_by(doc_id, ordv)").as("canonical_id"))
+      labeled.join(canon, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |lab AS (
+         |  SELECT cc.doc_id, cc.cluster_id,
+         |         d.n_chars * 1000000000 + (1000000000 - cc.doc_id) AS ordv
+         |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+         |canon AS (
+         |  SELECT cluster_id, arg_max(doc_id, ordv) AS canonical_id
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT lab.doc_id, lab.cluster_id,
+         |       lab.doc_id = canon.canonical_id AS keep
+         |FROM lab JOIN canon ON lab.cluster_id = canon.cluster_id
+         |ORDER BY lab.doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters)
+    dedupClusters, dedupKeepCanonical)
 }

@@ -231,6 +231,46 @@ object TextQueries {
         |FROM p ORDER BY doc_id""".stripMargin)
   }
 
+  /** Per-document salient-term extraction (keyword tagging for corpus
+    * curation): the term with the highest in-document frequency, rarest
+    * corpus-wide document frequency as tie-break — TF-IDF's ranking
+    * expressed in pure integers (tf DESC, df ASC, term ASC) so both
+    * engines agree bit-for-bit (a float idf = ln(N/df) can flip a scaled
+    * rounding at the last digit between libm implementations). Scale: tf
+    * is one shuffle on (doc, term); df re-aggregates tf map-side; the
+    * top-1 window partitions by doc — state is one group's terms, and no
+    * stage rescans raw text. */
+  val docSalientTerm: Q = new Q {
+    val name = "doc_salient_term"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("salient_term"), col("tf"), col("df"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($SqlToks) AS term FROM documents) t
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |r AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+         |SELECT doc_id, term AS salient_term, tf, df
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition, piiRedact)
+    textRepetition, piiRedact, docSalientTerm)
 }
