@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-kernelization: user-written size(filter(arr, t -> t IN (...)))
+    // becomes the codegen'd StopwordCount loop (HOFs are CodegenFallback)
+    ext.injectOptimizerRule(_ => graft.plans.KernelizeStopwordCount)
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -83,4 +83,42 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("KernelizeStopwordCount rewrites size∘filter∘IN to the codegen kernel") {
+    import spark.implicits._
+    // short list (stays In) and long list (OptimizeIn turns it into InSet
+    // past the 10-element threshold) — the rule must catch both forms
+    val shortList = "'the','and'"
+    val longList = (1 to 12).map(i => s"'w$i'").mkString(",") + ",'the'"
+    // a real (file-source) relation column: both constant folding AND
+    // ConvertToLocalRelation would pre-evaluate a literal/LocalRelation
+    // plan before the rewrite is observable
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("text AS txt").createOrReplaceTempView("graft_kern_docs")
+    for (inList <- Seq(shortList, longList)) {
+      val df = spark.sql(
+        s"""SELECT size(filter(split(txt, ' '), t -> t IN ($inList))) AS n
+           |FROM graft_kern_docs""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("stopwordcount"),
+        s"rule did not fire for IN ($inList): $optimized")
+      // rewritten results must equal an independent interpreted
+      // formulation of the same count — aggregate() is a different HOF the
+      // rule never touches, so this is NOT the kernel comparing to itself
+      val kern = df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+      val ref = spark.sql(
+        s"""SELECT aggregate(split(txt, ' '), 0,
+           |  (acc, t) -> acc + IF(t IN ($inList), 1, 0)) AS n
+           |FROM graft_kern_docs""".stripMargin)
+        .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+      assert(kern === ref)
+      assert(kern.exists(_ > 0), "fixture produced no hits — test is vacuous")
+    }
+    // non-literal membership (column reference) must NOT be rewritten
+    val dyn = spark.sql(
+      """SELECT size(filter(split(txt, ' '), t -> t IN (txt))) AS n
+        |FROM graft_kern_docs""".stripMargin)
+    assert(!dyn.queryExecution.optimizedPlan.toString.toLowerCase.contains("stopwordcount"))
+    spark.catalog.dropTempView("graft_kern_docs")
+  }
 }
