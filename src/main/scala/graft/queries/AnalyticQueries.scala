@@ -176,6 +176,50 @@ object AnalyticQueries {
     val oracle = None
   }
 
+  /** Time-series bar (OHLC) aggregation per (user, day): open/close are
+    * struct-ordered min/max — lexicographic (ts, event_id, v) comparison
+    * inside a plain hash aggregate — so the whole query is ONE
+    * partial+final aggregation with O(1) state per bar and NO per-group
+    * sort; the ranking-window formulation (the oracle) must sort every
+    * group. At 100 TB of ticks that is the difference between a streaming
+    * scan and a fact-table sort. Values are per-element rounded to e4
+    * BIGINTs before the volume sum, keeping the fold exact. */
+  val qOhlcDaily: Q = new Q {
+    val name = "q_ohlc_daily"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 10000).cast("long").as("v4"),
+          to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("v4"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("v4"))).as("c"),
+          max(col("v4")).as("high_e4"), min(col("v4")).as("low_e4"),
+          count(lit(1)).as("n"), sum(col("v4")).as("vol_e4"))
+        .select(col("user_id"), col("day"),
+          col("o.v4").as("open_e4"), col("high_e4"), col("low_e4"),
+          col("c.v4").as("close_e4"), col("n"), col("vol_e4"))
+        .orderBy("user_id", "day")
+    val oracle = Some(
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 10000) AS BIGINT) AS v4,
+        |         CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT user_id, day,
+        |  max(CASE WHEN rna = 1 THEN v4 END) AS open_e4,
+        |  max(v4) AS high_e4, min(v4) AS low_e4,
+        |  max(CASE WHEN rnd = 1 THEN v4 END) AS close_e4,
+        |  count(*) AS n, CAST(sum(v4) AS BIGINT) AS vol_e4
+        |FROM r GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
-    approxDistinctUsers)
+    approxDistinctUsers, qOhlcDaily)
 }
