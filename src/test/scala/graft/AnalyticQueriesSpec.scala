@@ -58,4 +58,26 @@ class AnalyticQueriesSpec extends SparkSpec {
     val statuses = rows.map(_.getAs[String]("o_orderstatus")).distinct.length
     assert(rows.length === days * statuses, "gap-filled grid is not dense")
   }
+
+  test("approx_percentile: rank error within the accuracy guarantee") {
+    // Spark's approx_percentile(col, p, accuracy) guarantees rank error
+    // ≤ n/accuracy. Not a catalog query: the GK-summary merge is not
+    // provably order-insensitive, so it can't sign the catalog's
+    // bit-determinism contract — the capability is pinned here instead.
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, dir)
+    val accuracy = 100 // rank error ≤ 1% of n per group
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("ap50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50) =>
+      val grp = li.where(col("l_returnflag") === flag)
+      val n = grp.count().toDouble
+      val below = grp.where(col("l_extendedprice") <= p50).count().toDouble
+      val frac = below / n
+      assert(math.abs(frac - 0.5) <= 0.01 + 1.0 / n,
+        s"approx p50 for $flag at rank fraction $frac (n=$n)")
+    }
+  }
 }
