@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators. The reference models its event stream as
   * weekly batch over date partitions (SURVEY.md §1.1 — no streaming); a
@@ -167,6 +168,46 @@ object StreamingOps {
     val cond = keys.map(k => col(k) === col(rightPrefix + k)).reduce(_ && _) &&
       rts >= col(leftTs) && rts <= col(leftTs) + expr(s"INTERVAL $maxGap")
     l.join(r, cond, "inner")
+  }
+
+  case class KeyedValue(user_id: Long, v: Long)
+  case class RunningTotal(user_id: Long, n: Long, total: Long)
+
+  /** Per-key running totals on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState on the RocksDB state store) —
+    * the successor of flatMapGroupsWithState: named state variables,
+    * per-variable TTL, timers, and state readable by the state data
+    * source. One updated (n, total) row is emitted per key per
+    * micro-batch; state is O(1) per key, and `ttl` (e.g. "PT1H") lets
+    * inactive keys expire instead of accumulating forever — the
+    * property a per-entity accumulator needs on an unbounded stream. */
+  class RunningTotalProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[Long, KeyedValue, RunningTotal] {
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedValue],
+                                 timers: TimerValues): Iterator[RunningTotal] = {
+      var (n, tot) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { r => n += 1; tot += r.v }
+      state.update((n, tot))
+      Iterator.single(RunningTotal(key, n, tot))
+    }
+  }
+
+  /** Wire [[RunningTotalProcessor]] over a keyed stream. Requires the
+    * RocksDB state store provider (transformWithState's only supported
+    * backend):
+    * `spark.sql.streaming.stateStore.providerClass=
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`. */
+  def runningTotals(events: Dataset[KeyedValue],
+                    ttl: TTLConfig = TTLConfig.NONE): Dataset[RunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class UserEvent(user_id: Long, ts_us: Long)

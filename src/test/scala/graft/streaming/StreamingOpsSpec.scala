@@ -245,4 +245,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got === Set((1L, 5.0)))
     } finally q.stop()
   }
+
+  test("runningTotals: transformWithState accumulates per-key across micro-batches") {
+    implicit val sc = spark.sqlContext
+    // transformWithState supports only the RocksDB state store — scope the
+    // provider to this query's lifetime and restore the session default
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingOps.KeyedValue]
+    val q = StreamingOps.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("rt")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamingOps.KeyedValue(1L, 10), StreamingOps.KeyedValue(1L, 5),
+        StreamingOps.KeyedValue(2L, 7))
+      q.processAllAvailable()
+      input.addData(StreamingOps.KeyedValue(1L, 1), StreamingOps.KeyedValue(3L, 2))
+      q.processAllAvailable()
+      // memory sink in Update mode appends each batch's emissions; the
+      // row with the highest n per key is the current running total
+      // (monotone by construction — order-independent unlike .last)
+      val got = spark.table("rt").as[StreamingOps.RunningTotal].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n) }
+      assert(got(1L) === StreamingOps.RunningTotal(1L, 3, 16))
+      assert(got(2L) === StreamingOps.RunningTotal(2L, 1, 7))
+      assert(got(3L) === StreamingOps.RunningTotal(3L, 1, 2))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
