@@ -26,7 +26,11 @@ object ScaleProbe {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "q1_agg", "q_tpch_q3", "q_topk_orders_agg", "scd2_order_status",
       "q_windowed_counts", "dedup_minhash_lsh", "ann_ivf_topk",
-      "geo_enrich", "zone_report", "q_sessionize")
+      "geo_enrich", "zone_report", "q_sessionize",
+      // round-4 wave (keys-insensitive semantics only: packed-BIGINT
+      // tie-breaks like q_minmax_by assume unshifted key ranges)
+      "q_skew_twophase_agg", "q_ohlc_daily", "q_set_ops_all",
+      "q_string_agg", "doc_salient_term")
     val base = "/root/testdata/sf0.1"
     val scaled = s"/tmp/graft_scale/x$replicas"
     val spark = SparkSession.builder()
