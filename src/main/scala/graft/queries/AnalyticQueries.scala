@@ -178,12 +178,14 @@ object AnalyticQueries {
 
   /** Time-series bar (OHLC) aggregation per (user, day): open/close are
     * struct-ordered min/max — lexicographic (ts, event_id, v) comparison
-    * inside a plain hash aggregate — so the whole query is ONE
-    * partial+final aggregation with O(1) state per bar and NO per-group
-    * sort; the ranking-window formulation (the oracle) must sort every
-    * group. At 100 TB of ticks that is the difference between a streaming
-    * scan and a fact-table sort. Values are per-element rounded to e4
-    * BIGINTs before the volume sum, keeping the fold exact. */
+    * inside ONE partial+final aggregation with O(1) state per bar.
+    * Struct-typed buffers aren't hash-agg mutable, so Spark plans
+    * SortAggregate — but the sort is MAP-LOCAL (pre-shuffle) and the
+    * exchange carries only per-bar partials; the ranking-window oracle
+    * formulation instead shuffles EVERY row and sorts per group. At
+    * 100 TB of ticks: a bars-only shuffle vs a fact-table shuffle.
+    * Values are per-element rounded to e4 BIGINTs before the volume sum,
+    * keeping the fold exact. */
   val qOhlcDaily: Q = new Q {
     val name = "q_ohlc_daily"
     def run(spark: SparkSession, dir: String): DataFrame =
