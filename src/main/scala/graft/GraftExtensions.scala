@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // becomes the codegen'd StopwordCount loop (HOFs are CodegenFallback)
     ext.injectOptimizerRule(_ => graft.plans.KernelizeStopwordCount)
 
+    // whole-operator custom plan: broadcast as-of join (logical node built
+    // by graft.plans.AsOfJoin, planned here into BroadcastAsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

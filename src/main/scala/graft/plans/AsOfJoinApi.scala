@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Public builder for the custom broadcast as-of join operator.
+  *
+  * `AsOfJoin(purchases, quotes, keys = Seq("user_id"), leftTs = "ts",
+  * rightTs = "ts", values = Seq("price"))` returns the left rows plus the
+  * right `values` columns as of the latest right timestamp ≤ the left
+  * timestamp (nulls when the timeline has no earlier entry).
+  *
+  * Requirements checked here, at construction: all names resolve on their
+  * side; both timestamp columns are TIMESTAMP or BIGINT (the physical
+  * operator compares epoch longs); the right side should be unique per
+  * (keys, rightTs) — ties would be resolved arbitrarily, like DuckDB ASOF.
+  */
+object AsOfJoin {
+
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
+            leftTs: String, rightTs: String, values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def require(df: DataFrame, names: Seq[String], side: String): Unit =
+      names.foreach { n =>
+        if (!df.columns.contains(n)) throw new IllegalArgumentException(
+          s"asof-join: column `$n` not found on the $side side " +
+          s"(available: ${df.columns.mkString(", ")})")
+      }
+    require(left, keys :+ leftTs, "left")
+    require(right, (keys :+ rightTs) ++ values, "right")
+    // Re-alias the right side's needed columns: (1) fresh expr-ids, so a
+    // self-join shape (both sides derived from one scan) can't leave the
+    // node's attribute fields pointing at rewritten-away ids when the
+    // analyzer deduplicates subtrees; (2) explicit column pruning of the
+    // broadcast side — only keys+ts+values are ever collected.
+    val rNeeded = (keys ++ Seq(rightTs) ++ values).distinct
+    val rAliased = right.select(rNeeded.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof-join: column `$name` not found on the $side side " +
+          s"(available: ${plan.output.map(_.name).mkString(", ")})"))
+    def tsAttr(plan: LogicalPlan, name: String, side: String): Attribute = {
+      val a = attr(plan, name, side)
+      a.dataType.typeName match {
+        case "timestamp" | "long" => a
+        case other => throw new IllegalArgumentException(
+          s"asof-join: `$name` ($side) must be TIMESTAMP or BIGINT, got $other")
+      }
+    }
+    PlanBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rPlan,
+        keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
+        tsAttr(lPlan, leftTs, "left"), tsAttr(rPlan, rightTs, "right"),
+        values.map(attr(rPlan, _, "right"))))
+  }
+}

@@ -240,6 +240,41 @@ object JoinQueries {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  /** Custom-operator as-of join (graft.plans.AsOfJoin: LogicalPlan +
+    * Strategy + BroadcastAsOfJoinExec via SparkSessionExtensions): each
+    * purchase picks up the click value as of the latest click ≤ it. The
+    * click timeline is deduped per (user, ts) so the as-of match is
+    * unique; oracle is DuckDB's native ASOF LEFT JOIN. Unlike the
+    * union+window formulation (q_asof_click_before_purchase), the probe
+    * side is never shuffled — the timeline broadcasts. */
+  val qAsofBroadcastValue: Q = new Q {
+    val name = "q_asof_broadcast_value"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.plans.AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          Q.cents(col("click_value")).as("click_value_cents"))
+        .orderBy("event_id")
+    }
+    val oracle = Some(
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CAST(round(c.click_value * 100) AS BIGINT) AS click_value_cents
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup, qCube,
-    qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin, qBloomPrune)
+    qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin, qBloomPrune,
+    qAsofBroadcastValue)
 }

@@ -146,5 +146,50 @@ object SourceQueries {
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert)
+  /** Date-partitioned lake layout + dynamic partition pruning: orders are
+    * staged ONCE per process partitioned by order month (`o_month=` dirs —
+    * the reference's `date=` daily layout, save_mes_geo.py:38, at month
+    * grain), then a month-dimension filter joins against the partition
+    * column. The static filter sits on the DIM side only, so the fact
+    * scan's partition pruning must happen at RUNTIME via DPP — the plan
+    * carries `dynamicpruningexpression(o_month IN subquery)` in the scan's
+    * PartitionFilters (spec-asserted), and at 100 TB the scan reads 6 of
+    * ~80 month directories instead of all of them. Oracle filters the
+    * original unpartitioned table — values prove pruning lost nothing. */
+  val dppMonthRevenue: Q = new Q {
+    val name = "q_dpp_month_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val path = stage(dir, "orders_bymonth")
+      val src = Tables.orders(spark, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      staged.synchronized {
+        if (!staged.contains(path)) {
+          Sinks.writePartitioned(src.repartition(col("o_month")), path, Seq("o_month"))
+          staged += path
+        }
+      }
+      // explicit schema: an empty input writes a file-less dir, which
+      // schema inference can't read
+      val fact = spark.read.schema(src.schema).parquet(path)
+      val monthDim = spark.range(0, 120)
+        .select(date_format(
+          add_months(lit("1995-01-01").cast("date"), col("id").cast("int")),
+          "yyyy-MM").as("month"))
+        .where(col("month").between("1997-01", "1997-06"))
+      fact.join(broadcast(monthDim), col("o_month") === col("month"))
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy("o_month")
+    }
+    val oracle = Some(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
+    dppMonthRevenue)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.JoinOps
+import graft.plans.AsOfJoin
+import graft.queries.JoinQueries
+
+/** Custom broadcast as-of join operator (LogicalPlan + Strategy +
+  * BroadcastAsOfJoinExec): edge semantics on hand-built timelines,
+  * cross-implementation parity with the union+window formulation on real
+  * data, and the zero-shuffle physical property that motivates it. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def timeline = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 30.0),
+      (2L, ts("2024-01-02 00:00:00"), 20.0)
+    ).toDF("k", "rts", "price")
+  }
+
+  test("picks the latest entry at-or-before each probe; null before the first") {
+    import spark.implicits._
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-02 12:00:00")), // between entries → 10.0
+      (101L, 1L, ts("2024-01-03 00:00:00")), // exact tie → 30.0 (<=)
+      (102L, 1L, ts("2023-12-31 00:00:00")), // before first → null
+      (103L, 2L, ts("2024-06-01 00:00:00")), // after last → 20.0
+      (104L, 3L, ts("2024-01-05 00:00:00"))  // unknown key → null
+    ).toDF("id", "k", "lts")
+    val out = AsOfJoin(probes, timeline, Seq("k"), "lts", "rts", Seq("price"))
+      .orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq ==
+      Seq(10.0, 30.0, null, 20.0, null))
+    // left columns pass through untouched
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L, 104L))
+  }
+
+  test("empty timeline yields all-null values, not an error or dropped rows") {
+    import spark.implicits._
+    val probes = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "lts")
+    val out = AsOfJoin(probes, timeline.where(lit(false)),
+      Seq("k"), "lts", "rts", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
+  test("null probe timestamp matches nothing") {
+    import spark.implicits._
+    val probes = Seq((1L, 1L, Option.empty[Timestamp])).toDF("id", "k", "lts")
+    val out = AsOfJoin(probes, timeline, Seq("k"), "lts", "rts", Seq("price")).collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+  }
+
+  test("unknown columns fail fast at construction with the side named") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(timeline, timeline, Seq("nope"), "rts", "rts", Seq("price"))
+    }
+    assert(e.getMessage.contains("left side"))
+  }
+
+  test("agrees with the union+window formulation on sf0.01 events") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    val custom = AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_value"))
+      .select(col("event_id"), col("click_value"))
+    // independent formulation: window as-of ts, then join the value back
+    val viaWindow = JoinOps.asofLookup(purchases, clicks.select("user_id", "ts"),
+        Seq("user_id"), "ts", "ts")
+      .join(clicks.withColumnRenamed("ts", "asof_ts"), Seq("user_id", "asof_ts"), "left")
+      .select(col("event_id"), col("click_value"))
+    assert(custom.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(custom).isEmpty)
+  }
+
+  test("probe side is never shuffled: plan has the custom exec and no Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val df = AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), s"custom exec not planned:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
+    val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(!_.isNullAt(3)) && rows.exists(_.isNullAt(3)))
+  }
+}

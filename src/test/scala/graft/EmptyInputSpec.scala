@@ -19,7 +19,8 @@ class EmptyInputSpec extends SparkSpec {
 
   // global aggregates (no GROUP BY): one row over empty input is standard
   // SQL semantics — DuckDB returns the same single null-sum row
-  private val globalAggOneRow = Set("q6_forecast_revenue")
+  private val globalAggOneRow = Set("q6_forecast_revenue", "q_tpch_q14",
+    "q_tpch_q19")
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"
