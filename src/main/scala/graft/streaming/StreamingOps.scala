@@ -170,6 +170,32 @@ object StreamingOps {
     l.join(r, cond, "inner")
   }
 
+  /** Per-user session aggregates via the BUILT-IN `session_window` (gap
+    * merging done by Spark's native streaming session-window state ops —
+    * contrast with [[sessionize]], which hand-rolls the same semantics on
+    * flatMapGroupsWithState for custom per-session logic). Emits one row
+    * per closed session once the watermark passes its end. Native session
+    * windows use the dedicated merging state format, so at scale this is
+    * the cheaper of the two: no per-event user state objects, and the
+    * window merge runs inside the aggregation operator. */
+  def sessionWindowCounts(events: DataFrame, gap: String,
+                          watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Stream-static enrichment: a streaming fact joined to a bounded static
+    * dimension. The static side is planned per micro-batch as an ordinary
+    * broadcast hash join — no streaming state AT ALL is kept for it (the
+    * scale property that makes dimension enrichment free on a stream; the
+    * reference's geo-enrich step, streaming). */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   case class KeyedValue(user_id: Long, v: Long)
   case class RunningTotal(user_id: Long, n: Long, total: Long)
 

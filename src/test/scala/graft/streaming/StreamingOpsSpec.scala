@@ -280,4 +280,51 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sessionWindowCounts: native session_window merges events within the gap") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = sessionWindowCounts(
+      input.toDF().toDF("ts", "user_id"), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L), // same session (gap 20m < 30m)
+        (Timestamp.valueOf("2024-01-01 12:00:00"), 1L), // new session
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      input.addData((Timestamp.valueOf("2024-01-02 00:00:00"), 99L))
+      q.processAllAvailable()
+      val got = spark.table("sw").as[(Long, Timestamp, Timestamp, Long)]
+        .collect().map { case (u, s, e, n) => (u, s.toString, e.toString, n) }.toSet
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", 2L),
+        (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("streamStaticEnrich: static dim joins per micro-batch with no stream state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val dim = Seq((1L, "NATION_1"), (2L, "NATION_2")).toDF("nation_id", "n_name")
+    val enriched = streamStaticEnrich(
+      input.toDF().toDF("event_id", "nation_id"), dim, Seq("nation_id"))
+    val q = enriched.writeStream.format("memory").queryName("sse")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, 1L), (11L, 2L), (12L, 7L))
+      q.processAllAvailable()
+      val got = spark.table("sse").select("event_id", "n_name")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got === Set((10L, Some("NATION_1")), (11L, Some("NATION_2")),
+        (12L, None)))
+      // no stateful operator: stream-static join keeps zero streaming state
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
