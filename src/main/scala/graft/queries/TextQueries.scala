@@ -271,6 +271,42 @@ object TextQueries {
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   }
 
+  /** Context-window chunking with overlap (the embedding-pipeline shape:
+    * fixed 500-char windows at stride 400 → 100-char overlap between
+    * neighbors). Pure per-row `sequence`+`explode` — narrow, no shuffle
+    * before the output sort, and the chunk count is derived arithmetically
+    * (never by scanning the text twice). Each chunk exports its md5 so the
+    * oracle proves the SUBSTRINGS agree byte-for-byte, not just the
+    * counts. At 100 TB this is the map-side prelude to embedding: rows
+    * fan out ~len/stride×, so the op must stay off the shuffle path —
+    * and here it does. */
+  val docChunks: Q = new Q {
+    val name = "doc_chunks"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          expr("(length(text) - 1) div 400").as("last_idx"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), col("last_idx"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 400).as("chunk_start"),
+          expr("length(substring(text, chunk_idx * 400 + 1, 500))").as("chunk_len"),
+          expr("md5(substring(text, chunk_idx * 400 + 1, 500))").as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST((length(text) - 1) // 400 AS BIGINT) AS last_idx
+        |  FROM documents WHERE length(text) > 0),
+        |s AS (
+        |  SELECT unnest(generate_series(0, (SELECT max(last_idx) FROM d))) AS gs)
+        |SELECT doc_id, gs AS chunk_idx, gs * 400 AS chunk_start,
+        |  CAST(length(substr(text, CAST(gs * 400 + 1 AS BIGINT), 500)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(text, CAST(gs * 400 + 1 AS BIGINT), 500)) AS chunk_md5
+        |FROM d JOIN s ON s.gs <= d.last_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition, piiRedact, docSalientTerm)
+    textRepetition, piiRedact, docSalientTerm, docChunks)
 }

@@ -30,7 +30,10 @@ object ScaleProbe {
       // round-4 wave (keys-insensitive semantics only: packed-BIGINT
       // tie-breaks like q_minmax_by assume unshifted key ranges)
       "q_skew_twophase_agg", "q_ohlc_daily", "q_set_ops_all",
-      "q_string_agg", "doc_salient_term")
+      "q_string_agg", "doc_salient_term",
+      // session-2 wave: TPC-H shapes, custom broadcast as-of join, DPP
+      "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
+      "q_asof_broadcast_value", "q_dpp_month_revenue")
     val base = "/root/testdata/sf0.1"
     val scaled = s"/tmp/graft_scale/x$replicas"
     val spark = SparkSession.builder()
