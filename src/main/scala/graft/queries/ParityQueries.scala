@@ -251,6 +251,45 @@ object ParityQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Linear-regression aggregates + exact median: slope/intercept/R² of
+    * price-on-quantity per return flag, e6-rounded (same convention as
+    * q_stat_aggs — both engines fold in double; e6 absorbs ~1e-12
+    * accumulation-order jitter), plus interpolated median of the unit
+    * price. Scale: all of these are one-pass moment aggregates with O(1)
+    * merge state — partial+final hash agg, no sort, no second scan
+    * (median is the exception: exact interpolated median materializes the
+    * group — fine for bounded group counts like this 3-group flag, the
+    * wrong tool at per-key cardinality, where approx_percentile's GK
+    * summary is the scale path: see q_percentiles). */
+  val qRegrAggs: Q = new Q {
+    val name = "q_regr_aggs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")) * 1e6)
+            .cast("long").as("slope_e6"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")) * 1e6)
+            .cast("long").as("intercept_e6"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")) * 1e6)
+            .cast("long").as("r2_e6"),
+          round(median(col("l_extendedprice") / col("l_quantity")) * 1e4)
+            .cast("long").as("median_unit_e4"))
+        .orderBy("l_returnflag")
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  CAST(round(regr_slope(l_extendedprice, l_quantity) * 1e6) AS BIGINT)
+        |    AS slope_e6,
+        |  CAST(round(regr_intercept(l_extendedprice, l_quantity) * 1e6) AS BIGINT)
+        |    AS intercept_e6,
+        |  CAST(round(regr_r2(l_extendedprice, l_quantity) * 1e6) AS BIGINT) AS r2_e6,
+        |  CAST(round(median(l_extendedprice / l_quantity) * 1e4) AS BIGINT)
+        |    AS median_unit_e4
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
-    qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg)
+    qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs)
 }
