@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom Catalyst pipeline for the as-of (point-in-time)
   * join — the operator preference-order case (c) from SURVEY.md §7.3: a
@@ -90,6 +91,12 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning = left.outputPartitioning
   override def outputOrdering = left.outputOrdering
 
+  // surfaced in the Spark UI / metrics sinks like any built-in join's
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "probe rows with an as-of match"),
+    "buildRows" -> SQLMetrics.createMetric(sparkContext, "timeline rows collected"))
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[SparkPlan]): BroadcastAsOfJoinExec =
     copy(left = newChildren(0), right = newChildren(1))
@@ -121,8 +128,12 @@ case class BroadcastAsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val built = buildIndex()
+    longMetric("buildRows").add(built.valuesIterator.map(_._1.length.toLong).sum)
     val index: Broadcast[Map[UnsafeRow, (Array[Long], Array[UnsafeRow])]] =
-      sparkContext.broadcast(buildIndex())
+      sparkContext.broadcast(built)
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     val leftOutput = left.output
     val lKeys = leftKeys
     val lTs = leftTs
@@ -140,7 +151,7 @@ case class BroadcastAsOfJoinExec(
       val idx = index.value
       iter.map { row =>
         val ts = tsBound.eval(row)
-        val matched =
+        val hit =
           if (ts == null) null
           else idx.get(keyProj(row)) match {
             case Some((tsArr, valArr)) =>
@@ -148,7 +159,9 @@ case class BroadcastAsOfJoinExec(
               if (i >= 0) valArr(i) else null
             case None => null
           }
-        resultProj(joined(row, if (matched == null) nullVals else matched))
+        outRows.add(1)
+        if (hit != null) matched.add(1)
+        resultProj(joined(row, if (hit == null) nullVals else hit))
       }
     }, preservesPartitioning = true)
   }

@@ -95,6 +95,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("exec reports SQL metrics: output rows, matched rows, build rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.plans.BroadcastAsOfJoinExec
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-02 12:00:00")),
+      (101L, 2L, ts("2024-06-01 00:00:00")),
+      (102L, 1L, ts("2023-12-31 00:00:00")) // miss
+    ).toDF("id", "k", "lts")
+    val df = AsOfJoin(probes, timeline, Seq("k"), "lts", "rts", Seq("price"))
+    df.collect()
+    def find(p: SparkPlan): Option[BroadcastAsOfJoinExec] = p match {
+      case b: BroadcastAsOfJoinExec => Some(b)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case other => other.children.iterator.flatMap(find(_)).nextOption()
+    }
+    val exec = find(df.queryExecution.executedPlan)
+      .getOrElse(fail("BroadcastAsOfJoinExec not found in executed plan"))
+    assert(exec.metrics("numOutputRows").value === 3)
+    assert(exec.metrics("numMatched").value === 2)
+    assert(exec.metrics("buildRows").value === 3)
+  }
+
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
     val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
