@@ -287,5 +287,105 @@ object TpchQueries {
         |          AND l_quantity BETWEEN 20 AND 50))""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qTpchQ5, qTpchQ7, qTpchQ10, qTpchQ14, qTpchQ18, qTpchQ19)
+  /** TPC-H Q4 essence (order-priority checking): orders in one quarter
+    * with at least one LATE lineitem (shipped > 60 days after the order
+    * date — the schema has no commitdate; the lateness predicate keeps
+    * Q4's correlated-EXISTS shape), counted by priority. Plans as a
+    * LEFT SEMI join with a non-equi residual — one existence probe, no
+    * row multiplication, the aggregate runs on orders only. */
+  val qTpchQ4: Q = new Q {
+    val name = "q_tpch_q4"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }
+    val oracle = Some(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q8 essence (national market share): of all PROMO-part revenue
+    * bought by customers in one region, the share supplied by one nation,
+    * per order-year. Conditional share = two sums in ONE aggregation pass
+    * over a 6-table join; the ratio derives from the exact BIGINT cent
+    * sums (identical IEEE divide + e4 round in both engines). */
+  val qTpchQ8: Q = new Q {
+    val name = "q_tpch_q8"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val custNations = broadcast(
+        Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key")))
+      val sup = broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val promoParts = broadcast(Tables.part(spark, dir)
+        .where(col("p_type") === "PROMO").select("p_partkey"))
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revCents.as("rev"))
+        .join(promoParts, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(custNations, col("c_nationkey") === col("cn_key"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("s_nationkey") === 2, col("rev")).otherwise(lit(0L)))
+            .as("nation_cents"),
+          sum(col("rev")).as("total_cents"))
+        .select(col("o_year"),
+          round(col("nation_cents").cast("double") * 1e4 /
+            col("total_cents").cast("double")).cast("long").as("share_e4"),
+          col("nation_cents"), col("total_cents"))
+        .orderBy("o_year")
+    }
+    val oracle = Some(
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev,
+        |    s_nationkey
+        |  FROM lineitem, orders, customer, supplier, part, nation, region
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+        |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND p_type = 'PROMO'),
+        |agg AS (
+        |  SELECT o_year,
+        |    sum(CASE WHEN s_nationkey = 2 THEN rev ELSE 0 END) AS nation_cents,
+        |    sum(rev) AS total_cents
+        |  FROM base GROUP BY o_year)
+        |SELECT o_year,
+        |  CAST(round(CAST(nation_cents AS DOUBLE) * 1e4 / CAST(total_cents AS DOUBLE))
+        |    AS BIGINT) AS share_e4,
+        |  CAST(nation_cents AS BIGINT) AS nation_cents,
+        |  CAST(total_cents AS BIGINT) AS total_cents
+        |FROM agg ORDER BY o_year""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qTpchQ4, qTpchQ5, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ14,
+    qTpchQ18, qTpchQ19)
 }

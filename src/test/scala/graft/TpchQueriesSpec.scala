@@ -11,6 +11,24 @@ class TpchQueriesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("q_tpch_q4 plans the existence probe as a left-semi join") {
+    val df = TpchQueries.qTpchQ4.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS not planned as semi join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q_tpch_q8 share is consistent with its own numerator/denominator") {
+    val rows = TpchQueries.qTpchQ8.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (share, n, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t > 0 && n >= 0 && n <= t)
+      assert(share == math.round(n.toDouble * 1e4 / t.toDouble))
+    }
+  }
+
   test("q_tpch_q5 returns one row per in-region nation, revenue descending") {
     val rows = TpchQueries.qTpchQ5.run(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 5) // 5 nations in ASIA
