@@ -27,8 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.KernelizeStopwordCount)
 
     // whole-operator custom plan: broadcast as-of join (logical node built
-    // by graft.plans.AsOfJoin, planned here into BroadcastAsOfJoinExec)
+    // by graft.plans.AsOfJoin, planned here into BroadcastAsOfJoinExec),
+    // with probe-side predicate pushdown restored for the custom node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
 
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

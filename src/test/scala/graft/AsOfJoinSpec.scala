@@ -120,6 +120,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exec.metrics("buildRows").value === 3)
   }
 
+  test("probe-side filters push through the join into the scan; value filters stay above") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val df = AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+      .where(col("user_id") < 50 && col("click_value") > 1.0)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("AsOfJoinPlan"), s"as-of node missing:\n$optimized")
+    // ...and reached the probe scan's pushed filters in the physical plan
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LessThan(user_id,50)"),
+      s"probe filter not pushed to scan:\n$physical")
+    // the value conjunct still filters above the join (left-join null semantics)
+    val aboveJoin = optimized.linesIterator.takeWhile(!_.contains("AsOfJoinPlan")).mkString("\n")
+    assert(aboveJoin.contains("click_value"),
+      s"value filter unexpectedly moved below the join:\n$optimized")
+    // results agree with filtering an unpushed equivalent
+    val unpushed = AsOfJoin(purchases.where(col("user_id") < 50), clicks,
+      Seq("user_id"), "ts", "ts", Seq("click_value"))
+      .where(col("click_value") > 1.0)
+    assert(df.exceptAll(unpushed).isEmpty && unpushed.exceptAll(df).isEmpty)
+  }
+
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
     val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
