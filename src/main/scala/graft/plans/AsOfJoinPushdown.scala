@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Predicate pushdown THROUGH the custom as-of join. Catalyst's
@@ -33,5 +33,17 @@ object AsOfJoinPushdown extends Rule[LogicalPlan] {
         val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
         kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+
+    // Column pruning through the node (same gap as pushdown: ColumnPruning
+    // doesn't know the custom operator): probe-side columns that neither
+    // the downstream projection nor the join itself (keys/timestamp) needs
+    // are cut below the join, so the scan's ReadSchema shrinks. The node's
+    // `output` is derived from left.output, so it narrows consistently.
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++ j.references
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.size < j.left.output.size)
+        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
+      else p
   }
 }

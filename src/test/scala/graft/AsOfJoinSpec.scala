@@ -146,6 +146,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.exceptAll(unpushed).isEmpty && unpushed.exceptAll(df).isEmpty)
   }
 
+  test("unused probe columns prune below the join down to the scan") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir) // 6 columns incl. value + props
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val df = AsOfJoin(ev, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+      .select("event_id", "click_value")
+    val readSchemas = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("props"),
+      s"probe scan still reads unneeded columns:\n$readSchemas")
+    assert(df.collect().nonEmpty)
+  }
+
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
     val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
