@@ -222,6 +222,79 @@ object AnalyticQueries {
         |FROM r GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)
   }
 
+  /** Sliding-window distinct counts — rolling 7-day active users per day.
+    * Distinct over a sliding window CANNOT be derived from per-day
+    * distincts (overlap double-counts), and a naive per-day re-scan is
+    * O(days × window) passes. The scale shape: reduce to distinct
+    * (user, day) FIRST (the only full-fact pass), then fan each user-day
+    * out to the ≤7 window-days it serves (bounded ×7 explode of the
+    * already-small distinct set) and count distinct per window end-day.
+    * Output limited to days with a full 7-day lookback so results are
+    * window-complete. */
+  val qRollingDistinct: Q = new Q {
+    val name = "q_rolling_distinct_users"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val userDays = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = userDays.agg(min("day").as("lo"), max("day").as("hi"))
+      userDays
+        .withColumn("window_day",
+          explode(sequence(col("day"), date_add(col("day"), 6))))
+        .groupBy("window_day")
+        .agg(countDistinct("user_id").as("active_7d"))
+        .join(broadcast(bounds),
+          col("window_day") >= date_add(col("lo"), 6) && col("window_day") <= col("hi"))
+        .select(col("window_day"), col("active_7d"))
+        .orderBy("window_day")
+    }
+    val oracle = Some(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |days AS (SELECT DISTINCT day AS window_day FROM ud),
+        |expanded AS (
+        |  SELECT d.window_day, ud.user_id
+        |  FROM days d JOIN ud ON ud.day BETWEEN d.window_day - 6 AND d.window_day)
+        |SELECT e.window_day, count(DISTINCT e.user_id) AS active_7d
+        |FROM expanded e, b
+        |WHERE e.window_day >= b.lo + 6 AND e.window_day <= b.hi
+        |GROUP BY e.window_day ORDER BY e.window_day""".stripMargin)
+  }
+
+  /** Ordered conversion funnel (signup → click → purchase, strictly in
+    * order per user): one pass computes each user's FIRST timestamp per
+    * stage as three conditional mins — no per-stage self-joins (the
+    * O(stages × fact) anti-pattern); the strict ordering check is then a
+    * per-row predicate over the 1-row-per-user aggregate. */
+  val qFunnel: Q = new Q {
+    val name = "q_funnel_conversion"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val firsts = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), 1)).as("n_then_click"),
+        count(when(col("t_click") > col("t_signup") &&
+          col("t_purchase") > col("t_click"), 1)).as("n_then_purchase"))
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_signup) AS n_signup,
+        |  count(CASE WHEN t_click > t_signup THEN 1 END) AS n_then_click,
+        |  count(CASE WHEN t_click > t_signup AND t_purchase > t_click
+        |    THEN 1 END) AS n_then_purchase
+        |FROM f""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
-    approxDistinctUsers, qOhlcDaily)
+    approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel)
 }

@@ -80,4 +80,26 @@ class AnalyticQueriesSpec extends SparkSpec {
         s"approx p50 for $flag at rank fraction $frac (n=$n)")
     }
   }
+
+  test("rolling 7-day distinct: every window day >= its single-day distinct") {
+    import org.apache.spark.sql.functions._
+    val rolling = AnalyticQueries.qRollingDistinct.run(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rolling.nonEmpty)
+    val daily = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rolling.foreach { case (day, n7) =>
+      daily.get(day).foreach(n1 => assert(n7 >= n1,
+        s"$day: 7-day distinct $n7 < single-day $n1"))
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val r = AnalyticQueries.qFunnel.run(spark, dir).collect().head
+    val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(a >= b && b >= c, s"funnel not monotone: $a, $b, $c")
+    assert(a > 0 && b > 0, "degenerate funnel on test data")
+  }
 }
