@@ -48,6 +48,39 @@ object JoinOps {
       .drop("__ts", "__isR", "__rts")
   }
 
+  /** Size-based as-of formulation selection, mirroring how Catalyst picks
+    * broadcast-vs-shuffle for equi-joins: if the timeline's OPTIMIZED-plan
+    * size estimate fits `spark.sql.autoBroadcastJoinThreshold`, plan the
+    * custom broadcast operator (graft.plans.AsOfJoin — zero probe-side
+    * shuffle); otherwise fall back to the union+window merge
+    * ([[asofLookup]] + value join-back — everything distributed, one
+    * shuffle on the keys). Both paths return the left rows + the right
+    * `values` columns, so callers can switch freely. `values` names must
+    * not collide with left column names (checked). */
+  def asofAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, values: Seq[String]): DataFrame = {
+    val clash = values.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"asofAuto: value columns $clash collide with left columns")
+    require(!left.columns.contains("asof_ts"),
+      "asofAuto: left must not already have an `asof_ts` column")
+    val thresholdStr =
+      left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold = // "-1" (disabled) is not byte-string syntax
+      if (thresholdStr.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(thresholdStr)
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && rightSize <= threshold)
+      graft.plans.AsOfJoin(left, right, keys, leftTs, rightTs, values)
+    else {
+      val matchedTs = asofLookup(left, right.selectExpr((keys :+ rightTs).map(c => s"`$c`"): _*),
+        keys, leftTs, rightTs)
+      val timeline = right.select((keys :+ rightTs).map(col) ++ values.map(col): _*)
+        .withColumnRenamed(rightTs, "asof_ts")
+      matchedTs.join(timeline, keys :+ "asof_ts", "left")
+        .select(left.columns.map(col) ++ values.map(col): _*)
+    }
+  }
+
   /** Radius join on a timestamp axis: pairs (l, r) with
     * |ts_l − ts_r| ≤ radiusMicros. Buckets both sides into radius-sized
     * epochs and equi-joins each left bucket to {b−1, b, b+1} — turns the

@@ -76,6 +76,11 @@ object AsOfJoinStrategy extends SparkStrategy {
   * the probe child — downstream operators see the fact side's physical
   * properties untouched (no Exchange is ever required by this node).
   */
+object BroadcastAsOfJoinExec {
+  /** Hard ceiling on driver-collected timeline rows (OOM guard). */
+  val MaxBuildRowsKey = "spark.graft.asof.maxBuildRows"
+}
+
 case class BroadcastAsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -103,10 +108,18 @@ case class BroadcastAsOfJoinExec(
 
   /** key → (ascending timestamps, value rows at those timestamps). */
   private def buildIndex(): Map[UnsafeRow, (Array[Long], Array[UnsafeRow])] = {
+    val maxBuildRows = conf.getConfString(
+      BroadcastAsOfJoinExec.MaxBuildRowsKey, "10000000").toLong
     val keyProj = UnsafeProjection.create(rightKeys, right.output)
     val valProj = UnsafeProjection.create(rightValues, right.output)
     val tsBound = BindReferences.bindReference(rightTs, right.output)
-    val grouped = right.executeCollect().iterator.flatMap { row =>
+    val collected = right.executeCollect()
+    if (collected.length > maxBuildRows) throw new IllegalStateException(
+      s"broadcast as-of join: timeline has ${collected.length} rows, above " +
+      s"${BroadcastAsOfJoinExec.MaxBuildRowsKey}=$maxBuildRows. A timeline this " +
+      "large should not be broadcast — use the shuffle formulation " +
+      "(JoinOps.asofLookup) or JoinOps.asofAuto, which picks by size.")
+    val grouped = collected.iterator.flatMap { row =>
       val ts = tsBound.eval(row)
       if (ts == null) None // null-timestamp right rows can never be as-of matches
       else Some((keyProj(row).copy(), ts.asInstanceOf[Long], valProj(row).copy()))

@@ -160,6 +160,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.collect().nonEmpty)
   }
 
+  test("build-size guard refuses an oversized timeline with actionable advice") {
+    import spark.implicits._
+    import graft.plans.BroadcastAsOfJoinExec
+    val probes = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "lts")
+    spark.conf.set(BroadcastAsOfJoinExec.MaxBuildRowsKey, "2")
+    try {
+      val e = intercept[Exception] {
+        AsOfJoin(probes, timeline, Seq("k"), "lts", "rts", Seq("price")).collect()
+      }
+      // root cause may be wrapped by the scheduler
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("asofLookup"), s"guard message unhelpful: $msgs")
+    } finally spark.conf.unset(BroadcastAsOfJoinExec.MaxBuildRowsKey)
+  }
+
+  test("asofAuto picks broadcast for a small timeline, shuffle above threshold") {
+    import graft.ops.JoinOps
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+    val small = JoinOps.asofAuto(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_value"))
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = JoinOps.asofAuto(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_value"))
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+      // both formulations agree
+      assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
     val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
