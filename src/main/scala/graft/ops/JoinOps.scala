@@ -36,8 +36,8 @@ object JoinOps {
     val rAligned = lCols.foldLeft(r2) { (df, c) =>
       if (keys.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lCols.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
-    val unioned = l2.select(lCols.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
+    }.select(lCols.toIndexedSeq.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
+    val unioned = l2.select(lCols.toIndexedSeq.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
       .unionByName(rAligned)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__isR").desc)
@@ -77,7 +77,7 @@ object JoinOps {
       val timeline = right.select((keys :+ rightTs).map(col) ++ values.map(col): _*)
         .withColumnRenamed(rightTs, "asof_ts")
       matchedTs.join(timeline, keys :+ "asof_ts", "left")
-        .select(left.columns.map(col) ++ values.map(col): _*)
+        .select(left.columns.toIndexedSeq.map(col) ++ values.map(col): _*)
     }
   }
 
