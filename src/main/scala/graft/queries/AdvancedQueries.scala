@@ -369,7 +369,27 @@ object AdvancedQueries {
         |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qTpchQ3, qUnpivotReturns, qExistsCustomers,
+  /** OFFSET/LIMIT pagination (page 6 of 20 over key-ordered orders).
+    * Engine-parity surface: Spark 3.4+ `Dataset.offset` plans a global
+    * CollectLimit with skip — correct, but at 100 TB every page pays the
+    * full ordered prefix, so the SCALE path is keyset pagination
+    * (`WHERE o_orderkey > last_seen ORDER BY ... LIMIT n` — a pure
+    * scan-range predicate; PlanSpec proves the two agree). */
+  val qPagination: Q = new Q {
+    val name = "q_pagination"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    val oracle = Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qTpchQ3, qPagination, qUnpivotReturns, qExistsCustomers,
     qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics,
     qVariantExtract, qRegexpArrays, qRecursiveWalk, qNullSemantics)
 }

@@ -128,4 +128,21 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange") && !l.contains("ReusedExchange"))
     assert(nExchanges <= 2, s"history build shuffles more than once:\n$plan")
   }
+
+  test("offset pagination agrees with keyset pagination (the scale path)") {
+    import org.apache.spark.sql.functions.col
+    val offsetPage = graft.queries.AdvancedQueries.qPagination.run(spark, sf).collect()
+    assert(offsetPage.length === 20)
+    // keyset: the page after the 100th key — pure range predicate, no
+    // global ordered prefix
+    val lastSeen = graft.Tables.orders(spark, sf)
+      .orderBy("o_orderkey").limit(100)
+      .agg(org.apache.spark.sql.functions.max("o_orderkey")).collect().head.getLong(0)
+    val keysetPage = graft.Tables.orders(spark, sf)
+      .where(col("o_orderkey") > lastSeen)
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.queries.Q.cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_orderkey").limit(20).collect()
+    assert(offsetPage.map(_.toSeq).toSeq == keysetPage.map(_.toSeq).toSeq)
+  }
 }
