@@ -1,0 +1,121 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic cross-engine query fuzzing: a seeded generator emits
+  * random (filter ∘ groupBy ∘ agg ∘ orderBy) queries over a restricted
+  * bit-exact grammar, each as BOTH a DataFrame program and the mirrored
+  * DuckDB SQL — so the oracle gate checks randomized grammar coverage,
+  * not only hand-written queries. Seed is fixed (names/shapes stable
+  * across runs and rounds; the driver's hash compare requires it).
+  *
+  * Grammar kept inside the determinism contract on purpose:
+  *  - predicates on integer/decimal/categorical columns only
+  *  - aggregates: count(*), count(DISTINCT key), min/max, and sums of
+  *    per-element-rounded cents (exact BIGINTs — no float accumulation)
+  *  - always ≥1 group key, total ORDER BY on the keys
+  * Every instance is a partial+final hash aggregate over a pruned scan —
+  * the fuzz grammar deliberately generates only shapes that scale.
+  */
+object FuzzQueries {
+
+  private case class Col(name: String, kind: String) // kind: cat | int | money
+
+  private val tables: Map[String, (Seq[Col], Seq[(String, String)])] = Map(
+    // table -> (columns usable as keys/aggs, predicate pool (sql, sql))
+    "lineitem" -> (Seq(
+      Col("l_returnflag", "cat"), Col("l_linestatus", "cat"),
+      Col("l_linenumber", "int"), Col("l_quantity", "int"),
+      Col("l_extendedprice", "money"), Col("l_orderkey", "int")),
+      Seq(
+        "l_quantity >= 25" -> "l_quantity >= 25",
+        "l_returnflag = 'R'" -> "l_returnflag = 'R'",
+        "l_linenumber <= 3" -> "l_linenumber <= 3",
+        "l_discount >= 0.05" -> "l_discount >= 0.05",
+        "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'" ->
+          "l_shipdate < TIMESTAMP '1999-01-01 00:00:00'")),
+    "orders" -> (Seq(
+      Col("o_orderstatus", "cat"), Col("o_orderpriority", "cat"),
+      Col("o_totalprice", "money"), Col("o_custkey", "int"),
+      Col("o_orderkey", "int")),
+      Seq(
+        "o_orderstatus = 'F'" -> "o_orderstatus = 'F'",
+        "o_totalprice < 150000" -> "o_totalprice < 150000",
+        "o_orderpriority = '1-URGENT'" -> "o_orderpriority = '1-URGENT'",
+        "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'" ->
+          "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")),
+    "customer" -> (Seq(
+      Col("c_mktsegment", "cat"), Col("c_nationkey", "int"),
+      Col("c_acctbal", "money"), Col("c_custkey", "int")),
+      Seq(
+        "c_mktsegment = 'BUILDING'" -> "c_mktsegment = 'BUILDING'",
+        "c_acctbal >= 0" -> "c_acctbal >= 0",
+        "c_nationkey < 13" -> "c_nationkey < 13")))
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  /** One generated query: both representations built from ONE random
+    * choice structure, so they cannot drift apart. */
+  private def gen(r: Random, idx: Int): Q = {
+    val tableName = pick(r, tables.keys.toSeq.sorted)
+    val (cols, predPool) = tables(tableName)
+    val preds = r.shuffle(predPool).take(r.nextInt(3)) // 0..2 conjuncts
+    val keyCands = cols.filter(c => c.kind == "cat" ||
+      (c.kind == "int" && Set("l_linenumber", "c_nationkey").contains(c.name)))
+    val keys = r.shuffle(keyCands).take(1 + r.nextInt(2)).map(_.name) // 1..2 keys
+    val moneyCols = cols.filter(_.kind == "money").map(_.name)
+    val intCols = cols.filter(_.kind == "int").map(_.name)
+    // 1..3 aggregates; names fixed by position so schemas are stable
+    val nAggs = 1 + r.nextInt(3)
+    val aggChoices = (0 until nAggs).map { i =>
+      (r.nextInt(4) match {
+        case 0 => ("cnt", count(lit(1)), "count(*)")
+        case 1 =>
+          val m = pick(r, moneyCols)
+          (s"sum_cents_$i", sum(Q.cents(col(m))),
+            s"CAST(sum(CAST(round($m * 100) AS BIGINT)) AS BIGINT)")
+        case 2 =>
+          val c = pick(r, intCols)
+          if (r.nextBoolean()) (s"min_$i", min(col(c)).cast("long"), s"CAST(min($c) AS BIGINT)")
+          else (s"max_$i", max(col(c)).cast("long"), s"CAST(max($c) AS BIGINT)")
+        case 3 =>
+          val c = pick(r, intCols)
+          (s"nd_$i", countDistinct(col(c)), s"count(DISTINCT $c)")
+      })
+    }
+    // de-dup output names (two count(*) picks would collide)
+    val aggs = aggChoices.zipWithIndex.map { case ((n, c, s), i) =>
+      val name = if (aggChoices.take(i).exists(_._1 == n)) s"${n}_$i" else n
+      (name, c, s)
+    }
+
+    new Q {
+      val name = f"q_fuzz_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = Tables.table(spark, dir, tableName)
+        val filtered = preds.foldLeft(base)((d, p) => d.where(expr(p._1)))
+        filtered.groupBy(keys.map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map(a => a._2.as(a._1)): _*)
+          .orderBy(keys.map(col): _*)
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        val aggSql = aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ")
+        val keySql = keys.mkString(", ")
+        s"""SELECT $keySql, $aggSql
+           |FROM $tableName $where
+           |GROUP BY $keySql ORDER BY $keySql""".stripMargin
+      }
+    }
+  }
+
+  val all: Seq[Q] = {
+    val r = new Random(20260813L)
+    (0 until 15).map(gen(r, _))
+  }
+}
