@@ -114,8 +114,73 @@ object FuzzQueries {
     }
   }
 
+  /** Join-grammar instances: each fact joins its natural dimension
+    * (broadcast-sized), with keys and predicates drawn from BOTH sides —
+    * fuzzing the equi-join + aggregate shape, which is where engines
+    * disagree most (join dedup, null handling, pre/post-join filter
+    * placement). */
+  private case class JoinArm(dim: String, factKey: String, dimKey: String,
+                             dimKeys: Seq[String], dimPreds: Seq[String])
+
+  private val joinArms: Map[String, JoinArm] = Map(
+    "lineitem" -> JoinArm("part", "l_partkey", "p_partkey",
+      Seq("p_brand", "p_type"), Seq("p_size <= 25", "p_type = 'PROMO'")),
+    "orders" -> JoinArm("customer", "o_custkey", "c_custkey",
+      Seq("c_mktsegment"), Seq("c_acctbal >= 0", "c_nationkey < 13")),
+    "customer" -> JoinArm("nation", "c_nationkey", "n_nationkey",
+      Seq("n_name"), Seq("n_regionkey <= 2")))
+
+  private def genJoin(r: Random, idx: Int): Q = {
+    val tableName = pick(r, tables.keys.toSeq.sorted)
+    val (cols, factPredPool) = tables(tableName)
+    val arm = joinArms(tableName)
+    val factPreds = r.shuffle(factPredPool).take(r.nextInt(2)).map(_._1)
+    val dimPreds = r.shuffle(arm.dimPreds).take(r.nextInt(2))
+    // at least one key from the dim side — the join must matter
+    val factKeyCands = cols.filter(_.kind == "cat").map(_.name)
+    val keys = (r.shuffle(arm.dimKeys).take(1) ++
+      r.shuffle(factKeyCands).take(r.nextInt(2))).distinct
+    val moneyCols = cols.filter(_.kind == "money").map(_.name)
+    val nAggs = 1 + r.nextInt(2)
+    val aggs = (0 until nAggs).map { i =>
+      if (r.nextBoolean()) (s"cnt_$i", count(lit(1)), "count(*)")
+      else {
+        val m = pick(r, moneyCols)
+        (s"sum_cents_$i", sum(Q.cents(col(m))),
+          s"CAST(sum(CAST(round($m * 100) AS BIGINT)) AS BIGINT)")
+      }
+    }
+
+    new Q {
+      val name = f"q_fuzzj_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val fact = factPreds.foldLeft(Tables.table(spark, dir, tableName))(
+          (d, p) => d.where(expr(p)))
+        val dim = dimPreds.foldLeft(Tables.table(spark, dir, arm.dim))(
+          (d, p) => d.where(expr(p)))
+        fact.join(broadcast(dim), col(arm.factKey) === col(arm.dimKey))
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map(a => a._2.as(a._1)): _*)
+          .orderBy(keys.map(col): _*)
+      }
+      val oracle = Some {
+        val allPreds = factPreds ++ dimPreds
+        val where = if (allPreds.isEmpty) "" else allPreds.mkString("WHERE ", " AND ", "")
+        val aggSql = aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ")
+        val keySql = keys.mkString(", ")
+        s"""SELECT $keySql, $aggSql
+           |FROM $tableName JOIN ${arm.dim} ON ${arm.factKey} = ${arm.dimKey}
+           |$where
+           |GROUP BY $keySql ORDER BY $keySql""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
-    (0 until 15).map(gen(r, _))
+    val scans = (0 until 15).map(gen(r, _))
+    val joins = (0 until 10).map(genJoin(r, _))
+    scans ++ joins
   }
 }
