@@ -281,6 +281,36 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("aggregation state survives a query restart from the checkpoint") {
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[(Timestamp, String)]
+    def startQuery() = windowedEventCounts(
+        input.toDF().toDF("ts", "event_type"), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("ckpt_wc")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete).start()
+    val q1 = startQuery()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:15:00"), "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the new query must resume from the checkpointed offsets and
+    // state — the pre-restart clicks still count
+    input.addData((Timestamp.valueOf("2024-01-01 10:25:00"), "click"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("ckpt_wc")
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (w, t, n) => (w.toString, t, n) }.toSet
+      assert(got === Set(("2024-01-01 10:00:00.0", "click", 3L)),
+        s"state lost across restart: $got")
+    } finally q2.stop()
+  }
+
   test("sessionWindowCounts: native session_window merges events within the gap") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
