@@ -177,10 +177,63 @@ object FuzzQueries {
     }
   }
 
+  /** Window-grammar instances over `orders`: ranking/offset/running
+    * aggregates, always ordered within the partition by the UNIQUE
+    * o_orderkey (ties are what make window results engine-dependent; a
+    * unique order key keeps every function bit-deterministic). */
+  private def genWindow(r: Random, idx: Int): Q = {
+    val partCol = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+    val windowSql = s"PARTITION BY $partCol ORDER BY o_orderkey"
+    val nFns = 1 + r.nextInt(3)
+    val fnChoices = (0 until nFns).map { i =>
+      r.nextInt(4) match {
+        case 0 => (s"rn_$i",
+          row_number(), s"row_number() OVER ($windowSql)")
+        case 1 => (s"lag_$i",
+          lag(col("o_orderkey"), 1), s"lag(o_orderkey, 1) OVER ($windowSql)")
+        case 2 => (s"lead_$i",
+          lead(col("o_orderkey"), 1), s"lead(o_orderkey, 1) OVER ($windowSql)")
+        case 3 => (s"run_$i",
+          sum(Q.cents(col("o_totalprice"))),
+          s"sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+            s"($windowSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+      }
+    }
+    val pred = pick(r, Seq(
+      "o_totalprice < 120000", "o_orderstatus = 'F'",
+      "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"))
+
+    new Q {
+      val name = f"q_fuzzw_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(partCol).orderBy("o_orderkey")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val base = Tables.orders(spark, dir).where(expr(pred))
+        val withFns = fnChoices.foldLeft(
+          base.select(col("o_orderkey"), col(partCol), col("o_totalprice"))) {
+            case (d, (n, c, _)) =>
+              d.withColumn(n, if (n.startsWith("run_")) c.over(wRun) else c.over(w))
+          }
+        withFns
+          .select((Seq(col("o_orderkey"), col(partCol)) ++
+            fnChoices.map(f => col(f._1))): _*)
+          .orderBy("o_orderkey")
+      }
+      val oracle = Some {
+        val fnSql = fnChoices.map(f => s"${f._3} AS ${f._1}").mkString(", ")
+        s"""SELECT o_orderkey, $partCol, $fnSql
+           |FROM orders WHERE $pred
+           |ORDER BY o_orderkey""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
     val joins = (0 until 10).map(genJoin(r, _))
-    scans ++ joins
+    val windows = (0 until 8).map(genWindow(r, _))
+    scans ++ joins ++ windows
   }
 }
