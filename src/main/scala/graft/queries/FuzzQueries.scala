@@ -229,11 +229,42 @@ object FuzzQueries {
     }
   }
 
+  /** Top-k instances: ORDER BY <money> DESC with the unique key as the
+    * tie-break, LIMIT k — must always plan TakeOrderedAndProject (never a
+    * global sort; the fuzz spec asserts it on every instance). */
+  private def genTopK(r: Random, idx: Int): Q = {
+    val (tableName, moneyCol, keyCol) = pick(r, Seq(
+      ("orders", "o_totalprice", "o_orderkey"),
+      ("lineitem", "l_extendedprice", "l_orderkey"),
+      ("customer", "c_acctbal", "c_custkey")))
+    val k = 5 + r.nextInt(20)
+    val (_, predPool) = tables(tableName)
+    val preds = r.shuffle(predPool).take(r.nextInt(2)).map(_._1)
+
+    new Q {
+      val name = f"q_fuzzt_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = preds.foldLeft(Tables.table(spark, dir, tableName))(
+          (d, p) => d.where(expr(p)))
+        base.select(col(keyCol), Q.cents(col(moneyCol)).as("money_cents"))
+          .orderBy(col("money_cents").desc, col(keyCol))
+          .limit(k)
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.mkString("WHERE ", " AND ", "")
+        s"""SELECT $keyCol, CAST(round($moneyCol * 100) AS BIGINT) AS money_cents
+           |FROM $tableName $where
+           |ORDER BY money_cents DESC, $keyCol LIMIT $k""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
     val joins = (0 until 10).map(genJoin(r, _))
     val windows = (0 until 8).map(genWindow(r, _))
-    scans ++ joins ++ windows
+    val topks = (0 until 5).map(genTopK(r, _))
+    scans ++ joins ++ windows ++ topks
   }
 }

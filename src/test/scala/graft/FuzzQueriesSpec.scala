@@ -28,6 +28,15 @@ class FuzzQueriesSpec extends SparkSpec {
     }
   }
 
+  test("every top-k instance plans TakeOrderedAndProject, never a global sort") {
+    val dir = "/root/testdata/sf0.001"
+    FuzzQueries.all.filter(_.name.startsWith("q_fuzzt")).foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"${q.name}: top-k not TakeOrdered:\n$plan")
+    }
+  }
+
   test("fuzz schemas are stable across SparkSessions (fixed agg aliases)") {
     val dir = "/root/testdata/sf0.001"
     FuzzQueries.all.foreach { q =>
