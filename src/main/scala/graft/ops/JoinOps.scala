@@ -32,11 +32,14 @@ object JoinOps {
     val r2 = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(1).as("__isR"), col(rightTs).as("__rts")): _*)
-    // align schemas: right side carries nulls for non-key left columns
-    val rAligned = lCols.foldLeft(r2) { (df, c) =>
-      if (keys.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lCols.toIndexedSeq.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
+    // align schemas in ONE projection: right side carries nulls for
+    // non-key left columns (a withColumn-per-column fold would build
+    // O(columns) nested Projects)
+    val rAligned = r2.select(
+      lCols.toIndexedSeq.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__ts"), col("__isR"), col("__rts")): _*)
     val unioned = l2.select(lCols.toIndexedSeq.map(col) ++ Seq(col("__ts"), col("__isR"), col("__rts")): _*)
       .unionByName(rAligned)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -74,10 +77,22 @@ object JoinOps {
     else {
       val matchedTs = asofLookup(left, right.selectExpr((keys :+ rightTs).map(c => s"`$c`"): _*),
         keys, leftTs, rightTs)
+      // drop null-ts timeline rows (they can never be as-of matches — same
+      // rule the broadcast exec applies) and join back NULL-SAFELY on the
+      // keys, so null keys behave identically in both formulations
       val timeline = right.select((keys :+ rightTs).map(col) ++ values.map(col): _*)
+        .where(col(rightTs).isNotNull)
         .withColumnRenamed(rightTs, "asof_ts")
-      matchedTs.join(timeline, keys :+ "asof_ts", "left")
-        .select(left.columns.toIndexedSeq.map(col) ++ values.map(col): _*)
+      // prefix-alias the timeline (fresh expr-ids): left and right often
+      // derive from the same scan, and same-id columns make the join-back
+      // ambiguous
+      val tl = timeline.select(
+        timeline.columns.toIndexedSeq.map(c => col(c).as("__tl_" + c)): _*)
+      val cond = (keys :+ "asof_ts")
+        .map(c => matchedTs(c) <=> col("__tl_" + c)).reduce(_ && _)
+      matchedTs.join(tl, cond, "left")
+        .select(left.columns.toIndexedSeq.map(matchedTs(_)) ++
+          values.map(v => col("__tl_" + v).as(v)): _*)
     }
   }
 

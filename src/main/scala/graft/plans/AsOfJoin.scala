@@ -143,6 +143,12 @@ case class BroadcastAsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val built = buildIndex()
     longMetric("buildRows").add(built.valuesIterator.map(_._1.length.toLong).sum)
+    // driver-side metric updates don't flow through task-end events — post
+    // them explicitly or the SQL UI shows buildRows as blank
+    val executionId = sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+    org.apache.spark.sql.execution.metric.SQLMetrics.postDriverMetricUpdates(
+      sparkContext, executionId, Seq(metrics("buildRows")))
     val index: Broadcast[Map[UnsafeRow, (Array[Long], Array[UnsafeRow])]] =
       sparkContext.broadcast(built)
     val outRows = longMetric("numOutputRows")

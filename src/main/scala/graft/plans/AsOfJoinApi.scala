@@ -52,10 +52,23 @@ object AsOfJoin {
           s"asof-join: `$name` ($side) must be TIMESTAMP or BIGINT, got $other")
       }
     }
+    val lKeys = keys.map(attr(lPlan, _, "left"))
+    val rKeys = keys.map(attr(rPlan, _, "right"))
+    val lTs = tsAttr(lPlan, leftTs, "left")
+    val rTs = tsAttr(rPlan, rightTs, "right")
+    // cross-side compatibility: the exec compares epoch longs and binary
+    // UnsafeRow keys — a unit or type mismatch would be silently wrong,
+    // not an error, so refuse it here
+    if (lTs.dataType != rTs.dataType) throw new IllegalArgumentException(
+      s"asof-join: timestamp types differ — `$leftTs` (left) is ${lTs.dataType.typeName}, " +
+      s"`$rightTs` (right) is ${rTs.dataType.typeName}; cast one side first")
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      if (l.dataType != r.dataType) throw new IllegalArgumentException(
+        s"asof-join: key `${l.name}` types differ — ${l.dataType.typeName} (left) vs " +
+        s"${r.dataType.typeName} (right); cast one side first")
+    }
     PlanBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lPlan, rPlan,
-        keys.map(attr(lPlan, _, "left")), keys.map(attr(rPlan, _, "right")),
-        tsAttr(lPlan, leftTs, "left"), tsAttr(rPlan, rightTs, "right"),
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
         values.map(attr(rPlan, _, "right"))))
   }
 }

@@ -79,9 +79,15 @@ object FuzzQueries {
           (s"sum_cents_$i", sum(Q.cents(col(m))),
             s"CAST(sum(CAST(round($m * 100) AS BIGINT)) AS BIGINT)")
         case 2 =>
+          // round BEFORE the long cast on both engines: l_quantity is a
+          // (whole-valued) DOUBLE, and Spark's cast truncates while
+          // DuckDB's rounds — an explicit round keeps them aligned even
+          // if a non-integral value ever appears
           val c = pick(r, intCols)
-          if (r.nextBoolean()) (s"min_$i", min(col(c)).cast("long"), s"CAST(min($c) AS BIGINT)")
-          else (s"max_$i", max(col(c)).cast("long"), s"CAST(max($c) AS BIGINT)")
+          if (r.nextBoolean()) (s"min_$i", round(min(col(c))).cast("long"),
+            s"CAST(round(min($c)) AS BIGINT)")
+          else (s"max_$i", round(max(col(c))).cast("long"),
+            s"CAST(round(max($c)) AS BIGINT)")
         case 3 =>
           val c = pick(r, intCols)
           (s"nd_$i", countDistinct(col(c)), s"count(DISTINCT $c)")

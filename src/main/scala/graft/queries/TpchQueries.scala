@@ -29,7 +29,7 @@ object TpchQueries {
 
   private def cents(c: Column) = Q.cents(c)
   private def revCents: Column =
-    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+    Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
 
   /** TPC-H Q5 (local supplier volume): revenue by nation inside one region
     * and one order-year, counting only lineitems whose supplier sits in the
@@ -224,7 +224,7 @@ object TpchQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val bigOrders = Tables.lineitem(spark, dir)
         .groupBy("l_orderkey")
-        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .agg(round(sum("l_quantity")).cast("long").as("total_qty"))
         .where(col("total_qty") > 250)
       val ord = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -240,11 +240,11 @@ object TpchQueries {
     val oracle = Some(
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
-        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
         |FROM customer, orders, lineitem
         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-        |HAVING CAST(sum(l_quantity) AS BIGINT) > 250
+        |HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 250
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin)
   }
 

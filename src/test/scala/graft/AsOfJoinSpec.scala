@@ -198,6 +198,32 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("asofAuto formulations agree on null keys and null timeline timestamps") {
+    import spark.implicits._
+    import graft.ops.JoinOps
+    val tl = Seq(
+      (Some(1L), Some(ts("2024-01-01 00:00:00")), 10.0),
+      (None, Some(ts("2024-01-02 00:00:00")), 77.0), // null-key timeline entry
+      (Some(2L), Option.empty[Timestamp], 99.0)      // null-ts: never a match
+    ).toDF("k", "rts", "price")
+    val probes = Seq(
+      (100L, Some(1L), ts("2024-06-01 00:00:00")),
+      (101L, Option.empty[Long], ts("2024-06-01 00:00:00")), // null-key probe
+      (102L, Some(2L), ts("2024-06-01 00:00:00"))
+    ).toDF("id", "k", "lts")
+    def vals(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3))).toSeq
+    val broadcastPath = vals(JoinOps.asofAuto(probes, tl, Seq("k"), "lts", "rts", Seq("price")))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shufflePath = vals(JoinOps.asofAuto(probes, tl, Seq("k"), "lts", "rts", Seq("price")))
+      assert(broadcastPath == shufflePath,
+        s"formulations disagree: broadcast=$broadcastPath shuffle=$shufflePath")
+      assert(broadcastPath == Seq(Some(10.0), Some(77.0), None))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
     val rows = JoinQueries.qAsofBroadcastValue.run(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
