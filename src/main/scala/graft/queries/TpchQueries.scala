@@ -386,6 +386,101 @@ object TpchQueries {
         |FROM agg ORDER BY o_year""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qTpchQ4, qTpchQ5, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ14,
-    qTpchQ18, qTpchQ19)
+  /** TPC-H Q13 (customer distribution): orders per customer INCLUDING
+    * zero-order customers (left outer join preserved through the count),
+    * then the distribution — customers per order-count. Two aggregates:
+    * the first keys on c_custkey (high cardinality, count(o_orderkey)
+    * skips nulls so empty customers count 0), the second collapses to the
+    * tiny distribution — the shuffle shrinks at every step. */
+  val qTpchQ13: Q = new Q {
+    val name = "q_tpch_q13"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val perCust = Tables.customer(spark, dir).select("c_custkey")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("c_count")) // count(col) skips nulls
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }
+    val oracle = Some(
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** TPC-H Q15 essence (top supplier): supplier revenue over one quarter,
+    * keep the supplier(s) equal to the MAX — the max comes from a scalar
+    * subquery over the same aggregate, planned as one reused aggregate +
+    * a broadcast of the 1-row max, never a global sort. */
+  val qTpchQ15: Q = new Q {
+    val name = "q_tpch_q15"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val revenue = Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_suppkey")
+        .agg(sum(revCents).as("total_cents"))
+      val maxRev = revenue.agg(max("total_cents").as("max_cents"))
+      revenue.join(broadcast(maxRev), col("total_cents") === col("max_cents"))
+        .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+        .orderBy("s_suppkey")
+    }
+    val oracle = Some(
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q17 essence (small-quantity revenue): revenue from lineitems
+    * whose quantity is below 20% of their part's average quantity — the
+    * correlated per-part average decorrelates into ONE aggregate over the
+    * fact joined back to the fact (never a per-row subquery). The
+    * threshold is integer-exact: qty*10 < avg*2 over e1-scaled BIGINTs
+    * (sum*2 < ... formulation avoids float division entirely). */
+  val qTpchQ17: Q = new Q {
+    val name = "q_tpch_q17"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"), revCents.as("rev"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(round(sum("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_li"))
+      // qty < 0.2 * (sum/n)  ⇔  qty * n * 5 < sum  (all integer-exact)
+      li.join(perPart, Seq("l_partkey"))
+        .where(round(col("l_quantity")).cast("long") * col("n_li") * 5 < col("sum_qty"))
+        .agg(sum("rev").as("small_qty_rev_cents"), count(lit(1)).as("n_small"))
+    }
+    val oracle = Some(
+      """WITH per_part AS (
+        |  SELECT l_partkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |    count(*) AS n_li
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS small_qty_rev_cents,
+        |  count(*) AS n_small
+        |FROM lineitem JOIN per_part USING (l_partkey)
+        |WHERE CAST(round(l_quantity) AS BIGINT) * n_li * 5 < sum_qty""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qTpchQ4, qTpchQ5, qTpchQ7, qTpchQ8, qTpchQ10, qTpchQ13,
+    qTpchQ14, qTpchQ15, qTpchQ17, qTpchQ18, qTpchQ19)
 }

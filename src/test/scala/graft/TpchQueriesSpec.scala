@@ -29,6 +29,26 @@ class TpchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q13 distribution sums back to the full customer count") {
+    val rows = TpchQueries.qTpchQ13.run(spark, sf).collect()
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nCustomers)
+  }
+
+  test("q_tpch_q15 returns exactly the max-revenue supplier(s)") {
+    val rows = TpchQueries.qTpchQ15.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getLong(2)).distinct
+    assert(revs.length === 1, "all returned suppliers must share the max revenue")
+  }
+
+  test("q_tpch_q17 small-quantity revenue is a strict subset of total") {
+    val r = TpchQueries.qTpchQ17.run(spark, sf).collect().head
+    assert(r.getLong(1) > 0)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(r.getLong(1) < total, "threshold must actually filter")
+  }
+
   test("q_tpch_q5 returns one row per in-region nation, revenue descending") {
     val rows = TpchQueries.qTpchQ5.run(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 5) // 5 nations in ASIA
