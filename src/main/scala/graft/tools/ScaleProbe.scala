@@ -33,7 +33,8 @@ object ScaleProbe {
       "q_string_agg", "doc_salient_term",
       // session-2 wave: TPC-H shapes, custom broadcast as-of join, DPP
       "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
-      "q_asof_broadcast_value", "q_dpp_month_revenue")
+      "q_asof_broadcast_value", "q_dpp_month_revenue",
+      "q_tpch_q13", "q_tpch_q17", "q_rolling_distinct_users")
     val base = "/root/testdata/sf0.1"
     val scaled = s"/tmp/graft_scale/x$replicas"
     val spark = SparkSession.builder()
