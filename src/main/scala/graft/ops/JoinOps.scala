@@ -66,6 +66,11 @@ object JoinOps {
     require(clash.isEmpty, s"asofAuto: value columns $clash collide with left columns")
     require(!left.columns.contains("asof_ts"),
       "asofAuto: left must not already have an `asof_ts` column")
+    // the shuffle fallback renames rightTs to asof_ts before selecting the
+    // value columns, so a values list containing rightTs only works on the
+    // broadcast path — refuse it so behavior can't flip with the threshold
+    require(!values.contains(rightTs),
+      s"asofAuto: `$rightTs` cannot appear in values (it is returned as `asof_ts`)")
     val thresholdStr =
       left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val threshold = // "-1" (disabled) is not byte-string syntax
@@ -75,12 +80,18 @@ object JoinOps {
     if (threshold >= 0 && rightSize <= threshold)
       graft.plans.AsOfJoin(left, right, keys, leftTs, rightTs, values)
     else {
-      val matchedTs = asofLookup(left, right.selectExpr((keys :+ rightTs).map(c => s"`$c`"): _*),
+      // drop null-KEY timeline rows up front — the broadcast path does the
+      // same (SQL `=` semantics: a null key never matches), so the two
+      // formulations stay interchangeable for null-keyed data
+      val rKeyed =
+        if (keys.isEmpty) right
+        else right.where(keys.map(col(_).isNotNull).reduce(_ && _))
+      val matchedTs = asofLookup(left, rKeyed.selectExpr((keys :+ rightTs).map(c => s"`$c`"): _*),
         keys, leftTs, rightTs)
       // drop null-ts timeline rows (they can never be as-of matches — same
       // rule the broadcast exec applies) and join back NULL-SAFELY on the
       // keys, so null keys behave identically in both formulations
-      val timeline = right.select((keys :+ rightTs).map(col) ++ values.map(col): _*)
+      val timeline = rKeyed.select((keys :+ rightTs).map(col) ++ values.map(col): _*)
         .where(col(rightTs).isNotNull)
         .withColumnRenamed(rightTs, "asof_ts")
       // prefix-alias the timeline (fresh expr-ids): left and right often

@@ -36,7 +36,15 @@ object AsOfJoin {
     // analyzer deduplicates subtrees; (2) explicit column pruning of the
     // broadcast side — only keys+ts+values are ever collected.
     val rNeeded = (keys ++ Seq(rightTs) ++ values).distinct
-    val rAliased = right.select(rNeeded.map(c => col(c).as(c)): _*)
+    // Drop null-KEY timeline rows: the exec matches keys by raw UnsafeRow
+    // bytes, where null == null — unlike SQL `=` (and the DuckDB ASOF
+    // oracle), where null never matches. Filtering the broadcast side only
+    // preserves every left row (a null-keyed left row simply finds no
+    // match and gets null values), which IS the SQL semantics.
+    val rNonNullKeys =
+      if (keys.isEmpty) right
+      else right.where(keys.map(col(_).isNotNull).reduce(_ && _))
+    val rAliased = rNonNullKeys.select(rNeeded.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rAliased.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
@@ -66,6 +74,19 @@ object AsOfJoin {
       if (l.dataType != r.dataType) throw new IllegalArgumentException(
         s"asof-join: key `${l.name}` types differ — ${l.dataType.typeName} (left) vs " +
         s"${r.dataType.typeName} (right); cast one side first")
+    }
+    // Floating-point keys are matched by raw bytes too: -0.0 vs 0.0 and
+    // differing NaN bit patterns compare unequal (NormalizeFloatingNumbers
+    // does not cover this custom node), silently diverging from SQL `=`.
+    // Refuse them rather than be subtly wrong.
+    (lKeys ++ rKeys).foreach { a =>
+      a.dataType.typeName match {
+        case "float" | "double" => throw new IllegalArgumentException(
+          s"asof-join: key `${a.name}` is ${a.dataType.typeName}; " +
+          "floating-point join keys are not supported (raw-byte key matching " +
+          "diverges from SQL `=` on -0.0/NaN) — cast to integer or decimal first")
+        case _ =>
+      }
     }
     PlanBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTs, rTs,

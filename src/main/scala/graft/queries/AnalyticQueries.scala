@@ -72,12 +72,12 @@ object AnalyticQueries {
         |  FROM orders GROUP BY 1, 2),
         |d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS dn FROM daily)
         |SELECT day, o_orderstatus, rev_cents,
-        |  sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents,
         |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY dn
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7_n,
-        |  sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rng7_cents
+        |  CAST(sum(rev_cents) OVER (PARTITION BY o_orderstatus ORDER BY dn
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rng7_cents
         |FROM d2 ORDER BY o_orderstatus, day""".stripMargin)
   }
 
@@ -229,6 +229,10 @@ object AnalyticQueries {
     * (user, day) FIRST (the only full-fact pass), then fan each user-day
     * out to the ≤7 window-days it serves (bounded ×7 explode of the
     * already-small distinct set) and count distinct per window end-day.
+    * Window end-days are semi-joined back to the set of days that
+    * actually have events, so a calendar gap never manufactures an
+    * output row (exploded days land on present days only — identical
+    * semantics to the oracle's `days` CTE on sparse calendars).
     * Output limited to days with a full 7-day lookback so results are
     * window-complete. */
   val qRollingDistinct: Q = new Q {
@@ -236,10 +240,12 @@ object AnalyticQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val userDays = Tables.events(spark, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val presentDays = userDays.select(col("day").as("window_day")).distinct()
       val bounds = userDays.agg(min("day").as("lo"), max("day").as("hi"))
       userDays
         .withColumn("window_day",
           explode(sequence(col("day"), date_add(col("day"), 6))))
+        .join(broadcast(presentDays), Seq("window_day"), "left_semi")
         .groupBy("window_day")
         .agg(countDistinct("user_id").as("active_7d"))
         .join(broadcast(bounds),

@@ -199,10 +199,13 @@ object FuzzQueries {
           lag(col("o_orderkey"), 1), s"lag(o_orderkey, 1) OVER ($windowSql)")
         case 2 => (s"lead_$i",
           lead(col("o_orderkey"), 1), s"lead(o_orderkey, 1) OVER ($windowSql)")
+        // The windowed sum is CAST back to BIGINT on the oracle side:
+        // DuckDB's sum(BIGINT) widens to HUGEINT (int128), which is
+        // value-equal but hashes differently at the comparison edge.
         case 3 => (s"run_$i",
           sum(Q.cents(col("o_totalprice"))),
-          s"sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
-            s"($windowSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+          s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+            s"($windowSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)")
       }
     }
     val pred = pick(r, Seq(
@@ -219,7 +222,9 @@ object FuzzQueries {
         val withFns = fnChoices.foldLeft(
           base.select(col("o_orderkey"), col(partCol), col("o_totalprice"))) {
             case (d, (n, c, _)) =>
-              d.withColumn(n, if (n.startsWith("run_")) c.over(wRun) else c.over(w))
+              val applied = if (n.startsWith("run_")) c.over(wRun) else c.over(w)
+              // rank columns go out as BIGINT to match DuckDB's row_number
+              d.withColumn(n, if (n.startsWith("rn_")) applied.cast("long") else applied)
           }
         withFns
           .select((Seq(col("o_orderkey"), col(partCol)) ++

@@ -220,8 +220,32 @@ class AsOfJoinSpec extends SparkSpec {
       val shufflePath = vals(JoinOps.asofAuto(probes, tl, Seq("k"), "lts", "rts", Seq("price")))
       assert(broadcastPath == shufflePath,
         s"formulations disagree: broadcast=$broadcastPath shuffle=$shufflePath")
-      assert(broadcastPath == Seq(Some(10.0), Some(77.0), None))
+      // SQL `=` semantics: a null key never matches (null-key timeline rows
+      // are filtered at the API boundary), so the null-key probe gets null —
+      // matching what a DuckDB ASOF join on k would produce
+      assert(broadcastPath == Seq(Some(10.0), None, None))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("floating-point join keys are rejected at construction") {
+    import spark.implicits._
+    val probes = Seq((1L, 1.5, ts("2024-01-01 00:00:00"))).toDF("id", "k", "lts")
+    val tl = Seq((1.5, ts("2024-01-01 00:00:00"), 10.0)).toDF("k", "rts", "price")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(probes, tl, Seq("k"), "lts", "rts", Seq("price"))
+    }
+    assert(e.getMessage.contains("floating-point"), e.getMessage)
+  }
+
+  test("asofAuto refuses a values list containing the right timestamp column") {
+    import spark.implicits._
+    import graft.ops.JoinOps
+    val probes = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "k", "lts")
+    val tl = Seq((1L, ts("2024-01-01 00:00:00"), 10.0)).toDF("k", "rts", "price")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.asofAuto(probes, tl, Seq("k"), "lts", "rts", Seq("rts", "price"))
+    }
+    assert(e.getMessage.contains("asof_ts"), e.getMessage)
   }
 
   test("cataloged q_asof_broadcast_value runs and covers matched + unmatched") {
