@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Third analytic-SQL wave: the remaining TPC-H plan shapes expressible on
-  * this schema (no partsupp table, no shipmode/commitdate columns — Q2/4/9/
-  * 11/12/16/20/21 have no faithful adaptation and are out of scope).
+  * this schema directly (no shipmode/commitdate columns — Q12/Q21 have no
+  * faithful adaptation and are out of scope; the partsupp-dependent
+  * Q2/Q9/Q11/Q16/Q20 live in [[PartsuppQueries]] over a derived partsupp).
   *
   * Scale shapes exercised here, each distinct from the Q1/Q3/Q6 already in
   * the catalog:
