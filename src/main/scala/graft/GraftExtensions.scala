@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
 
+    // SQL surface for the same operator: `GRAFT ASOF JOIN l, r ON k MATCH
+    // lts TO rts VALUES v…` — a delegating parser (non-GRAFT statements
+    // pass through untouched) plus the resolution rule that lowers the
+    // parsed node onto the checked AsOfJoin builder
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(spark => graft.plans.ResolveGraftAsOf(spark))
+
     def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

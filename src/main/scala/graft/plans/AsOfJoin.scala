@@ -18,9 +18,9 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * (nulls when no such row). The right side must be unique per
   * (keys, rightTs) — same contract as DuckDB's ASOF LEFT JOIN
   * (`l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts`), which is the
-  * oracle used to cross-check it. Null keys match null keys (lookup
-  * equality, not SQL `=`): the intended use is dimension timelines, whose
-  * keys are non-null.
+  * oracle used to cross-check it. The builder (AsOfJoinApi) filters
+  * null-key timeline rows and rejects floating-point keys, so key
+  * matching behaves like SQL `=` for everything that reaches the exec.
   *
   * Scale shape: the right side (a bounded dimension timeline — price
   * quotes, config versions, slowly-changing attributes) is collected and

@@ -274,7 +274,45 @@ object JoinQueries {
         |ORDER BY p.event_id""".stripMargin)
   }
 
+  /** The same broadcast as-of join, but entered through the SQL syntax
+    * extension (`GRAFT ASOF JOIN … MATCH … TO … VALUES …`, injectParser +
+    * resolution rule): proves the parsed statement and the Scala API are
+    * one code path by checking it against the identical DuckDB ASOF
+    * oracle as q_asof_broadcast_value. The timeline's timestamp keeps a
+    * DIFFERENT name (click_ts) so the `MATCH ts TO click_ts` clause is
+    * actually exercised. */
+  val qAsofSqlSyntax: Q = new Q {
+    val name = "q_asof_sql_syntax"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("graft_asof_probes")
+      ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        .withColumnRenamed("ts", "click_ts")
+        .createOrReplaceTempView("graft_asof_quotes")
+      spark.sql(
+        """GRAFT ASOF JOIN graft_asof_probes, graft_asof_quotes
+          |ON user_id MATCH ts TO click_ts VALUES click_value""".stripMargin)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          Q.cents(col("click_value")).as("click_value_cents"))
+        .orderBy("event_id")
+    }
+    val oracle = Some(
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CAST(round(c.click_value * 100) AS BIGINT) AS click_value_cents
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qAsofClick, qRangeErrors, qSemiAnti, qRollup, qCube,
     qDistinctUsers, qNestedStruct, qSetOps, qSaltedJoin, qBloomPrune,
-    qAsofBroadcastValue)
+    qAsofBroadcastValue, qAsofSqlSyntax)
 }

@@ -436,6 +436,54 @@ object VectorQueries {
         |FROM e ORDER BY vec_id""".stripMargin)
   }
 
+  /** Recall@k report card for the approximate paths: per query, how many
+    * of the exact brute-force top-k the IVF (nprobe=1) and multi-probe
+    * (nprobe=2) searches recovered, as integer percentages (floor
+    * division — exact on both engines). This turns "approximate by
+    * design" into a measured, oracle-checked number; the spec further
+    * pins the expected dominance multi-probe ≥ single-probe. At scale the
+    * same query is the recall-monitoring job you run on a sampled query
+    * set after each index rebuild. */
+  val annRecallAtK: Q = new Q {
+    val name = "ann_recall_at_k"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val brute = annBruteTopk.run(spark, dir).select("q_id", "c_id")
+      val ivf = annIvfTopk.run(spark, dir)
+        .select(col("q_id"), col("c_id")).withColumn("hit_i", lit(1L))
+      val mp = annIvfMpTopk.run(spark, dir)
+        .select(col("q_id"), col("c_id")).withColumn("hit_m", lit(1L))
+      brute
+        .join(ivf, Seq("q_id", "c_id"), "left")
+        .join(mp, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_brute"),
+          sum(coalesce(col("hit_i"), lit(0L))).as("hit_ivf"),
+          sum(coalesce(col("hit_m"), lit(0L))).as("hit_mp"))
+        .select(col("q_id"), col("n_brute"), col("hit_ivf"), col("hit_mp"),
+          expr("hit_ivf * 100 div n_brute").as("recall_ivf_pct"),
+          expr("hit_mp * 100 div n_brute").as("recall_mp_pct"))
+        .orderBy("q_id")
+    }
+    val oracle = Some(
+      s"""WITH brute AS (${annBruteTopk.oracle.get}),
+         |ivf AS (${annIvfTopk.oracle.get}),
+         |mp AS (${annIvfMpTopk.oracle.get}),
+         |j AS (
+         |  SELECT b.q_id,
+         |    CASE WHEN i.c_id IS NULL THEN 0 ELSE 1 END AS hit_i,
+         |    CASE WHEN m.c_id IS NULL THEN 0 ELSE 1 END AS hit_m
+         |  FROM brute b
+         |  LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+         |  LEFT JOIN mp m ON b.q_id = m.q_id AND b.c_id = m.c_id)
+         |SELECT q_id, count(*) AS n_brute,
+         |  CAST(sum(hit_i) AS BIGINT) AS hit_ivf,
+         |  CAST(sum(hit_m) AS BIGINT) AS hit_mp,
+         |  CAST(sum(hit_i) AS BIGINT) * 100 // count(*) AS recall_ivf_pct,
+         |  CAST(sum(hit_m) AS BIGINT) * 100 // count(*) AS recall_mp_pct
+         |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
-    ivfAssign, annIvfTopk, annIvfMpTopk, kmeansClusters, embedQuantize)
+    ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
+    embedQuantize)
 }

@@ -183,4 +183,18 @@ class DedupVectorSpec extends SparkSpec {
     // the point is the ORDERING above — the floor just guards degeneracy
     assert(rMp >= 0.3, s"multi-probe recall $rMp unexpectedly low")
   }
+
+  test("ann_recall_at_k grades every query with mp >= ivf and sane bounds") {
+    import graft.queries.VectorQueries
+    val rows = VectorQueries.annRecallAtK.run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hi, hm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (pi, pm) = (r.getLong(4), r.getLong(5))
+      assert(n == VectorQueries.TopK)
+      assert(hi >= 0 && hi <= n && hm >= 0 && hm <= n)
+      assert(hm >= hi, s"q ${r.getLong(0)}: multi-probe hits $hm < single-probe $hi")
+      assert(pi == hi * 100 / n && pm == hm * 100 / n)
+    }
+  }
 }
