@@ -270,12 +270,110 @@ object FuzzQueries {
     }
   }
 
+  /** Multi-dimensional-aggregate grammar: ROLLUP / CUBE / explicit
+    * GROUPING SETS over two categorical keys, with grouping_id emitted and
+    * null group keys coalesced to 'ALL' (the subtotal rows are where
+    * engines disagree on null-vs-value semantics). Total order on
+    * (gid, keys). */
+  private def genGroupingSets(r: Random, idx: Int): Q = {
+    // needs two categorical keys — customer only has one
+    val tableName = pick(r, Seq("lineitem", "orders"))
+    val (cols, predPool) = tables(tableName)
+    val catCols = cols.filter(_.kind == "cat").map(_.name)
+    val Seq(k1, k2) = r.shuffle(catCols).take(2)
+    val preds = r.shuffle(predPool).take(r.nextInt(2))
+    val moneyCol = pick(r, cols.filter(_.kind == "money").map(_.name))
+    val variant = r.nextInt(3) // 0=rollup 1=cube 2=grouping sets
+    val variantSql = variant match {
+      case 0 => s"ROLLUP($k1, $k2)"
+      case 1 => s"CUBE($k1, $k2)"
+      case 2 => s"GROUPING SETS (($k1), ($k2), ())"
+    }
+
+    new Q {
+      val name = f"q_fuzzg_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = preds.foldLeft(Tables.table(spark, dir, tableName))(
+          (d, p) => d.where(expr(p._1)))
+        val grouped = variant match {
+          case 0 => base.rollup(col(k1), col(k2))
+          case 1 => base.cube(col(k1), col(k2))
+          case 2 => base.groupingSets(
+            Seq(Seq(col(k1)), Seq(col(k2)), Seq()), col(k1), col(k2))
+        }
+        grouped
+          .agg(count(lit(1)).as("n"), sum(Q.cents(col(moneyCol))).as("sum_cents"),
+            grouping_id().cast("long").as("gid"))
+          .select(coalesce(col(k1), lit("ALL")).as("k1"),
+            coalesce(col(k2), lit("ALL")).as("k2"),
+            col("n"), col("sum_cents"), col("gid"))
+          .orderBy("gid", "k1", "k2")
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        s"""SELECT coalesce($k1, 'ALL') AS k1, coalesce($k2, 'ALL') AS k2,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(round($moneyCol * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           |  CAST(GROUPING($k1, $k2) AS BIGINT) AS gid
+           |FROM $tableName $where
+           |GROUP BY $variantSql ORDER BY gid, k1, k2""".stripMargin
+      }
+    }
+  }
+
+  /** Existence grammar: aggregate over fact rows that do (EXISTS → left
+    * semi) or do not (NOT EXISTS → left anti) have a dimension row passing
+    * a dim-side predicate — fuzzing the decorrelation path, where pre-join
+    * filter placement and duplicate dim rows are the classic divergence
+    * sources. The dim predicate is mandatory so the existence test is
+    * never vacuous. */
+  private def genExists(r: Random, idx: Int): Q = {
+    val tableName = pick(r, tables.keys.toSeq.sorted)
+    val (cols, factPredPool) = tables(tableName)
+    val arm = joinArms(tableName)
+    val negated = r.nextBoolean()
+    val dimPred = pick(r, arm.dimPreds)
+    val factPreds = r.shuffle(factPredPool).take(r.nextInt(2)).map(_._1)
+    val key = pick(r, cols.filter(_.kind == "cat").map(_.name))
+    val moneyCol = pick(r, cols.filter(_.kind == "money").map(_.name))
+
+    new Q {
+      val name = f"q_fuzze_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val fact = factPreds.foldLeft(Tables.table(spark, dir, tableName))(
+          (d, p) => d.where(expr(p)))
+        val dim = Tables.table(spark, dir, arm.dim).where(expr(dimPred))
+          .select(col(arm.dimKey))
+        fact.join(broadcast(dim), col(arm.factKey) === col(arm.dimKey),
+            if (negated) "left_anti" else "left_semi")
+          .groupBy(col(key))
+          .agg(count(lit(1)).as("n"), sum(Q.cents(col(moneyCol))).as("sum_cents"))
+          .orderBy(col(key))
+      }
+      val oracle = Some {
+        val where = if (factPreds.isEmpty) "" else factPreds.mkString("WHERE ", " AND ", " AND ")
+        val prefix = if (factPreds.isEmpty) "WHERE " else where
+        val ex = if (negated) "NOT EXISTS" else "EXISTS"
+        s"""SELECT $key, count(*) AS n,
+           |  CAST(sum(CAST(round($moneyCol * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM $tableName
+           |$prefix$ex (SELECT 1 FROM ${arm.dim}
+           |  WHERE ${arm.dimKey} = $tableName.${arm.factKey} AND $dimPred)
+           |GROUP BY $key ORDER BY $key""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
     val joins = (0 until 10).map(genJoin(r, _))
     val windows = (0 until 8).map(genWindow(r, _))
     val topks = (0 until 5).map(genTopK(r, _))
-    scans ++ joins ++ windows ++ topks
+    // new arms draw from the SAME stream, appended after the originals, so
+    // every pre-existing instance keeps its exact shape across rounds
+    val groupings = (0 until 6).map(genGroupingSets(r, _))
+    val exists = (0 until 6).map(genExists(r, _))
+    scans ++ joins ++ windows ++ topks ++ groupings ++ exists
   }
 }
