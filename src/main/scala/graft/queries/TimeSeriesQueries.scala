@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exponentially-weighted time-series surface (VERDICT r4 item 5). True
+  * float EWMA (s_t = αx_t + (1-α)s_{t-1}) is an order-dependent float
+  * recurrence that cannot pass a bit-deterministic cross-engine gate, so
+  * both queries here use the *binary-decay* formulation: α = 1/2 with a
+  * truncated horizon, which makes every weight an exact power of two and
+  * the whole statistic BIGINT arithmetic — bit-identical on any engine,
+  * any partitioning, any reduction order.
+  *
+  * Scale shape: both queries aggregate the fact table to a per-day frame
+  * first (the only fact-cardinality pass), then apply the decay over the
+  * tiny daily frame — O(days × statuses) window/agg work, never a
+  * per-row-weighted shuffle of raw facts.
+  */
+object TimeSeriesQueries {
+
+  private def cents(c: Column) = Q.cents(c)
+
+  /** Truncated binary-decay EWMA over daily revenue per order status:
+    * ewma_num = Σ_{k=0..7} rev(day−k ROWS) · 2^(7−k) — the current day
+    * weighs 128, each older row half that. wsum sums the weights actually
+    * present (ramp-up rows have fewer lags), and ewma_cents = num div wsum
+    * is the normalized smoother (integer division truncates toward zero
+    * identically in Spark `div` and DuckDB `//` for non-negative sums).
+    * The 8-term lag ladder is 8 offset reads of ONE sorted window pass —
+    * a single per-status sort of the daily frame, no self-joins. */
+  val qEwmaRevenue: Q = new Q {
+    val name = "q_ewma_revenue"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("day")
+      val terms = (0 to 7).map { k =>
+        val weight = 1L << (7 - k)
+        val x = if (k == 0) col("rev_cents") else lag(col("rev_cents"), k).over(w)
+        (coalesce(x, lit(0L)) * lit(weight),
+          when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val wsum = terms.map(_._2).reduce(_ + _)
+      daily.select(col("day"), col("o_orderstatus"), col("rev_cents"),
+          num.as("ewma_num"), wsum.as("ewma_wsum"))
+        .withColumn("ewma_cents", expr("ewma_num div ewma_wsum"))
+        .orderBy("o_orderstatus", "day")
+    }
+    val oracle = Some {
+      val terms = (0 to 7).map { k =>
+        val weight = 1L << (7 - k)
+        val x = if (k == 0) "rev_cents"
+        else s"lag(rev_cents, $k) OVER (PARTITION BY o_orderstatus ORDER BY day)"
+        (s"coalesce($x, 0) * $weight",
+          s"CASE WHEN $x IS NOT NULL THEN $weight ELSE 0 END")
+      }
+      val num = terms.map(_._1).mkString(" + ")
+      val wsum = terms.map(_._2).mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         |  FROM orders GROUP BY 1, 2),
+         |e AS (
+         |  SELECT day, o_orderstatus, rev_cents,
+         |    CAST($num AS BIGINT) AS ewma_num,
+         |    CAST($wsum AS BIGINT) AS ewma_wsum
+         |  FROM daily)
+         |SELECT day, o_orderstatus, rev_cents, ewma_num, ewma_wsum,
+         |  CAST(ewma_num // ewma_wsum AS BIGINT) AS ewma_cents
+         |FROM e ORDER BY o_orderstatus, day""".stripMargin
+    }
+  }
+
+  /** Recency-decayed revenue score per order status: each day's revenue
+    * weighs 2^(20 − age) where age = days before the newest order date;
+    * days older than 20 contribute zero (truncated half-life-one-day
+    * decay). The weight is applied on the per-day aggregate and summed —
+    * one groupBy over the daily frame with a broadcast 1-row max-date.
+    * Weights stay BIGINT-exact: daily revenue ≲ 10^10 cents even at
+    * sf100 and 2^20 ≈ 10^6 keeps the sum far inside int64. */
+  val qDecayRevenue: Q = new Q {
+    val name = "q_decay_revenue"
+    private val Horizon = 20
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val hi = daily.agg(max("day").as("hi"))
+      daily.join(broadcast(hi))
+        .withColumn("age", datediff(col("hi"), col("day")))
+        .where(col("age") <= Horizon)
+        .withColumn("weight",
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Horizon - age AS INT))"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("rev_cents") * col("weight")).as("decayed_num"),
+          sum("rev_cents").as("window_cents"),
+          count(lit(1)).as("n_days"))
+        .orderBy("o_orderstatus")
+    }
+    val oracle = Some(
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         |  FROM orders GROUP BY 1, 2),
+         |h AS (SELECT max(day) AS hi FROM daily),
+         |aged AS (
+         |  SELECT o_orderstatus, rev_cents,
+         |         date_diff('day', day, hi) AS age
+         |  FROM daily, h
+         |  WHERE date_diff('day', day, hi) <= $Horizon)
+         |SELECT o_orderstatus,
+         |  CAST(sum(rev_cents * (CAST(1 AS BIGINT) << CAST($Horizon - age AS INT))) AS BIGINT)
+         |    AS decayed_num,
+         |  CAST(sum(rev_cents) AS BIGINT) AS window_cents,
+         |  count(*) AS n_days
+         |FROM aged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue)
+}

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Third analytic-SQL wave: the remaining TPC-H plan shapes expressible on
-  * this schema directly (no shipmode/commitdate columns — Q12/Q21 have no
-  * faithful adaptation and are out of scope; the partsupp-dependent
-  * Q2/Q9/Q11/Q16/Q20 live in [[PartsuppQueries]] over a derived partsupp).
+  * this schema directly (the partsupp-dependent Q2/Q9/Q11/Q16/Q20 live in
+  * [[PartsuppQueries]] over a derived partsupp; Q1 plus the
+  * lateness-adapted Q12/Q21/Q22 live in [[TpchFinalQueries]], completing
+  * all 22 shapes).
   *
   * Scale shapes exercised here, each distinct from the Q1/Q3/Q6 already in
   * the catalog:
