@@ -364,6 +364,72 @@ object FuzzQueries {
     }
   }
 
+  /** Scalar-expression grammar: group keys are DERIVED through string /
+    * date / modulo functions instead of raw columns — fuzzing the scalar
+    * layer (substr indexing bases, year/month extraction, concat null
+    * rules, % sign semantics, floor-of-division) where engines diverge in
+    * semantics rather than in plans. Every derived key expression is one
+    * SQL string evaluated by BOTH engines (Spark `expr` and DuckDB parse
+    * the identical text), so the fuzz checks function-for-function parity;
+    * the pool is restricted to non-null inputs (concat/left) and
+    * non-negative operands (%, floor) where the engines' edge rules
+    * differ by design. */
+  private val scalarKeyPool: Map[String, Seq[(String, String)]] = Map(
+    // key alias -> one SQL text both engines evaluate
+    "lineitem" -> Seq(
+      "rf_ls" -> "concat(l_returnflag, '-', l_linestatus)",
+      "ship_year" -> "CAST(year(l_shipdate) AS BIGINT)",
+      "ok_mod" -> "l_orderkey % 7",
+      "qty_decile" -> "CAST(floor(l_quantity / 10) AS BIGINT)"),
+    "orders" -> Seq(
+      "prio_class" -> "substr(o_orderpriority, 1, 1)",
+      "ord_month" -> "CAST(month(o_orderdate) AS BIGINT)",
+      "ck_mod" -> "o_custkey % 5",
+      "status_lc" -> "lower(o_orderstatus)"),
+    "customer" -> Seq(
+      "seg_lc" -> "lower(c_mktsegment)",
+      "name_len" -> "CAST(length(c_name) AS BIGINT)",
+      "ck_mod" -> "c_custkey % 11",
+      "name_digits" -> "substr(c_name, 10, 3)"))
+
+  private def genScalar(r: Random, idx: Int): Q = {
+    val tableName = pick(r, tables.keys.toSeq.sorted)
+    val (cols, predPool) = tables(tableName)
+    val preds = r.shuffle(predPool).take(r.nextInt(2))
+    val keys = r.shuffle(scalarKeyPool(tableName)).take(1 + r.nextInt(2))
+    val moneyCol = pick(r, cols.filter(_.kind == "money").map(_.name))
+    val withDistinct = r.nextBoolean()
+    val distinctCol = pick(r, cols.filter(_.kind == "int").map(_.name))
+
+    new Q {
+      val name = f"q_fuzzs_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = preds.foldLeft(Tables.table(spark, dir, tableName))(
+          (d, p) => d.where(expr(p._1)))
+        val keyed = keys.foldLeft(base) { case (d, (alias, sql)) =>
+          d.withColumn(alias, expr(sql))
+        }
+        val aggCols = Seq(count(lit(1)).as("n"),
+          sum(Q.cents(col(moneyCol))).as("sum_cents")) ++
+          (if (withDistinct) Seq(countDistinct(col(distinctCol)).as("nd")) else Nil)
+        keyed.groupBy(keys.map(k => col(k._1)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(keys.map(k => col(k._1)): _*)
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        val keySelect = keys.map { case (alias, sql) => s"$sql AS $alias" }.mkString(", ")
+        val keyNames = keys.map(_._1).mkString(", ")
+        val aggSql = Seq("count(*) AS n",
+          s"CAST(sum(CAST(round($moneyCol * 100) AS BIGINT)) AS BIGINT) AS sum_cents") ++
+          (if (withDistinct) Seq(s"count(DISTINCT $distinctCol) AS nd") else Nil)
+        s"""SELECT $keySelect, ${aggSql.mkString(", ")}
+           |FROM $tableName $where
+           |GROUP BY $keyNames ORDER BY $keyNames""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -374,6 +440,7 @@ object FuzzQueries {
     // every pre-existing instance keeps its exact shape across rounds
     val groupings = (0 until 6).map(genGroupingSets(r, _))
     val exists = (0 until 6).map(genExists(r, _))
-    scans ++ joins ++ windows ++ topks ++ groupings ++ exists
+    val scalars = (0 until 8).map(genScalar(r, _))
+    scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars
   }
 }
