@@ -182,5 +182,50 @@ object MixQueries {
          |FROM t ORDER BY doc_id""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum)
+  /** Deterministic stratified train/val/test split (80/10/10 by hash
+    * bucket): assignment is a pure function of doc_id — stable under
+    * re-runs, repartitioning, and incremental appends (the properties a
+    * training-data split must have; a random() split has none of them).
+    * The salt (":split") decorrelates the split buckets from mix_sample's
+    * sampling buckets so sampling can't bias a split. Emitted per
+    * (source, split) with doc counts, char mass, and a membership checksum
+    * (sum of per-doc hashes mod 1e9) that proves WHICH docs landed where,
+    * not just how many. Pure map + one tiny aggregate — no shuffle wider
+    * than |sources|×3 rows at any scale. */
+  val corpusSplit: Q = new Q {
+    val name = "corpus_split"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val bucket = pmod(
+        HashOps.hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+      Tables.documents(spark, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(pmod(HashOps.hash60(col("doc_id").cast("string")), lit(1000000000L)))
+            .as("member_checksum"))
+        .orderBy("source", "split")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT source, n_chars, doc_id,
+         |    ${HashOps.sqlHash60("concat(CAST(doc_id AS VARCHAR), ':split')")} % 100 AS bucket
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, n_chars, doc_id,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM t)
+         |SELECT source, split, count(*) AS n_docs,
+         |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${HashOps.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000000) AS BIGINT)
+         |    AS member_checksum
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
+    corpusSplit)
 }

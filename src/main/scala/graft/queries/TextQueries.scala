@@ -307,6 +307,77 @@ object TextQueries {
         |ORDER BY doc_id, chunk_idx""".stripMargin)
   }
 
+  /** BM25 relevance ranking for a fixed query-term set — the retrieval
+    * scorer of a data-curation / RAG pipeline, expressed in EXACT rational
+    * arithmetic so the ranking is bit-deterministic across engines:
+    * k1 = 6/5 and b = 3/4 make every BM25 factor a ratio of BIGINTs
+    * (tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) ≡ 44·tf·avgdl / (20·tf·avgdl
+    * + 6·avgdl + 18·dl)), idf is the probabilistic rational
+    * (2(N−df)+1)/(2df+1), and avgdl is the INTEGER mean (sumdl div N,
+    * documented quantization). Per-(doc,term) scores are e4-scaled by
+    * integer division, then integer-summed per doc — no float ever enters.
+    *
+    * Scale shape: the only fact-cardinality pass is tokenize+filter to the
+    * |terms|-bounded postings (explode is pre-filtered by the IN list);
+    * corpus stats (N, sumdl) and per-term df are broadcast 1-row/|terms|-row
+    * aggregates; the final top-50 is TakeOrdered, never a global sort. */
+  val bm25Topk: Q = new Q {
+    val name = "bm25_topk"
+    private val Terms = Seq("join", "window", "stream", "sort")
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .select(col("n_docs"), expr("sum_dl div n_docs").as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term").isin(Terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .join(broadcast(stats))
+        .withColumn("num",
+          (lit(2) * (col("n_docs") - col("df")) + lit(1)) * lit(44) * col("tf") * col("avgdl"))
+        .withColumn("den",
+          (lit(2) * col("df") + lit(1)) *
+            (lit(20) * col("tf") * col("avgdl") + lit(6) * col("avgdl") + lit(18) * col("dl")))
+        .withColumn("term_score_e4", expr("(num * 10000) div den"))
+        .groupBy("doc_id")
+        .agg(sum("term_score_e4").as("score_e4"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_e4").desc, col("doc_id"))
+        .limit(50)
+    }
+    val oracle = Some {
+      val termList = Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, $SqlToks AS toks,
+         |    CAST(len($SqlToks) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS BIGINT) // count(*) AS avgdl
+         |  FROM docs),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs) t
+         |  WHERE term IN ($termList)
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ((2 * (s.n_docs - d.df) + 1) * 44 * tf.tf * s.avgdl * 10000)
+         |      // ((2 * d.df + 1) * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))
+         |      AS term_score_e4
+         |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s)
+         |SELECT doc_id, CAST(sum(term_score_e4) AS BIGINT) AS score_e4,
+         |  count(*) AS n_terms_hit
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_e4 DESC, doc_id LIMIT 50""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition, piiRedact, docSalientTerm, docChunks)
+    textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk)
 }

@@ -17,6 +17,18 @@ object VectorQueries {
   val Dim = 64
   val TopK = 5
   val QueryStride = 50 // vec_id % stride == 0 → query set
+  /** Caps that make the query batch and the IVF centroid set FIXED
+    * workload/index parameters instead of corpus fractions. Without them
+    * the 100× ScaleProbe showed ann_ivf_topk at 155× (queries AND
+    * centroids both grew with the facts, so assign-cost ∝ N·nlist ∝ N²);
+    * with id-bounded sets the broadcast sides stay constant as facts
+    * accrete and every ANN stage is linear in corpus size. Both caps are
+    * above every sf0.01 id, so the correctness-gate outputs are
+    * unchanged. At a real 100 TB deployment these correspond to the
+    * external query batch and the trained index's nlist (see
+    * kmeans_clusters for centroid training). */
+  val QueryCap = 1000L   // ≤20 query vectors
+  val IvfCentCap = 1312L // ≤32 IVF centroids (41-stride below 1312)
   val NearDupCos = 0.4 // testdata has no planted vector dups; 0.4 yields pairs
   val NumPlanes = 8
 
@@ -34,7 +46,7 @@ object VectorQueries {
     val name = "ann_brute_topk"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(spark, dir)
-      val queries = emb.where(col("vec_id") % QueryStride === 0)
+      val queries = emb.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       VectorOps.bruteForceTopK(queries, cands, Dim, TopK)
@@ -45,7 +57,7 @@ object VectorQueries {
     val oracle = Some(
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-         |  WHERE vec_id % $QueryStride = 0),
+         |  WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
          |c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
          |s AS (
          |  SELECT q_id, c_id,
@@ -93,7 +105,7 @@ object VectorQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val withB = Tables.embeddings(spark, dir)
         .withColumn("bucket", VectorOps.lshBucket(col("embedding"), Dim, NumPlanes))
-      val queries = withB.where(col("vec_id") % QueryStride === 0)
+      val queries = withB.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
       val cands = withB
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
@@ -119,7 +131,7 @@ object VectorQueries {
            |wb AS (SELECT e.vec_id, e.embedding, k.bucket
            |       FROM embeddings e JOIN k ON e.vec_id = k.vec_id),
            |q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM wb
-           |      WHERE vec_id % $QueryStride = 0),
+           |      WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
            |c AS (SELECT vec_id AS c_id, embedding AS c_vec, bucket FROM wb),
            |s AS (
            |  SELECT q_id, c_id,
@@ -174,7 +186,7 @@ object VectorQueries {
     val name = "ivf_assign"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(spark, dir)
-      val cents = emb.where(col("vec_id") % IvfStride === 0)
+      val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val scored = emb.crossJoin(broadcast(cents))
         .withColumn("cosine_sim", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
@@ -187,7 +199,7 @@ object VectorQueries {
     val oracle = Some(
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-         |  WHERE vec_id % $IvfStride = 0),
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
          |s AS (
          |  SELECT e.vec_id, c.c_id,
          |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cosine_sim
@@ -208,7 +220,7 @@ object VectorQueries {
     val name = "ann_ivf_topk"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(spark, dir)
-      val cents = emb.where(col("vec_id") % IvfStride === 0)
+      val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val scored = emb.crossJoin(broadcast(cents))
         .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
@@ -216,7 +228,7 @@ object VectorQueries {
       val assigned = scored.withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id").as("centroid_id"))
-      val queries = assigned.where(col("vec_id") % QueryStride === 0)
+      val queries = assigned.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("centroid_id"))
       val cands = assigned
         .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"), col("centroid_id"))
@@ -232,7 +244,7 @@ object VectorQueries {
     val oracle = Some(
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-         |  WHERE vec_id % $IvfStride = 0),
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
          |s AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
          |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
@@ -242,7 +254,7 @@ object VectorQueries {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
          |    FROM s) t WHERE rn = 1),
          |q AS (SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM assigned
-         |      WHERE vec_id % $QueryStride = 0),
+         |      WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
          |cd AS (SELECT vec_id AS c_id2, embedding AS c_vec2, centroid_id FROM assigned),
          |sc AS (
          |  SELECT q_id, c_id2,
@@ -269,7 +281,7 @@ object VectorQueries {
     val name = "ann_ivf_mp_topk"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(spark, dir)
-      val cents = emb.where(col("vec_id") % IvfStride === 0)
+      val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val scored = emb.crossJoin(broadcast(cents))
         .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
@@ -278,7 +290,8 @@ object VectorQueries {
       val assigned = ranked.where(col("rn") === 1)
         .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
           col("c_id").as("centroid_id"))
-      val probes = ranked.where(col("rn") <= NProbe && col("vec_id") % QueryStride === 0)
+      val probes = ranked.where(col("rn") <= NProbe && col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryCap)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
           col("c_id").as("centroid_id"))
       val joined = assigned.join(broadcast(probes), Seq("centroid_id"))
@@ -293,7 +306,7 @@ object VectorQueries {
     val oracle = Some(
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-         |  WHERE vec_id % $IvfStride = 0),
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
          |s AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
          |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
@@ -307,7 +320,7 @@ object VectorQueries {
          |  FROM r0 WHERE rn = 1),
          |probes AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec, c_id AS centroid_id
-         |  FROM r0 WHERE rn <= $NProbe AND vec_id % $QueryStride = 0),
+         |  FROM r0 WHERE rn <= $NProbe AND vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
          |sc AS (
          |  SELECT q_id, c_id2,
          |    ${sqlDot("q_vec", "c_vec2")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec2")}) AS cosine_sim
