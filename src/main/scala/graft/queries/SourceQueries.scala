@@ -190,6 +190,51 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Z-order (Morton) clustering key for 2-dimensional lake layout: the
+    * bit-interleave of the integer grid coordinates, computed in PURE
+    * integer arithmetic (the grid coords come straight from the event_id
+    * congruences — no float ever enters, so the code is bit-identical on
+    * any engine). Sorting a partition's files by z-code before writing
+    * (`writeMart(df.sortWithinPartitions($"zcode"))`) clusters
+    * spatially-near rows into the same parquet row groups, so a 2-D
+    * bounding-box predicate prunes via row-group min/max stats — the
+    * standard lake-layout optimization for geo scans at 100 TB. The query
+    * emits the code plus its 16-quadrant prefix; the spec proves the
+    * locality property (each quadrant spans ≤1/4 of each axis), the
+    * oracle proves the interleave arithmetic. Narrow map-only plan. */
+  val zorderLayout: Q = new Q {
+    val name = "q_zorder_layout"
+    private val Bits = 12 // zx < 3600, zy < 1200 both fit 12 bits
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val zx = (col("event_id") * 29) % 3600
+      val zy = (col("event_id") * 13) % 1200
+      def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until Bits).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+      Tables.events(spark, dir)
+        .select(col("event_id"), zx.as("zx"), zy.as("zy"))
+        .withColumn("zcode", interleave(col("zx"), col("zy")))
+        .withColumn("quadrant", shiftright(col("zcode"), 2 * Bits - 4))
+        .orderBy("zcode", "event_id")
+    }
+    val oracle = Some {
+      val terms = (0 until Bits).map { i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT event_id,
+         |    (event_id * 29) % 3600 AS zx,
+         |    (event_id * 13) % 1200 AS zy
+         |  FROM events),
+         |z AS (SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zcode FROM g)
+         |SELECT event_id, zx, zy, zcode,
+         |  CAST(zcode >> ${2 * Bits - 4} AS BIGINT) AS quadrant
+         |FROM z ORDER BY zcode, event_id""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
-    dppMonthRevenue)
+    dppMonthRevenue, zorderLayout)
 }

@@ -236,6 +236,43 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class EwmaOut(user_id: Long, n: Long, ewma_scaled: Long)
+
+  /** Streaming twin of q_ewma_revenue's binary-decay smoother: per key,
+    * each value folds as S := v·128 + (S >> 1) — the α=1/2 recurrence
+    * over event steps in pure integer arithmetic (right-shift truncation
+    * is the deterministic quantization; a contribution vanishes after
+    * ~64 shifts, so state magnitude is bounded by 256·max(v) — O(1)
+    * state on an unbounded stream, like the batch ladder's 8-term
+    * horizon). Values fold in arrival order within a micro-batch, so the
+    * smoother is well-defined when the source preserves per-key order
+    * (the kafka-per-partition / sorted-replay contract). */
+  class EwmaProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[Long, KeyedValue, EwmaOut] {
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("ewma",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedValue],
+                                 timers: TimerValues): Iterator[EwmaOut] = {
+      var (n, s) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { r => n += 1; s = r.v * 128L + (s >> 1) }
+      state.update((n, s))
+      Iterator.single(EwmaOut(key, n, s))
+    }
+  }
+
+  /** Wire [[EwmaProcessor]] over a keyed stream (RocksDB state store, as
+    * for [[runningTotals]]). */
+  def ewmaStream(events: Dataset[KeyedValue],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -38,6 +38,28 @@ class RetrievalSpec extends SparkSpec {
       byCat("train") > byCat.getOrElse("test", 0L))
   }
 
+  test("q_zorder_layout: z-code ordering clusters each quadrant into a 1/4-axis bounding box") {
+    val rows = graft.queries.SourceQueries.zorderLayout.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("quadrant")).foreach { case (q, rs) =>
+      val zxs = rs.map(_.getAs[Long]("zx")); val zys = rs.map(_.getAs[Long]("zy"))
+      // top 4 code bits = top 2 bits of each 12-bit axis → each quadrant
+      // spans at most 1024 of 4096 x-units and 1024 of 4096 y-units
+      assert(zxs.max - zxs.min < 1024, s"quadrant $q x-span too wide")
+      assert(zys.max - zys.min < 1024, s"quadrant $q y-span too wide")
+    }
+    // the code is a bijection of (zx, zy): re-extract and compare
+    rows.foreach { r =>
+      val (zx, zy, z) = (r.getAs[Long]("zx"), r.getAs[Long]("zy"), r.getAs[Long]("zcode"))
+      var (ex, ey) = (0L, 0L)
+      (0 until 12).foreach { i =>
+        ex |= ((z >> (2 * i)) & 1) << i
+        ey |= ((z >> (2 * i + 1)) & 1) << i
+      }
+      assert(ex == zx && ey == zy, s"interleave not invertible at $r")
+    }
+  }
+
   test("corpus_split assignment is a pure function of doc_id (stable under re-run)") {
     val a = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted
     val b = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted

@@ -281,6 +281,40 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ewmaStream: binary-decay fold matches the reference recurrence across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingOps.KeyedValue]
+    val q = StreamingOps.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(StreamingOps.KeyedValue(1L, 10), StreamingOps.KeyedValue(1L, 4))
+      q.processAllAvailable()
+      input.addData(StreamingOps.KeyedValue(1L, 6), StreamingOps.KeyedValue(2L, 3))
+      q.processAllAvailable()
+      val got = spark.table("ewma").as[StreamingOps.EwmaOut].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n) }
+      // S := v*128 + (S >> 1), folded in arrival order
+      val s1 = {
+        val a = 10L * 128
+        val b = 4L * 128 + (a >> 1)
+        6L * 128 + (b >> 1)
+      }
+      assert(got(1L) === StreamingOps.EwmaOut(1L, 3, s1))
+      assert(got(2L) === StreamingOps.EwmaOut(2L, 1, 3L * 128))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("aggregation state survives a query restart from the checkpoint") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
