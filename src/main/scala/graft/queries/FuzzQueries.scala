@@ -430,6 +430,68 @@ object FuzzQueries {
     }
   }
 
+  /** Window-FRAME grammar: bounded ROWS frames (k PRECEDING .. CURRENT
+    * ROW), ntile bucketing, and first_value over unique-keyed windows —
+    * the frame-boundary arithmetic and bucket-split rules that the plain
+    * window arm (rank/lag/running) doesn't touch. All outputs BIGINT,
+    * window order is the unique o_orderkey so every function is
+    * bit-deterministic. */
+  private def genFrame(r: Random, idx: Int): Q = {
+    val partCol = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+    val windowSql = s"PARTITION BY $partCol ORDER BY o_orderkey"
+    val k = 2 + r.nextInt(5) // frame lookback
+    val nt = 3 + r.nextInt(4) // ntile buckets
+    val nFns = 1 + r.nextInt(3)
+    val fnChoices = (0 until nFns).map { i =>
+      r.nextInt(4) match {
+        case 0 => (s"fsum_$i", "frame_sum",
+          s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER " +
+            s"($windowSql ROWS BETWEEN $k PRECEDING AND CURRENT ROW) AS BIGINT)")
+        case 1 => (s"fcnt_$i", "frame_cnt",
+          s"count(*) OVER ($windowSql ROWS BETWEEN $k PRECEDING AND CURRENT ROW)")
+        case 2 => (s"nt_$i", "ntile",
+          s"CAST(ntile($nt) OVER ($windowSql) AS BIGINT)")
+        case 3 => (s"fv_$i", "first_value",
+          s"first_value(o_orderkey) OVER " +
+            s"($windowSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+      }
+    }
+    val pred = pick(r, Seq(
+      "o_totalprice >= 50000", "o_orderstatus <> 'P'",
+      "o_orderdate < TIMESTAMP '2000-01-01 00:00:00'"))
+
+    new Q {
+      val name = f"q_fuzzf_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(partCol).orderBy("o_orderkey")
+        val base = Tables.orders(spark, dir).where(expr(pred))
+          .select(col("o_orderkey"), col(partCol), col("o_totalprice"))
+        val withFns = fnChoices.foldLeft(base) { case (d, (n, kind, _)) =>
+          val c = kind match {
+            case "frame_sum" =>
+              sum(Q.cents(col("o_totalprice"))).over(w.rowsBetween(-k, 0))
+            case "frame_cnt" => count(lit(1)).over(w.rowsBetween(-k, 0))
+            case "ntile" => ntile(nt).over(w).cast("long")
+            case "first_value" => first(col("o_orderkey"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          }
+          d.withColumn(n, c)
+        }
+        withFns
+          .select((Seq(col("o_orderkey"), col(partCol)) ++
+            fnChoices.map(f => col(f._1))): _*)
+          .orderBy("o_orderkey")
+      }
+      val oracle = Some {
+        val fnSql = fnChoices.map(f => s"${f._3} AS ${f._1}").mkString(", ")
+        s"""SELECT o_orderkey, $partCol, $fnSql
+           |FROM orders WHERE $pred
+           |ORDER BY o_orderkey""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -441,6 +503,7 @@ object FuzzQueries {
     val groupings = (0 until 6).map(genGroupingSets(r, _))
     val exists = (0 until 6).map(genExists(r, _))
     val scalars = (0 until 8).map(genScalar(r, _))
-    scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars
+    val frames = (0 until 6).map(genFrame(r, _))
+    scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++ frames
   }
 }

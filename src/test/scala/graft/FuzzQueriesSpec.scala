@@ -22,8 +22,10 @@ class FuzzQueriesSpec extends SparkSpec {
     FuzzQueries.all.foreach { q =>
       val rows = q.run(spark, dir).collect()
       assert(rows.nonEmpty, s"${q.name}: empty result at sf0.001")
-      // grouped arms collapse to few rows; the window arm is per-row by design
-      val bound = if (q.name.startsWith("q_fuzzw")) 2000 else 500
+      // grouped arms collapse to few rows; the window/frame arms are
+      // per-row by design
+      val bound = if (q.name.startsWith("q_fuzzw") ||
+        q.name.startsWith("q_fuzzf")) 2000 else 500
       assert(rows.length < bound, s"${q.name}: unexpected size (${rows.length} rows)")
     }
   }
