@@ -235,6 +235,70 @@ object SourceQueries {
     }
   }
 
+  /** Lake reconciliation (anti-entropy table diff): classify every key of
+    * two table versions as added / deleted / changed / same via ONE
+    * full-outer join on the key plus a row fingerprint (md5 over the
+    * value columns — longs only, so the string rendering is
+    * engine-portable), then collapse to per-class counts and a key
+    * checksum proving WHICH keys are in each class. The two versions are
+    * synthesized from `orders` by deterministic key congruences (%11
+    * missing from v1 → added, %13 dropped in v2 → deleted, %7
+    * status-rewritten → changed). Scale shape: one shuffle on the join
+    * key (both sides pre-projected to key+fingerprint — a 2-column
+    * exchange regardless of table width), then a 4-row aggregate; this is
+    * the nightly snapshot-vs-snapshot integrity check of a 100 TB lake,
+    * and it never materializes row values, only fingerprints. */
+  val tableDiff: Q = new Q {
+    val name = "q_table_diff"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val base = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("tp"))
+      def fp(st: org.apache.spark.sql.Column) =
+        md5(concat_ws(":", col("k").cast("string"), st, col("tp").cast("string")))
+      val v1 = base.where(col("k") % 11 =!= 0)
+        .select(col("k").as("k1"), fp(col("st")).as("fp1"))
+      val v2 = base.where(col("k") % 13 =!= 0)
+        .select(col("k").as("k2"),
+          fp(when(col("k") % 7 === 0, lit("X")).otherwise(col("st"))).as("fp2"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .select(coalesce(col("k1"), col("k2")).as("k"),
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "deleted")
+            .when(col("fp1") === col("fp2"), "same")
+            .otherwise("changed").as("class"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k") % 1000000000L).as("key_checksum"))
+        .orderBy("class")
+    }
+    val oracle = Some(
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT k AS k1,
+        |    md5(concat(CAST(k AS VARCHAR), ':', st, ':', CAST(tp AS VARCHAR))) AS fp1
+        |  FROM base WHERE k % 11 <> 0),
+        |v2 AS (
+        |  SELECT k AS k2,
+        |    md5(concat(CAST(k AS VARCHAR), ':',
+        |      CASE WHEN k % 7 = 0 THEN 'X' ELSE st END, ':',
+        |      CAST(tp AS VARCHAR))) AS fp2
+        |  FROM base WHERE k % 13 <> 0),
+        |j AS (
+        |  SELECT coalesce(k1, k2) AS k,
+        |    CASE WHEN k1 IS NULL THEN 'added'
+        |         WHEN k2 IS NULL THEN 'deleted'
+        |         WHEN fp1 = fp2 THEN 'same'
+        |         ELSE 'changed' END AS class
+        |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+        |SELECT class, count(*) AS n,
+        |  CAST(sum(k % 1000000000) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY class ORDER BY class""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
-    dppMonthRevenue, zorderLayout)
+    dppMonthRevenue, zorderLayout, tableDiff)
 }

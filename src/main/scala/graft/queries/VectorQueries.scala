@@ -496,7 +496,89 @@ object VectorQueries {
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin)
   }
 
+  /** Product quantization (PQ): the 64-dim embedding splits into 4
+    * 16-dim subspaces, each encoded as its nearest of 8 codewords —
+    * 64 floats compress to 4 small codes (the memory layout behind
+    * billion-vector ANN serving; IVF+PQ is the standard pairing). The
+    * codebook, like the IVF centroid set, is an id-bounded FIXED index
+    * parameter (8 codewords below the cap — production would train it
+    * with the k-means op on a sample). Distances are exact kernel-dot
+    * algebra (‖v−c‖² = v·v + c·c − 2·v·c, one fixed fold order per dot)
+    * rounded to e6 BIGINTs before the argmin, codeword-id tie-break —
+    * bit-deterministic on both engines. Scale shape: corpus × 4
+    * subspaces × 8 broadcast codewords, all map-side; one argmin window
+    * per (vector, subspace) keyed by the vector — the shuffle carries
+    * N×4 rows once, and the output pivot is a second N-row aggregate. */
+  val pqCodes: Q = new Q {
+    val name = "pq_codes"
+    private val NSub = 4
+    private val SubDim = Dim / NSub
+    private val CodeStride = 61L
+    private val CodeCap = 488L // 8 codewords: 0, 61, …, 427
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      def sub(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+        slice(v, s * SubDim + 1, lit(SubDim))
+      val cw = emb
+        .where(col("vec_id") % CodeStride === 0 && col("vec_id") < CodeCap)
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("s"), col("vec_id").as("cw_id"),
+          sub(col("embedding"), col("s")).as("cw_sub"))
+      val vs = emb
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("vec_id"), col("s"), sub(col("embedding"), col("s")).as("v_sub"))
+      val dists = vs.join(broadcast(cw), Seq("s"))
+        .withColumn("dist2_e6", round(
+          (VectorOps.dot(col("v_sub"), col("v_sub"), SubDim) +
+            VectorOps.dot(col("cw_sub"), col("cw_sub"), SubDim) -
+            lit(2) * VectorOps.dot(col("v_sub"), col("cw_sub"), SubDim)) * 1000000)
+          .cast("long"))
+      val w = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist2_e6").asc, col("cw_id").asc)
+      val best = dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      best.groupBy("vec_id")
+        .agg(
+          max(when(col("s") === 0, col("cw_id"))).as("code_0"),
+          max(when(col("s") === 1, col("cw_id"))).as("code_1"),
+          max(when(col("s") === 2, col("cw_id"))).as("code_2"),
+          max(when(col("s") === 3, col("cw_id"))).as("code_3"),
+          sum("dist2_e6").as("err_e6"))
+        .orderBy("vec_id")
+    }
+    val oracle = Some {
+      def dotS(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      s"""WITH cw AS (
+         |  SELECT s, vec_id AS cw_id,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS cw_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)
+         |  WHERE vec_id % $CodeStride = 0 AND vec_id < $CodeCap),
+         |vs AS (
+         |  SELECT vec_id, s,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS v_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)),
+         |d AS (
+         |  SELECT vec_id, vs.s, cw_id,
+         |    CAST(round(((${dotS("v_sub", "v_sub")} + ${dotS("cw_sub", "cw_sub")})
+         |      - 2 * ${dotS("v_sub", "cw_sub")}) * 1000000) AS BIGINT) AS dist2_e6
+         |  FROM vs JOIN cw ON vs.s = cw.s),
+         |best AS (
+         |  SELECT vec_id, s, cw_id, dist2_e6, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist2_e6 ASC, cw_id ASC) AS rn
+         |  FROM d)
+         |SELECT vec_id,
+         |  max(CASE WHEN s = 0 THEN cw_id END) AS code_0,
+         |  max(CASE WHEN s = 1 THEN cw_id END) AS code_1,
+         |  max(CASE WHEN s = 2 THEN cw_id END) AS code_2,
+         |  max(CASE WHEN s = 3 THEN cw_id END) AS code_3,
+         |  CAST(sum(dist2_e6) AS BIGINT) AS err_e6
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
-    embedQuantize)
+    embedQuantize, pqCodes)
 }

@@ -60,6 +60,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("pq_codes: every code is a codebook id and reconstruction error is non-negative") {
+    val rows = graft.queries.VectorQueries.pqCodes.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val codebook = (0L until 488L by 61L).toSet
+    rows.foreach { r =>
+      (0 to 3).foreach { s =>
+        assert(codebook.contains(r.getAs[Long](s"code_$s")),
+          s"code outside codebook: $r")
+      }
+      assert(r.getAs[Long]("err_e6") >= 0L)
+      // a codeword encodes itself in every subspace with zero error
+      if (codebook.contains(r.getAs[Long]("vec_id"))) {
+        assert((0 to 3).forall(s => r.getAs[Long](s"code_$s") == r.getAs[Long]("vec_id")),
+          s"codeword not self-coded: $r")
+        assert(r.getAs[Long]("err_e6") === 0L, s"codeword has nonzero error: $r")
+      }
+    }
+  }
+
+  test("q_table_diff: classes partition the key universe of both versions") {
+    val rows = graft.queries.SourceQueries.tableDiff.run(spark, dir).collect()
+    val byClass = rows.map(r => r.getAs[String]("class") -> r.getAs[Long]("n")).toMap
+    assert(byClass.keySet === Set("added", "deleted", "changed", "same"))
+    val nOrders = Tables.orders(spark, dir).count()
+    // |v1 ∪ v2| = all keys minus those missing from BOTH versions (%11 and %13)
+    val expectedUniverse = nOrders -
+      Tables.orders(spark, dir)
+        .where("o_orderkey % 11 = 0 AND o_orderkey % 13 = 0").count()
+    assert(byClass.values.sum === expectedUniverse)
+  }
+
   test("corpus_split assignment is a pure function of doc_id (stable under re-run)") {
     val a = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted
     val b = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted
