@@ -120,5 +120,45 @@ object TimeSeriesQueries {
          |FROM aged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue)
+  /** Incremental view maintenance: the materialized aggregate is kept as
+    * MERGEABLE partials (count, sum, min, max per group), so a new data
+    * batch updates it by aggregating ONLY the batch and merging — never
+    * rescanning history. This query proves the algebra: it computes the
+    * partials separately over two date-disjoint halves of `orders`, merges
+    * them (sum-of-sums, min-of-mins, max-of-maxes), and the DuckDB oracle
+    * computes the same aggregate DIRECTLY over the full table — equality
+    * means partial-merge lost nothing. The derived average comes from the
+    * merged (sum, count) pair (integer division), exactly how an
+    * incremental mart serves avg without storing it. At 100 TB the merge
+    * side is O(groups), not O(rows) — the daily-batch cost collapses from
+    * full-history to batch-size. */
+  val qIncrementalAgg: Q = new Q {
+    val name = "q_incremental_agg"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val cut = lit("1998-01-01").cast("timestamp")
+      def partials(half: DataFrame) =
+        half.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("s"),
+            min(cents(col("o_totalprice"))).as("mn"),
+            max(cents(col("o_totalprice"))).as("mx"))
+      val orders = Tables.orders(spark, dir)
+      partials(orders.where(col("o_orderdate") < cut))
+        .unionByName(partials(orders.where(col("o_orderdate") >= cut)))
+        .groupBy("o_orderstatus")
+        .agg(sum("n").as("n_orders"), sum("s").as("total_cents"),
+          min("mn").as("min_cents"), max("mx").as("max_cents"))
+        .withColumn("avg_cents", expr("total_cents div n_orders"))
+        .orderBy("o_orderstatus")
+    }
+    val oracle = Some(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |       // count(*) AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg)
 }
