@@ -46,7 +46,7 @@ object PartsuppQueries {
       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
 
   private def stagePath(dir: String): String =
-    s"/tmp/graft_partsupp/${new java.io.File(dir).getName}/partsupp"
+    graft.ops.Staging.dir("/tmp/graft_partsupp", dir, "partsupp")
   private val staged = scala.collection.mutable.HashSet.empty[String]
 
   /** The derived partsupp, staged once per process (pure function of the
@@ -148,7 +148,7 @@ object PartsuppQueries {
         .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          revCents.as("rev_cents"), col("l_quantity").cast("long").as("qty"))
+          revCents.as("rev_cents"), round(col("l_quantity")).cast("long").as("qty"))
         .join(redParts, col("l_partkey") === col("p_partkey"))
         .join(ps, col("l_partkey") === col("ps_partkey") &&
           col("l_suppkey") === col("ps_suppkey"))
@@ -165,7 +165,7 @@ object PartsuppQueries {
          |profit AS (
          |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-         |      - ps_supplycost_cents * CAST(l_quantity AS BIGINT) AS amount_cents
+         |      - ps_supplycost_cents * CAST(round(l_quantity) AS BIGINT) AS amount_cents
          |  FROM lineitem, partsupp, part, supplier, orders, nation
          |  WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
          |    AND p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -269,7 +269,7 @@ object PartsuppQueries {
       val shipped = Tables.lineitem(spark, dir)
         .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(sum("l_quantity").cast("long").as("qty"))
+        .agg(round(sum("l_quantity")).cast("long").as("qty"))
       val redParts = broadcast(
         Tables.part(spark, dir).where(col("p_name").like("red%"))
           .select("p_partkey"))
@@ -296,7 +296,7 @@ object PartsuppQueries {
          |    WHERE ps_partkey IN (
          |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
          |      AND ps_availqty * 2 > (
-         |        SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+         |        SELECT CAST(round(sum(l_quantity)) AS BIGINT) FROM lineitem
          |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
          |          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
          |          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))

@@ -24,10 +24,11 @@ object SourceQueries {
 
   private def cents(c: org.apache.spark.sql.Column) = Q.cents(c)
 
-  /** Round-trip staging dir, keyed by scale factor so concurrent runs on
-    * different inputs never collide. */
+  /** Round-trip staging dir — absolute-path-hashed and process-private
+    * (see [[graft.ops.Staging]]) so same-basename inputs and concurrent
+    * JVMs never collide. */
   private def stage(dir: String, leaf: String): String =
-    s"/tmp/graft_fmt/${new java.io.File(dir).getName}/$leaf"
+    graft.ops.Staging.dir("/tmp/graft_fmt", dir, leaf)
 
   /** Paths already staged by THIS process. The staged copy is a pure
     * function of the input dir, so within one JVM the write runs once and
@@ -124,7 +125,7 @@ object SourceQueries {
       def latest(half: DataFrame): DataFrame =
         WindowOps.latestPerKey(half, Seq("user_id"), Seq(col("ts"), col("event_id")))
           .withColumn("part", pmod(col("user_id"), lit(8)).cast("int"))
-      val snapPath = s"/tmp/graft_merge/${new java.io.File(dir).getName}/user_pos"
+      val snapPath = graft.ops.Staging.dir("/tmp/graft_merge", dir, "user_pos")
       val pre = latest(ev.where(col("ts") < split))
       // cluster by the partition column so the bootstrap writes one file
       // per partition dir, not one per (task × partition)

@@ -101,7 +101,7 @@ object TpchFinalQueries {
         .select("l_orderkey", "l_linestatus", "l_shipdate")
       li.join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
-        .where(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .where(col("l_shipdate") > (col("o_orderdate") + expr("INTERVAL 60 DAYS")))
         .groupBy("l_linestatus")
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
@@ -141,7 +141,7 @@ object TpchFinalQueries {
       val li = Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(ordF, col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 60))
+        .withColumn("late", col("l_shipdate") > (col("o_orderdate") + expr("INTERVAL 60 DAYS")))
         .select("l_orderkey", "l_suppkey", "late")
       val l1 = li.where(col("late"))
       val others = li.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"),

@@ -182,6 +182,42 @@ object VectorQueries {
   /** IVF assignment: nearest centroid (argmax cosine) per vector, with a
     * data-derived centroid set (strided sample — a k-means iteration would
     * slot in identically). Broadcast centroids + window top-1. */
+  /** Shared IVF prefix: every corpus vector scored against the bounded
+    * centroid set, ranked per vector (rn=1 is the assignment; rn<=nProbe
+    * are a query's probe cells). Factored out so the three IVF queries
+    * share ONE definition and the recall query can persist it instead of
+    * recomputing the N x nlist assignment per search arm. */
+  private def ivfRanked(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
+      .withColumn("rn", row_number().over(wAssign))
+  }
+
+  /** IVF search over a ranked frame: candidates are each query's nProbe
+    * nearest cells' inverted lists (disjoint lists, so more probes only
+    * widen the candidate union). */
+  private def ivfSearch(ranked: DataFrame, nProbe: Int): DataFrame = {
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
+        col("c_id").as("centroid_id"))
+    val probes = ranked.where(col("rn") <= nProbe &&
+        col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("c_id").as("centroid_id"))
+    val joined = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("q_id") =!= col("c_id2"))
+      .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+      .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+      .orderBy("q_id", "rank")
+  }
+
   val ivfAssign: Q = new Q {
     val name = "ivf_assign"
     def run(spark: SparkSession, dir: String): DataFrame = {
@@ -218,29 +254,8 @@ object VectorQueries {
     * data-partitioned alternative to hyperplane-LSH bucketing. */
   val annIvfTopk: Q = new Q {
     val name = "ann_ivf_topk"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
-      val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
-      val assigned = scored.withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("centroid_id"))
-      val queries = assigned.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("centroid_id"))
-      val cands = assigned
-        .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"), col("centroid_id"))
-      val joined = cands.join(broadcast(queries), Seq("centroid_id"))
-        .where(col("q_id") =!= col("c_id2"))
-        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
-      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
-        .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
-          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
-        .orderBy("q_id", "rank")
-    }
+    def run(spark: SparkSession, dir: String): DataFrame =
+      ivfSearch(ivfRanked(spark, dir), nProbe = 1)
     val oracle = Some(
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -279,30 +294,8 @@ object VectorQueries {
     * bounded by list sizes, never |corpus|². */
   val annIvfMpTopk: Q = new Q {
     val name = "ann_ivf_mp_topk"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
-      val cents = emb.where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
-      val ranked = scored.withColumn("rn", row_number().over(wAssign))
-      val assigned = ranked.where(col("rn") === 1)
-        .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
-          col("c_id").as("centroid_id"))
-      val probes = ranked.where(col("rn") <= NProbe && col("vec_id") % QueryStride === 0 &&
-        col("vec_id") < QueryCap)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-          col("c_id").as("centroid_id"))
-      val joined = assigned.join(broadcast(probes), Seq("centroid_id"))
-        .where(col("q_id") =!= col("c_id2"))
-        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
-      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
-      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
-        .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
-          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
-        .orderBy("q_id", "rank")
-    }
+    def run(spark: SparkSession, dir: String): DataFrame =
+      ivfSearch(ivfRanked(spark, dir), NProbe)
     val oracle = Some(
       s"""WITH c AS (
          |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -461,9 +454,13 @@ object VectorQueries {
     val name = "ann_recall_at_k"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val brute = annBruteTopk.run(spark, dir).select("q_id", "c_id")
-      val ivf = annIvfTopk.run(spark, dir)
+      // ONE ranked-assignment computation serves both search arms (persist:
+      // the N x nlist scoring is the dominant cost; Verify clears the cache
+      // between queries)
+      val ranked = ivfRanked(spark, dir).persist()
+      val ivf = ivfSearch(ranked, nProbe = 1)
         .select(col("q_id"), col("c_id")).withColumn("hit_i", lit(1L))
-      val mp = annIvfMpTopk.run(spark, dir)
+      val mp = ivfSearch(ranked, NProbe)
         .select(col("q_id"), col("c_id")).withColumn("hit_m", lit(1L))
       brute
         .join(ivf, Seq("q_id", "c_id"), "left")

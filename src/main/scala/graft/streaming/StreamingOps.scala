@@ -238,15 +238,17 @@ object StreamingOps {
 
   case class EwmaOut(user_id: Long, n: Long, ewma_scaled: Long)
 
-  /** Streaming twin of q_ewma_revenue's binary-decay smoother: per key,
-    * each value folds as S := v·128 + (S >> 1) — the α=1/2 recurrence
-    * over event steps in pure integer arithmetic (right-shift truncation
-    * is the deterministic quantization; a contribution vanishes after
-    * ~64 shifts, so state magnitude is bounded by 256·max(v) — O(1)
-    * state on an unbounded stream, like the batch ladder's 8-term
-    * horizon). Values fold in arrival order within a micro-batch, so the
-    * smoother is well-defined when the source preserves per-key order
-    * (the kafka-per-partition / sorted-replay contract). */
+  /** Streaming binary-decay smoother: per key, each value folds as
+    * S := v·128 + (S >> 1) — the same α=1/2 decay as q_ewma_revenue, but
+    * a DIFFERENT statistic: unnormalized, over an infinite event-step
+    * horizon with per-step right-shift truncation (the batch query is a
+    * wsum-normalized exact 8-term ladder — do not parity-check one
+    * against the other). Integer arithmetic throughout; a contribution
+    * vanishes after ~64 shifts, so state magnitude is bounded by
+    * 256·max(v) — O(1) state on an unbounded stream. Values fold in
+    * arrival order within a micro-batch, so the smoother is well-defined
+    * when the source preserves per-key order (the kafka-per-partition /
+    * sorted-replay contract). */
   class EwmaProcessor(ttl: TTLConfig)
     extends StatefulProcessor[Long, KeyedValue, EwmaOut] {
     @transient private var state: ValueState[(Long, Long)] = _

@@ -34,7 +34,10 @@ object ScaleProbe {
       // session-2 wave: TPC-H shapes, custom broadcast as-of join, DPP
       "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
       "q_asof_broadcast_value", "q_dpp_month_revenue",
-      "q_tpch_q13", "q_tpch_q17", "q_rolling_distinct_users")
+      "q_tpch_q13", "q_tpch_q17", "q_rolling_distinct_users",
+      // round-5 wave: TPC-H closeout, retrieval, lake ops, time series
+      "q_tpch_q1", "q_tpch_q21", "bm25_topk", "q_table_diff",
+      "q_zorder_layout", "pq_codes", "q_ewma_revenue", "q_incremental_agg")
     val base = "/root/testdata/sf0.1"
     val scaled = s"/tmp/graft_scale/x$replicas"
     val spark = SparkSession.builder()

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Dev-only subset of [[graft.Verify]]: dump ONLY the named queries (plus
   * their oracle SQL) so tools/check.py can gate a work-in-progress query
@@ -26,18 +25,8 @@ object VerifyOne {
         .parquet(s"$outDir/$name")
       spark.catalog.clearCache()
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.view.filterKeys(names.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir,
+      graft.SparkEntry.oracleSql.view.filterKeys(names.contains).toMap)
     spark.stop()
   }
 }
