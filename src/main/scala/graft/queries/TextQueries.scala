@@ -378,6 +378,60 @@ object TextQueries {
     }
   }
 
+  /** Bigram language-model fluency scoring (the perplexity-proxy quality
+    * signal of a training-data pipeline, integer-exact): the corpus bigram
+    * table gives MLE conditionals p(w2|w1) = c(w1,w2) / c(w1 as history),
+    * e6-quantized by integer division; a document's fluency is the mean
+    * conditional over its bigram positions (again integer division) — no
+    * log, no float, so the score is bit-identical on any engine. The
+    * history count is derived FROM the bigram table (Σ_w2 c(w1,w2)), so
+    * the model is self-consistent: conditionals per history sum to ~1e6.
+    * Scale shape: one shuffle keyed by bigram (counts), one re-aggregate
+    * keyed by w1 (histories — shrinks to vocab²→vocab), one equi-join of
+    * positions to conditionals keyed by bigram, one final per-doc
+    * aggregate. Nothing rescans text twice; no driver-side state. */
+  val bigramLm: Q = new Q {
+    val name = "q_bigram_lm"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val positions = toks
+        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 2)).as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val c2 = positions.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val c1 = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .groupBy("w1").agg(sum("c2").as("c1"))
+      val cond = c2.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(c1, Seq("w1"))
+        .select(col("bigram"), expr("c2 * 1000000 div c1").as("p_e6"))
+      positions.join(cond, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_e6").as("sum_p_e6"))
+        .withColumn("fluency_e6", expr("sum_p_e6 div n_bigrams"))
+        .select("doc_id", "n_bigrams", "fluency_e6")
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, $SqlToks AS t FROM documents
+         |  WHERE len($SqlToks) >= 2),
+         |positions AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM positions GROUP BY bigram),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |cond AS (
+         |  SELECT bigram, (c2 * 1000000) // c1 AS p_e6
+         |  FROM c2 JOIN c1 ON split_part(bigram, ' ', 1) = w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p_e6) // count(*) AS BIGINT) AS fluency_e6
+         |FROM positions JOIN cond USING (bigram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk)
+    textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm)
 }
