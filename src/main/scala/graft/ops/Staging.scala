@@ -8,14 +8,35 @@ package graft.ops
   *    other's staged copy, and
   *  - the PROCESS id — two concurrent JVMs (Verify and Bench on the same
   *    host) never race one's SaveMode.Overwrite against the other's read.
-  * The basename stays in the path for human readability. */
+  *    Cross-process SHARING of a staged copy would be unsafe here even
+  *    with atomic rename: the merge-snapshot staging is MUTATED in place
+  *    by `Sinks.mergeUpsert`, so each process must own its copy.
+  * The basename stays in the path for human readability.
+  *
+  * Every staged dir is deleted by a JVM shutdown hook, so repeated runs
+  * do not accumulate PID-keyed copies under /tmp (round-5 advice). */
 object Staging {
   private val pid = ProcessHandle.current().pid()
+  private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    roots.forEach(r => deleteRecursively(new java.io.File(r)))
+  }))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
 
   def dir(root: String, inputDir: String, leaf: String): String = {
     val abs = new java.io.File(inputDir).getAbsolutePath
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$root/${new java.io.File(inputDir).getName}-$key-$pid/$leaf"
+    val owned = s"$root/${new java.io.File(inputDir).getName}-$key-$pid"
+    roots.add(owned): Unit
+    s"$owned/$leaf"
   }
 }

@@ -314,8 +314,14 @@ object TextQueries {
     * (tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) ≡ 44·tf·avgdl / (20·tf·avgdl
     * + 6·avgdl + 18·dl)), idf is the probabilistic rational
     * (2(N−df)+1)/(2df+1), and avgdl is the INTEGER mean (sumdl div N,
-    * documented quantization). Per-(doc,term) scores are e4-scaled by
-    * integer division, then integer-summed per doc — no float ever enters.
+    * documented quantization). The idf and tf factors are EACH e4-scaled
+    * by their own integer division, then multiplied and re-normalized —
+    * never the fused (2N±1)·44·tf·avgdl·1e4 product, whose int64 overflow
+    * at N~1e9 corpora would wrap silently under Spark's non-ANSI
+    * arithmetic while DuckDB promotes (round-5 advice). Bounds: the tf
+    * factor is < 2.2·1e4, so scores stay in int64 for any N ≤ 4e14 docs
+    * and tf·avgdl ≤ 2e13 — far past 100 TB. Scores are integer-summed per
+    * doc — no float ever enters.
     *
     * Scale shape: the only fact-cardinality pass is tokenize+filter to the
     * |terms|-bounded postings (explode is pre-filtered by the IN list);
@@ -337,12 +343,11 @@ object TextQueries {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfreq), Seq("term"))
         .join(broadcast(stats))
-        .withColumn("num",
-          (lit(2) * (col("n_docs") - col("df")) + lit(1)) * lit(44) * col("tf") * col("avgdl"))
-        .withColumn("den",
-          (lit(2) * col("df") + lit(1)) *
-            (lit(20) * col("tf") * col("avgdl") + lit(6) * col("avgdl") + lit(18) * col("dl")))
-        .withColumn("term_score_e4", expr("(num * 10000) div den"))
+        .withColumn("idf_e4",
+          expr("((2 * (n_docs - df) + 1) * 10000) div (2 * df + 1)"))
+        .withColumn("tf_e4", expr(
+          "(44 * tf * avgdl * 10000) div (20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+        .withColumn("term_score_e4", expr("(idf_e4 * tf_e4) div 10000"))
         .groupBy("doc_id")
         .agg(sum("term_score_e4").as("score_e4"),
           count(lit(1)).as("n_terms_hit"))
@@ -367,8 +372,9 @@ object TextQueries {
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |scored AS (
          |  SELECT tf.doc_id,
-         |    ((2 * (s.n_docs - d.df) + 1) * 44 * tf.tf * s.avgdl * 10000)
-         |      // ((2 * d.df + 1) * (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))
+         |    ((((2 * (s.n_docs - d.df) + 1) * 10000) // (2 * d.df + 1))
+         |     * ((44 * tf.tf * s.avgdl * 10000)
+         |        // (20 * tf.tf * s.avgdl + 6 * s.avgdl + 18 * tf.dl))) // 10000
          |      AS term_score_e4
          |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s)
          |SELECT doc_id, CAST(sum(term_score_e4) AS BIGINT) AS score_e4,

@@ -455,24 +455,31 @@ object VectorQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val brute = annBruteTopk.run(spark, dir).select("q_id", "c_id")
       // ONE ranked-assignment computation serves both search arms (persist:
-      // the N x nlist scoring is the dominant cost; Verify clears the cache
-      // between queries)
+      // the N x nlist scoring is the dominant cost)
       val ranked = ivfRanked(spark, dir).persist()
-      val ivf = ivfSearch(ranked, nProbe = 1)
-        .select(col("q_id"), col("c_id")).withColumn("hit_i", lit(1L))
-      val mp = ivfSearch(ranked, NProbe)
-        .select(col("q_id"), col("c_id")).withColumn("hit_m", lit(1L))
-      brute
-        .join(ivf, Seq("q_id", "c_id"), "left")
-        .join(mp, Seq("q_id", "c_id"), "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_brute"),
-          sum(coalesce(col("hit_i"), lit(0L))).as("hit_ivf"),
-          sum(coalesce(col("hit_m"), lit(0L))).as("hit_mp"))
-        .select(col("q_id"), col("n_brute"), col("hit_ivf"), col("hit_mp"),
-          expr("hit_ivf * 100 div n_brute").as("recall_ivf_pct"),
-          expr("hit_mp * 100 div n_brute").as("recall_mp_pct"))
-        .orderBy("q_id")
+      try {
+        val ivf = ivfSearch(ranked, nProbe = 1)
+          .select(col("q_id"), col("c_id")).withColumn("hit_i", lit(1L))
+        val mp = ivfSearch(ranked, NProbe)
+          .select(col("q_id"), col("c_id")).withColumn("hit_m", lit(1L))
+        brute
+          .join(ivf, Seq("q_id", "c_id"), "left")
+          .join(mp, Seq("q_id", "c_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_brute"),
+            sum(coalesce(col("hit_i"), lit(0L))).as("hit_ivf"),
+            sum(coalesce(col("hit_m"), lit(0L))).as("hit_mp"))
+          .select(col("q_id"), col("n_brute"), col("hit_ivf"), col("hit_mp"),
+            expr("hit_ivf * 100 div n_brute").as("recall_ivf_pct"),
+            expr("hit_mp * 100 div n_brute").as("recall_mp_pct"))
+          .orderBy("q_id")
+          // |queries| x 6 longs — bounded by the fixed query batch. Eager
+          // localCheckpoint materializes the result so `ranked` can be
+          // unpersisted HERE rather than leaking until the caller's
+          // clearCache (round-5 advice: long-lived sessions kept the
+          // N x nlist assignment pinned after the query completed).
+          .localCheckpoint(true)
+      } finally ranked.unpersist(): Unit
     }
     val oracle = Some(
       s"""WITH brute AS (${annBruteTopk.oracle.get}),
