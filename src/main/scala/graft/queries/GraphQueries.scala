@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over a derived trade graph — the link-analysis
+  * operators of a web-corpus curation pipeline (PageRank is the classic
+  * page-quality prior for crawl filtering; triangle/degree statistics are
+  * the standard connectivity profile). The graph is derived from the lake
+  * itself: an edge src→dst for every (supplier nation → customer nation)
+  * trade relationship observed in lineitem∘orders (distinct pairs).
+  *
+  * Everything is BIGINT arithmetic (e9-scaled ranks, integer division at
+  * every step), so the fixpoint iteration is bit-identical on any engine,
+  * any partitioning, any reduction order — the house determinism
+  * convention (Q.scala).
+  */
+object GraphQueries {
+
+  private val E9 = 1000000000L
+
+  /** Distinct directed trade edges: supplier nation → customer nation.
+    * One shuffle to distinct; at 100 TB the fact pass is the only
+    * edge-derivation cost and the result is bounded by |nations|². */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct()
+  }
+
+  private val EdgeSql =
+    """SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
+  /** PageRank by power iteration, integer-exact: ranks are e9-scaled
+    * BIGINTs, damping 85/100, 8 fixed iterations.
+    *   r₀(v)   = 1e9 div N
+    *   rₖ₊₁(v) = (15·1e9) div (100·N) + (85 · Σ_{u→v} rₖ(u) div outdeg(u)) div 100
+    * Dangling-node mass is dropped (the documented "leaked mass" variant)
+    * and every division is integer, so the statistic is exactly defined —
+    * no float recurrence, no order dependence (integer sums commute).
+    *
+    * Scale shape (Pregel-via-joins): per iteration ONE equi-join of the
+    * edge list with the rank frame on src (rank frame is |V|-sized and
+    * broadcastable for any dimension-sized graph; partitioned equi-join
+    * for web-scale V) and ONE groupBy dst with map-side partial sums.
+    * 8 iterations = 8 bounded shuffles, nothing driver-side; for deep
+    * iteration counts at web scale you would checkpoint lineage every few
+    * steps — at 8 the plan stays compact. The oracle unrolls the same 8
+    * iterations as chained CTEs. */
+  val pagerank: Q = new Q {
+    val name = "q_pagerank"
+    private val Iters = 8
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val nation = Tables.nation(spark, dir)
+      val nodes = nation.select(col("n_nationkey").as("node"))
+      val e = edges(spark, dir)
+      val edgesOut = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      val stats = nodes.agg(count(lit(1)).as("n_nodes"))
+      val r0 = nodes.crossJoin(broadcast(stats))
+        .select(col("node"), expr(s"$E9 div n_nodes").as("r"))
+      val rFinal = (1 to Iters).foldLeft(r0) { (ranks, _) =>
+        val inflow = edgesOut
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst"), expr("r div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+        nodes
+          .join(inflow, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("node"),
+            (expr(s"${15 * E9}L div (100 * n_nodes)") +
+              expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
+      }
+      rFinal
+        .join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("node").as("nation_key"), col("n_name").as("nation_name"),
+          col("r").as("pr_e9"))
+        .orderBy(col("pr_e9").desc, col("nation_key"))
+    }
+    val oracle = Some {
+      val iterCtes = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CAST(${15 * E9} // (100 * s.n_nodes)
+           |         + (85 * COALESCE(SUM(p.r // o.outdeg), 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n CROSS JOIN stats s
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN r${k - 1} p ON p.node = e.src
+           |  LEFT JOIN outd o ON o.src = e.src
+           |  GROUP BY n.node, s.n_nodes)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS ($EdgeSql),
+         |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |stats AS (SELECT count(*) AS n_nodes FROM nodes),
+         |r0 AS (
+         |  SELECT node, CAST($E9 // s.n_nodes AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN stats s),
+         |$iterCtes
+         |SELECT r$Iters.node AS nation_key, n.n_name AS nation_name,
+         |  r$Iters.r AS pr_e9
+         |FROM r$Iters JOIN nation n ON n.n_nationkey = r$Iters.node
+         |ORDER BY pr_e9 DESC, nation_key""".stripMargin
+    }
+  }
+
+  /** Per-node triangle participation counts by DEGREE-ORIENTED triangle
+    * enumeration — the scale-optimal algorithm: undirected edges are
+    * oriented from lower degree to higher (ties by id), which makes the
+    * orientation a DAG whose max out-degree is O(√m), so the
+    * out-neighbor pair join fans out O(m^1.5) worst-case instead of the
+    * naive Σdeg² — the difference between feasible and not on a skewed
+    * web graph. Each triangle has exactly ONE apex with out-edges to both
+    * other corners, so the enumeration is duplicate-free by construction
+    * (no post-dedup shuffle); per-node counts union the three corner
+    * roles. Self-loops are dropped during canonicalization. */
+  val triangles: Q = new Q {
+    val name = "q_graph_triangles"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val und = edges(spark, dir)
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+      val oriented = withDeg.select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
+      val e2 = oriented.select(col("u").as("x"), col("v").as("z"))
+      val e3 = oriented.select(col("u").as("y"), col("v").as("z"))
+      val tri = e1.join(e2, Seq("x")).where(col("y") =!= col("z")).join(e3, Seq("y", "z"))
+      tri.select(col("x").as("node"))
+        .union(tri.select(col("y")))
+        .union(tri.select(col("z")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("node")
+    }
+    val oracle = Some(
+      s"""WITH edges AS ($EdgeSql),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) t
+         |  GROUP BY node),
+         |oriented AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS u,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS v
+         |  FROM und u
+         |  JOIN deg da ON da.node = u.a
+         |  JOIN deg db ON db.node = u.b),
+         |tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM oriented e1
+         |  JOIN oriented e2 ON e2.u = e1.u AND e2.v <> e1.v
+         |  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v)
+         |SELECT node, count(*) AS n_triangles FROM (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) t
+         |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(pagerank, triangles)
+}

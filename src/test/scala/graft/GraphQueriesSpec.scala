@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries.GraphQueries
+
+/** Math-level checks for the graph operators (the oracle gate checks
+  * engine parity; this spec checks the invariants the algorithms claim). */
+class GraphQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_pagerank: rank mass is conserved up to integer-division leakage") {
+    val rows = GraphQueries.pagerank.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("pr_e9")).sum
+    // every node keeps at least the teleport floor 0.15e9/N
+    val floor = (15L * 1000000000L) / (100L * n)
+    rows.foreach(r => assert(r.getAs[Long]("pr_e9") >= floor, s"below teleport floor: $r"))
+    // total mass ≤ 1e9 (dangling + integer-div mass only ever leaks out),
+    // and ≥ the teleport mass alone
+    assert(total <= 1000000000L, s"mass grew: $total")
+    assert(total >= floor * n, s"lost even the teleport mass: $total")
+    // output ordering contract: desc by rank, ties by key
+    val pairs = rows.map(r => (r.getAs[Long]("pr_e9"), r.getAs[Int]("nation_key").toLong))
+    assert(pairs.sameElements(pairs.sortBy { case (r, k) => (-r, k) }))
+  }
+
+  test("q_graph_triangles: counts are positive and sum to a multiple of 3") {
+    val rows = GraphQueries.triangles.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(_.getAs[Long]("n_triangles"))
+    counts.foreach(c => assert(c > 0))
+    // each triangle contributes exactly one count to each of its 3 corners
+    assert(counts.sum % 3 === 0, s"corner-role sum not divisible by 3: ${counts.sum}")
+  }
+}
