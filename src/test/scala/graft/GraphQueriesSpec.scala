@@ -25,6 +25,38 @@ class GraphQueriesSpec extends SparkSpec {
     assert(pairs.sameElements(pairs.sortBy { case (r, k) => (-r, k) }))
   }
 
+  test("q_bfs_hops: source at 0, every edge spans at most one level") {
+    val dists = GraphQueries.bfsHops.run(spark, dir).collect()
+      .map(r => r.getAs[Int]("nation_key").toLong -> r.getAs[Long]("hop_dist")).toMap
+    assert(dists(0L) === 0L)
+    // reached nodes form contiguous levels from the source
+    val reached = dists.values.filter(_ < 999L)
+    assert(reached.nonEmpty)
+    (0L to reached.max).foreach(d => assert(reached.exists(_ == d), s"level $d empty"))
+  }
+
+  test("q_copurchase_edges: canonical pair order and support threshold hold") {
+    val rows = GraphQueries.copurchaseEdges.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("n_orders") >= 2L)
+    }
+  }
+
+  test("q_graph_cc: labels are component minima and sizes are consistent") {
+    val rows = GraphQueries.graphCc.run(spark, dir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (label, members) =>
+      val ids = members.map(_.getAs[Long]("part_key"))
+      assert(ids.min === label, s"label $label is not the min member id")
+      members.foreach(m =>
+        assert(m.getAs[Long]("cluster_size") === members.length.toLong))
+    }
+    // every part appears exactly once
+    assert(rows.map(_.getAs[Long]("part_key")).distinct.length === rows.length)
+  }
+
   test("q_graph_triangles: counts are positive and sum to a multiple of 3") {
     val rows = GraphQueries.triangles.run(spark, dir).collect()
     assert(rows.nonEmpty)
