@@ -226,6 +226,52 @@ object MixQueries {
          |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin)
   }
 
+  /** Length-weighted deterministic sampling (importance sampling for data
+    * mixing): doc i is kept iff hash(doc_id) mod 1000 < min(n_chars, 1000),
+    * so inclusion probability is proportional to document length — the
+    * standard size-weighted corpus thinning — yet membership is a PURE
+    * FUNCTION of doc_id (stable under re-runs, repartitioning, appends;
+    * same salted-hash contract as `corpus_split`). Per-source output pairs
+    * the realized sample against its expected mass (Σ weight / 1000) so
+    * the estimator quality is part of the checked result. Embarrassingly
+    * parallel: one narrow filter, one groupBy — no sort, no global state. */
+  val weightedSample: Q = new Q {
+    val name = "q_weighted_sample"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("w", least(col("n_chars").cast("long"), lit(1000L)))
+        .withColumn("draw", pmod(
+          HashOps.hash60(concat(col("doc_id").cast("string"), lit(":wsample"))),
+          lit(1000L)))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("sum_weight"),
+          sum(when(col("draw") < col("w"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("draw") < col("w"), col("n_chars").cast("long"))
+            .otherwise(0L)).as("sampled_chars"),
+          sum(when(col("draw") < col("w"),
+              pmod(HashOps.hash60(col("doc_id").cast("string")), lit(1000000000L)))
+            .otherwise(0L)).as("member_checksum"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT source, doc_id, n_chars,
+         |    least(CAST(n_chars AS BIGINT), 1000) AS w,
+         |    ${HashOps.sqlHash60("concat(CAST(doc_id AS VARCHAR), ':wsample')")} % 1000
+         |      AS draw
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS sum_weight,
+         |  CAST(sum(CASE WHEN draw < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN draw < w THEN CAST(n_chars AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS sampled_chars,
+         |  CAST(sum(CASE WHEN draw < w
+         |    THEN ${HashOps.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000000
+         |    ELSE 0 END) AS BIGINT) AS member_checksum
+         |FROM t GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
-    corpusSplit)
+    corpusSplit, weightedSample)
 }

@@ -438,6 +438,64 @@ object TextQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * rankings — the standard hybrid-search combiner (lexical BM25 +
+    * a second signal, here the bigram-LM fluency prior): each list
+    * contributes 1e6 div (60 + rank) and absent documents contribute 0,
+    * all integer, so the fused ordering is engine-exact. Both input
+    * rankings are top-k bounded (k = 50, a deployment constant), so the
+    * fusion join and re-rank run over ≤ 2k rows regardless of corpus
+    * size — the expensive parts are the upstream scorers, which keep
+    * their own distributed shapes. */
+  val rrfFusion: Q = new Q {
+    val name = "q_rrf_fusion"
+    private val TopK = 50
+    private val RrfK = 60
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val rel = bm25Topk.run(spark, dir)
+        .withColumn("rank_rel", row_number().over(
+          Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_rel")
+      val flu = bigramLm.run(spark, dir)
+        .orderBy(col("fluency_e6").desc, col("doc_id")).limit(TopK)
+        .withColumn("rank_flu", row_number().over(
+          Window.orderBy(col("fluency_e6").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_flu")
+      rel.join(flu, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_rel"), lit(0L)).as("rank_rel"),
+          coalesce(col("rank_flu"), lit(0L)).as("rank_flu"),
+          (coalesce(expr(s"1000000 div ($RrfK + rank_rel)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfK + rank_flu)"), lit(0L)))
+            .as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+        .limit(20)
+    }
+    val oracle = Some(
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT)
+         |      AS rank_rel
+         |  FROM (${bm25Topk.oracle.get}) bm),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY fluency_e6 DESC, doc_id) AS BIGINT)
+         |      AS rank_flu
+         |  FROM (SELECT * FROM (${bigramLm.oracle.get}) lm
+         |        ORDER BY fluency_e6 DESC, doc_id LIMIT $TopK) t),
+         |f AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_rel, b.rank_flu
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(rank_rel, 0) AS BIGINT) AS rank_rel,
+         |  CAST(COALESCE(rank_flu, 0) AS BIGINT) AS rank_flu,
+         |  CAST(COALESCE(1000000 // ($RrfK + rank_rel), 0)
+         |     + COALESCE(1000000 // ($RrfK + rank_flu), 0) AS BIGINT) AS rrf_e6
+         |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
-    textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm)
+    textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
+    rrfFusion)
 }

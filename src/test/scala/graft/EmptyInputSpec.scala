@@ -20,7 +20,7 @@ class EmptyInputSpec extends SparkSpec {
   // global aggregates (no GROUP BY): one row over empty input is standard
   // SQL semantics — DuckDB returns the same single null-sum row
   private val globalAggOneRow = Set("q6_forecast_revenue", "q_tpch_q14",
-    "q_tpch_q17", "q_tpch_q19", "q_funnel_conversion")
+    "q_tpch_q17", "q_tpch_q19", "q_funnel_conversion", "q_kmv_union")
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"

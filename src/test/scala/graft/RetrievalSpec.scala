@@ -91,6 +91,34 @@ class RetrievalSpec extends SparkSpec {
     assert(byClass.values.sum === expectedUniverse)
   }
 
+  test("q_rrf_fusion: fused scores decompose into the two rank contributions") {
+    val rows = graft.queries.TextQueries.rrfFusion.run(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val ra = r.getAs[Long]("rank_rel"); val rb = r.getAs[Long]("rank_flu")
+      val expected = (if (ra > 0) 1000000L / (60 + ra) else 0L) +
+        (if (rb > 0) 1000000L / (60 + rb) else 0L)
+      assert(r.getAs[Long]("rrf_e6") === expected, s"rrf decomposition broke: $r")
+      assert(ra > 0 || rb > 0, s"doc in neither ranking: $r")
+    }
+    val scores = rows.map(_.getAs[Long]("rrf_e6"))
+    assert(scores.sameElements(scores.sorted.reverse), "not ordered by fused score")
+  }
+
+  test("q_weighted_sample: inclusion tracks length weight within binomial noise") {
+    val rows = graft.queries.MixQueries.weightedSample.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val sampled = r.getAs[Long]("n_sampled")
+      val expected = r.getAs[Long]("sum_weight") / 1000.0
+      assert(sampled <= n)
+      // 4-sigma binomial envelope around the expected sample size
+      val sigma = math.sqrt(expected max 1.0)
+      assert(math.abs(sampled - expected) <= 4 * sigma + 1,
+        s"sample size off: got $sampled expected ~$expected in $r")
+    }
+  }
+
   test("corpus_split assignment is a pure function of doc_id (stable under re-run)") {
     val a = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted
     val b = MixQueries.corpusSplit.run(spark, dir).collect().map(_.toString).sorted

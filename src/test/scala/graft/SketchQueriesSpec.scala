@@ -1,0 +1,33 @@
+package graft
+
+import graft.queries.SketchQueries
+
+/** Estimator-quality checks for the KMV sketches (the oracle gate checks
+  * engine parity; this spec checks the statistics behave like KMV). */
+class SketchQueriesSpec extends SparkSpec {
+
+  test("q_kmv_distinct: small groups are exact, large groups within 4 sigma") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val rows = SketchQueries.kmvDistinct.run(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val exact = r.getAs[Long]("n_exact")
+        val est = r.getAs[Long]("kmv_estimate")
+        if (exact < 64) assert(est === exact, s"small-set branch must be exact: $r")
+        else {
+          // KMV relative error sigma ~ 1/sqrt(k-2) ~ 12.7% at k=64
+          val tol = (exact * 4) / 8 // 50% = ~4 sigma
+          assert(math.abs(est - exact) <= tol, s"estimate off: $r")
+        }
+      }
+    }
+  }
+
+  test("q_kmv_union: merged estimate tracks the global distinct count") {
+    val r = SketchQueries.kmvUnion.run(spark, "/root/testdata/sf0.01").collect().head
+    val exact = r.getAs[Long]("n_exact")
+    val est = r.getAs[Long]("kmv_union_estimate")
+    assert(r.getAs[Long]("n_groups") === 5L)
+    assert(math.abs(est - exact) <= exact / 2, s"union estimate off: $r")
+  }
+}
