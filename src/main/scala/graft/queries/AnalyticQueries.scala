@@ -301,6 +301,55 @@ object AnalyticQueries {
         |FROM f""".stripMargin)
   }
 
+  /** EXACT distributed quantiles by rank selection (percentile_disc
+    * semantics: the smallest value whose cumulative rank reaches ⌈n·p⌉),
+    * per order-status group: one ranked window pass assigns row_number and
+    * group size, one conditional aggregate picks the values at ranks
+    * ⌈n·p/100⌉ for p ∈ {50, 90, 99}. Order statistics of integers are
+    * engine-exact where percentile_approx / interpolating quantiles are
+    * not. The cost model is honest: exact quantiles REQUIRE a per-group
+    * sort (here one hash exchange on the group key then in-partition
+    * sort); the approximate path at 100 TB is the KMV/CMS sketch family
+    * one file over. */
+  val qQuantilesExact: Q = new Q {
+    val name = "q_quantiles_exact"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val t = Tables.orders(spark, dir)
+        .select(col("o_orderstatus"), cents(col("o_totalprice")).as("v"),
+          col("o_orderkey"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("v", "o_orderkey")
+      t.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+        .groupBy("o_orderstatus")
+        .agg(max("n").as("n_orders"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("v")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("v")))
+            .as("p90_cents"),
+          max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v")))
+            .as("p99_cents"))
+        .orderBy("o_orderstatus")
+    }
+    val oracle = Some(
+      """WITH t AS (
+        |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |         o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderstatus, v,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY v, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM t)
+        |SELECT o_orderstatus, CAST(max(n) AS BIGINT) AS n_orders,
+        |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p50_cents,
+        |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p90_cents,
+        |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT)
+        |    AS p99_cents
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
-    approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel)
+    approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact)
 }

@@ -122,5 +122,107 @@ object SketchQueries {
     }
   }
 
-  def all: Seq[Q] = Seq(kmvDistinct, kmvUnion)
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    * for a fixed probe set of terms: d = 4 hash rows × w = 512 counters;
+    * a term's estimate is the MIN over its d counters, which can only
+    * OVER-estimate (collision mass is additive) — the one-sided-error
+    * guarantee the spec pins. Counters are built from the per-term exact
+    * counts (CMS is linear, so summing per-term counts into buckets equals
+    * streaming per-occurrence increments), making the sketch ONE bounded
+    * groupBy of size d·w — a broadcastable 2 k-row summary no matter the
+    * corpus size; probe terms and sketch dimensions are deployment
+    * constants. */
+  val cmsHeavyHitters: Q = new Q {
+    val name = "q_cms_heavy_hitters"
+    private val D = 4
+    private val W = 512
+    private val Probe = Seq("join", "window", "stream", "sort", "the",
+      "data", "and", "quantum", "zzz_absent")
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.ops.TextOps
+      import spark.implicits._
+      val tf = Tables.documents(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt")).persist()
+      val rows = spark.range(D).select(col("id").as("j"))
+      val counters = tf.crossJoin(broadcast(rows))
+        .select(col("j"),
+          pmod(HashOps.hashP(concat(col("term"), lit(":cms"), col("j").cast("string"))),
+            lit(W.toLong)).as("bucket"),
+          col("cnt"))
+        .groupBy("j", "bucket").agg(sum("cnt").as("c"))
+      val probe = Probe.toDF("term")
+      val exact = probe.join(tf, Seq("term"), "left")
+        .select(col("term"), coalesce(col("cnt"), lit(0L)).as("n_exact"))
+      val est = probe.crossJoin(broadcast(rows))
+        .select(col("term"), col("j"),
+          pmod(HashOps.hashP(concat(col("term"), lit(":cms"), col("j").cast("string"))),
+            lit(W.toLong)).as("bucket"))
+        .join(counters, Seq("j", "bucket"), "left")
+        .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+      exact.join(est, Seq("term")).orderBy("term")
+    }
+    val oracle = Some {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      val h = HashOps.sqlHashP("term || ':cms' || CAST(j AS VARCHAR)")
+      val probeVals = Probe.map(t => s"('$t')").mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS cnt
+         |  FROM (SELECT unnest($toks) AS term FROM documents) t
+         |  GROUP BY term),
+         |js AS (SELECT unnest(range(0, $D)) AS j),
+         |counters AS (
+         |  SELECT j, $h % $W AS bucket, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM tf CROSS JOIN js GROUP BY 1, 2),
+         |probe AS (SELECT term FROM (VALUES $probeVals) p(term)),
+         |pe AS (
+         |  SELECT p.term, CAST(COALESCE(tf.cnt, 0) AS BIGINT) AS n_exact
+         |  FROM probe p LEFT JOIN tf USING (term)),
+         |pb AS (
+         |  SELECT term, j, $h % $W AS bucket FROM probe CROSS JOIN js),
+         |est AS (
+         |  SELECT pb.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS cms_estimate
+         |  FROM pb LEFT JOIN counters c USING (j, bucket) GROUP BY 1)
+         |SELECT pe.term, pe.n_exact, est.cms_estimate
+         |FROM pe JOIN est USING (term) ORDER BY term""".stripMargin
+    }
+  }
+
+  /** Fixed-SIZE uniform sample (bottom-k by uniform hash): the k rows with
+    * the smallest salted key hashes — the deterministic distributed twin
+    * of reservoir sampling (`q_sample_md5` is the fixed-RATE variant).
+    * Membership is a pure function of the key: stable across runs,
+    * partitionings, and appends-at-the-tail, and the selection is a
+    * TakeOrdered top-k over a narrow scan — no shuffle, no sort of the
+    * fact table; k is a deployment constant. */
+  val bottomkSample: Q = new Q {
+    val name = "q_bottomk_sample"
+    private val K = 100
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          Q.cents(col("o_totalprice")).as("price_cents"),
+          HashOps.hash60(concat(col("o_orderkey").cast("string"), lit(":bk")))
+            .as("hv"))
+        .orderBy("hv").limit(K)
+        .withColumn("sample_rank",
+          row_number().over(Window.orderBy("hv")).cast("long"))
+        .select("sample_rank", "o_orderkey", "price_cents")
+        .orderBy("sample_rank")
+    }
+    val oracle = Some {
+      val h = HashOps.sqlHash60("concat(CAST(o_orderkey AS VARCHAR), ':bk')")
+      s"""SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS sample_rank,
+         |  o_orderkey, price_cents
+         |FROM (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         |    $h AS hv
+         |  FROM orders ORDER BY hv LIMIT $K) t
+         |ORDER BY sample_rank""".stripMargin
+    }
+  }
+
+  def all: Seq[Q] = Seq(kmvDistinct, kmvUnion, cmsHeavyHitters, bottomkSample)
 }

@@ -300,6 +300,100 @@ object SourceQueries {
         |FROM j GROUP BY class ORDER BY class""".stripMargin)
   }
 
+  /** Small-file compaction planner — the OPTIMIZE/rewrite step of lake
+    * maintenance, as a declarative query: per-day "file" sizes (here the
+    * events table's daily byte footprint, props length + fixed row
+    * overhead) are greedily packed in day order into target-sized rewrite
+    * bins by integer division of the exclusive running total — the same
+    * single-pass plan a table service computes from its file manifest.
+    * The manifest is O(files), never O(rows): the only fact-table cost is
+    * one partial-aggregated scan to day grain; the plan itself is a
+    * window over the day-count-sized frame. */
+  val compactionPlan: Q = new Q {
+    val name = "q_compaction_plan"
+    private val TargetBytes = 64 * 1024L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("file_day"))
+        .agg((sum(length(col("props")).cast("long")) + count(lit(1)) * 32L)
+          .as("size_bytes"))
+      val w = Window.orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("bin",
+          (coalesce(sum("size_bytes").over(w), lit(0L)) / TargetBytes)
+            .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("size_bytes").as("bin_bytes"),
+          min("file_day").as("first_day"), max("file_day").as("last_day"))
+        .orderBy("bin")
+    }
+    val oracle = Some(
+      s"""WITH files AS (
+         |  SELECT CAST(ts AS DATE) AS file_day,
+         |    CAST(sum(CAST(length(props) AS BIGINT)) + count(*) * 32 AS BIGINT)
+         |      AS size_bytes
+         |  FROM events GROUP BY 1),
+         |planned AS (
+         |  SELECT file_day, size_bytes,
+         |    CAST(COALESCE(sum(size_bytes) OVER (
+         |      ORDER BY file_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) // $TargetBytes AS BIGINT) AS bin
+         |  FROM files)
+         |SELECT bin, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+         |  min(file_day) AS first_day, max(file_day) AS last_day
+         |FROM planned GROUP BY bin ORDER BY bin""".stripMargin)
+  }
+
+  /** Column-statistics profiling — the ANALYZE TABLE pass that feeds a
+    * cost-based optimizer: per column, row/null/exact-distinct counts and
+    * min/max rendered as strings (engine-portable for mixed types; only
+    * integer, string, and date columns are profiled — float min/max
+    * rendering differs between engines and floats are banned from checked
+    * outputs anyway). One aggregate per column over a pruned scan; exact
+    * NDV is the honest expensive version (one shuffle per column) — the
+    * sketched alternative is `q_kmv_distinct`. */
+  val tableProfile: Q = new Q {
+    val name = "q_table_profile"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val li = Tables.lineitem(spark, dir)
+      def prof(cname: String, c: org.apache.spark.sql.Column): DataFrame =
+        li.agg(count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(c).as("n_distinct"),
+            min(c).cast("string").as("min_val"),
+            max(c).cast("string").as("max_val"))
+          .select(lit(cname).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      prof("l_orderkey", col("l_orderkey"))
+        .unionAll(prof("l_partkey", col("l_partkey")))
+        .unionAll(prof("l_returnflag", col("l_returnflag")))
+        .unionAll(prof("l_shipdate", col("l_shipdate")))
+        .orderBy("column_name")
+    }
+    val oracle = Some {
+      def prof(cname: String) =
+        s"""SELECT '$cname' AS column_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $cname IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $cname) AS BIGINT) AS n_distinct,
+           |  CAST(min($cname) AS VARCHAR) AS min_val,
+           |  CAST(max($cname) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${prof("l_orderkey")}
+         |UNION ALL
+         |${prof("l_partkey")}
+         |UNION ALL
+         |${prof("l_returnflag")}
+         |UNION ALL
+         |${prof("l_shipdate")}) t
+         |ORDER BY column_name""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
-    dppMonthRevenue, zorderLayout, tableDiff)
+    dppMonthRevenue, zorderLayout, tableDiff, compactionPlan, tableProfile)
 }

@@ -102,4 +102,23 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(a >= b && b >= c, s"funnel not monotone: $a, $b, $c")
     assert(a > 0 && b > 0, "degenerate funnel on test data")
   }
+
+  test("q_quantiles_exact matches a driver-side sorted order statistic") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticQueries.qQuantilesExact.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byStatus = graft.Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        graft.queries.Q.cents(col("o_totalprice")).as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val vs = byStatus(r.getAs[String]("o_orderstatus"))
+      assert(r.getAs[Long]("n_orders") === vs.length.toLong)
+      def disc(p: Int): Long = vs((vs.length * p + 99) / 100 - 1)
+      assert(r.getAs[Long]("p50_cents") === disc(50), s"p50 mismatch in $r")
+      assert(r.getAs[Long]("p90_cents") === disc(90), s"p90 mismatch in $r")
+      assert(r.getAs[Long]("p99_cents") === disc(99), s"p99 mismatch in $r")
+    }
+  }
 }

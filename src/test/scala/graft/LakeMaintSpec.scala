@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SourceQueries
+
+/** Invariant checks for the lake-maintenance planners (the oracle gate
+  * checks engine parity; this spec checks the plans mean what they claim). */
+class LakeMaintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q_compaction_plan: bins are contiguous day ranges covering all bytes") {
+    val bins = SourceQueries.compactionPlan.run(spark, dir).collect()
+    assert(bins.nonEmpty)
+    // bin ids are dense from 0 and day ranges are disjoint and ordered
+    assert(bins.map(_.getAs[Long]("bin")).toSeq === bins.indices.map(_.toLong))
+    bins.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[java.sql.Date]("last_day").before(
+          hi.getAs[java.sql.Date]("first_day")), "bin day ranges overlap")
+      case _ => ()
+    }
+    // plan conserves bytes: bin totals equal the per-day manifest total
+    val total = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts"))).agg(
+        (sum(length(col("props")).cast("long")) + count(lit(1)) * 32L).as("s"))
+      .agg(sum("s")).collect().head.getLong(0)
+    assert(bins.map(_.getAs[Long]("bin_bytes")).sum === total)
+  }
+
+  test("q_table_profile: consistent row counts, exact NDV bounded by rows") {
+    val rows = SourceQueries.tableProfile.run(spark, dir).collect()
+    assert(rows.length === 4)
+    val nRows = rows.map(_.getAs[Long]("n_rows")).distinct
+    assert(nRows.length === 1, "profiled columns disagree on table size")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_nulls") === 0L)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val") ||
+        r.getAs[String]("column_name").startsWith("l_"), "min/max rendered")
+    }
+  }
+}

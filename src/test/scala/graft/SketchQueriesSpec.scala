@@ -23,6 +23,27 @@ class SketchQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_cms_heavy_hitters: estimates are one-sided (never below exact)") {
+    val rows = SketchQueries.cmsHeavyHitters.run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_exact"),
+        s"CMS under-estimated: $r")
+    }
+    val absent = rows.find(_.getAs[String]("term") == "zzz_absent").get
+    assert(absent.getAs[Long]("n_exact") === 0L)
+  }
+
+  test("q_bottomk_sample: exactly k rows, ranked by hash, stable across runs") {
+    val dir = "/root/testdata/sf0.01"
+    val a = SketchQueries.bottomkSample.run(spark, dir).collect()
+    val b = SketchQueries.bottomkSample.run(spark, dir).collect()
+    assert(a.length === 100)
+    assert(a.map(_.getAs[Long]("sample_rank")).toSeq === (1L to 100L))
+    assert(a.map(_.getAs[Long]("o_orderkey")).toSeq ===
+      b.map(_.getAs[Long]("o_orderkey")).toSeq, "sample membership unstable")
+  }
+
   test("q_kmv_union: merged estimate tracks the global distinct count") {
     val r = SketchQueries.kmvUnion.run(spark, "/root/testdata/sf0.01").collect().head
     val exact = r.getAs[Long]("n_exact")
