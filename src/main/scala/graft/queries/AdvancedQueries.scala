@@ -389,7 +389,76 @@ object AdvancedQueries {
         |FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100""".stripMargin)
   }
 
+  /** CDC changelog replay (changelog compaction): a synthetic I/U/D change
+    * stream is derived from orders by key congruence — every key inserts
+    * (seq 1), keys ≡ 0 mod 3 update price +$10 (seq 2), keys ≡ 0 mod 5
+    * delete (seq 3) — and replayed to the final table state: latest op per
+    * key wins (one row_number window keyed by the primary key), deletes
+    * drop the row. This is the APPLY step of a CDC pipeline (Debezium-
+    * style log → table), complementing `scd2_order_status` (history
+    * build), `lake_merge_upsert` (two-version merge), and `q_table_diff`
+    * (reconciliation). Output is per-status live-row stats plus a key
+    * checksum so the replayed STATE is value-checked, not just counted.
+    *
+    * Scale shape: the changelog is generated and replayed in one pass —
+    * union of narrow projections, one hash exchange on the key for the
+    * latest-wins window, one aggregate. Log depth per key is bounded (≤3
+    * here; real logs bound it by compaction cadence), so the window state
+    * is O(ops-per-key). */
+  val qCdcReplay: Q = new Q {
+    val name = "q_cdc_replay"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          cents(col("o_totalprice")).as("v"))
+      val log = o.select(col("k"), col("st"), lit("I").as("op"),
+          lit(1L).as("seq"), col("v"))
+        .unionAll(o.where(col("k") % 3 === 0)
+          .select(col("k"), col("st"), lit("U").as("op"), lit(2L).as("seq"),
+            (col("v") + 1000L).as("v")))
+        .unionAll(o.where(col("k") % 5 === 0)
+          .select(col("k"), col("st"), lit("D").as("op"), lit(3L).as("seq"),
+            lit(0L).as("v")))
+      val latest = log
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("seq").desc)))
+        .where(col("rn") === 1)
+      latest.groupBy("st")
+        .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("op") =!= "D", col("v")).otherwise(0L)).as("live_cents"),
+          sum(when(col("op") =!= "D", col("k") % 1000000007L).otherwise(0L))
+            .as("key_checksum"))
+        .orderBy("st")
+        .withColumnRenamed("st", "o_orderstatus")
+    }
+    val oracle = Some(
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, st, 'I' AS op, 1 AS seq, v FROM o
+        |  UNION ALL
+        |  SELECT k, st, 'U', 2, v + 1000 FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, st, 'D', 3, 0 FROM o WHERE k % 5 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1)
+        |SELECT st AS o_orderstatus,
+        |  CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN op <> 'D' THEN v ELSE 0 END) AS BIGINT) AS live_cents,
+        |  CAST(sum(CASE WHEN op <> 'D' THEN k % 1000000007 ELSE 0 END) AS BIGINT)
+        |    AS key_checksum
+        |FROM latest GROUP BY st ORDER BY st""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qTpchQ3, qPagination, qUnpivotReturns, qExistsCustomers,
     qLateralTopn, qSampleMd5, qScd2OrderStatus, qWindowAnalytics,
-    qVariantExtract, qRegexpArrays, qRecursiveWalk, qNullSemantics)
+    qVariantExtract, qRegexpArrays, qRecursiveWalk, qNullSemantics, qCdcReplay)
 }

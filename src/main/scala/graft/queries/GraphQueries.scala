@@ -275,13 +275,17 @@ object GraphQueries {
     * graph (below it, hub orders would connect everything). */
   private val CoSupport = 2
   private def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    // Basket shape, not self-join shape: collect each order's part SET
+    // (one shuffle; set semantics = order-level co-occurrence for free),
+    // expand the C(basket, 2) pairs IN-ROW with a higher-order filter (no
+    // join build, no (order, pa, pb) dedup exchange), then one count
+    // shuffle on the pair key. Two exchanges total vs four for
+    // join+distinct+count — and the expansion stays bounded by basket
+    // size, a deployment constant, exactly like the self-join fan-out.
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    li.alias("x").join(li.alias("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_orderkey").as("o"),
-        col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-      .distinct()
+    li.groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(expr("filter(ps, p -> p > pa)")).as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= CoSupport)
   }

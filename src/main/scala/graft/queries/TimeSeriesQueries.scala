@@ -160,5 +160,83 @@ object TimeSeriesQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg)
+  /** Resample-and-interpolate: keep every 7th day of the daily revenue
+    * series as an ANCHOR, reconstruct the full calendar by integer linear
+    * interpolation between surrounding anchors —
+    *   v(d) = v₀ + (v₁ − v₀)·(d − d₀) div (d₁ − d₀)
+    * (LOCF past the last anchor). The standard downsample→upsample pair
+    * of a time-series store, exact in BIGINT cents. Gap-fill (`q_gapfill
+    * _daily_revenue`) zero-fills and LOCFs; this draws the line between
+    * knots.
+    *
+    * Scale shape: anchors and grid live on the CALENDAR axis — the only
+    * fact-scale work is the daily pre-aggregate; the four ignore-nulls
+    * window passes run over a days-sized frame (one partition-less sort of
+    * ~thousands of rows, a deliberate non-shape at any data scale). */
+  val qInterpolateDaily: Q = new Q {
+    val name = "q_interpolate_daily"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(Q.cents(col("o_totalprice"))).as("rev"))
+      val withAnchor = daily
+        .crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .withColumn("is_anchor",
+          when(datediff(col("day"), col("d0")) % 7 === 0, 1L).otherwise(0L))
+        .withColumn("a_v", when(col("is_anchor") === 1L, col("rev")))
+        .withColumn("a_d", when(col("is_anchor") === 1L, col("day")))
+      val wPrev = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      withAnchor
+        .withColumn("pv", last("a_v", ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last("a_d", ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first("a_v", ignoreNulls = true).over(wNext))
+        .withColumn("nd", first("a_d", ignoreNulls = true).over(wNext))
+        .select(col("day"), col("is_anchor"), col("rev").as("rev_cents"),
+          when(col("is_anchor") === 1L, col("rev"))
+            .when(col("nv").isNull, col("pv")) // LOCF tail past last anchor
+            .otherwise(col("pv") +
+              expr("(nv - pv) * CAST(datediff(day, pd) AS BIGINT) " +
+                "div CAST(datediff(nd, pd) AS BIGINT)"))
+            .as("interp_cents"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT day, rev,
+        |    CASE WHEN date_diff('day', (SELECT min(day) FROM daily), day) % 7 = 0
+        |         THEN 1 ELSE 0 END AS is_anchor
+        |  FROM daily),
+        |b AS (
+        |  SELECT day, CAST(is_anchor AS BIGINT) AS is_anchor, rev,
+        |    CASE WHEN is_anchor = 1 THEN rev END AS a_v,
+        |    CASE WHEN is_anchor = 1 THEN day END AS a_d
+        |  FROM a),
+        |w AS (
+        |  SELECT day, is_anchor, rev,
+        |    last_value(a_v IGNORE NULLS) OVER (
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(a_d IGNORE NULLS) OVER (
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(a_v IGNORE NULLS) OVER (
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(a_d IGNORE NULLS) OVER (
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM b)
+        |SELECT day, is_anchor, rev AS rev_cents,
+        |  CAST(CASE WHEN is_anchor = 1 THEN rev
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * date_diff('day', pd, day)
+        |            // date_diff('day', pd, nd) END AS BIGINT) AS interp_cents
+        |FROM w ORDER BY day""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
+    qInterpolateDaily)
 }

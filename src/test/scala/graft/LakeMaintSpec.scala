@@ -28,6 +28,25 @@ class LakeMaintSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("bin_bytes")).sum === total)
   }
 
+  test("q_cdc_replay: replayed state matches a driver-side log replay") {
+    val rows = graft.queries.AdvancedQueries.qCdcReplay.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        graft.queries.Q.cents(col("o_totalprice")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byStatus = orders.groupBy(_._2)
+    rows.foreach { r =>
+      val os = byStatus(r.getAs[String]("o_orderstatus"))
+      val deleted = os.count(_._1 % 5 == 0)
+      val live = os.filterNot(_._1 % 5 == 0)
+      assert(r.getAs[Long]("n_deleted") === deleted.toLong)
+      assert(r.getAs[Long]("n_live") === live.length.toLong)
+      val cents = live.map { case (k, _, v) => if (k % 3 == 0) v + 1000L else v }.sum
+      assert(r.getAs[Long]("live_cents") === cents, s"replayed value drifted: $r")
+    }
+  }
+
   test("q_table_profile: consistent row counts, exact NDV bounded by rows") {
     val rows = SourceQueries.tableProfile.run(spark, dir).collect()
     assert(rows.length === 4)

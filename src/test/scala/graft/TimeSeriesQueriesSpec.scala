@@ -36,6 +36,32 @@ class TimeSeriesQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_interpolate_daily: anchors exact, segments inside the knot envelope") {
+    val rows = TimeSeriesQueries.qInterpolateDaily.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var lastAnchorIdx = -1
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val rev = r.getAs[Long]("rev_cents"); val interp = r.getAs[Long]("interp_cents")
+      if (r.getAs[Long]("is_anchor") == 1L) { assert(interp === rev); lastAnchorIdx = i }
+    }
+    // every interpolated value lies between its surrounding anchor values
+    val anchors = rows.zipWithIndex.filter(_._1.getAs[Long]("is_anchor") == 1L)
+    anchors.sliding(2).foreach {
+      case Array((a0, i0), (a1, i1)) =>
+        val lo = math.min(a0.getAs[Long]("rev_cents"), a1.getAs[Long]("rev_cents"))
+        val hi = math.max(a0.getAs[Long]("rev_cents"), a1.getAs[Long]("rev_cents"))
+        ((i0 + 1) until i1).foreach { i =>
+          val v = rows(i).getAs[Long]("interp_cents")
+          assert(v >= lo - 1 && v <= hi + 1, s"interp $v outside [$lo,$hi] at $i")
+        }
+      case _ => ()
+    }
+    // LOCF tail: rows past the last anchor repeat its value
+    val tailV = rows(lastAnchorIdx).getAs[Long]("rev_cents")
+    rows.drop(lastAnchorIdx + 1).foreach(r =>
+      assert(r.getAs[Long]("interp_cents") === tailV, "tail is not LOCF"))
+  }
+
   test("q_decay_revenue: truncated horizon and weight envelope hold") {
     val rows = TimeSeriesQueries.qDecayRevenue.run(spark, dir).collect()
     assert(rows.nonEmpty)
