@@ -350,6 +350,59 @@ object AnalyticQueries {
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Key-skew diagnostics — the pre-flight check before choosing a join/
+    * agg strategy (AQE skew thresholds, salting factors): the per-key
+    * group-size distribution of lineitem's order key, reduced to the
+    * numbers a planner actually consults — key count, max, exact p50/p99
+    * group size (rank selection over the KEY-COUNT frame, which is
+    * |keys|-sized, not fact-sized), mean (integer), and the max/mean skew
+    * ratio ×100. One partial-aggregated fact scan builds the count frame;
+    * everything after is key-cardinality work. */
+  val qSkewStats: Q = new Q {
+    val name = "q_skew_stats"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("cnt", "l_orderkey")
+      counts
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .agg(max("n").as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cnt")))
+            .as("p50_cnt"),
+          max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("cnt")))
+            .as("p99_cnt"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"),
+          col("p99_cnt"),
+          expr("n_rows div n_keys").as("mean_cnt"),
+          expr("(max_cnt * 100) div (n_rows div n_keys)").as("skew_ratio_e2"))
+    }
+    val oracle = Some(
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt, l_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM counts),
+        |s AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cnt END) AS BIGINT)
+        |      AS p50_cnt,
+        |    CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cnt END) AS BIGINT)
+        |      AS p99_cnt
+        |  FROM r)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+        |  n_rows // n_keys AS mean_cnt,
+        |  (max_cnt * 100) // (n_rows // n_keys) AS skew_ratio_e2
+        |FROM s""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
-    approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact)
+    approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
+    qSkewStats)
 }

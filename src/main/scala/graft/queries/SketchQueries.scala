@@ -224,5 +224,83 @@ object SketchQueries {
     }
   }
 
-  def all: Seq[Q] = Seq(kmvDistinct, kmvUnion, cmsHeavyHitters, bottomkSample)
+  /** Sketch-based key-overlap estimation — the cost-based-optimizer use of
+    * KMV: estimate |keys(customer) ∩ keys(orders)| by inclusion-exclusion
+    * over three KMV estimates (side A, side B, merged union), next to the
+    * exact intersection so the gate value-checks estimator and truth
+    * together. This is how a planner sizes a join without touching the
+    * fact tables: each side's sketch is a k-row summary computed with one
+    * distinct + one top-k pass, and sketches MERGE (the union estimate
+    * needs no second scan). */
+  val joinSizeEst: Q = new Q {
+    val name = "q_join_size_est"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      def hv(c: org.apache.spark.sql.Column) =
+        HashOps.hashP(concat(c.cast("string"), lit(":kmv2")))
+      val a = Tables.customer(spark, dir).select(hv(col("c_custkey")).as("hv"))
+        .distinct().persist()
+      val b = Tables.orders(spark, dir).select(hv(col("o_custkey")).as("hv"))
+        .distinct().persist()
+      def sketch(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(Window.orderBy("hv")))
+        .where(col("rn") <= K)
+      def est(nHashes: org.apache.spark.sql.Column) =
+        when(nHashes < K, nHashes)
+          .otherwise(expr(s"${(K - 1) * HashOps.P}L div hk"))
+      // per-side and merged k-th minima + set sizes
+      def kthAndN(df: DataFrame, tag: String): DataFrame = {
+        val n = df.agg(count(lit(1)).as(s"n_$tag"))
+        val kth = df.withColumn("rn", row_number().over(Window.orderBy("hv")))
+          .where(col("rn") === K).select(col("hv").as("hk"))
+        n.join(kth, lit(true), "left")
+          .select(col(s"n_$tag"), est(col(s"n_$tag")).as(s"est_$tag"))
+      }
+      val merged = sketch(a).select("hv").union(sketch(b).select("hv")).distinct()
+      val exact = a.intersect(b).agg(count(lit(1)).as("inter_exact"))
+      kthAndN(a, "a").crossJoin(kthAndN(b, "b"))
+        .crossJoin(kthAndN(merged, "u"))
+        .crossJoin(exact)
+        .select(col("est_a"), col("est_b"),
+          greatest(col("est_a") + col("est_b") - col("est_u"), lit(0L))
+            .as("inter_est"),
+          col("inter_exact"))
+    }
+    val oracle = Some {
+      val ha = HashOps.sqlHashP("concat(CAST(c_custkey AS VARCHAR), ':kmv2')")
+      val hb = HashOps.sqlHashP("concat(CAST(o_custkey AS VARCHAR), ':kmv2')")
+      val estP = (K - 1) * HashOps.P
+      def side(cte: String, tag: String) =
+        s"""n_$tag AS (SELECT count(*) AS n FROM $cte),
+           |k_$tag AS (SELECT hv AS hk FROM (
+           |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM $cte) t
+           |  WHERE rn = $K),
+           |e_$tag AS (
+           |  SELECT CAST(CASE WHEN n.n < $K THEN n.n ELSE $estP // k.hk END
+           |    AS BIGINT) AS est
+           |  FROM n_$tag n LEFT JOIN k_$tag k ON true)""".stripMargin
+      s"""WITH a AS (SELECT DISTINCT $ha AS hv FROM customer),
+         |b AS (SELECT DISTINCT $hb AS hv FROM orders),
+         |sa AS (SELECT hv FROM (
+         |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM a) t
+         |  WHERE rn <= $K),
+         |sb AS (SELECT hv FROM (
+         |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM b) t
+         |  WHERE rn <= $K),
+         |u AS (SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL
+         |  SELECT hv FROM sb) t),
+         |${side("a", "a")},
+         |${side("b", "b")},
+         |${side("u", "u")},
+         |x AS (SELECT count(*) AS inter_exact FROM
+         |  (SELECT hv FROM a INTERSECT SELECT hv FROM b) t)
+         |SELECT e_a.est AS est_a, e_b.est AS est_b,
+         |  greatest(e_a.est + e_b.est - e_u.est, 0) AS inter_est,
+         |  CAST(x.inter_exact AS BIGINT) AS inter_exact
+         |FROM e_a CROSS JOIN e_b CROSS JOIN e_u CROSS JOIN x""".stripMargin
+    }
+  }
+
+  def all: Seq[Q] = Seq(kmvDistinct, kmvUnion, cmsHeavyHitters, bottomkSample,
+    joinSizeEst)
 }

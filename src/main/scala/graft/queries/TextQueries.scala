@@ -495,7 +495,43 @@ object TextQueries {
          |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin)
   }
 
+  /** Inverted-index construction (the retrieval-infra build step BM25
+    * queries against): for the 10 highest-df terms, the full postings list
+    * as an ordered doc-id string. Postings for ONLY the selected terms are
+    * built — the 10-term frame broadcasts into the term-doc stream, so the
+    * expensive ordered collect runs over a selective slice, not the whole
+    * vocabulary; df ranking itself is one distinct + one count shuffle.
+    * Postings render as a comma-joined SORTED string (arrays are banned
+    * from checked outputs — driver compare limitation, FIXTURES.md). */
+  val invertedIndex: Q = new Q {
+    val name = "q_inverted_index"
+    private val TopTerms = 10
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val td = Tables.documents(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"), col("doc_id"))
+        .distinct().persist()
+      val top = td.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(TopTerms)
+      td.join(broadcast(top), Seq("term"))
+        .groupBy("term", "df")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+        .orderBy(col("df").desc, col("term"))
+    }
+    val oracle = Some(
+      s"""WITH td AS (
+         |  SELECT DISTINCT term, doc_id
+         |  FROM (SELECT unnest($SqlToks) AS term, doc_id FROM documents) t),
+         |dfreq AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+         |top AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT $TopTerms)
+         |SELECT t.term, CAST(t.df AS BIGINT) AS df,
+         |  string_agg(CAST(td.doc_id AS VARCHAR), ',' ORDER BY td.doc_id)
+         |    AS postings
+         |FROM top t JOIN td ON t.term = td.term
+         |GROUP BY t.term, t.df ORDER BY df DESC, t.term""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
-    rrfFusion)
+    rrfFusion, invertedIndex)
 }

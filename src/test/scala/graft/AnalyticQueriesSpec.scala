@@ -103,6 +103,21 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(a > 0 && b > 0, "degenerate funnel on test data")
   }
 
+  test("q_skew_stats matches a driver-side group-size distribution") {
+    import org.apache.spark.sql.functions._
+    val r = AnalyticQueries.qSkewStats.run(spark, dir).collect().head
+    val counts = graft.Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").count().collect().map(_.getLong(1)).sorted
+    assert(r.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(r.getAs[Long]("n_rows") === counts.sum)
+    assert(r.getAs[Long]("max_cnt") === counts.max)
+    def disc(p: Int): Long = counts((counts.length * p + 99) / 100 - 1)
+    assert(r.getAs[Long]("p50_cnt") === disc(50))
+    assert(r.getAs[Long]("p99_cnt") === disc(99))
+    val mean = counts.sum / counts.length
+    assert(r.getAs[Long]("skew_ratio_e2") === counts.max * 100 / mean)
+  }
+
   test("q_quantiles_exact matches a driver-side sorted order statistic") {
     import org.apache.spark.sql.functions._
     val rows = AnalyticQueries.qQuantilesExact.run(spark, dir).collect()

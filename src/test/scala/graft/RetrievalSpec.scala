@@ -105,6 +105,19 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse), "not ordered by fused score")
   }
 
+  test("q_inverted_index: df equals postings length, postings sorted unique") {
+    val rows = graft.queries.TextQueries.invertedIndex.run(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length.toLong === r.getAs[Long]("df"), s"df != |postings|: $r")
+      assert(ids.toSeq === ids.sorted.toSeq, "postings not sorted")
+      assert(ids.distinct.length === ids.length, "postings not unique")
+    }
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.sameElements(dfs.sorted.reverse), "terms not ranked by df")
+  }
+
   test("q_weighted_sample: inclusion tracks length weight within binomial noise") {
     val rows = graft.queries.MixQueries.weightedSample.run(spark, dir).collect()
     assert(rows.nonEmpty)

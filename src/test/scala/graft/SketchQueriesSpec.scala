@@ -44,6 +44,14 @@ class SketchQueriesSpec extends SparkSpec {
       b.map(_.getAs[Long]("o_orderkey")).toSeq, "sample membership unstable")
   }
 
+  test("q_join_size_est: inclusion-exclusion estimate brackets the truth") {
+    val r = SketchQueries.joinSizeEst.run(spark, "/root/testdata/sf0.01").collect().head
+    val est = r.getAs[Long]("inter_est"); val exact = r.getAs[Long]("inter_exact")
+    assert(exact > 0, "degenerate overlap on test data")
+    // three stacked KMV errors: allow a wide but meaningful envelope
+    assert(est >= exact / 2 && est <= exact * 2, s"overlap estimate off: $r")
+  }
+
   test("q_kmv_union: merged estimate tracks the global distinct count") {
     val r = SketchQueries.kmvUnion.run(spark, "/root/testdata/sf0.01").collect().head
     val exact = r.getAs[Long]("n_exact")
