@@ -531,7 +531,177 @@ object TextQueries {
          |GROUP BY t.term, t.df ORDER BY df DESC, t.term""".stripMargin)
   }
 
+  /** BPE vocabulary induction (Sennrich et al. 2016) — the first 3 merge
+    * rules of byte-pair-encoding tokenizer training, exactly as a trainer
+    * computes them: words are reduced to a WORD-COUNT table first (the
+    * standard trick — pair statistics are vocab-weighted sums, so every
+    * subsequent pass is vocabulary-sized, not corpus-sized), each word
+    * becomes a space-separated symbol string with sentinel padding, and
+    * each round (a) sums adjacent-pair frequencies weighted by word count,
+    * (b) picks the most frequent pair (ties lexicographic — the
+    * determinism contract), (c) applies the merge as a left-to-right
+    * non-overlapping string replace of ' a b ' with ' ab ' (the padded
+    * representation makes symbol boundaries unambiguous). Both engines
+    * implement replace() with the same scan, so the evolving segmentation
+    * is bit-identical; the oracle unrolls the same 3 rounds as CTEs.
+    *
+    * Scale shape: one corpus-sized shuffle builds the word-count table;
+    * each merge round is then an explode+sum and a narrow map over the
+    * VOCABULARY — the reason real BPE trainers handle web-scale corpora. */
+  val bpeMerges: Q = new Q {
+    val name = "q_bpe_merges"
+    private val Rounds = 3
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w0 = Tables.documents(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .select(col("wc"),
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+        .persist()
+      def bestPair(words: DataFrame): DataFrame = words
+        .select(col("wc"),
+          explode(TextOps.shingles(split(trim(col("s")), " "), 2)).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+      def applyMerge(words: DataFrame, best: DataFrame): DataFrame = words
+        .crossJoin(broadcast(best))
+        .select(col("wc"), expr(
+          "replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
+        ).as("s"))
+      val (_, merges) =
+        (1 to Rounds).foldLeft((w0, Seq.empty[DataFrame])) {
+          case ((words, acc), step) =>
+            val best = bestPair(words).persist()
+            val out = best.select(lit(step.toLong).as("step"),
+              expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+            (applyMerge(words, best), acc :+ out)
+        }
+      merges.reduce(_ unionAll _).orderBy("step")
+    }
+    val oracle = Some {
+      val rounds = (1 to Rounds).map { i =>
+        s"""pr$i AS (
+           |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT wc, unnest(list_transform(range(1, len(a)),
+           |      j -> a[j] || ' ' || a[j + 1])) AS pair
+           |    FROM (SELECT wc, string_split(trim(s), ' ') AS a FROM w${i - 1}) t) p
+           |  GROUP BY pair),
+           |b$i AS (SELECT pair, cnt FROM pr$i ORDER BY cnt DESC, pair LIMIT 1),
+           |w$i AS (
+           |  SELECT w.wc,
+           |    replace(w.s, ' ' || b.pair || ' ',
+           |            ' ' || replace(b.pair, ' ', '') || ' ') AS s
+           |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to Rounds).map { i =>
+        s"SELECT $i AS step, replace(pair, ' ', '') AS merged, cnt FROM b$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+         |  FROM (SELECT unnest($SqlToks) AS word FROM documents) t
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |  GROUP BY word),
+         |$rounds
+         |SELECT CAST(step AS BIGINT) AS step, merged, cnt FROM (
+         |$out) m ORDER BY step""".stripMargin
+    }
+  }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): greedily
+    * select 5 of the BM25 top-20 maximizing relevance minus redundancy —
+    *   mmr(d) = rel_e4(d) − max_{s ∈ selected} sim_e4(d, s)
+    * with sim = exact token-set Jaccard ×1e4 by integer division, ties by
+    * doc_id, so every greedy step is engine-deterministic; the oracle
+    * unrolls the same 5 selections as chained CTEs. Greedy selection is
+    * inherently sequential, but each step operates on the CANDIDATE set —
+    * k and the candidate pool are deployment constants, so the whole
+    * re-rank (20 candidates, ≤380 sim pairs, 5 argmax steps) is
+    * driver-scale constant work after the distributed BM25 scorer. */
+  val mmrDiversify: Q = new Q {
+    val name = "q_mmr_diversify"
+    private val Pool = 20
+    private val Select = 5
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      // localCheckpoint, not persist: every greedy step's plan references
+      // ALL previous steps — without eager materialization the pick
+      // frames re-evaluate combinatorially (measured 9.8 s → 2.9 s warm).
+      val cand = bm25Topk.run(spark, dir)
+        .orderBy(col("score_e4").desc, col("doc_id")).limit(Pool)
+        .select(col("doc_id"), col("score_e4").as("rel")).localCheckpoint()
+      val ct = cand.join(Tables.documents(spark, dir), Seq("doc_id"))
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextOps.tokens(col("text")))).as("tk"))
+      val sim = ct.alias("x").join(ct.alias("y"),
+          col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          size(array_intersect(col("x.tk"), col("y.tk"))).as("inter"),
+          (size(col("x.tk")) + size(col("y.tk"))).as("sz"))
+        .select(col("a"), col("b"),
+          expr("CAST(inter AS BIGINT) * 10000 div CAST(sz - inter AS BIGINT)")
+            .as("sim_e4")).localCheckpoint()
+      val first = cand.orderBy(col("rel").desc, col("doc_id")).limit(1)
+        .select(col("doc_id"), col("rel").as("mmr_e4")).localCheckpoint()
+      val (picks, _) = (2 to Select).foldLeft(
+        (Seq(first), first.select("doc_id"))) { case ((acc, sel), _) =>
+        val mmr = cand.join(sel, Seq("doc_id"), "left_anti")
+          .join(sim.join(sel.withColumnRenamed("doc_id", "b"), Seq("b")),
+            col("doc_id") === col("a"), "left")
+          .groupBy(col("doc_id"), col("rel"))
+          .agg(coalesce(max("sim_e4"), lit(0L)).as("maxsim"))
+          .select(col("doc_id"), (col("rel") - col("maxsim")).as("mmr_e4"))
+        val pick = mmr.orderBy(col("mmr_e4").desc, col("doc_id")).limit(1)
+          .localCheckpoint()
+        (acc :+ pick, sel.unionAll(pick.select("doc_id")))
+      }
+      picks.zipWithIndex.map { case (p, i) =>
+        p.select(lit(i + 1L).as("sel_rank"), col("doc_id"), col("mmr_e4"))
+      }.reduce(_ unionAll _).orderBy("sel_rank")
+    }
+    val oracle = Some {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      val steps = (2 to Select).map { t =>
+        s"""m$t AS (
+           |  SELECT c.doc_id, c.rel - COALESCE(max(s.sim_e4), 0) AS mmr_e4
+           |  FROM cand c
+           |  LEFT JOIN (SELECT a, sim_e4 FROM sim
+           |             WHERE b IN (SELECT doc_id FROM sel${t - 1})) s
+           |    ON s.a = c.doc_id
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${t - 1})
+           |  GROUP BY c.doc_id, c.rel),
+           |s$t AS (SELECT doc_id, mmr_e4 FROM m$t
+           |        ORDER BY mmr_e4 DESC, doc_id LIMIT 1),
+           |sel$t AS (SELECT doc_id FROM sel${t - 1}
+           |          UNION ALL SELECT doc_id FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to Select).map { t =>
+        s"SELECT $t AS sel_rank, doc_id, mmr_e4 FROM s$t"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH cand AS (
+         |  SELECT doc_id, score_e4 AS rel
+         |  FROM (${bm25Topk.oracle.get}) bm
+         |  ORDER BY rel DESC, doc_id LIMIT $Pool),
+         |ct AS (
+         |  SELECT c.doc_id, list_sort(list_distinct($toks)) AS tk
+         |  FROM cand c JOIN documents d ON d.doc_id = c.doc_id),
+         |sim AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(len(list_intersect(x.tk, y.tk)) * 10000
+         |      // (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)))
+         |      AS BIGINT) AS sim_e4
+         |  FROM ct x JOIN ct y ON x.doc_id <> y.doc_id),
+         |s1 AS (SELECT doc_id, rel AS mmr_e4 FROM cand
+         |       ORDER BY rel DESC, doc_id LIMIT 1),
+         |sel1 AS (SELECT doc_id FROM s1),
+         |$steps
+         |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, doc_id,
+         |  CAST(mmr_e4 AS BIGINT) AS mmr_e4
+         |FROM ($out) m ORDER BY sel_rank""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
-    rrfFusion, invertedIndex)
+    rrfFusion, invertedIndex, bpeMerges, mmrDiversify)
 }

@@ -105,6 +105,67 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse), "not ordered by fused score")
   }
 
+  test("q_bpe_merges: step-1 rule matches a driver-side pair count") {
+    val rows = graft.queries.TextQueries.bpeMerges.run(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq === Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged").length >= 2)
+      assert(r.getAs[Long]("cnt") > 0)
+    }
+    // recompute round 1 from raw words on the driver
+    val words = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("w"))
+      .collect().map(_.getString(0)).filter(_.matches("^[a-z]+$"))
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { w =>
+      w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = s"${p(0)}${p(1)}"
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val (bestPair, bestCnt) = pairCounts.toSeq.map { case (p, c) => (p, c) }
+      .sortBy { case (p, c) => (-c, p) }.head
+    assert(rows.head.getAs[String]("merged") === bestPair)
+    assert(rows.head.getAs[Long]("cnt") === bestCnt)
+  }
+
+  test("q_mmr_diversify reproduces a driver-side greedy MMR walk") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TextQueries.mmrDiversify.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("sel_rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_e4")))
+    assert(got.map(_._1).toSeq === (1L to 5L))
+    // rebuild candidates + sims on the driver and re-run the greedy loop
+    val cand = graft.queries.TextQueries.bm25Topk.run(spark, dir)
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_e4"))
+    val toks = graft.Tables.documents(spark, dir)
+      .where(col("doc_id").isin(cand.map(_._1): _*))
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("tk"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1).toSet).toMap
+    def sim(a: Long, b: Long): Long = {
+      val (x, y) = (toks(a), toks(b))
+      val inter = (x & y).size.toLong
+      inter * 10000L / (x.size + y.size - inter)
+    }
+    var selected = Vector.empty[Long]
+    val expected = (1 to 5).map { _ =>
+      val scored = cand.filterNot(c => selected.contains(c._1)).map {
+        case (id, rel) =>
+          val pen = if (selected.isEmpty) 0L else selected.map(sim(id, _)).max
+          (id, rel - pen)
+      }
+      val (id, mmr) = scored.minBy { case (i, m) => (-m, i) }
+      selected :+= id
+      (selected.size.toLong, id, mmr)
+    }
+    assert(got.toSeq === expected, "greedy walk diverged from the query")
+  }
+
   test("q_inverted_index: df equals postings length, postings sorted unique") {
     val rows = graft.queries.TextQueries.invertedIndex.run(spark, dir).collect()
     assert(rows.length === 10)
