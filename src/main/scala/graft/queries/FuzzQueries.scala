@@ -492,6 +492,60 @@ object FuzzQueries {
     }
   }
 
+  /** Higher-order-function grammar: per-row arrays (integer sequences or
+    * column triples) piped through random transform/filter lambdas to a
+    * terminal (sum-fold / max / length), then group-aggregated — the
+    * lambda-evaluation surface (Spark `transform`/`filter`/`aggregate` vs
+    * DuckDB `list_transform`/`list_filter`/`list_reduce`) that no other
+    * arm touches. All element math is BIGINT; empty arrays (a filter can
+    * drain a sequence) exercise the fold-seed/NULL-max edge on both
+    * engines. */
+  private def genHof(r: Random, idx: Int): Q = {
+    val tableName = pick(r, Seq("lineitem", "orders"))
+    val (arrSpark, arrSql) =
+      if (tableName == "lineitem") pick(r, Seq(
+        ("sequence(1L, l_orderkey % 5 + 3)", "range(1, l_orderkey % 5 + 4)"),
+        ("array(l_orderkey % 97, l_partkey % 89, l_suppkey % 83)",
+          "[l_orderkey % 97, l_partkey % 89, l_suppkey % 83]")))
+      else pick(r, Seq(
+        ("sequence(1L, o_orderkey % 6 + 2)", "range(1, o_orderkey % 6 + 3)"),
+        ("array(o_orderkey % 97, o_custkey % 89, CAST(length(o_orderpriority) AS BIGINT))",
+          "[o_orderkey % 97, o_custkey % 89, CAST(length(o_orderpriority) AS BIGINT)]")))
+    val tf = pick(r, Seq(
+      None,
+      Some(("transform(@A@, x -> x * 2 + 1)", "list_transform(@A@, x -> x * 2 + 1)")),
+      Some(("transform(@A@, x -> x * 3)", "list_transform(@A@, x -> x * 3)"))))
+    val fl = pick(r, Seq(
+      None,
+      Some(("filter(@A@, x -> x % 2 = 1)", "list_filter(@A@, x -> x % 2 = 1)")),
+      Some(("filter(@A@, x -> x % 3 != 0)", "list_filter(@A@, x -> x % 3 <> 0)"))))
+    val (termSpark, termSql) = pick(r, Seq(
+      ("aggregate(@A@, 0L, (a, x) -> a + x)",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), @A@), (a, x) -> a + x)"),
+      ("coalesce(array_max(@A@), 0L)", "COALESCE(list_max(@A@), 0)"),
+      ("CAST(size(@A@) AS BIGINT)", "CAST(len(@A@) AS BIGINT)")))
+    val key = if (tableName == "lineitem") "l_returnflag" else "o_orderstatus"
+    def pipe(base: String, steps: Seq[Option[(String, String)]], side: Int): String =
+      steps.flatten.foldLeft(base)((e, s) =>
+        (if (side == 0) s._1 else s._2).replace("@A@", e))
+    val exprSpark = termSpark.replace("@A@", pipe(arrSpark, Seq(tf, fl), 0))
+    val exprSql = termSql.replace("@A@", pipe(arrSql, Seq(tf, fl), 1))
+
+    new Q {
+      val name = f"q_fuzzh_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame =
+        Tables.table(spark, dir, tableName)
+          .withColumn("hv", expr(exprSpark))
+          .groupBy(col(key))
+          .agg(count(lit(1)).as("n"), sum("hv").as("agg_val"))
+          .orderBy(col(key))
+      val oracle = Some(
+        s"""SELECT $key, count(*) AS n,
+           |  CAST(sum($exprSql) AS BIGINT) AS agg_val
+           |FROM $tableName GROUP BY $key ORDER BY $key""".stripMargin)
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -504,6 +558,8 @@ object FuzzQueries {
     val exists = (0 until 6).map(genExists(r, _))
     val scalars = (0 until 8).map(genScalar(r, _))
     val frames = (0 until 6).map(genFrame(r, _))
-    scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++ frames
+    val hofs = (0 until 6).map(genHof(r, _))
+    scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
+      frames ++ hofs
   }
 }

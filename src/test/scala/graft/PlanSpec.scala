@@ -145,4 +145,32 @@ class PlanSpec extends SparkSpec {
       .orderBy("o_orderkey").limit(20).collect()
     assert(offsetPage.map(_.toSeq).toSeq == keysetPage.map(_.toSeq).toSeq)
   }
+
+  test("q_bottomk_sample plans as TakeOrdered, never a global sort") {
+    val df = graft.queries.SketchQueries.bottomkSample.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("q_copurchase_edges expands baskets in-row: generator, no self-join") {
+    val df = graft.queries.GraphQueries.copurchaseEdges.run(spark, sf)
+    val plan = planString(df)
+    assert(plan.contains("Generate"), s"no in-row expansion in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"basket expansion regressed to a join:\n$plan")
+  }
+
+  test("q_inverted_index builds postings only for the broadcast top terms") {
+    val df = graft.queries.TextQueries.invertedIndex.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-term selection not broadcast:\n$plan")
+  }
+
+  test("q_cms_heavy_hitters joins counters without shuffling the sketch build twice") {
+    val df = graft.queries.SketchQueries.cmsHeavyHitters.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"probe rows not broadcast:\n$plan")
+  }
 }
