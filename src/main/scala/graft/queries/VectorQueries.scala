@@ -582,7 +582,112 @@ object VectorQueries {
     }
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search — the QUERY side of the
+    * IVF+PQ pairing (`pq_codes` is the index-build side): each query
+    * precomputes a distance lookup table to every (subspace, codeword)
+    * pair — |queries|·4·8 entries, broadcastable at any corpus size —
+    * and a candidate's estimated distance is the SUM of 4 table lookups
+    * selected by its stored code. The only corpus-scale work is one
+    * broadcast join against the N×4 code table and one (q, candidate)
+    * aggregate: no full vectors are touched at query time, which is the
+    * entire point of PQ. Distances are the same e6-rounded exact dot
+    * algebra as the codebook assignment, so ranking is engine-exact
+    * (ties by candidate id). */
+  val annPqAdcTopk: Q = new Q {
+    val name = "ann_pq_adc_topk"
+    private val NSub = 4
+    private val SubDim = Dim / NSub
+    private val CodeStride = 61L
+    private val CodeCap = 488L
+    private val AdcTopK = 10
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      def sub(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+        slice(v, s * SubDim + 1, lit(SubDim))
+      val cw = emb
+        .where(col("vec_id") % CodeStride === 0 && col("vec_id") < CodeCap)
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("s"), col("vec_id").as("cw_id"),
+          sub(col("embedding"), col("s")).as("cw_sub"))
+      def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round((VectorOps.dot(a, a, SubDim) + VectorOps.dot(b, b, SubDim) -
+          lit(2) * VectorOps.dot(a, b, SubDim)) * 1000000).cast("long")
+      // index side: every vector's per-subspace nearest codeword
+      val vs = emb
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("vec_id"), col("s"), sub(col("embedding"), col("s")).as("v_sub"))
+      val wAssign = Window.partitionBy("vec_id", "s")
+        .orderBy(col("d").asc, col("cw_id").asc)
+      val codes = vs.join(broadcast(cw), Seq("s"))
+        .withColumn("d", dist2(col("v_sub"), col("cw_sub")))
+        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cw_id"))
+      // query side: per-(query, subspace, codeword) distance lookup table
+      val qd = emb
+        .where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("vec_id").as("q_id"), col("s"),
+          sub(col("embedding"), col("s")).as("q_sub"))
+        .join(broadcast(cw), Seq("s"))
+        .select(col("q_id"), col("s"), col("cw_id"),
+          dist2(col("q_sub"), col("cw_sub")).as("qd_e6"))
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("adc_e6").asc, col("c_id").asc)
+      codes.join(broadcast(qd), Seq("s", "cw_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("c_id"))
+        .agg(sum("qd_e6").as("adc_e6"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .where(col("rank") <= AdcTopK)
+        .select("q_id", "c_id", "rank", "adc_e6")
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some {
+      def dotS(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+      def dist2(a: String, b: String) =
+        s"CAST(round((${dotS(a, a)} + ${dotS(b, b)} - 2 * ${dotS(a, b)}) * 1000000) AS BIGINT)"
+      s"""WITH cw AS (
+         |  SELECT s, vec_id AS cw_id,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS cw_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)
+         |  WHERE vec_id % $CodeStride = 0 AND vec_id < $CodeCap),
+         |vs AS (
+         |  SELECT vec_id, s,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS v_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)),
+         |assign AS (
+         |  SELECT vec_id, vs.s, cw_id, row_number() OVER (
+         |    PARTITION BY vec_id, vs.s
+         |    ORDER BY ${dist2("v_sub", "cw_sub")} ASC, cw_id ASC) AS rn
+         |  FROM vs JOIN cw ON vs.s = cw.s),
+         |codes AS (SELECT vec_id, s, cw_id FROM assign WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.vec_id AS q_id, cw.s, cw.cw_id,
+         |    ${dist2("q_sub", "cw_sub")} AS qd_e6
+         |  FROM (
+         |    SELECT vec_id, s,
+         |      list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS q_sub
+         |    FROM embeddings CROSS JOIN range($NSub) r(s)
+         |    WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap) q
+         |  JOIN cw ON q.s = cw.s),
+         |adc AS (
+         |  SELECT qd.q_id, codes.vec_id AS c_id,
+         |    CAST(sum(qd.qd_e6) AS BIGINT) AS adc_e6
+         |  FROM codes JOIN qd ON codes.s = qd.s AND codes.cw_id = qd.cw_id
+         |  WHERE codes.vec_id <> qd.q_id
+         |  GROUP BY qd.q_id, codes.vec_id),
+         |r AS (
+         |  SELECT q_id, c_id, adc_e6, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc_e6 ASC, c_id ASC) AS rank
+         |  FROM adc)
+         |SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, adc_e6
+         |FROM r WHERE rank <= $AdcTopK ORDER BY q_id, rank""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
-    embedQuantize, pqCodes)
+    embedQuantize, pqCodes, annPqAdcTopk)
 }

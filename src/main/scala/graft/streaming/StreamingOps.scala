@@ -275,6 +275,48 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class KeyedHash(k: String, hv: Long)
+  case class KmvSketch(hs: Array[Long])
+  case class KmvOut(k: String, n_held: Long, estimate: Long)
+
+  /** Streaming K-minimum-values distinct sketch — the stateful twin of the
+    * batch `q_kmv_distinct`/`q_kmv_union` queries, and the reason KMV is
+    * the right sketch for streams: state is the k smallest distinct
+    * hashes per key (O(k) BOUNDED on an unbounded stream), merging a
+    * micro-batch is set-union + re-truncate (associative + commutative +
+    * idempotent, so replays and reordering cannot corrupt it), and the
+    * estimate (k−1)·P div h_k is re-emitted per batch. Same hash space
+    * and estimator as the batch queries: feed it `HashOps.hashP` values
+    * and the final estimate equals the batch sketch of the same data —
+    * spec-pinned. */
+  class KmvProcessor(k: Int, hashP: Long, ttl: TTLConfig)
+    extends StatefulProcessor[String, KeyedHash, KmvOut] {
+    @transient private var state: ValueState[KmvSketch] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KmvSketch]("kmv",
+        org.apache.spark.sql.Encoders.product[KmvSketch], ttl)
+    override def handleInputRows(key: String, rows: Iterator[KeyedHash],
+                                 timers: TimerValues): Iterator[KmvOut] = {
+      val held = if (state.exists()) state.get().hs else Array.empty[Long]
+      val merged = (held ++ rows.map(_.hv)).distinct.sorted.take(k)
+      state.update(KmvSketch(merged))
+      val est =
+        if (merged.length < k) merged.length.toLong
+        else (k - 1).toLong * hashP / merged.last
+      Iterator.single(KmvOut(key, merged.length.toLong, est))
+    }
+  }
+
+  /** Wire [[KmvProcessor]] over a keyed hash stream (RocksDB state store). */
+  def kmvDistinctStream(hashes: Dataset[KeyedHash], k: Int, hashP: Long,
+                        ttl: TTLConfig = TTLConfig.NONE): Dataset[KmvOut] = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes.groupByKey(_.k)
+      .transformWithState(new KmvProcessor(k, hashP, ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -79,6 +79,20 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq_adc_topk: per-query ranks dense, ADC distances sorted non-negative") {
+    val rows = graft.queries.VectorQueries.annPqAdcTopk.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length),
+        s"ranks not dense for query $q")
+      val ds = sorted.map(_.getAs[Long]("adc_e6"))
+      assert(ds.forall(_ >= 0L), s"negative ADC distance for query $q")
+      assert(ds.toSeq === ds.sorted.toSeq, s"ADC ordering broken for query $q")
+      assert(!sorted.exists(_.getAs[Long]("c_id") == q), "query returned itself")
+    }
+  }
+
   test("q_table_diff: classes partition the key universe of both versions") {
     val rows = graft.queries.SourceQueries.tableDiff.run(spark, dir).collect()
     val byClass = rows.map(r => r.getAs[String]("class") -> r.getAs[Long]("n")).toMap

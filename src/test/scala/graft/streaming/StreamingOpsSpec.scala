@@ -315,6 +315,53 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinctStream: merged sketch equals the batch KMV of the same data") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val K = 8
+    val P = graft.ops.HashOps.P
+    def h(id: Long): Long = {
+      // same md5-based hashP the batch queries use, computed driver-side
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:skmv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val input = MemoryStream[StreamingOps.KeyedHash]
+    val q = StreamingOps.kmvDistinctStream(input.toDS(), K, P)
+      .writeStream.format("memory").queryName("skmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: 5 distinct users for key a (< K → exact); batch 2 adds
+      // 15 more (> K → estimator), re-sends duplicates (idempotence)
+      input.addData((1L to 5L).map(i => StreamingOps.KeyedHash("a", h(i))): _*)
+      q.processAllAvailable()
+      input.addData((3L to 20L).map(i => StreamingOps.KeyedHash("a", h(i))): _*)
+      q.processAllAvailable()
+      val got = spark.table("skmv").as[StreamingOps.KmvOut].collect()
+        .filter(_.k == "a")
+      val batch1 = got.minBy(_.n_held)
+      assert(batch1.n_held === 5L && batch1.estimate === 5L,
+        s"small-set phase must be exact: $batch1")
+      // reference: batch KMV over all 20 distinct ids
+      val hs = (1L to 20L).map(h).distinct.sorted.take(K)
+      val expected = (K - 1).toLong * P / hs.last
+      val fin = got.maxBy(_.n_held)
+      assert(fin.n_held === K.toLong)
+      assert(fin.estimate === expected,
+        s"streaming sketch diverged from batch KMV: got $fin expected $expected")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("aggregation state survives a query restart from the checkpoint") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
