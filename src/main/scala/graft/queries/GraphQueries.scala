@@ -69,7 +69,7 @@ object GraphQueries {
       // expensive part; materialize it ONCE so the 8 iterations iterate
       // over the |E|-sized frame, not 8 re-reads of lineitem∘orders.
       val edgesOut = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")).persist()
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")).localCheckpoint()
       val stats = nodes.agg(count(lit(1)).as("n_nodes"))
       val r0 = nodes.crossJoin(broadcast(stats))
         .select(col("node"), expr(s"$E9 div n_nodes").as("r"))
@@ -144,7 +144,7 @@ object GraphQueries {
         .where(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       val deg = und.select(col("a").as("node")).union(und.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val withDeg = und
@@ -156,7 +156,7 @@ object GraphQueries {
           .otherwise(col("b")).as("u"),
         when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("v")).persist()
+          .otherwise(col("a")).as("v")).localCheckpoint()
       val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
       val e2 = oriented.select(col("u").as("x"), col("v").as("z"))
       val e3 = oriented.select(col("u").as("y"), col("v").as("z"))
@@ -222,7 +222,7 @@ object GraphQueries {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
       val both = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b"), col("a"))).persist()
+        .union(und.select(col("b"), col("a"))).localCheckpoint()
       val d0 = nodes.select(col("node"),
         when(col("node") === 0, lit(0L)).otherwise(lit(Sentinel)).as("d"))
       val dFinal = (1 to Iters).foldLeft(d0) { (dists, _) =>

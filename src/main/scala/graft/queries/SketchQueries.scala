@@ -35,7 +35,7 @@ object SketchQueries {
       val ev = Tables.events(spark, dir)
       val hashes = ev.select(col("event_type"),
           HashOps.hashP(concat(col("user_id").cast("string"), lit(":kmv"))).as("hv"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       val stats = hashes.groupBy("event_type").agg(count(lit(1)).as("n_hashes"))
       val kth = hashes
         .withColumn("rn", row_number().over(
@@ -88,7 +88,7 @@ object SketchQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("hv")))
         .where(col("rn") <= K)
-      val merged = sketches.select("hv").distinct().persist()
+      val merged = sketches.select("hv").distinct().localCheckpoint()
       val stats = merged.agg(count(lit(1)).as("n_hashes"))
       val kth = merged
         .withColumn("rn", row_number().over(Window.orderBy("hv")))
@@ -143,7 +143,7 @@ object SketchQueries {
       import spark.implicits._
       val tf = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt")).persist()
+        .groupBy("term").agg(count(lit(1)).as("cnt")).localCheckpoint()
       val rows = spark.range(D).select(col("id").as("j"))
       val counters = tf.crossJoin(broadcast(rows))
         .select(col("j"),
@@ -239,9 +239,9 @@ object SketchQueries {
       def hv(c: org.apache.spark.sql.Column) =
         HashOps.hashP(concat(c.cast("string"), lit(":kmv2")))
       val a = Tables.customer(spark, dir).select(hv(col("c_custkey")).as("hv"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       val b = Tables.orders(spark, dir).select(hv(col("o_custkey")).as("hv"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       def sketch(df: DataFrame): DataFrame = df
         .withColumn("rn", row_number().over(Window.orderBy("hv")))
         .where(col("rn") <= K)

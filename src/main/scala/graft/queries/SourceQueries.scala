@@ -321,9 +321,10 @@ object SourceQueries {
       val w = Window.orderBy("file_day")
         .rowsBetween(Window.unboundedPreceding, -1)
       files
-        .withColumn("bin",
-          (coalesce(sum("size_bytes").over(w), lit(0L)) / TargetBytes)
-            .cast("long"))
+        .withColumn("cum_before", coalesce(sum("size_bytes").over(w), lit(0L)))
+        // integer `div`, never `/`: long/long promotes to double and a
+        // running byte total past 2^53 would round the bin boundary
+        .withColumn("bin", expr(s"cum_before div ${TargetBytes}L"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_files"), sum("size_bytes").as("bin_bytes"),
           min("file_day").as("first_day"), max("file_day").as("last_day"))

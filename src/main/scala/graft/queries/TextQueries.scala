@@ -318,10 +318,14 @@ object TextQueries {
     * by their own integer division, then multiplied and re-normalized —
     * never the fused (2N±1)·44·tf·avgdl·1e4 product, whose int64 overflow
     * at N~1e9 corpora would wrap silently under Spark's non-ANSI
-    * arithmetic while DuckDB promotes (round-5 advice). Bounds: the tf
-    * factor is < 2.2·1e4, so scores stay in int64 for any N ≤ 4e14 docs
-    * and tf·avgdl ≤ 2e13 — far past 100 TB. Scores are integer-summed per
-    * doc — no float ever enters.
+    * arithmetic while DuckDB promotes (round-5 advice). Bounds: the
+    * binding step is the idf_e4 · tf_e4 product — tf_e4 < 2.2e4 and
+    * idf_e4 ≈ 6667·N at df=1, so scores stay in int64 for any
+    * N ≲ 6e10 docs (≈300 TB at 5 KB/doc — above this library's target;
+    * for larger corpora pre-divide idf_e4 by 1e2 and re-scale). The
+    * separate requirement tf·avgdl ≤ 2e13 bounds the tf factor's own
+    * numerator. Scores are integer-summed per doc — no float ever
+    * enters.
     *
     * Scale shape: the only fact-cardinality pass is tokenize+filter to the
     * |terms|-bounded postings (explode is pre-filtered by the IN list);
@@ -509,7 +513,7 @@ object TextQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val td = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("term"), col("doc_id"))
-        .distinct().persist()
+        .distinct().localCheckpoint()
       val top = td.groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term")).limit(TopTerms)
       td.join(broadcast(top), Seq("term"))
@@ -539,11 +543,22 @@ object TextQueries {
     * becomes a space-separated symbol string with sentinel padding, and
     * each round (a) sums adjacent-pair frequencies weighted by word count,
     * (b) picks the most frequent pair (ties lexicographic — the
-    * determinism contract), (c) applies the merge as a left-to-right
-    * non-overlapping string replace of ' a b ' with ' ab ' (the padded
-    * representation makes symbol boundaries unambiguous). Both engines
-    * implement replace() with the same scan, so the evolving segmentation
-    * is bit-identical; the oracle unrolls the same 3 rounds as CTEs.
+    * determinism contract), (c) applies the merge as a string replace of
+    * ' a b ' with ' ab ' on the padded representation, ITERATED 4× — a
+    * single left-to-right scan consumes the trailing space of each match,
+    * which would skip a back-to-back second occurrence ('a b a b'), so
+    * the replace is reapplied until no occurrence remains (4 passes cover
+    * every ≤2⁴-site word); at the fixpoint all merge sites are applied,
+    * which for distinct-symbol pairs is exactly greedy BPE. Words
+    * containing a TRIPLED character are excluded from the vocabulary up
+    * front: for runs of one symbol ('aaaaa') the merge ORDER is ambiguous
+    * under replace semantics and the fixpoint can bracket differently
+    * than per-symbol greedy (the excluded mass is a handful of
+    * exclamation-style tokens; a residual caveat remains if ≥2 merges
+    * ever rebuild a ≥5-run of one MERGED symbol — not reachable in 3
+    * rounds on natural text). Both engines implement replace() with the
+    * same scan, so the evolving segmentation is bit-identical; the
+    * oracle unrolls the same rounds and passes as CTEs.
     *
     * Scale shape: one corpus-sized shuffle builds the word-count table;
     * each merge round is then an explode+sum and a narrow map over the
@@ -551,28 +566,33 @@ object TextQueries {
   val bpeMerges: Q = new Q {
     val name = "q_bpe_merges"
     private val Rounds = 3
+    private val Passes = 4
+    // RE2 (DuckDB) has no backreferences, so "a char appears 3× in a row"
+    // is spelled as a literal alternation usable by BOTH engines
+    private val TripleRe = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
     def run(spark: SparkSession, dir: String): DataFrame = {
       val w0 = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("word"))
-        .where(col("word").rlike("^[a-z]+$"))
+        .where(col("word").rlike("^[a-z]+$") && !col("word").rlike(TripleRe))
         .groupBy("word").agg(count(lit(1)).as("wc"))
         .select(col("wc"),
           concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-        .persist()
+        .localCheckpoint()
       def bestPair(words: DataFrame): DataFrame = words
         .select(col("wc"),
           explode(TextOps.shingles(split(trim(col("s")), " "), 2)).as("pair"))
         .groupBy("pair").agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-      def applyMerge(words: DataFrame, best: DataFrame): DataFrame = words
-        .crossJoin(broadcast(best))
-        .select(col("wc"), expr(
-          "replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
-        ).as("s"))
+      def applyMerge(words: DataFrame, best: DataFrame): DataFrame = {
+        val replaced = (1 to Passes).foldLeft("s")((e, _) =>
+          s"replace($e, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+        words.crossJoin(broadcast(best))
+          .select(col("wc"), expr(replaced).as("s"))
+      }
       val (_, merges) =
         (1 to Rounds).foldLeft((w0, Seq.empty[DataFrame])) {
           case ((words, acc), step) =>
-            val best = bestPair(words).persist()
+            val best = bestPair(words).localCheckpoint()
             val out = best.select(lit(step.toLong).as("step"),
               expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
             (applyMerge(words, best), acc :+ out)
@@ -580,6 +600,8 @@ object TextQueries {
       merges.reduce(_ unionAll _).orderBy("step")
     }
     val oracle = Some {
+      val replaced = (1 to Passes).foldLeft("w.s")((e, _) =>
+        s"replace($e, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')")
       val rounds = (1 to Rounds).map { i =>
         s"""pr$i AS (
            |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -589,9 +611,7 @@ object TextQueries {
            |  GROUP BY pair),
            |b$i AS (SELECT pair, cnt FROM pr$i ORDER BY cnt DESC, pair LIMIT 1),
            |w$i AS (
-           |  SELECT w.wc,
-           |    replace(w.s, ' ' || b.pair || ' ',
-           |            ' ' || replace(b.pair, ' ', '') || ' ') AS s
+           |  SELECT w.wc, $replaced AS s
            |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
       }.mkString(",\n")
       val out = (1 to Rounds).map { i =>
@@ -602,6 +622,7 @@ object TextQueries {
          |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
          |  FROM (SELECT unnest($SqlToks) AS word FROM documents) t
          |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |    AND NOT regexp_matches(word, '$TripleRe')
          |  GROUP BY word),
          |$rounds
          |SELECT CAST(step AS BIGINT) AS step, merged, cnt FROM (

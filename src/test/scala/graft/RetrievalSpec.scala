@@ -132,6 +132,7 @@ class RetrievalSpec extends SparkSpec {
         graft.ops.TextOps.tokens(org.apache.spark.sql.functions.col("text")))
         .as("w"))
       .collect().map(_.getString(0)).filter(_.matches("^[a-z]+$"))
+      .filterNot(w => w.sliding(3).exists(t => t.length == 3 && t.distinct.length == 1))
     val pairCounts = scala.collection.mutable.Map.empty[String, Long]
     words.foreach { w =>
       w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
