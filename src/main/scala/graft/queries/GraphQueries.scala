@@ -344,5 +344,78 @@ object GraphQueries {
          |ORDER BY cc.part_key""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc)
+  /** Link prediction by neighbor-set similarity (the common-neighbors /
+    * Jaccard score of the link-prediction literature): candidate part
+    * pairs are generated from WEDGES — per shared neighbor, the in-row
+    * expansion of its neighbor set (the basket shape again: one groupBy
+    * to adjacency sets, no self-join, fan-out Σ C(deg, 2) bounded by the
+    * co-purchase graph's degree) — so only pairs with ≥1 common neighbor
+    * ever exist; each pair's wedge count IS its common-neighbor count,
+    * and Jaccard = cn ·1e4 div (deg_a + deg_b − cn) in exact integers.
+    * Top-50 by similarity, support ≥ 2 common neighbors.
+    *
+    * Hub suppression: each node's adjacency is CAPPED to its 32 strongest
+    * neighbors (by co-order count, ties by id) before wedge expansion —
+    * without it the Σ C(deg, 2) fan-out grows quadratically in hub degree
+    * and a denser graph explodes (10× probe measured 19× before the cap);
+    * with it per-node fan-out is ≤ C(32, 2), a deployment constant, which
+    * is exactly the top-k adjacency truncation production link-prediction
+    * systems run. Similarity is then Jaccard over the capped sets —
+    * deterministic, and mirrored by the oracle's ranked-window CTE. */
+  val linkPrediction: Q = new Q {
+    val name = "q_link_prediction"
+    private val MinCommon = 2
+    private val TopK = 50
+    private val MaxNbrs = 32
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val cop = copurchase(spark, dir)
+        .select(col("pa"), col("pb"), col("n_orders")).localCheckpoint()
+      val adj = cop.select(col("pa").as("w"), col("pb").as("n"), col("n_orders"))
+        .union(cop.select(col("pb"), col("pa"), col("n_orders")))
+        .withColumn("rn", row_number().over(Window.partitionBy("w")
+          .orderBy(col("n_orders").desc, col("n"))))
+        .where(col("rn") <= MaxNbrs)
+        .select("w", "n")
+      val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = adj.groupBy("w").agg(collect_set(col("n")).as("ns"))
+        .select(explode(col("ns")).as("u"), col("ns"))
+        .select(col("u"), explode(expr("filter(ns, x -> x > u)")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+        .where(col("cn") >= MinCommon)
+      wedges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(col("u").as("part_a"), col("v").as("part_b"),
+          col("cn").as("common_neighbors"),
+          expr("cn * 10000 div (du + dv - cn)").as("jaccard_e4"))
+        .orderBy(col("jaccard_e4").desc, col("part_a"), col("part_b"))
+        .limit(TopK)
+    }
+    val oracle = Some(
+      s"""WITH cop AS ($CopurchaseSql),
+         |adj0 AS (SELECT pa AS w, pb AS n, n_orders FROM cop
+         |         UNION ALL SELECT pb, pa, n_orders FROM cop),
+         |adj AS (
+         |  SELECT w, n FROM (
+         |    SELECT w, n, row_number() OVER (
+         |      PARTITION BY w ORDER BY n_orders DESC, n) AS rn
+         |    FROM adj0) t
+         |  WHERE rn <= $MaxNbrs),
+         |deg AS (SELECT n AS node, count(*) AS deg FROM adj GROUP BY 1),
+         |wedge AS (
+         |  SELECT x.n AS u, y.n AS v, count(*) AS cn
+         |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+         |  GROUP BY x.n, y.n HAVING count(*) >= $MinCommon)
+         |SELECT w.u AS part_a, w.v AS part_b,
+         |  CAST(w.cn AS BIGINT) AS common_neighbors,
+         |  CAST(w.cn * 10000 // (da.deg + db.deg - w.cn) AS BIGINT) AS jaccard_e4
+         |FROM wedge w
+         |JOIN deg da ON da.node = w.u
+         |JOIN deg db ON db.node = w.v
+         |ORDER BY jaccard_e4 DESC, part_a, part_b LIMIT $TopK""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
+    linkPrediction)
 }

@@ -563,19 +563,23 @@ object TextQueries {
     * Scale shape: one corpus-sized shuffle builds the word-count table;
     * each merge round is then an explode+sum and a narrow map over the
     * VOCABULARY — the reason real BPE trainers handle web-scale corpora. */
-  val bpeMerges: Q = new Q {
-    val name = "q_bpe_merges"
-    private val Rounds = 3
-    private val Passes = 4
+  private object Bpe {
+    val Rounds = 3
+    val Passes = 4
     // RE2 (DuckDB) has no backreferences, so "a char appears 3× in a row"
     // is spelled as a literal alternation usable by BOTH engines
-    private val TripleRe = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
-    def run(spark: SparkSession, dir: String): DataFrame = {
+    val TripleRe: String = ('a' to 'z').map(c => s"$c$c$c").mkString("|")
+
+    /** Train: the evolving (word, wc, segmentation) vocabulary after every
+      * round, plus each round's chosen (pair, cnt) — shared by the
+      * train-side query (q_bpe_merges) and the apply-side encoder
+      * (q_bpe_encode). */
+    def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
       val w0 = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .where(col("word").rlike("^[a-z]+$") && !col("word").rlike(TripleRe))
         .groupBy("word").agg(count(lit(1)).as("wc"))
-        .select(col("wc"),
+        .select(col("word"), col("wc"),
           concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
         .localCheckpoint()
       def bestPair(words: DataFrame): DataFrame = words
@@ -587,19 +591,17 @@ object TextQueries {
         val replaced = (1 to Passes).foldLeft("s")((e, _) =>
           s"replace($e, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
         words.crossJoin(broadcast(best))
-          .select(col("wc"), expr(replaced).as("s"))
+          .select(col("word"), col("wc"), expr(replaced).as("s"))
       }
-      val (_, merges) =
-        (1 to Rounds).foldLeft((w0, Seq.empty[DataFrame])) {
-          case ((words, acc), step) =>
-            val best = bestPair(words).localCheckpoint()
-            val out = best.select(lit(step.toLong).as("step"),
-              expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
-            (applyMerge(words, best), acc :+ out)
-        }
-      merges.reduce(_ unionAll _).orderBy("step")
+      (1 to Rounds).foldLeft((w0, Seq.empty[DataFrame])) {
+        case ((words, acc), _) =>
+          val best = bestPair(words).localCheckpoint()
+          (applyMerge(words, best), acc :+ best)
+      }
     }
-    val oracle = Some {
+
+    /** The oracle-side CTE chain w0..w{Rounds} (carrying word), b1..b{Rounds}. */
+    def sqlCtes(sqlToks: String): String = {
       val replaced = (1 to Passes).foldLeft("w.s")((e, _) =>
         s"replace($e, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')")
       val rounds = (1 to Rounds).map { i =>
@@ -611,20 +613,34 @@ object TextQueries {
            |  GROUP BY pair),
            |b$i AS (SELECT pair, cnt FROM pr$i ORDER BY cnt DESC, pair LIMIT 1),
            |w$i AS (
-           |  SELECT w.wc, $replaced AS s
+           |  SELECT w.word, w.wc, $replaced AS s
            |  FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
       }.mkString(",\n")
-      val out = (1 to Rounds).map { i =>
-        s"SELECT $i AS step, replace(pair, ' ', '') AS merged, cnt FROM b$i"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS wc,
+      s"""w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
          |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
-         |  FROM (SELECT unnest($SqlToks) AS word FROM documents) t
+         |  FROM (SELECT unnest($sqlToks) AS word FROM documents) t
          |  WHERE regexp_matches(word, '^[a-z]+$$')
          |    AND NOT regexp_matches(word, '$TripleRe')
          |  GROUP BY word),
-         |$rounds
+         |$rounds""".stripMargin
+    }
+  }
+
+  val bpeMerges: Q = new Q {
+    val name = "q_bpe_merges"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val (_, bests) = Bpe.train(spark, dir)
+      bests.zipWithIndex.map { case (b, i) =>
+        b.select(lit(i + 1L).as("step"),
+          expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+      }.reduce(_ unionAll _).orderBy("step")
+    }
+    val oracle = Some {
+      val out = (1 to Bpe.Rounds).map { i =>
+        s"SELECT $i AS step, replace(pair, ' ', '') AS merged, cnt FROM b$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${Bpe.sqlCtes(SqlToks)}
          |SELECT CAST(step AS BIGINT) AS step, merged, cnt FROM (
          |$out) m ORDER BY step""".stripMargin
     }
@@ -722,7 +738,55 @@ object TextQueries {
     }
   }
 
+  /** BPE ENCODING with the trained vocabulary — the apply side of
+    * tokenizer training (`q_bpe_merges` is the train side): the final
+    * per-word segmentation after 3 merge rounds becomes a broadcastable
+    * word → symbol-count dictionary; each document's BPE token count is
+    * one narrow join of its (filtered) word stream against it, summed per
+    * doc, next to the char mass and the e4 chars-per-token compression
+    * ratio — the number a training-cost estimate is built on. Scale
+    * shape: training passes are vocabulary-sized (see q_bpe_merges);
+    * encoding is one broadcast-join pass over the corpus word stream. */
+  val bpeEncode: Q = new Q {
+    val name = "q_bpe_encode"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val (vocab, _) = Bpe.train(spark, dir)
+      val dict = vocab.select(col("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_syms"))
+      val dw = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z]+$") && !col("word").rlike(Bpe.TripleRe))
+      dw.join(broadcast(dict), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("n_bpe_tokens"),
+          sum(length(col("word")).cast("long")).as("n_word_chars"))
+        .withColumn("compression_e4",
+          expr("n_word_chars * 10000 div n_bpe_tokens"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some {
+      s"""WITH ${Bpe.sqlCtes(SqlToks)},
+         |dict AS (
+         |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+         |  FROM w${Bpe.Rounds}),
+         |dw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest($SqlToks) AS word FROM documents) t
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |    AND NOT regexp_matches(word, '${Bpe.TripleRe}')),
+         |j AS (SELECT dw.doc_id, dw.word, dict.n_syms FROM dw
+         |      JOIN dict ON dw.word = dict.word)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(CAST(length(word) AS BIGINT)) AS BIGINT) AS n_word_chars,
+         |  CAST(sum(CAST(length(word) AS BIGINT)) * 10000
+         |       // sum(n_syms) AS BIGINT) AS compression_e4
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
-    rrfFusion, invertedIndex, bpeMerges, mmrDiversify)
+    rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify)
 }

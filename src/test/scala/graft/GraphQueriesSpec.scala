@@ -57,6 +57,21 @@ class GraphQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("part_key")).distinct.length === rows.length)
   }
 
+  test("q_link_prediction: common-neighbor count bounded by the smaller degree") {
+    val rows = GraphQueries.linkPrediction.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cn = r.getAs[Long]("common_neighbors")
+      val jac = r.getAs[Long]("jaccard_e4")
+      assert(cn >= 2L)
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      // Jaccard over sets is in (0, 1]; cn >= 1 forces > 0
+      assert(jac > 0L && jac <= 10000L, s"jaccard out of range: $r")
+    }
+    val jacs = rows.map(_.getAs[Long]("jaccard_e4"))
+    assert(jacs.sameElements(jacs.sorted.reverse), "not ranked by similarity")
+  }
+
   test("q_graph_triangles: counts are positive and sum to a multiple of 3") {
     val rows = GraphQueries.triangles.run(spark, dir).collect()
     assert(rows.nonEmpty)

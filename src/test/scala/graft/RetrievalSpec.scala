@@ -181,6 +181,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === expected, "greedy walk diverged from the query")
   }
 
+  test("q_bpe_encode: merges only ever shorten, bounded by words and chars") {
+    val rows = graft.queries.TextQueries.bpeEncode.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val toks = r.getAs[Long]("n_bpe_tokens")
+      val chars = r.getAs[Long]("n_word_chars")
+      assert(toks >= words, s"fewer symbols than words: $r")
+      assert(toks <= chars, s"merges cannot add symbols: $r")
+      assert(r.getAs[Long]("compression_e4") === chars * 10000 / toks)
+    }
+    // 3 merges must actually compress SOMETHING
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_word_chars")))
+  }
+
   test("q_inverted_index: df equals postings length, postings sorted unique") {
     val rows = graft.queries.TextQueries.invertedIndex.run(spark, dir).collect()
     assert(rows.length === 10)
