@@ -416,6 +416,87 @@ object GraphQueries {
          |ORDER BY jaccard_e4 DESC, part_a, part_b LIMIT $TopK""".stripMargin)
   }
 
+  /** Weighted single-source shortest path (bounded Bellman-Ford) over the
+    * nation trade graph: edge weight = 1000 − min(strength, 999) where
+    * strength = distinct trading (supplier, customer) nation-pair order
+    * volume is NOT available per nation edge, so the weight is derived
+    * from the edge count of the underlying directed trade relation —
+    * heavier trade = shorter effective distance. 6 relaxation rounds
+    * (≥ diameter); sentinel 999999 for unreached. Integer min-plus
+    * algebra, so the fixpoint is engine-exact; oracle unrolls the rounds.
+    * Scale shape: identical to BFS (per round one edge join + one min
+    * groupBy, lineage cut per round); Bellman-Ford's round count is the
+    * bound on path HOPS, a deployment constant here. */
+  val weightedSssp: Q = new Q {
+    val name = "q_weighted_sssp"
+    private val Iters = 6
+    private val Sentinel = 999999L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val nation = Tables.nation(spark, dir)
+      val nodes = nation.select(col("n_nationkey").as("node"))
+      // directed trade edges with multiplicity-derived weights
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      val weighted = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("strength"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (lit(1000L) - least(col("strength"), lit(999L))).as("w"))
+        .localCheckpoint()
+      val d0 = nodes.select(col("node"),
+        when(col("node") === 0, lit(0L)).otherwise(lit(Sentinel)).as("d"))
+      val dFinal = (1 to Iters).foldLeft(d0) { (dists, _) =>
+        val relaxed = weighted
+          .join(dists.withColumnRenamed("node", "src"), Seq("src"))
+          .where(col("d") < Sentinel)
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dists.union(relaxed)
+          .groupBy("node").agg(min("d").as("d"))
+          .localCheckpoint()
+      }
+      dFinal.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("node").as("nation_key"), col("n_name").as("nation_name"),
+          col("d").as("dist_w"))
+        .orderBy("nation_key")
+    }
+    val oracle = Some {
+      val iterCtes = (1 to Iters).map { k =>
+        s"""d$k AS (
+           |  SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+           |    SELECT node, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst, p.d + e.w
+           |    FROM wedges e JOIN d${k - 1} p ON p.node = e.src
+           |    WHERE p.d < $Sentinel) t
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wedges AS (
+         |  SELECT src, dst, 1000 - least(strength, 999) AS w FROM (
+         |    SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         |      count(*) AS strength
+         |    FROM lineitem l
+         |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |    JOIN customer c ON o.o_custkey = c.c_custkey
+         |    GROUP BY 1, 2) t
+         |  WHERE src <> dst),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |d0 AS (SELECT node,
+         |         CAST(CASE WHEN node = 0 THEN 0 ELSE $Sentinel END AS BIGINT) AS d
+         |       FROM nodes),
+         |$iterCtes
+         |SELECT d$Iters.node AS nation_key, n.n_name AS nation_name,
+         |  d$Iters.d AS dist_w
+         |FROM d$Iters JOIN nation n ON n.n_nationkey = d$Iters.node
+         |ORDER BY nation_key""".stripMargin
+    }
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
-    linkPrediction)
+    linkPrediction, weightedSssp)
 }

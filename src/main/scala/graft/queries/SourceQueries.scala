@@ -395,6 +395,75 @@ object SourceQueries {
     }
   }
 
+  /** Declarative data-quality validation (the Deequ/dbt-test surface): a
+    * fixed rule set — key uniqueness, referential integrity, domain
+    * ranges, non-negativity — each evaluated to a violation count and a
+    * pass flag in ONE pass per rule family (uniqueness is a groupBy-
+    * having, FK checks are anti-join counts, range checks are filter
+    * counts). The rule list is a deployment constant; every check is a
+    * partial-aggregated scan or broadcast anti join, so the suite costs
+    * a bounded number of fact passes at any scale. One rule
+    * (`l_discount <= 0.05`) is deliberately tight enough to FAIL on the
+    * test data so the violation path is value-checked, not just the
+    * all-green path. */
+  val dqChecks: Q = new Q {
+    val name = "q_dq_checks"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      def rule(name: String, viol: DataFrame): DataFrame =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_violations"),
+            (col("n_violations") === 0L).cast("long").as("passed"))
+      rule("orders.o_orderkey unique",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).where(col("n") > 1))
+        .unionAll(rule("lineitem.l_orderkey in orders",
+          li.join(o.select("o_orderkey"),
+            li("l_orderkey") === o("o_orderkey"), "left_anti")))
+        .unionAll(rule("orders.o_custkey in customer",
+          o.join(c.select("c_custkey"),
+            o("o_custkey") === c("c_custkey"), "left_anti")))
+        .unionAll(rule("lineitem.l_quantity in [1,50]",
+          li.where(col("l_quantity") < 1 || col("l_quantity") > 50)))
+        .unionAll(rule("orders.o_totalprice positive",
+          o.where(col("o_totalprice") <= 0)))
+        .unionAll(rule("lineitem.l_discount <= 0.05",
+          li.where(col("l_discount") > 0.05)))
+        .orderBy("rule")
+    }
+    val oracle = Some(
+      """SELECT * FROM (
+        |  SELECT 'orders.o_orderkey unique' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_violations,
+        |    CAST(count(*) = 0 AS BIGINT) AS passed
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) t
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey in orders', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) = 0 AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey in customer', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) = 0 AS BIGINT)
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity in [1,50]', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) = 0 AS BIGINT)
+        |  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        |  UNION ALL
+        |  SELECT 'orders.o_totalprice positive', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) = 0 AS BIGINT)
+        |  FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'lineitem.l_discount <= 0.05', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) = 0 AS BIGINT)
+        |  FROM lineitem WHERE l_discount > 0.05) t
+        |ORDER BY rule""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
-    dppMonthRevenue, zorderLayout, tableDiff, compactionPlan, tableProfile)
+    dppMonthRevenue, zorderLayout, tableDiff, compactionPlan, tableProfile,
+    dqChecks)
 }

@@ -26,7 +26,8 @@ class EmptyInputSpec extends SparkSpec {
   // queries whose output is sized by a deployment CONSTANT (a probe list,
   // a profiled-column list), not by the data: they legitimately return
   // that many zero-count rows from empty input
-  private val constantRows = Map("q_cms_heavy_hitters" -> 9, "q_table_profile" -> 4)
+  private val constantRows = Map("q_cms_heavy_hitters" -> 9, "q_table_profile" -> 4,
+    "q_dq_checks" -> 6)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"

@@ -72,6 +72,30 @@ class GraphQueriesSpec extends SparkSpec {
     assert(jacs.sameElements(jacs.sorted.reverse), "not ranked by similarity")
   }
 
+  test("q_weighted_sssp: distances satisfy the relaxation inequality at fixpoint") {
+    import org.apache.spark.sql.functions._
+    val dists = GraphQueries.weightedSssp.run(spark, dir).collect()
+      .map(r => r.getAs[Int]("nation_key").toLong -> r.getAs[Long]("dist_w")).toMap
+    assert(dists(0L) === 0L)
+    // rebuild the weighted edges driver-side and check d(v) <= d(u) + w(u,v)
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val edges = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .count().where(col("src") =!= col("dst"))
+      .collect()
+      .map(r => (r.getAs[Int]("src").toLong, r.getAs[Int]("dst").toLong,
+        1000L - math.min(r.getAs[Long]("count"), 999L)))
+    edges.foreach { case (u, v, w) =>
+      if (dists(u) < 999999L)
+        assert(dists(v) <= dists(u) + w, s"relaxation violated on edge ($u,$v,$w)")
+    }
+  }
+
   test("q_graph_triangles: counts are positive and sum to a multiple of 3") {
     val rows = GraphQueries.triangles.run(spark, dir).collect()
     assert(rows.nonEmpty)

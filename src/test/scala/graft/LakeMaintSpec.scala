@@ -28,6 +28,18 @@ class LakeMaintSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("bin_bytes")).sum === total)
   }
 
+  test("q_dq_checks: pass flag is count-consistent and both paths exercised") {
+    val rows = SourceQueries.dqChecks.run(spark, dir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("n_violations") == 0L) 1L else 0L
+      assert(r.getAs[Long]("passed") === expected, s"flag inconsistent: $r")
+    }
+    // the deliberately-tight discount rule must fail; the FK rules must pass
+    assert(rows.exists(r => r.getAs[Long]("passed") == 0L), "no rule failed")
+    assert(rows.count(_.getAs[Long]("passed") == 1L) === 5)
+  }
+
   test("q_cdc_replay: replayed state matches a driver-side log replay") {
     val rows = graft.queries.AdvancedQueries.qCdcReplay.run(spark, dir).collect()
     assert(rows.nonEmpty)
