@@ -28,7 +28,9 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       val t = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // queries persist() internally; keep runs independent
+      // keep runs independent: drops persisted frames (localCheckpoint
+      // blocks are disk-backed and freed by the ContextCleaner on GC)
+      spark.catalog.clearCache()
       name -> t
     }
     val p1 = pass()

@@ -22,7 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // queries persist() internally; bound memory
+      // Release per-query state: clearCache drops any persisted frames;
+      // localCheckpoint blocks (the iterative/greedy queries) are
+      // MEMORY_AND_DISK and released by the ContextCleaner once the
+      // query frame is GC'd — disk-backed, so they bound memory, not disk
+      spark.catalog.clearCache()
     }
     writeOracleJson(outDir, SparkEntry.oracleSql)
     spark.stop()

@@ -547,8 +547,9 @@ object TextQueries {
     * ' a b ' with ' ab ' on the padded representation, ITERATED 4× — a
     * single left-to-right scan consumes the trailing space of each match,
     * which would skip a back-to-back second occurrence ('a b a b'), so
-    * the replace is reapplied until no occurrence remains (4 passes cover
-    * every ≤2⁴-site word); at the fixpoint all merge sites are applied,
+    * the replace is reapplied until no occurrence remains — each pass
+    * applies ⌈m/2⌉ of m back-to-back sites, so 5 passes cover every
+    * ≤31-site (≤64-symbol) word; at the fixpoint all merge sites are applied,
     * which for distinct-symbol pairs is exactly greedy BPE. Words
     * containing a TRIPLED character are excluded from the vocabulary up
     * front: for runs of one symbol ('aaaaa') the merge ORDER is ambiguous
@@ -565,7 +566,7 @@ object TextQueries {
     * VOCABULARY — the reason real BPE trainers handle web-scale corpora. */
   private object Bpe {
     val Rounds = 3
-    val Passes = 4
+    val Passes = 5
     // RE2 (DuckDB) has no backreferences, so "a char appears 3× in a row"
     // is spelled as a literal alternation usable by BOTH engines
     val TripleRe: String = ('a' to 'z').map(c => s"$c$c$c").mkString("|")

@@ -500,6 +500,73 @@ object VectorQueries {
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin)
   }
 
+  /** Shared PQ machinery — constants, subspace slicing, the exact dist²
+    * algebra, and the per-(vector, subspace) codebook assignment — used
+    * by BOTH the index-build side (`pq_codes`) and the search side
+    * (`ann_pq_adc_topk`), Spark AND oracle, so the two sides can never
+    * drift onto different indexes (same coupling discipline as the
+    * shared BPE trainer in TextQueries). */
+  private object Pq {
+    val NSub = 4
+    val SubDim: Int = Dim / NSub
+    val CodeStride = 61L
+    val CodeCap = 488L // 8 codewords: 0, 61, ..., 427
+
+    def sub(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
+      slice(v, s * SubDim + 1, lit(SubDim))
+    def dist2E6(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round((VectorOps.dot(a, a, SubDim) + VectorOps.dot(b, b, SubDim) -
+        lit(2) * VectorOps.dot(a, b, SubDim)) * 1000000).cast("long")
+
+    /** The 8×4 codeword frame: (s, cw_id, cw_sub). */
+    def codewords(spark: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") % CodeStride === 0 && col("vec_id") < CodeCap)
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("s"), col("vec_id").as("cw_id"),
+          sub(col("embedding"), col("s")).as("cw_sub"))
+
+    /** Per-(vector, subspace) nearest codeword with its distance:
+      * (vec_id, s, cw_id, dist2_e6). */
+    def assignments(spark: SparkSession, dir: String): DataFrame = {
+      val vs = Tables.embeddings(spark, dir)
+        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .select(col("vec_id"), col("s"), sub(col("embedding"), col("s")).as("v_sub"))
+      val w = Window.partitionBy("vec_id", "s")
+        .orderBy(col("dist2_e6").asc, col("cw_id").asc)
+      vs.join(broadcast(codewords(spark, dir)), Seq("s"))
+        .withColumn("dist2_e6", dist2E6(col("v_sub"), col("cw_sub")))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("vec_id", "s", "cw_id", "dist2_e6")
+    }
+
+    def sqlDotS(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    def sqlDist2(a: String, b: String): String =
+      s"CAST(round((${sqlDotS(a, a)} + ${sqlDotS(b, b)} - 2 * ${sqlDotS(a, b)}) " +
+        s"* 1000000) AS BIGINT)"
+
+    /** Oracle CTEs cw / vs / assign / codes shared by both queries. */
+    val SqlAssignCtes: String =
+      s"""cw AS (
+         |  SELECT s, vec_id AS cw_id,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS cw_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)
+         |  WHERE vec_id % $CodeStride = 0 AND vec_id < $CodeCap),
+         |vs AS (
+         |  SELECT vec_id, s,
+         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS v_sub
+         |  FROM embeddings CROSS JOIN range($NSub) r(s)),
+         |assign AS (
+         |  SELECT vec_id, vs.s, cw_id, ${sqlDist2("v_sub", "cw_sub")} AS dist2_e6,
+         |    row_number() OVER (
+         |      PARTITION BY vec_id, vs.s
+         |      ORDER BY ${sqlDist2("v_sub", "cw_sub")} ASC, cw_id ASC) AS rn
+         |  FROM vs JOIN cw ON vs.s = cw.s),
+         |codes AS (SELECT vec_id, s, cw_id, dist2_e6 FROM assign WHERE rn = 1)""".stripMargin
+  }
+
   /** Product quantization (PQ): the 64-dim embedding splits into 4
     * 16-dim subspaces, each encoded as its nearest of 8 codewords —
     * 64 floats compress to 4 small codes (the memory layout behind
@@ -515,31 +582,8 @@ object VectorQueries {
     * N×4 rows once, and the output pivot is a second N-row aggregate. */
   val pqCodes: Q = new Q {
     val name = "pq_codes"
-    private val NSub = 4
-    private val SubDim = Dim / NSub
-    private val CodeStride = 61L
-    private val CodeCap = 488L // 8 codewords: 0, 61, …, 427
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
-      def sub(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
-        slice(v, s * SubDim + 1, lit(SubDim))
-      val cw = emb
-        .where(col("vec_id") % CodeStride === 0 && col("vec_id") < CodeCap)
-        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
-        .select(col("s"), col("vec_id").as("cw_id"),
-          sub(col("embedding"), col("s")).as("cw_sub"))
-      val vs = emb
-        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
-        .select(col("vec_id"), col("s"), sub(col("embedding"), col("s")).as("v_sub"))
-      val dists = vs.join(broadcast(cw), Seq("s"))
-        .withColumn("dist2_e6", round(
-          (VectorOps.dot(col("v_sub"), col("v_sub"), SubDim) +
-            VectorOps.dot(col("cw_sub"), col("cw_sub"), SubDim) -
-            lit(2) * VectorOps.dot(col("v_sub"), col("cw_sub"), SubDim)) * 1000000)
-          .cast("long"))
-      val w = Window.partitionBy("vec_id", "s")
-        .orderBy(col("dist2_e6").asc, col("cw_id").asc)
-      val best = dists.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val best = Pq.assignments(spark, dir)
       best.groupBy("vec_id")
         .agg(
           max(when(col("s") === 0, col("cw_id"))).as("code_0"),
@@ -550,34 +594,14 @@ object VectorQueries {
         .orderBy("vec_id")
     }
     val oracle = Some {
-      def dotS(a: String, b: String) =
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
-          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
-      s"""WITH cw AS (
-         |  SELECT s, vec_id AS cw_id,
-         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS cw_sub
-         |  FROM embeddings CROSS JOIN range($NSub) r(s)
-         |  WHERE vec_id % $CodeStride = 0 AND vec_id < $CodeCap),
-         |vs AS (
-         |  SELECT vec_id, s,
-         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS v_sub
-         |  FROM embeddings CROSS JOIN range($NSub) r(s)),
-         |d AS (
-         |  SELECT vec_id, vs.s, cw_id,
-         |    CAST(round(((${dotS("v_sub", "v_sub")} + ${dotS("cw_sub", "cw_sub")})
-         |      - 2 * ${dotS("v_sub", "cw_sub")}) * 1000000) AS BIGINT) AS dist2_e6
-         |  FROM vs JOIN cw ON vs.s = cw.s),
-         |best AS (
-         |  SELECT vec_id, s, cw_id, dist2_e6, row_number() OVER (
-         |    PARTITION BY vec_id, s ORDER BY dist2_e6 ASC, cw_id ASC) AS rn
-         |  FROM d)
+      s"""WITH ${Pq.SqlAssignCtes}
          |SELECT vec_id,
          |  max(CASE WHEN s = 0 THEN cw_id END) AS code_0,
          |  max(CASE WHEN s = 1 THEN cw_id END) AS code_1,
          |  max(CASE WHEN s = 2 THEN cw_id END) AS code_2,
          |  max(CASE WHEN s = 3 THEN cw_id END) AS code_3,
          |  CAST(sum(dist2_e6) AS BIGINT) AS err_e6
-         |FROM best WHERE rn = 1
+         |FROM codes
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     }
   }
@@ -595,42 +619,20 @@ object VectorQueries {
     * (ties by candidate id). */
   val annPqAdcTopk: Q = new Q {
     val name = "ann_pq_adc_topk"
-    private val NSub = 4
-    private val SubDim = Dim / NSub
-    private val CodeStride = 61L
-    private val CodeCap = 488L
     private val AdcTopK = 10
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
-      def sub(v: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) =
-        slice(v, s * SubDim + 1, lit(SubDim))
-      val cw = emb
-        .where(col("vec_id") % CodeStride === 0 && col("vec_id") < CodeCap)
-        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
-        .select(col("s"), col("vec_id").as("cw_id"),
-          sub(col("embedding"), col("s")).as("cw_sub"))
-      def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        round((VectorOps.dot(a, a, SubDim) + VectorOps.dot(b, b, SubDim) -
-          lit(2) * VectorOps.dot(a, b, SubDim)) * 1000000).cast("long")
-      // index side: every vector's per-subspace nearest codeword
-      val vs = emb
-        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
-        .select(col("vec_id"), col("s"), sub(col("embedding"), col("s")).as("v_sub"))
-      val wAssign = Window.partitionBy("vec_id", "s")
-        .orderBy(col("d").asc, col("cw_id").asc)
-      val codes = vs.join(broadcast(cw), Seq("s"))
-        .withColumn("d", dist2(col("v_sub"), col("cw_sub")))
-        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("cw_id"))
+      // index side: every vector's per-subspace nearest codeword (shared
+      // with pq_codes — the search runs against the index as reported)
+      val codes = Pq.assignments(spark, dir).select("vec_id", "s", "cw_id")
       // query side: per-(query, subspace, codeword) distance lookup table
-      val qd = emb
+      val qd = Tables.embeddings(spark, dir)
         .where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
-        .withColumn("s", explode(sequence(lit(0), lit(NSub - 1))))
+        .withColumn("s", explode(sequence(lit(0), lit(Pq.NSub - 1))))
         .select(col("vec_id").as("q_id"), col("s"),
-          sub(col("embedding"), col("s")).as("q_sub"))
-        .join(broadcast(cw), Seq("s"))
+          Pq.sub(col("embedding"), col("s")).as("q_sub"))
+        .join(broadcast(Pq.codewords(spark, dir)), Seq("s"))
         .select(col("q_id"), col("s"), col("cw_id"),
-          dist2(col("q_sub"), col("cw_sub")).as("qd_e6"))
+          Pq.dist2E6(col("q_sub"), col("cw_sub")).as("qd_e6"))
       val wRank = Window.partitionBy("q_id")
         .orderBy(col("adc_e6").asc, col("c_id").asc)
       codes.join(broadcast(qd), Seq("s", "cw_id"))
@@ -643,33 +645,15 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }
     val oracle = Some {
-      def dotS(a: String, b: String) =
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
-          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
-      def dist2(a: String, b: String) =
-        s"CAST(round((${dotS(a, a)} + ${dotS(b, b)} - 2 * ${dotS(a, b)}) * 1000000) AS BIGINT)"
-      s"""WITH cw AS (
-         |  SELECT s, vec_id AS cw_id,
-         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS cw_sub
-         |  FROM embeddings CROSS JOIN range($NSub) r(s)
-         |  WHERE vec_id % $CodeStride = 0 AND vec_id < $CodeCap),
-         |vs AS (
-         |  SELECT vec_id, s,
-         |    list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS v_sub
-         |  FROM embeddings CROSS JOIN range($NSub) r(s)),
-         |assign AS (
-         |  SELECT vec_id, vs.s, cw_id, row_number() OVER (
-         |    PARTITION BY vec_id, vs.s
-         |    ORDER BY ${dist2("v_sub", "cw_sub")} ASC, cw_id ASC) AS rn
-         |  FROM vs JOIN cw ON vs.s = cw.s),
-         |codes AS (SELECT vec_id, s, cw_id FROM assign WHERE rn = 1),
+      s"""WITH ${Pq.SqlAssignCtes},
          |qd AS (
          |  SELECT q.vec_id AS q_id, cw.s, cw.cw_id,
-         |    ${dist2("q_sub", "cw_sub")} AS qd_e6
+         |    ${Pq.sqlDist2("q_sub", "cw_sub")} AS qd_e6
          |  FROM (
          |    SELECT vec_id, s,
-         |      list_slice(embedding, s * $SubDim + 1, s * $SubDim + $SubDim) AS q_sub
-         |    FROM embeddings CROSS JOIN range($NSub) r(s)
+         |      list_slice(embedding, s * ${Pq.SubDim} + 1,
+         |                 s * ${Pq.SubDim} + ${Pq.SubDim}) AS q_sub
+         |    FROM embeddings CROSS JOIN range(${Pq.NSub}) r(s)
          |    WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap) q
          |  JOIN cw ON q.s = cw.s),
          |adc AS (

@@ -60,12 +60,31 @@ class GraphQueriesSpec extends SparkSpec {
   test("q_link_prediction: common-neighbor count bounded by the smaller degree") {
     val rows = GraphQueries.linkPrediction.run(spark, dir).collect()
     assert(rows.nonEmpty)
+    // rebuild the CAPPED reverse-membership degrees (same top-32 window as
+    // the query) so cn ≤ min(deg) and the Jaccard decomposition are
+    // checked against independent numbers, not the query's own outputs
+    val deg = {
+      import org.apache.spark.sql.functions._
+      val cop = graft.queries.GraphQueries.copurchaseEdges.run(spark, dir)
+        .select(col("part_a").as("pa"), col("part_b").as("pb"), col("n_orders"))
+      val adj0 = cop.select(col("pa").as("w"), col("pb").as("n"), col("n_orders"))
+        .union(cop.select(col("pb"), col("pa"), col("n_orders")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("w")
+        .orderBy(col("n_orders").desc, col("n"))
+      adj0.withColumn("rn", row_number().over(w)).where(col("rn") <= 32)
+        .groupBy(col("n")).count().collect()
+        .map(r => r.getAs[Long]("n") -> r.getAs[Long]("count")).toMap
+    }
     rows.foreach { r =>
       val cn = r.getAs[Long]("common_neighbors")
       val jac = r.getAs[Long]("jaccard_e4")
+      val a = r.getAs[Long]("part_a"); val b = r.getAs[Long]("part_b")
       assert(cn >= 2L)
-      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
-      // Jaccard over sets is in (0, 1]; cn >= 1 forces > 0
+      assert(a < b)
+      assert(cn <= math.min(deg(a), deg(b)),
+        s"common neighbors exceed the smaller capped degree: $r")
+      assert(jac === cn * 10000L / (deg(a) + deg(b) - cn),
+        s"jaccard does not decompose into cn and degrees: $r")
       assert(jac > 0L && jac <= 10000L, s"jaccard out of range: $r")
     }
     val jacs = rows.map(_.getAs[Long]("jaccard_e4"))
