@@ -402,7 +402,51 @@ object AnalyticQueries {
         |FROM s""".stripMargin)
   }
 
+  /** Sequence-pattern matching over per-user event timelines — the
+    * MATCH_RECOGNIZE-lite operator: each user's events collapse to an
+    * ordered event-initial string (deterministic: ts then event_id
+    * tie-break), and a pattern is a plain regex over that string — here
+    * the view→click→purchase subsequence, the
+    * click-IMMEDIATELY-after-view adjacency, and a triple-error run —
+    * counted corpus-wide. This is strictly more expressive than the
+    * conditional-min funnel (`q_funnel_conversion`): the regex engine
+    * sees the full ordered sequence, so adjacency, repetition, and
+    * negation patterns all cost the same one pass.
+    *
+    * Scale shape: one shuffle to the user grain (ordered collect with
+    * in-group sort), one narrow regex map, one global count — the
+    * per-user string is bounded by the user's event count, and nothing
+    * driver-side. */
+  val qSeqMatch: Q = new Q {
+    val name = "q_seq_match"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("i"))
+      val seqs = ev.groupBy("user_id")
+        .agg(concat_ws("", graft.ops.CollectOps.orderedCollect(
+          struct(col("ts"), col("event_id")), col("i"))).as("seq"))
+      seqs.agg(count(lit(1)).as("n_users"),
+        sum(col("seq").rlike("v.*c.*p").cast("long")).as("n_view_click_purchase"),
+        sum(col("seq").rlike("vc").cast("long")).as("n_click_right_after_view"),
+        sum(col("seq").rlike("eee").cast("long")).as("n_triple_error_run"))
+    }
+    val oracle = Some(
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view_click_purchase,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'vc') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click_right_after_view,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'eee') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_triple_error_run
+        |FROM seqs""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
-    qSkewStats)
+    qSkewStats, qSeqMatch)
 }

@@ -118,6 +118,26 @@ class AnalyticQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("skew_ratio_e2") === counts.max * 100 / mean)
   }
 
+  test("q_seq_match reproduces a driver-side regex over ordered timelines") {
+    import org.apache.spark.sql.functions._
+    val r = AnalyticQueries.qSeqMatch.run(spark, dir).collect().head
+    val seqs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .collect()
+      .map(row => (row.getLong(0), row.getTimestamp(1).getTime,
+        row.getLong(2), row.getString(3)))
+      .groupBy(_._1)
+      .map { case (_, evs) =>
+        evs.sortBy(e => (e._2, e._3)).map(_._4).mkString
+      }.toSeq
+    assert(r.getAs[Long]("n_users") === seqs.length.toLong)
+    def cnt(re: String): Long = seqs.count(_.matches(s".*$re.*")).toLong
+    assert(r.getAs[Long]("n_view_click_purchase") === cnt("v.*c.*p"))
+    assert(r.getAs[Long]("n_click_right_after_view") === cnt("vc"))
+    assert(r.getAs[Long]("n_triple_error_run") === cnt("eee"))
+  }
+
   test("q_quantiles_exact matches a driver-side sorted order statistic") {
     import org.apache.spark.sql.functions._
     val rows = AnalyticQueries.qQuantilesExact.run(spark, dir).collect()

@@ -21,7 +21,7 @@ class EmptyInputSpec extends SparkSpec {
   // SQL semantics — DuckDB returns the same single null-sum row
   private val globalAggOneRow = Set("q6_forecast_revenue", "q_tpch_q14",
     "q_tpch_q17", "q_tpch_q19", "q_funnel_conversion", "q_kmv_union",
-    "q_join_size_est", "q_skew_stats")
+    "q_join_size_est", "q_skew_stats", "q_seq_match")
 
   // queries whose output is sized by a deployment CONSTANT (a probe list,
   // a profiled-column list), not by the data: they legitimately return
