@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
   * synthetic `zones` dimension derived deterministically from `nation`
@@ -22,17 +23,120 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as raw nanos (legacy flag) and floor-truncate to
-    * microseconds, exactly what DuckDB's reader does, so oracle timestamps
-    * agree. */
+  /** `events.ts` normalization is SCHEMA-DRIVEN: the driver has shipped this
+    * column as parquet TIMESTAMP(NANOS) (rounds 1-6) and as timestamp[us]
+    * (round 7+), and hard-coding either encoding breaks every downstream
+    * events query when the fixture flips (VERDICT r7). Branch on the type
+    * Spark actually loaded:
+    *  - LongType       → legacy nanos-as-long; floor-truncate to micros,
+    *                     exactly what DuckDB's reader does with NANOS
+    *  - TimestampNTZType → timestamp[us] w/o UTC adjustment; cast to the
+    *                     session-UTC TimestampType all queries assume
+    *                     (wall-clock preserved under the pinned UTC session,
+    *                     bit-identical to DuckDB's naive read)
+    *  - TimestampType  → already what we want
+    * The legacy flag is set unconditionally: it only affects NANOS columns
+    * (no-op on every other encoding) and must be set before the read for
+    * the nanos footer to be readable at all. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts in $dir/events.parquet has unsupported type ${other.simpleString} " +
+          "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP) — " +
+          "testdata encoding changed; extend Tables.events")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Fixture smoke gate (VERDICT r7 §What's-missing 2): one actionable
+    * diagnostic instead of N opaque per-query analysis errors when the
+    * driver regenerates testdata with a different schema/encoding.
+    * Checks every table for expected columns and ACCEPTED type families —
+    * deliberately tolerant of encoding drift the loaders normalize
+    * (ts as int64-nanos vs timestamp[us]), strict about anything else.
+    * Returns the list of problems; empty = fixture compatible. */
+  def fixtureProblems(spark: SparkSession, dir: String): Seq[String] = {
+    val integral: DataType => Boolean =
+      t => t == IntegerType || t == LongType || t == ShortType
+    val timestampish: DataType => Boolean =
+      t => t == TimestampType || t == TimestampNTZType || t == DateType || t == LongType
+    val floatArray: DataType => Boolean = {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    val expected: Seq[(String, Seq[(String, DataType => Boolean, String)])] = Seq(
+      "region" -> Seq(
+        ("r_regionkey", integral, "integral"), ("r_name", _ == StringType, "string")),
+      "nation" -> Seq(
+        ("n_nationkey", integral, "integral"), ("n_name", _ == StringType, "string"),
+        ("n_regionkey", integral, "integral")),
+      "customer" -> Seq(
+        ("c_custkey", integral, "integral"), ("c_name", _ == StringType, "string"),
+        ("c_nationkey", integral, "integral"), ("c_acctbal", _ == DoubleType, "double"),
+        ("c_mktsegment", _ == StringType, "string")),
+      "supplier" -> Seq(
+        ("s_suppkey", integral, "integral"), ("s_name", _ == StringType, "string"),
+        ("s_nationkey", integral, "integral"), ("s_acctbal", _ == DoubleType, "double")),
+      "part" -> Seq(
+        ("p_partkey", integral, "integral"), ("p_name", _ == StringType, "string"),
+        ("p_brand", _ == StringType, "string"), ("p_type", _ == StringType, "string"),
+        ("p_size", integral, "integral"), ("p_retailprice", _ == DoubleType, "double")),
+      "orders" -> Seq(
+        ("o_orderkey", integral, "integral"), ("o_custkey", integral, "integral"),
+        ("o_orderstatus", _ == StringType, "string"), ("o_totalprice", _ == DoubleType, "double"),
+        ("o_orderdate", timestampish, "timestamp/date"),
+        ("o_orderpriority", _ == StringType, "string")),
+      "lineitem" -> Seq(
+        ("l_orderkey", integral, "integral"), ("l_partkey", integral, "integral"),
+        ("l_suppkey", integral, "integral"), ("l_linenumber", integral, "integral"),
+        ("l_quantity", _ == DoubleType, "double"), ("l_extendedprice", _ == DoubleType, "double"),
+        ("l_discount", _ == DoubleType, "double"), ("l_tax", _ == DoubleType, "double"),
+        ("l_returnflag", _ == StringType, "string"), ("l_linestatus", _ == StringType, "string"),
+        ("l_shipdate", timestampish, "timestamp/date")),
+      "events" -> Seq(
+        ("event_id", integral, "integral"), ("ts", timestampish, "timestamp (any supported encoding)"),
+        ("user_id", integral, "integral"), ("event_type", _ == StringType, "string"),
+        ("value", _ == DoubleType, "double"), ("props", _ == StringType, "string")),
+      "documents" -> Seq(
+        ("doc_id", integral, "integral"), ("text", _ == StringType, "string"),
+        ("lang", _ == StringType, "string"), ("source", _ == StringType, "string"),
+        ("n_chars", integral, "integral")),
+      "embeddings" -> Seq(
+        ("vec_id", integral, "integral"), ("embedding", floatArray, "array<float>"),
+        ("label", integral, "integral")))
+    expected.flatMap { case (name, cols) =>
+      try {
+        val schema = table(spark, dir, name).schema
+        cols.flatMap { case (colName, ok, want) =>
+          schema.fields.find(_.name == colName) match {
+            case None =>
+              Some(s"$name.$colName: MISSING (have: ${schema.fieldNames.mkString(", ")})")
+            case Some(f) if !ok(f.dataType) =>
+              Some(s"$name.$colName: found ${f.dataType.simpleString}, accepted: $want")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Throwable => Seq(s"$name: unreadable — ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Throws one aggregated, actionable error if the fixture at `dir` is
+    * incompatible. Call at tool entry (Verify/Bench) so a driver-side
+    * regeneration surfaces as a single diagnostic naming table/column/type. */
+  def validate(spark: SparkSession, dir: String): Unit = {
+    val problems = fixtureProblems(spark, dir)
+    if (problems.nonEmpty) throw new IllegalArgumentException(
+      s"fixture at $dir incompatible (driver testdata regeneration?):\n  " +
+        problems.mkString("\n  "))
+  }
 
   /** Synthetic city/zone dimension (reference `geo` table:
     * /root/reference/src/scripts/save_mes_geo.py:30 — `id, city, lat_c, lon_c`).

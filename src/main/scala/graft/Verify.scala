@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture smoke gate: fail with ONE diagnostic naming table/column/type
+    // if the driver regenerated testdata incompatibly (r7: a ts re-encoding
+    // surfaced as 30 opaque per-query errors — never again)
+    Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

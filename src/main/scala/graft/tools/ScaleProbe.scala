@@ -97,9 +97,9 @@ object ScaleProbe {
     reps(spark.read.parquet(s"$base/lineitem.parquet"),
       Map("l_orderkey" -> true))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    // events.ts is TIMESTAMP(NANOS); copy through the raw-long loader shape
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reps(spark.read.parquet(s"$base/events.parquet"),
+    // events goes through THE loader so ts is normalized whatever the
+    // fixture encoding; replicas land as TimestampType (loader pass-through)
+    reps(graft.Tables.events(spark, base),
       Map("event_id" -> true))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     reps(spark.read.parquet(s"$base/documents.parquet"),

@@ -32,12 +32,17 @@ class EmptyInputSpec extends SparkSpec {
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"
     val dst = Files.createTempDirectory("graft-empty").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events goes through THE loader (Tables.events) so the empty twin gets
+    // the normalized TimestampType ts regardless of the fixture's encoding
+    // (r7: a duplicated legacy-flag assumption here broke with regenerated
+    // testdata); the twin round-trips through the loader's TimestampType arm
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .limit(0).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    Tables.events(spark, src)
+      .limit(0).write.mode("overwrite").parquet(s"$dst/events.parquet")
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
