@@ -275,6 +275,103 @@ object DedupQueries {
          |ORDER BY lab.doc_id""".stripMargin)
   }
 
+  val SpanK = 8       // n-gram width in tokens for exact-substring detection
+  val SpanMaxDf = 8   // hub cap: 8-grams in more docs than this are boilerplate
+  val MinRunGrams = 2 // ≥2 consecutive shared 8-grams = ≥9-token exact overlap
+
+  /** Exact duplicated-substring detection (the "Deduplicating Training Data
+    * Makes Language Models Better" primitive) — complements the
+    * SIMILARITY family (Jaccard/MinHash/SimHash measure set overlap; this
+    * finds verbatim shared spans and their length):
+    * positional 8-gram hashes per doc → document-frequency hub cap (hot
+    * boilerplate n-grams never generate pairs — the property that keeps the
+    * self-join linear at 100 TB) → candidate pairs by 8-gram equi-join →
+    * contiguous runs via the gaps-and-islands trick on the match diagonal
+    * (pos_l − pos_r): consecutive positions on one diagonal are one
+    * verbatim span. Reports, per pair with a run of ≥ [[MinRunGrams]]
+    * grams: the longest shared verbatim span in TOKENS and where it starts
+    * in each doc. */
+  val dedupNgramSpan: Q = new Q {
+    val name = "dedup_ngram_span"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      // positional (NOT distinct) gram hashes; empty when < SpanK tokens
+      val grams = when(size(toks) >= SpanK,
+        transform(sequence(lit(0), size(toks) - SpanK),
+          i => HashOps.hashP(concat_ws(" ", slice(toks, i + 1, lit(SpanK))))))
+        .otherwise(array().cast("array<bigint>"))
+      val e = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(grams).as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+      // hub cap BEFORE the pair join (df counted in DOCS, not occurrences)
+      val dfq = e.groupBy("h").agg(countDistinct("doc_id").as("df"))
+        .where(col("df").between(2, SpanMaxDf)).select("h")
+      val ep = e.join(dfq, Seq("h"))
+      val pairs = ep.select(col("doc_id").as("id_l"), col("pos").as("pos_l"), col("h"))
+        .join(ep.select(col("doc_id").as("id_r"), col("pos").as("pos_r"), col("h")), Seq("h"))
+        .where(col("id_l") < col("id_r"))
+        .select("id_l", "id_r", "pos_l", "pos_r").distinct()
+      // gaps-and-islands on the diagonal: consecutive pos_l with constant
+      // (pos_l - pos_r) are one contiguous verbatim span
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id_l", "id_r", "diag").orderBy("pos_l")
+      val runs = pairs.withColumn("diag", col("pos_l") - col("pos_r"))
+        .withColumn("island", col("pos_l") - row_number().over(w))
+        .groupBy("id_l", "id_r", "diag", "island")
+        .agg(count(lit(1)).as("run_grams"), min("pos_l").as("s_l"), min("pos_r").as("s_r"))
+      runs.groupBy("id_l", "id_r")
+        .agg(max(col("run_grams")).as("max_run_grams"),
+          max(struct(col("run_grams").as("a"),
+            (col("s_l") * -1).as("b"), (col("s_r") * -1).as("c"))).as("best"),
+          sum(col("run_grams")).as("shared_grams"))
+        .where(col("max_run_grams") >= MinRunGrams)
+        .select(col("id_l"), col("id_r"),
+          (col("max_run_grams") + (SpanK - 1)).as("span_tokens"),
+          (col("best.b") * -1).as("span_start_l"),
+          (col("best.c") * -1).as("span_start_r"),
+          col("shared_grams").cast("long").as("shared_grams"))
+        .orderBy("id_l", "id_r")
+    }
+    // best-span tie-break: longest run, then smallest s_l, then smallest s_r
+    // (max(struct(run, -s_l, -s_r)) — identical lexicographic rule in SQL)
+    val oracle = Some(
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(toks) - ${SpanK - 1}, 0) + 1)) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(toks) - ${SpanK - 1}, 0) + 1),
+         |      i -> ${HashOps.sqlHashP(s"array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ')")})) AS h
+         |  FROM t),
+         |dfq AS (SELECT h FROM g GROUP BY h
+         |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SpanMaxDf),
+         |gp AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN dfq USING (h)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r,
+         |         a.pos AS pos_l, b.pos AS pos_r
+         |  FROM gp a JOIN gp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT id_l, id_r, pos_l - pos_r AS diag,
+         |         pos_l - row_number() OVER
+         |           (PARTITION BY id_l, id_r, pos_l - pos_r ORDER BY pos_l) AS island,
+         |         pos_l, pos_r
+         |  FROM pairs),
+         |agg AS (
+         |  SELECT id_l, id_r, diag, island,
+         |         count(*) AS run_grams, min(pos_l) AS s_l, min(pos_r) AS s_r
+         |  FROM runs GROUP BY id_l, id_r, diag, island),
+         |best AS (
+         |  SELECT id_l, id_r,
+         |         max(run_grams) AS max_run_grams,
+         |         max(struct_pack(a := run_grams, b := -s_l, c := -s_r)) AS b,
+         |         CAST(sum(run_grams) AS BIGINT) AS shared_grams
+         |  FROM agg GROUP BY id_l, id_r)
+         |SELECT id_l, id_r,
+         |       max_run_grams + ${SpanK - 1} AS span_tokens,
+         |       -(b.b) AS span_start_l, -(b.c) AS span_start_r, shared_grams
+         |FROM best WHERE max_run_grams >= $MinRunGrams
+         |ORDER BY id_l, id_r""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepCanonical)
+    dedupClusters, dedupKeepCanonical, dedupNgramSpan)
 }

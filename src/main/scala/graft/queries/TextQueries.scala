@@ -787,7 +787,55 @@ object TextQueries {
     }
   }
 
+  /** Model-based quality filtering — the fastText-style classifier pass of
+    * an LLM data pipeline — as hashing-trick linear inference: each token is
+    * hashed into one of [[QualityModel.Buckets]] feature buckets, each
+    * bucket carries a deterministic integer weight (derived arithmetically
+    * from the bucket id — no weight table to broadcast or join), and the
+    * document score is the tf-weighted sum. The whole model application is
+    * ONE in-row higher-order expression: no shuffle, no UDF, no lookup —
+    * whole-stage codegen end to end, which is exactly how classifier
+    * inference should run over 100 TB (PlanSpec pins the no-Exchange shape).
+    * A real deployment swaps the arithmetic weight for a learned
+    * `Map[bucket, weight]` compiled into the same expression. */
+  object QualityModel {
+    val Buckets = 1024
+    /** weight(bucket) ∈ [-1000, 1000], pseudo-random but engine-exact:
+      * md5-derived from the bucket id. */
+    def weight(bucket: Column): Column =
+      conv(substring(md5(concat(lit("w"), bucket.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 2001 - 1000
+    def bucket(tok: Column): Column = HashOps.hashP(tok) % Buckets
+    def sqlScore(toksExpr: String): String =
+      s"""CAST(coalesce(list_aggregate(list_transform($toksExpr,
+         |  t -> ${HashOps.sqlHash60(s"'w' || CAST(${sqlHashP("t")} % ${Buckets} AS VARCHAR)")}
+         |       % 2001 - 1000), 'sum'), 0) AS BIGINT)""".stripMargin
+  }
+
+  val qualityLinearScore: Q = new Q {
+    val name = "quality_linear_score"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      val score = aggregate(
+        transform(toks, t => QualityModel.weight(QualityModel.bucket(t))),
+        lit(0L), (acc, x) => acc + x)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          score.as("score"))
+        .withColumn("keep", (col("score") > 0).cast("int"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""SELECT doc_id,
+         |  CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+         |  ${QualityModel.sqlScore(SqlToks)} AS score,
+         |  CAST(${QualityModel.sqlScore(SqlToks)} > 0 AS INT) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
-    rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify)
+    rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
+    qualityLinearScore)
 }

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, TextQueries}
+
+/** Semantic pins for the round-8 additions: exact duplicated-substring
+  * detection (dedup_ngram_span) and hashing-trick linear quality scoring
+  * (quality_linear_score) — both oracle-gated in the catalog; these tests
+  * pin the SEMANTICS on constructed corpora where the expected answer is
+  * known by hand, independent of the fixture corpus. */
+class DedupSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-span").toString
+    rows.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_ngram_span finds the exact shared span with correct length and starts") {
+    val span = (1 to 10).map(i => s"a$i").mkString(" ") // 10-token verbatim span
+    val dir = writeDocs(Seq(
+      1L -> s"x1 x2 x3 $span y1 y2",  // span starts at token 4
+      2L -> s"z1 $span w1 w2 w3",     // span starts at token 2
+      3L -> "unrelated text with no overlap at all here ok fine"))
+    val got = DedupQueries.dedupNgramSpan.run(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("id_l") == 1L && r.getAs[Long]("id_r") == 2L)
+    // 10-token span = 3 consecutive 8-grams: span_tokens = 3 + 7 = 10
+    assert(r.getAs[Long]("span_tokens") == 10L, r.toString)
+    assert(r.getAs[Long]("span_start_l") == 4L, r.toString)
+    assert(r.getAs[Long]("span_start_r") == 2L, r.toString)
+    assert(r.getAs[Long]("shared_grams") == 3L, r.toString)
+  }
+
+  test("dedup_ngram_span: hub n-grams above the df cap never generate pairs") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // exactly one 8-gram
+    // 9 docs share it → df=9 > SpanMaxDf=8 → pruned, no pairs at all
+    val dir = writeDocs((1L to 9L).map(i => i -> s"u${i}a u${i}b $boiler u${i}c"))
+    assert(DedupQueries.dedupNgramSpan.run(spark, dir).isEmpty)
+  }
+
+  test("dedup_ngram_span: docs under 8 tokens produce no grams and no crash") {
+    val dir = writeDocs(Seq(1L -> "too short", 2L -> "too short"))
+    assert(DedupQueries.dedupNgramSpan.run(spark, dir).isEmpty)
+  }
+
+  test("quality_linear_score: score is the sum of per-token bucket weights") {
+    val dir = writeDocs(Seq(1L -> "alpha beta alpha", 2L -> ""))
+    val rows = TextQueries.qualityLinearScore.run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // recompute expected weight driver-side from the same md5 derivation
+    def weightOf(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = (java.lang.Long.parseLong(h.take(15), 16) % 1000000007L) % 1024L
+      val wh = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$bucket".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(wh.take(15), 16) % 2001L - 1000L
+    }
+    val expected = 2 * weightOf("alpha") + weightOf("beta")
+    assert(rows(1L).getAs[Long]("score") == expected)
+    assert(rows(1L).getAs[Int]("keep") == (if (expected > 0) 1 else 0))
+    assert(rows(2L).getAs[Long]("score") == 0L && rows(2L).getAs[Int]("keep") == 0)
+  }
+}

@@ -173,4 +173,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), s"probe rows not broadcast:\n$plan")
   }
+
+  test("quality_linear_score is in-row model inference: no join, no explode, one sort exchange") {
+    val df = graft.queries.TextQueries.qualityLinearScore.run(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), s"classifier inference must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"classifier inference must not explode:\n$plan")
+    // the only exchange allowed is the range partitioning of the final orderBy
+    val exchanges = "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges <= 1, s"expected at most the output-order exchange, got $exchanges:\n$plan")
+    val readSchema = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan not pruned to doc_id+text: $readSchema")
+  }
+
+  test("dedup_ngram_span pairs via equi-join only — no cartesian, no nested loop") {
+    val df = graft.queries.DedupQueries.dedupNgramSpan.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"span candidate generation must stay equi-join shaped:\n$plan")
+  }
 }
