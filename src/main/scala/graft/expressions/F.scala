@@ -24,6 +24,10 @@ object F {
   def shingleHashes(tokens: Column, k: Int): Column =
     Shim.column(ShingleHashSet(Shim.expression(tokens), k))
 
+  /** Positional (multiset, ordered) k-shingle hashes — span detection. */
+  def shingleHashSeq(tokens: Column, k: Int): Column =
+    Shim.column(ShingleHashSeq(Shim.expression(tokens), k))
+
   def polyFold(longs: Column): Column =
     Shim.column(PolyFold(Shim.expression(longs)))
 

@@ -132,6 +132,58 @@ object ShingleHashSet {
   }
 }
 
+/** POSITIONAL k-word-shingle hashes from a token array: element i is the
+  * hashP of the shingle starting at token i+1 — duplicates and order kept
+  * (the exact-substring span detector needs positions, unlike the set
+  * variant above). Same per-shingle bytes and hash as ShingleHashSet, so
+  * the SQL mirror is the same list_transform/list_slice expression without
+  * list_distinct. Input array<string>, output array<long> (empty when
+  * |tokens| < k). */
+case class ShingleHashSeq(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    ShingleHashSeq.compute(xs, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ShingleHashSeq.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, xs => s"${ev.value} = $helper.compute($xs, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashSeq {
+  def compute(xs: ArrayData, k: Int): GenericArrayData = {
+    val n = xs.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += xs.getUTF8String(i + j).numBytes(); j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = xs.getUTF8String(i + j)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes()
+        j += 1
+      }
+      out(i) = TextHashExprs.hash60(buf) % TextHashExprs.P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Intersection cardinality of two ascending-sorted distinct long arrays —
   * a codegen'd two-pointer merge. Replaces interpreted `array_intersect`+
   * `size` on the hot candidate-refinement path (result is identical because

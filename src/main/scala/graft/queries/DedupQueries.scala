@@ -294,14 +294,18 @@ object DedupQueries {
   val dedupNgramSpan: Q = new Q {
     val name = "dedup_ngram_span"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val toks = TextOps.tokens(col("text"))
-      // positional (NOT distinct) gram hashes; empty when < SpanK tokens
-      val grams = when(size(toks) >= SpanK,
-        transform(sequence(lit(0), size(toks) - SpanK),
-          i => HashOps.hashP(concat_ws(" ", slice(toks, i + 1, lit(SpanK))))))
-        .otherwise(array().cast("array<bigint>"))
-      val e = Tables.documents(spark, dir)
-        .select(col("doc_id"), posexplode(grams).as(Seq("pos0", "h")))
+      // positional (NOT distinct) gram hashes; empty when < SpanK tokens.
+      // Codegen'd kernel: fuses the slice/concat/md5 chain into one loop —
+      // identical values to the interpreted transform∘slice∘hashP form.
+      val grams = graft.expressions.F.shingleHashSeq(TextOps.tokens(col("text")), SpanK)
+      // persisted COMPACT (per-doc gram array, not exploded): the frame is
+      // referenced four times below (df count + both self-join sides probe
+      // it twice) and the md5 gram hashing dominates — hash once, explode
+      // cheaply per reference (same pattern as dedupNgramJaccard's docs)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), grams.as("gs")).persist()
+      val e = docs
+        .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "h")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
       // hub cap BEFORE the pair join (df counted in DOCS, not occurrences)
       val dfq = e.groupBy("h").agg(countDistinct("doc_id").as("df"))

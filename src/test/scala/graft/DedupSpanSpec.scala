@@ -49,6 +49,27 @@ class DedupSpanSpec extends SparkSpec {
     assert(DedupQueries.dedupNgramSpan.run(spark, dir).isEmpty)
   }
 
+  test("ShingleHashSeq kernel equals the interpreted transform∘slice∘hashP form") {
+    import graft.ops.{HashOps, TextOps}
+    val texts = Seq(
+      "one two three four five six seven eight nine ten",
+      "a b c d e f g h",          // exactly k tokens → one gram
+      "short doc",                 // < k tokens → empty
+      "x x x x x x x x x x x x")   // repeated tokens → duplicate grams kept
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val interpreted = when(size(toks) >= 8,
+      transform(sequence(lit(0), size(toks) - 8),
+        i => HashOps.hashP(concat_ws(" ", slice(toks, i + 1, lit(8))))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = df.select(
+      graft.expressions.F.shingleHashSeq(toks, 8).as("kernel"),
+      interpreted.as("interp")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
   test("quality_linear_score: score is the sum of per-token bucket weights") {
     val dir = writeDocs(Seq(1L -> "alpha beta alpha", 2L -> ""))
     val rows = TextQueries.qualityLinearScore.run(spark, dir)
