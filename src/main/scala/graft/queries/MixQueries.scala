@@ -272,6 +272,48 @@ object MixQueries {
          |FROM t GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  val QuotaPerSource = 30 // per-domain document cap
+
+  /** Per-domain quota sampling — cap every source at [[QuotaPerSource]]
+    * documents so overrepresented domains can't dominate the mixture (the
+    * CommonCrawl-style domain-balancing step). Selection is a PURE FUNCTION
+    * of doc_id (salted-hash rank), so membership is stable under re-runs
+    * and appends, like `corpus_split`/`q_weighted_sample`.
+    *
+    * Scale shape: the naive formulation is a window row_number over every
+    * source partition — a full shuffle + per-partition SORT of the corpus.
+    * This uses the BoundedTopK aggregate instead: O(k) map-side state per
+    * source, partial aggregation before the shuffle, so the exchanged data
+    * is (sources × k), not the corpus. A skewed giant domain costs its scan
+    * only. */
+  val domainQuota: Q = new Q {
+    val name = "q_domain_quota"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      // ord DESC in BoundedTopK ≡ hash ASC via (P - hash); ties → id ASC
+      val ord = lit(HashOps.P) -
+        HashOps.hashP(concat(lit("quota:"), col("doc_id").cast("string")))
+      Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(graft.expressions.F.boundedTopK(ord, col("doc_id"), QuotaPerSource).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy("source", "rnk")
+    }
+    val oracle = Some(
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ${HashOps.sqlHashP("concat('quota:', CAST(doc_id AS VARCHAR))")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+         |      AS INT) AS rnk
+         |  FROM h)
+         |SELECT source, doc_id, rnk FROM r WHERE rnk <= $QuotaPerSource
+         |ORDER BY source, rnk""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
-    corpusSplit, weightedSample)
+    corpusSplit, weightedSample, domainQuota)
 }

@@ -196,6 +196,22 @@ object StreamingOps {
                          keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming twin of `quality_linear_score`: the SAME in-row hashing-trick
+    * classifier expression applied to a document stream, keeping only
+    * positive-scoring docs. Stateless and narrow — no watermark, no state
+    * store, no shuffle — so it composes with any downstream stateful op and
+    * is exactly as 100 TB-safe as the batch plan (ingest-time quality
+    * filtering is where a training pipeline runs this). */
+  def qualityFilterStream(docs: DataFrame): DataFrame = {
+    import graft.queries.TextQueries.QualityModel
+    import graft.ops.TextOps
+    val toks = TextOps.tokens(col("text"))
+    val score = aggregate(
+      transform(toks, t => QualityModel.weight(QualityModel.bucket(t))),
+      lit(0L), (acc, x) => acc + x)
+    docs.withColumn("score", score).where(col("score") > 0)
+  }
+
   case class KeyedValue(user_id: Long, v: Long)
   case class RunningTotal(user_id: Long, n: Long, total: Long)
 

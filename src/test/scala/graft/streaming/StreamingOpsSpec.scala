@@ -438,4 +438,36 @@ class StreamingOpsSpec extends SparkSpec {
         q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("qualityFilterStream scores like the batch twin and keeps only positives") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet consectetur"),
+      (3L, "completely different content with other words here"),
+      (4L, ""))
+    // batch ground truth from the SAME catalog expression
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val batch = graft.queries.TextQueries.qualityLinearScore.run(spark, dir)
+      .select("doc_id", "score", "keep")
+      .as[(Long, Long, Int)].collect()
+    val expected = batch.collect { case (id, s, 1) => id -> s }.toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = qualityFilterStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qfs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("qfs").select("doc_id", "score")
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected, s"stream/batch divergence: $got vs $expected")
+      // stateless: the filter keeps zero streaming state
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
