@@ -314,6 +314,75 @@ object MixQueries {
          |ORDER BY source, rnk""".stripMargin)
   }
 
+  /** Span-level decontamination: for each contaminated corpus document,
+    * the LONGEST contiguous run of benchmark-matching `DecontamK`-grams —
+    * the evidence a pipeline needs to choose between dropping a document
+    * and excising a span (the binary `decontaminate` flag can't
+    * distinguish one stray phrase from a wholesale benchmark copy).
+    * A run of R consecutive matched grams = R+K−1 verbatim tokens that all
+    * occur in the benchmark slice (the standard contiguous-match
+    * approximation of longest contaminated substring).
+    *
+    * Scale shape: benchmark gram set broadcast (benchmarks are small by
+    * construction); corpus side is the positional-gram kernel + a map-side
+    * hash semi-join; the islands window partitions BY DOCUMENT, so no
+    * global sort and per-partition state is one document's matches. */
+  val decontaminateSpan: Q = new Q {
+    val name = "decontaminate_span"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val gs = graft.expressions.F.shingleHashSeq(TextOps.tokens(col("text")), DecontamK)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), gs.as("gs"))
+      val bench = docs.where(col("source") === BenchSource)
+        .select(explode(col("gs")).as("h")).distinct()
+      val matched = docs.where(col("source") =!= BenchSource)
+        .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+        .join(broadcast(bench), Seq("h"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = matched
+        .withColumn("island", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(count(lit(1)).as("run_grams"), min("pos").as("s"))
+      runs.groupBy("doc_id")
+        .agg(sum("run_grams").cast("long").as("matched_grams"),
+          max("run_grams").as("max_run"),
+          max(struct(col("run_grams").as("a"), (col("s") * -1).as("b"))).as("best"))
+        .select(col("doc_id"), col("matched_grams"),
+          (col("max_run") + (DecontamK - 1)).as("span_tokens"),
+          (col("best.b") * -1).as("span_start"))
+        .orderBy("doc_id")
+    }
+    // best-span tie-break: longest run, then smallest start (max of
+    // (run, -start) — identical lexicographic rule in the SQL struct)
+    val oracle = Some {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |    unnest(range(1, greatest(len(toks) - ${DecontamK - 1}, 0) + 1)) AS pos,
+         |    unnest(list_transform(range(1, greatest(len(toks) - ${DecontamK - 1}, 0) + 1),
+         |      i -> ${HashOps.sqlHashP(s"array_to_string(list_slice(toks, i, i + ${DecontamK - 1}), ' ')")})) AS h
+         |  FROM t),
+         |bench AS (SELECT DISTINCT h FROM g WHERE source = '$BenchSource'),
+         |m AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (h)
+         |      WHERE g.source <> '$BenchSource'),
+         |runs AS (
+         |  SELECT doc_id,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island,
+         |    pos
+         |  FROM m),
+         |agg AS (
+         |  SELECT doc_id, island, count(*) AS run_grams, min(pos) AS s
+         |  FROM runs GROUP BY doc_id, island)
+         |SELECT doc_id,
+         |  CAST(sum(run_grams) AS BIGINT) AS matched_grams,
+         |  max(run_grams) + ${DecontamK - 1} AS span_tokens,
+         |  -(max(struct_pack(a := run_grams, b := -s)).b) AS span_start
+         |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
-    corpusSplit, weightedSample, domainQuota)
+    corpusSplit, weightedSample, domainQuota, decontaminateSpan)
 }

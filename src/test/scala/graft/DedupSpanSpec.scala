@@ -70,6 +70,29 @@ class DedupSpanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_span reports the longest contaminated run per corpus doc") {
+    import graft.queries.MixQueries
+    val dir = Files.createTempDirectory("graft-dspan").toString
+    Seq(
+      // benchmark slice (source 'src0'): 6 tokens → two 5-grams
+      (100L, "p1 p2 p3 p4 p5 p6", "en", "src0", 17L),
+      // full phrase embedded at token 3: both grams match consecutively
+      (1L, "c1 c2 p1 p2 p3 p4 p5 p6 c3", "en", "src1", 26L),
+      // only the first 5 benchmark tokens: a single matched gram
+      (2L, "x1 p1 p2 p3 p4 p5 x2 x3", "en", "src1", 23L),
+      // no overlap at all: absent from the output
+      (3L, "clean doc with none of the phrase", "en", "src1", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MixQueries.decontaminateSpan.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("matched_grams"), r.getAs[Long]("span_tokens"),
+          r.getAs[Long]("span_start"))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, 6L, 3L)), got.toString) // run of 2 grams = 6 tokens at pos 3
+    assert(got(2L) == ((1L, 5L, 2L)), got.toString) // single gram = 5 tokens at pos 2
+  }
+
   test("quality_linear_score: score is the sum of per-token bucket weights") {
     val dir = writeDocs(Seq(1L -> "alpha beta alpha", 2L -> ""))
     val rows = TextQueries.qualityLinearScore.run(spark, dir)
