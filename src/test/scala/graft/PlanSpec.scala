@@ -189,6 +189,23 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned to doc_id+text: $readSchema")
   }
 
+  test("q_domain_quota aggregates partially map-side — no window sort over the corpus") {
+    val df = graft.queries.MixQueries.domainQuota.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quota must not window-sort the corpus:\n$plan")
+    // BoundedTopK is an ObjectHashAggregate: partial before the exchange,
+    // final after — the corpus never shuffles, only sources × k state
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs:\n$plan")
+  }
+
+  test("decontaminate_span probes the benchmark set via broadcast") {
+    val df = graft.queries.MixQueries.decontaminateSpan.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+  }
+
   test("dedup_ngram_span pairs via equi-join only — no cartesian, no nested loop") {
     val df = graft.queries.DedupQueries.dedupNgramSpan.run(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
