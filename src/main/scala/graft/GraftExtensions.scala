@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_shingle_hashes", "graft_shingle_hashes(tokens, k): distinct sorted k-shingle hashes") {
       case Seq(t, k) => ShingleHashSet(t, intLit(k, "k"))
     }
+    reg("graft_shingle_hash_seq",
+      "graft_shingle_hash_seq(tokens, k): positional (ordered, multiset) k-shingle hashes") {
+      case Seq(t, k) => ShingleHashSeq(t, intLit(k, "k"))
+    }
     reg("graft_polyfold", "rolling polynomial fold of a long array (mod 1e9+7)") {
       case Seq(a) => PolyFold(a)
     }

@@ -30,6 +30,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_shingle_hashes(array('a', 'b', 'c', 'd'), 3)")
       .head().getSeq[Long](0)
     assert(sh.length === 2) // "a b c", "b c d"
+
+    val seq = spark.sql(
+      "SELECT graft_shingle_hash_seq(array('a', 'b', 'a', 'b'), 3)")
+      .head().getSeq[Long](0)
+    assert(seq.length === 2) // positional: "a b a", "b a b" — order kept
+    val seqDup = spark.sql(
+      "SELECT graft_shingle_hash_seq(array('x', 'x', 'x', 'x'), 3)")
+      .head().getSeq[Long](0)
+    assert(seqDup.length === 2 && seqDup(0) === seqDup(1)) // multiset: dups kept
   }
 
   test("BoundedTopK aggregate equals the ranking-window formulation") {
