@@ -14,6 +14,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture smoke gate, WARN-only here (Bench must still emit its JSON
+    // line for the driver): one aggregated diagnostic beats N per-query
+    // failure lines when the driver regenerates testdata incompatibly
+    val fixtureProblems = Tables.fixtureProblems(spark, sfDir)
+    if (fixtureProblems.nonEmpty)
+      System.err.println("[bench] FIXTURE INCOMPATIBLE — timings below are " +
+        "failure times:\n  " + fixtureProblems.mkString("\n  "))
     // one small end-to-end run first: absorbs one-time JVM/codegen/parquet
     // reader initialization so per-query numbers measure the queries
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
@@ -26,10 +33,18 @@ object Bench {
     // query's two samples minutes apart, so a transient host-contention
     // storm cannot poison both. Cache cleared between queries so each run
     // replans and rescans.
+    // r7 lesson: swallowing per-query failures silently let 30 broken
+    // queries masquerade as 0.05s "speedups" in the bench tail. The JSON
+    // contract stays unchanged; failures go loudly to stderr.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED (timing is failure time, " +
+          s"not query time): ${String.valueOf(e.getMessage).take(200)}")
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // keep runs independent: drops persisted frames (localCheckpoint
       // blocks are disk-backed and freed by the ContextCleaner on GC)
@@ -38,6 +53,9 @@ object Bench {
     }
     val p1 = pass()
     val p2 = pass()
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries failed: " +
+        failed.mkString(", "))
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
