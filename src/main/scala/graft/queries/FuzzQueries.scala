@@ -546,6 +546,56 @@ object FuzzQueries {
     }
   }
 
+  /** Text/documents grammar: random string predicates (equality, substring
+    * containment, length bands) and string-shaped aggregates (char sums,
+    * token counts via regexp, distinct categories) over `documents` — the
+    * string-function surface (Spark `length`/`contains`/`regexp_count` vs
+    * DuckDB `strlen`/`contains`/`regexp_extract_all`) that the TPC-H-table
+    * arms never exercise. All outputs integral. */
+  private def genText(r: Random, idx: Int): Q = {
+    val predPool = Seq(
+      "lang = 'en'" -> "lang = 'en'",
+      "n_chars >= 200" -> "n_chars >= 200",
+      "n_chars < 900" -> "n_chars < 900",
+      "source = 'src1'" -> "source = 'src1'",
+      "contains(text, 'the')" -> "contains(text, 'the')",
+      "length(text) % 2 = 0" -> "strlen(text) % 2 = 0")
+    val preds = r.shuffle(predPool).take(r.nextInt(3))
+    val keys = r.shuffle(Seq("lang", "source")).take(1 + r.nextInt(2))
+    val aggPool: Seq[(String, Column, String)] = Seq(
+      ("cnt", count(lit(1)), "count(*)"),
+      ("sum_chars", sum(length(col("text")).cast("long")),
+        "CAST(sum(strlen(text)) AS BIGINT)"),
+      ("sum_tokens", sum(regexp_count(col("text"), lit("\\S+")).cast("long")),
+        "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)"),
+      ("max_chars", max(col("n_chars")).cast("long"),
+        "CAST(max(n_chars) AS BIGINT)"),
+      ("min_chars", min(col("n_chars")).cast("long"),
+        "CAST(min(n_chars) AS BIGINT)"),
+      ("nd_docs", countDistinct(col("doc_id")), "count(DISTINCT doc_id)"))
+    val aggs = r.shuffle(aggPool).take(1 + r.nextInt(3))
+
+    new Q {
+      val name = f"q_fuzzd_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = Tables.documents(spark, dir)
+        val filtered = preds.foldLeft(base)((d, p) => d.where(expr(p._1)))
+        filtered.groupBy(keys.map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map(a => a._2.as(a._1)): _*)
+          .orderBy(keys.map(col): _*)
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        val aggSql = aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ")
+        val keySql = keys.mkString(", ")
+        s"""SELECT $keySql, $aggSql
+           |FROM documents $where
+           |GROUP BY $keySql ORDER BY $keySql""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -559,7 +609,8 @@ object FuzzQueries {
     val scalars = (0 until 8).map(genScalar(r, _))
     val frames = (0 until 6).map(genFrame(r, _))
     val hofs = (0 until 6).map(genHof(r, _))
+    val texts = (0 until 6).map(genText(r, _))
     scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
-      frames ++ hofs
+      frames ++ hofs ++ texts
   }
 }
