@@ -31,6 +31,8 @@ object VectorQueries {
   val IvfCentCap = 1312L // ≤32 IVF centroids (41-stride below 1312)
   val NearDupCos = 0.4 // testdata has no planted vector dups; 0.4 yields pairs
   val NumPlanes = 8
+  val HybridCandK = 50 // per-arm candidate depth for hybrid fusion
+  val HybridRrfK = 60  // standard RRF dampening constant
 
   /** DuckDB: products of two 64-dim float lists as doubles, 1-based. */
   private def sqlProducts(a: String, b: String): String =
@@ -671,7 +673,69 @@ object VectorQueries {
     }
   }
 
+  /** END-TO-END HYBRID RETRIEVAL: lexical BM25 ranking fused with dense
+    * vector ranking by reciprocal-rank fusion — the standard production
+    * retrieval stack (sparse + dense + RRF), here as one declarative plan
+    * over the aligned `documents`/`embeddings` id space. Query = the fixed
+    * BM25 term set on the text side and embedding 0 on the vector side.
+    *
+    * Scale shape: both arms end in bounded top-[[HybridCandK]] lists (the
+    * vector arm's query is broadcast; a real deployment swaps the
+    * brute-force arm for the IVF/PQ path — same downstream fusion), so the
+    * fusion join touches 2·K rows regardless of corpus size. */
+  val hybridSearchTopk: Q = new Q {
+    val name = "hybrid_search_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val vec = VectorOps.bruteForceTopK(q, cands, Dim, HybridCandK)
+        .select(col("c_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+      val txt = TextQueries.bm25Topk.run(spark, dir)
+        .withColumn("rank_txt", row_number().over(
+          Window.orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_txt")
+      txt.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_txt"), lit(0L)).as("rank_txt"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          (coalesce(expr(s"1000000 div ($HybridRrfK + rank_txt)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($HybridRrfK + rank_vec)"), lit(0L)))
+            .as("rrf_e6"))
+        .orderBy(col("rrf_e6").desc, col("doc_id"))
+        .limit(20)
+    }
+    val oracle = Some(
+      s"""WITH tr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS BIGINT)
+         |      AS rank_txt
+         |  FROM (${TextQueries.bm25Topk.oracle.get}) bm),
+         |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    ${sqlDot("q_vec", "c.embedding")}
+         |      / (${sqlNorm("q_vec")} * ${sqlNorm("c.embedding")}) AS cos
+         |  FROM embeddings c CROSS JOIN qv WHERE c.vec_id != 0),
+         |vr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+         |      AS rank_vec
+         |  FROM s),
+         |vk AS (SELECT doc_id, rank_vec FROM vr WHERE rank_vec <= $HybridCandK),
+         |f AS (
+         |  SELECT COALESCE(tr.doc_id, vk.doc_id) AS doc_id, rank_txt, rank_vec
+         |  FROM tr FULL OUTER JOIN vk ON tr.doc_id = vk.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(rank_txt, 0) AS BIGINT) AS rank_txt,
+         |  CAST(COALESCE(rank_vec, 0) AS BIGINT) AS rank_vec,
+         |  CAST(COALESCE(1000000 // ($HybridRrfK + rank_txt), 0)
+         |     + COALESCE(1000000 // ($HybridRrfK + rank_vec), 0) AS BIGINT) AS rrf_e6
+         |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
-    embedQuantize, pqCodes, annPqAdcTopk)
+    embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk)
 }
