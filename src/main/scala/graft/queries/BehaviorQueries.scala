@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** User-behavior analytics marts over the event stream — the cohort /
+  * market-basket layer a production events lake (the reference's domain:
+  * /root/reference/src/scripts/calculate_user_city.py reads the same
+  * stream) builds on top of the enrichment pipeline.
+  *
+  * Both queries are integer-exact (counts and `div`-scaled ratios) so the
+  * DuckDB oracle matches bit-for-bit.
+  */
+object BehaviorQueries {
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of their
+    * first event; retention_e4(c, k) = share of cohort c's users active in
+    * week c+k. The canonical growth-analytics mart.
+    *
+    * Scale shape: one shuffle keyed by user_id (first-event agg), one
+    * distinct at (user, week) grain (activity — this is the only pass at
+    * fact cardinality), one equi-join back on user_id (both sides already
+    * hash-partitioned by user_id, AQE coalesces), then the final aggregate
+    * at cohort×offset grain — calendar-bounded, tiny. No window over the
+    * raw facts, no cross join, nothing driver-side. */
+  val qCohortRetention: Q = new Q {
+    val name = "q_cohort_retention"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
+        .withColumn("cohort_week", date_trunc("week", col("first_day")).cast("date"))
+        .select("user_id", "cohort_week")
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("day")).cast("date").as("act_week"))
+        .distinct()
+      val ret = activity.join(first, Seq("user_id"))
+        .withColumn("week_offset", expr("datediff(act_week, cohort_week) div 7"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      ret.join(sizes, Seq("cohort_week"))
+        .withColumn("retention_e4", expr("n_active * 10000 div cohort_size"))
+        .select("cohort_week", "week_offset", "cohort_size", "n_active", "retention_e4")
+        .orderBy("cohort_week", "week_offset")
+    }
+    val oracle = Some(
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |frst AS (
+        |  SELECT user_id, date_trunc('week', min(day)) AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', day) AS act_week FROM ev),
+        |ret AS (
+        |  SELECT f.cohort_week,
+        |         datediff('day', f.cohort_week, a.act_week) // 7 AS week_offset,
+        |         count(*) AS n_active
+        |  FROM act a JOIN frst f USING (user_id)
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM frst GROUP BY 1)
+        |SELECT r.cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+        |  sz.cohort_size, r.n_active,
+        |  CAST(r.n_active * 10000 // sz.cohort_size AS BIGINT) AS retention_e4
+        |FROM ret r JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin)
+  }
+
+  /** Association rules over order baskets (support / confidence / lift —
+    * Agrawal & Srikant's metrics, integer-quantized): antecedent→consequent
+    * for every co-purchased part pair with order co-occurrence ≥
+    * [[GraphQueries.CoSupport]].
+    *
+    * conf_e4 = P(b|a)·1e4; lift_e6 = (P(ab) / (P(a)·P(b)))·1e6, all in
+    * exact BIGINT arithmetic (headroom: supp_ab · N_orders · 1e6 stays
+    * under 2^63 while N_orders · max-pair-support < 9.2e12 — at larger
+    * scales drop the quantization to e4).
+    *
+    * Scale shape: pair supports come from the basket-shaped co-purchase
+    * miner (in-row pair expansion, fan-out bounded by basket size — see
+    * GraphQueries.copurchase); item supports are one distinct + groupBy at
+    * (order, part) grain; the rule join is two equi-joins on the part key
+    * (part-grain tables, co-partitioned) plus one broadcast of the 1-row
+    * totals frame. */
+  val qAssocRules: Q = new Q {
+    val name = "q_assoc_rules"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val pairs = GraphQueries.copurchase(spark, dir)
+      val orderPart = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val supp = orderPart.groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("supp"))
+      val totals = orderPart.select(countDistinct("l_orderkey").as("n_tot"))
+      val directed = pairs
+        .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+          col("n_orders").as("supp_ab"))
+        .union(pairs.select(col("pb"), col("pa"), col("n_orders")))
+      directed
+        .join(supp.select(col("part").as("antecedent"), col("supp").as("supp_a")),
+          Seq("antecedent"))
+        .join(supp.select(col("part").as("consequent"), col("supp").as("supp_b")),
+          Seq("consequent"))
+        .crossJoin(broadcast(totals))
+        .withColumn("conf_e4", expr("supp_ab * 10000 div supp_a"))
+        .withColumn("lift_e6", expr("supp_ab * n_tot * 1000000 div (supp_a * supp_b)"))
+        .select("antecedent", "consequent", "supp_ab", "supp_a", "supp_b",
+          "conf_e4", "lift_e6")
+        .orderBy("antecedent", "consequent")
+    }
+    val oracle = Some(
+      s"""WITH cop AS (${GraphQueries.CopurchaseSql}),
+         |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |supp AS (SELECT l_partkey AS part, count(*) AS supp FROM op GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT l_orderkey) AS n_tot FROM lineitem),
+         |dirr AS (
+         |  SELECT pa AS antecedent, pb AS consequent, n_orders AS supp_ab FROM cop
+         |  UNION ALL
+         |  SELECT pb, pa, n_orders FROM cop)
+         |SELECT d.antecedent, d.consequent, CAST(d.supp_ab AS BIGINT) AS supp_ab,
+         |  sa.supp AS supp_a, sb.supp AS supp_b,
+         |  CAST(d.supp_ab * 10000 // sa.supp AS BIGINT) AS conf_e4,
+         |  CAST(d.supp_ab * t.n_tot * 1000000 // (sa.supp * sb.supp) AS BIGINT) AS lift_e6
+         |FROM dirr d
+         |  JOIN supp sa ON d.antecedent = sa.part
+         |  JOIN supp sb ON d.consequent = sb.part
+         |  CROSS JOIN tot t
+         |ORDER BY antecedent, consequent""".stripMargin)
+  }
+
+  /** Sessionized first-touch attribution: each 30-minute-gap session is
+    * attributed to its FIRST event's type (the acquisition channel in a
+    * marketing funnel), and per channel we report how many sessions it
+    * opened and how many of those converted (contain ≥1 purchase).
+    * conv_e4 is the integer-quantized conversion rate.
+    *
+    * Scale shape: ONE sorted window pass per user (the sessionize lag +
+    * running sum — same partitioning for both, one shuffle on user_id),
+    * then one aggregate to (user, session) grain — min_by struct picks the
+    * first event without a second window — and one tiny channel-grain
+    * aggregate. No self-joins. */
+  val qAttributionFirstTouch: Q = new Q {
+    val name = "q_attribution_first_touch"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val sess = graft.ops.WindowOps.sessionize(
+        Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+      sess.groupBy("user_id", "session_idx")
+        .agg(
+          expr("min_by(event_type, struct(ts, event_id))").as("first_type"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .groupBy("first_type")
+        .agg(count(lit(1)).as("n_sessions"), sum("conv").as("n_converted"))
+        .withColumn("conv_e4", expr("n_converted * 10000 div n_sessions"))
+        .orderBy("first_type")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |r AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |per AS (
+        |  SELECT s.user_id, s.sid,
+        |    max(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM s GROUP BY 1, 2),
+        |ft AS (SELECT user_id, sid, event_type AS first_type FROM r WHERE rn = 1)
+        |SELECT ft.first_type, count(*) AS n_sessions,
+        |  CAST(sum(per.conv) AS BIGINT) AS n_converted,
+        |  CAST(sum(per.conv) * 10000 // count(*) AS BIGINT) AS conv_e4
+        |FROM ft JOIN per ON ft.user_id = per.user_id AND ft.sid = per.sid
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Frequent 3-itemsets over order baskets — the Apriori step above the
+    * pair miner: every part triple co-purchased in ≥ CoSupport orders.
+    *
+    * Scale shape: basket expansion stays IN-ROW (two nested higher-order
+    * filters over the per-order sorted part set — no self-joins), and the
+    * fan-out is C(min(basket, 32), 3): baskets are CAPPED at their 32
+    * smallest part keys before expansion, the same hub-suppression bound
+    * the link-prediction wedge join uses, so a pathological mega-basket
+    * cannot go cubic. The cap is applied identically in the oracle
+    * (list_sort + list_slice), so the two engines agree exactly. */
+  val qFreqTriples: Q = new Q {
+    val name = "q_freq_triples"
+    private val BasketCap = 32
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val baskets = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, BasketCap).as("ps"))
+        .where(size(col("ps")) >= 3)
+      baskets
+        .select(col("ps"), explode(col("ps")).as("pa"))
+        .select(col("ps"), col("pa"), explode(expr("filter(ps, p -> p > pa)")).as("pb"))
+        .select(col("pa"), col("pb"), explode(expr("filter(ps, p -> p > pb)")).as("pc"))
+        .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= GraphQueries.CoSupport)
+        .orderBy("pa", "pb", "pc")
+    }
+    val oracle = Some(
+      s"""WITH bask AS (
+         |  SELECT l_orderkey AS o,
+         |         list_slice(list_sort(list(DISTINCT l_partkey)), 1, $BasketCap) AS ps
+         |  FROM lineitem GROUP BY 1),
+         |op AS (SELECT o, unnest(ps) AS p FROM bask WHERE len(ps) >= 3),
+         |t AS (
+         |  SELECT a.o, a.p AS pa, b.p AS pb, c.p AS pc
+         |  FROM op a
+         |    JOIN op b ON a.o = b.o AND a.p < b.p
+         |    JOIN op c ON b.o = c.o AND b.p < c.p)
+         |SELECT pa, pb, pc, count(*) AS n_orders
+         |FROM t GROUP BY 1, 2, 3 HAVING count(*) >= ${GraphQueries.CoSupport}
+         |ORDER BY pa, pb, pc""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
+    qFreqTriples)
+}

@@ -376,6 +376,47 @@ object DedupQueries {
          |ORDER BY id_l, id_r""".stripMargin)
   }
 
+  /** Edit-distance verification of the MinHash-LSH candidates — the exact
+    * confirm pass of a production near-dup pipeline (LSH proposes,
+    * Levenshtein disposes): for each surviving candidate pair, the classic
+    * Levenshtein distance over the raw text and the normalized similarity
+    * lev_sim_e4 = (max_len − lev)·1e4 div max_len.
+    *
+    * Scale shape: the O(len²) DP runs ONLY on pairs that already passed
+    * banded LSH + exact-Jaccard refinement — a vanishing fraction of the
+    * corpus — never all-pairs; the two text joins are equi-joins on doc_id.
+    * Both engines implement the same classic character-level DP
+    * (Spark `levenshtein`, DuckDB `levenshtein`), so distances are exact
+    * integers on both sides. */
+  val dedupLevVerify: Q = new Q {
+    val name = "dedup_lev_verify"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      minhashPairs(spark, dir).select("id_l", "id_r")
+        .join(docs.select(col("doc_id").as("id_l"), col("text").as("text_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("text").as("text_r")), Seq("id_r"))
+        .withColumn("lev", levenshtein(col("text_l"), col("text_r")).cast("long"))
+        .withColumn("max_len",
+          greatest(length(col("text_l")), length(col("text_r"))).cast("long"))
+        .withColumn("lev_sim_e4", expr("(max_len - lev) * 10000 div max_len"))
+        .select("id_l", "id_r", "lev", "lev_sim_e4")
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |v AS (
+         |  SELECT p.id_l, p.id_r,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |    CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+         |  FROM pairs p
+         |    JOIN documents a ON p.id_l = a.doc_id
+         |    JOIN documents b ON p.id_r = b.doc_id)
+         |SELECT id_l, id_r, lev,
+         |  CAST((max_len - lev) * 10000 // max_len AS BIGINT) AS lev_sim_e4
+         |FROM v ORDER BY id_l, id_r""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepCanonical, dedupNgramSpan)
+    dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify)
 }

@@ -273,8 +273,8 @@ object GraphQueries {
     * co-occurrence, not line co-occurrence) and one count-groupBy on the
     * pair key finish it. The ≥2 support threshold is what sparsifies the
     * graph (below it, hub orders would connect everything). */
-  private val CoSupport = 2
-  private def copurchase(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] val CoSupport = 2
+  private[queries] def copurchase(spark: SparkSession, dir: String): DataFrame = {
     // Basket shape, not self-join shape: collect each order's part SET
     // (one shuffle; set semantics = order-level co-occurrence for free),
     // expand the C(basket, 2) pairs IN-ROW with a higher-order filter (no
@@ -289,7 +289,7 @@ object GraphQueries {
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
       .where(col("n_orders") >= CoSupport)
   }
-  private val CopurchaseSql =
+  private[queries] val CopurchaseSql =
     s"""SELECT pa, pb, count(*) AS n_orders FROM (
        |  SELECT DISTINCT x.l_orderkey AS o, x.l_partkey AS pa, y.l_partkey AS pb
        |  FROM lineitem x JOIN lineitem y

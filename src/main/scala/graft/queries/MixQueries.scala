@@ -383,6 +383,48 @@ object MixQueries {
     }
   }
 
+  /** Temperature-weighted mixture rates (the multilingual-training
+    * upsampling rule, p_i ∝ c_i^(1/T), at T = 1/2 so the exponent is the
+    * integer 2 and the whole computation stays in exact BIGINT — no pow(),
+    * no float): rate_e6_i = c_i² · 1e6 div Σ c², and target_n_i is the
+    * budgeted document count for source i under the corpus-size budget.
+    * T < 1 sharpens toward big sources; the integer-exponent family
+    * (T = 1, 1/2, 1/3 …) is the oracle-checkable slice of the rule.
+    *
+    * Headroom: c_i² needs c_i < 3e9 per source per computation shard —
+    * beyond that, pre-scale counts (divide by a power of ten) before
+    * squaring; the rates are scale-invariant.
+    *
+    * Scale shape: one count aggregate at source grain (tiny), all ratio
+    * arithmetic over the source-grain frame. The fact table is scanned
+    * once. */
+  val mixTemperature: Q = new Q {
+    val name = "mix_temperature"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val counts = Tables.documents(spark, dir)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", col("n_docs") * col("n_docs"))
+      val totals = counts.agg(
+        sum("w").as("sum_w"), sum("n_docs").as("n_total"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("rate_e6", expr("w * 1000000 div sum_w"))
+        .withColumn("target_n", expr("n_total * rate_e6 div 1000000"))
+        .select("source", "n_docs", "rate_e6", "target_n")
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs, count(*) * count(*) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_total FROM c)
+        |SELECT c.source, c.n_docs,
+        |  CAST(c.w * 1000000 // t.sum_w AS BIGINT) AS rate_e6,
+        |  CAST(t.n_total * (c.w * 1000000 // t.sum_w) // 1000000 AS BIGINT) AS target_n
+        |FROM c CROSS JOIN t
+        |ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
-    corpusSplit, weightedSample, domainQuota, decontaminateSpan)
+    corpusSplit, weightedSample, domainQuota, decontaminateSpan, mixTemperature)
 }

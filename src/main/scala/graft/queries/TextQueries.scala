@@ -834,8 +834,52 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** Per-document n-gram novelty — the memorization/boilerplate signal of
+    * a training-data pipeline: novelty_e4 = share of a doc's trigram
+    * POSITIONS whose trigram occurs exactly once in the whole corpus
+    * (corpus-unique), e4-quantized by integer division. Boilerplate and
+    * near-dup text scores low; genuinely novel text scores high.
+    *
+    * Scale shape: identical to the bigram-LM pipeline — one shuffle keyed
+    * by trigram (corpus counts), one equi-join of positions to counts on
+    * the trigram key, one per-doc aggregate. No driver state, fan-out
+    * linear in token count. */
+  val docNovelty: Q = new Q {
+    val name = "doc_novelty"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+      val positions = toks
+        .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("tri"))
+      val counts = positions.groupBy("tri").agg(count(lit(1)).as("c"))
+      positions.join(counts, Seq("tri"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_e4", expr("n_unique * 10000 div n_trigrams"))
+        .select("doc_id", "n_trigrams", "n_unique", "novelty_e4")
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, $SqlToks AS t FROM documents
+         |  WHERE len($SqlToks) >= 3),
+         |positions AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tri
+         |  FROM toks),
+         |counts AS (SELECT tri, count(*) AS c FROM positions GROUP BY tri)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+         |    AS novelty_e4
+         |FROM positions JOIN counts USING (tri)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
-    qualityLinearScore)
+    qualityLinearScore, docNovelty)
 }

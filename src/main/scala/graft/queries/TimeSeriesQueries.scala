@@ -237,6 +237,60 @@ object TimeSeriesQueries {
         |FROM w ORDER BY day""".stripMargin)
   }
 
+  /** Robust anomaly flagging on daily revenue per order status — the
+    * median/MAD outlier rule (Hampel filter / robust z-score,
+    * |x − med| > 3·1.4826·MAD), kept integer-exact: medians of BIGINT
+    * cents are half-integers at worst, so 2·median and 2·median(|dev|)
+    * are exact BIGINTs in both engines (linear interpolation at q=0.5 is
+    * the midpoint in Spark `percentile` and DuckDB `quantile_cont`
+    * alike), and the flag compares 20000·dev4 > 44478·mad8 — exactly
+    * |x − med| > 4.4478·MAD with zero float residue.
+    *
+    * Scale shape: the only fact-cardinality pass is the daily groupBy;
+    * the exact medians run over the DAILY frame, which is
+    * calendar-bounded (days × statuses), so sort-based exact percentile
+    * is safe at any fact scale. Two joins of per-status scalars back
+    * onto the daily frame — broadcast-sized build sides. */
+  val qAnomalyMad: Q = new Q {
+    val name = "q_anomaly_mad"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val med = daily.groupBy("o_orderstatus")
+        .agg((expr("percentile(rev_cents, 0.5)") * 2).cast("long").as("med2"))
+      val dev = daily.join(broadcast(med), Seq("o_orderstatus"))
+        .withColumn("dev4", abs(col("rev_cents") * 4 - col("med2") * 2))
+      val mad = dev.groupBy("o_orderstatus")
+        .agg((expr("percentile(dev4, 0.5)") * 2).cast("long").as("mad8"))
+      dev.join(broadcast(mad), Seq("o_orderstatus"))
+        .withColumn("is_anom",
+          when(col("dev4") * 20000 > col("mad8") * 44478, 1L).otherwise(0L))
+        .select("day", "o_orderstatus", "rev_cents", "med2", "dev4", "mad8", "is_anom")
+        .orderBy("o_orderstatus", "day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |med AS (
+        |  SELECT o_orderstatus, CAST(2 * quantile_cont(rev_cents, 0.5) AS BIGINT) AS med2
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.day, d.o_orderstatus, d.rev_cents, m.med2,
+        |         abs(d.rev_cents * 4 - m.med2 * 2) AS dev4
+        |  FROM daily d JOIN med m USING (o_orderstatus)),
+        |mad AS (
+        |  SELECT o_orderstatus, CAST(2 * quantile_cont(dev4, 0.5) AS BIGINT) AS mad8
+        |  FROM dev GROUP BY 1)
+        |SELECT v.day, v.o_orderstatus, v.rev_cents, v.med2,
+        |  CAST(v.dev4 AS BIGINT) AS dev4, a.mad8,
+        |  CAST(CASE WHEN v.dev4 * 20000 > a.mad8 * 44478 THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+        |FROM dev v JOIN mad a USING (o_orderstatus)
+        |ORDER BY o_orderstatus, day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
-    qInterpolateDaily)
+    qInterpolateDaily, qAnomalyMad)
 }

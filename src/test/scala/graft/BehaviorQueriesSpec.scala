@@ -1,0 +1,185 @@
+package graft
+
+import graft.queries.{BehaviorQueries, DedupQueries, TextQueries}
+
+/** Invariant specs for the behavior-analytics marts (cohort retention,
+  * association rules) and the round-8 text/dedup additions (novelty,
+  * Levenshtein verification) — properties the DuckDB hash-compare can't
+  * express, checked against driver-side recomputations on sf0.001. */
+class BehaviorQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_cohort_retention: offset-0 retention is 100% and retention never exceeds cohort size") {
+    val rows = BehaviorQueries.qCohortRetention.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val zero = rs.filter(_.getAs[Long]("week_offset") == 0L)
+      assert(zero.length == 1, s"cohort $cw missing offset-0 row")
+      // every user is by construction active in their first-event week
+      assert(zero.head.getAs[Long]("n_active") == zero.head.getAs[Long]("cohort_size"),
+        s"cohort $cw offset-0 not full")
+      assert(zero.head.getAs[Long]("retention_e4") == 10000L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("week_offset") >= 0L, s"negative offset in $r")
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"),
+          s"retention above 100%: $r")
+      }
+    }
+    // cohort sizes partition the user universe
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    val sumSizes = byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum
+    assert(sumSizes == users, s"cohort sizes $sumSizes != distinct users $users")
+  }
+
+  test("q_assoc_rules: directional symmetry, support bounds, confidence/lift consistency") {
+    val rows = BehaviorQueries.qAssocRules.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val key = rows.map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      assert(key.contains((b, a)), s"missing reverse rule for ($a,$b)")
+      val (sAb, sA, sB) = (r.getAs[Long]("supp_ab"), r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"))
+      assert(sAb <= math.min(sA, sB), s"pair support exceeds item support: $r")
+      assert(r.getAs[Long]("conf_e4") == sAb * 10000L / sA, s"confidence mismatch: $r")
+      assert(r.getAs[Long]("conf_e4") <= 10000L)
+      assert(r.getAs[Long]("lift_e6") >= 0L)
+    }
+    // reverse rule has mirrored supports
+    val byKey = rows.map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) -> r).toMap
+    rows.take(50).foreach { r =>
+      val rev = byKey((r.getAs[Long]("consequent"), r.getAs[Long]("antecedent")))
+      assert(rev.getAs[Long]("supp_ab") == r.getAs[Long]("supp_ab"))
+      assert(rev.getAs[Long]("supp_a") == r.getAs[Long]("supp_b"))
+      assert(rev.getAs[Long]("lift_e6") == r.getAs[Long]("lift_e6") ||
+        // lift uses integer div; direction changes only the denominator order
+        math.abs(rev.getAs[Long]("lift_e6") - r.getAs[Long]("lift_e6")) <= 1L,
+        s"lift not symmetric: $r vs $rev")
+    }
+  }
+
+  test("doc_novelty: position accounting and bounds hold against token counts") {
+    val rows = TextQueries.docNovelty.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_trigrams")
+      val u = r.getAs[Long]("n_unique")
+      assert(n == tokCounts(r.getAs[Long]("doc_id")) - 2L,
+        s"trigram positions != tokens-2: $r")
+      assert(u >= 0L && u <= n)
+      assert(r.getAs[Long]("novelty_e4") == u * 10000L / n)
+    }
+    // exact duplicate docs (the fixture has them) can never hold corpus-unique
+    // trigrams: every novelty_e4 of a dup-ranked doc must be 0
+    val dups = DedupQueries.dedupExact.run(spark, dir).collect()
+      .filter(_.getAs[Int]("is_dup") == 1).map(_.getAs[Long]("doc_id")).toSet
+    if (dups.nonEmpty) {
+      val novelDups = rows.filter(r => dups.contains(r.getAs[Long]("doc_id")))
+      novelDups.foreach(r =>
+        assert(r.getAs[Long]("n_unique") == 0L, s"exact dup with unique trigrams: $r"))
+    }
+  }
+
+  test("dedup_lev_verify: distances metric-sane against a driver-side DP recomputation") {
+    val rows = DedupQueries.dedupLevVerify.run(spark, dir).collect()
+    assert(rows.nonEmpty, "LSH candidate set is empty at sf0.001 — fixture drift?")
+    val texts = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("id_l")), texts(r.getAs[Long]("id_r")))
+      val d = r.getAs[Long]("lev")
+      assert(d == lev(a, b), s"levenshtein mismatch for $r")
+      assert(d <= math.max(a.length, b.length))
+      assert(d >= math.abs(a.length - b.length))
+      val maxLen = math.max(a.length, b.length).toLong
+      assert(r.getAs[Long]("lev_sim_e4") == (maxLen - d) * 10000L / maxLen)
+    }
+  }
+
+  test("q_attribution_first_touch: session accounting ties out with q_sessionize") {
+    val rows = BehaviorQueries.qAttributionFirstTouch.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"))
+      assert(c >= 0L && c <= n, s"converted out of bounds: $r")
+      assert(r.getAs[Long]("conv_e4") == c * 10000L / n)
+      assert(graft.queries.GeoPipeline.EventTypes.contains(r.getAs[String]("first_type")),
+        s"unknown channel: $r")
+    }
+    // total sessions across channels == total sessions from the sessionize query
+    val totalSessions = graft.queries.Relational.qSessionize.run(spark, dir)
+      .collect().map(_.getAs[Long]("n_sessions")).sum
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == totalSessions,
+      "attribution does not partition the session universe")
+  }
+
+  test("q_freq_triples: support monotone under the pair miner and triple keys strictly ordered") {
+    val triples = BehaviorQueries.qFreqTriples.run(spark, dir).collect()
+    // pair supports via the rules mart (antecedent < consequent rows are the
+    // canonical pair orientation; supp_ab is the pair's order co-occurrence)
+    val pairSupport = BehaviorQueries.qAssocRules.run(spark, dir).collect()
+      .filter(r => r.getAs[Long]("antecedent") < r.getAs[Long]("consequent"))
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) ->
+        r.getAs[Long]("supp_ab")).toMap
+    triples.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("pa"), r.getAs[Long]("pb"), r.getAs[Long]("pc"))
+      val n = r.getAs[Long]("n_orders")
+      assert(a < b && b < c, s"triple not strictly ordered: $r")
+      // Apriori monotonicity: every sub-pair of a frequent triple is frequent
+      // with at least the triple's support
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairSupport.getOrElse(p, 0L) >= n,
+          s"pair $p support < triple support $n")
+      }
+    }
+  }
+
+  test("mix_temperature: rates normalize, order by squared counts, budget within total") {
+    val rows = graft.queries.MixQueries.mixTemperature.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val sumRate = rows.map(_.getAs[Long]("rate_e6")).sum
+    // integer floors: sum of rates within #sources of 1e6, never above
+    assert(sumRate <= 1000000L && sumRate > 1000000L - rows.length,
+      s"rates don't normalize: $sumRate")
+    assert(rows.map(_.getAs[Long]("target_n")).sum <= nTotal)
+    // T=1/2 sharpens: rate order == n_docs order (squares are monotone)
+    val sorted = rows.sortBy(_.getAs[Long]("n_docs"))
+    assert(sorted.map(_.getAs[Long]("rate_e6")).toSeq.sorted ==
+      sorted.map(_.getAs[Long]("rate_e6")).toSeq,
+      "rate not monotone in source size")
+  }
+
+  test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
+    val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val anoms = rows.count(_.getAs[Long]("is_anom") == 1L)
+    rows.foreach { r =>
+      val dev4 = r.getAs[Long]("dev4")
+      val mad8 = r.getAs[Long]("mad8")
+      assert(dev4 == math.abs(r.getAs[Long]("rev_cents") * 4 - r.getAs[Long]("med2") * 2))
+      assert(mad8 >= 0L)
+      assert((r.getAs[Long]("is_anom") == 1L) == (dev4 * 20000L > mad8 * 44478L),
+        s"flag inconsistent: $r")
+    }
+    // the rule should flag a minority of days, never everything
+    assert(anoms < rows.length, "every day flagged anomalous — rule degenerate")
+  }
+}
