@@ -222,6 +222,142 @@ object BehaviorQueries {
          |ORDER BY pa, pb, pc""".stripMargin)
   }
 
+  /** Session path analysis: the first-order Markov transition matrix over
+    * event types WITHIN sessions — p_e4(next | prev) = share of
+    * transitions out of `prev_type` that go to `next_type`. The "user
+    * journey" mart behind flow/Sankey dashboards.
+    *
+    * Scale shape: ONE shuffle total — the sessionize window and the
+    * transition lags share the user_id partitioning (session_idx and both
+    * lags come from the same sorted pass; a transition is a consecutive
+    * pair with unchanged session_idx, so no second window over (user,
+    * session) is needed), then two tiny aggregates at type×type grain
+    * (bounded by the event-type vocabulary). */
+  val qMarkovTransitions: Q = new Q {
+    val name = "q_markov_transitions"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val sess = graft.ops.WindowOps.sessionize(
+        Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val trans = sess
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_sid", lag("session_idx", 1).over(w))
+        .where(col("prev_type").isNotNull && col("prev_sid") === col("session_idx"))
+      val counts = trans.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val rowTotals = counts.groupBy("prev_type").agg(sum("n_trans").as("row_total"))
+      counts.join(rowTotals, Seq("prev_type"))
+        .withColumn("p_e4", expr("n_trans * 10000 div row_total"))
+        .select("prev_type", "next_type", "n_trans", "p_e4")
+        .orderBy("prev_type", "next_type")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |t AS (
+        |  SELECT user_id, ts, event_id, event_type, sid,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    lag(sid) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sid
+        |  FROM s),
+        |c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        |  FROM t WHERE prev_type IS NOT NULL AND prev_sid = sid
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS row_total
+        |       FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n_trans,
+        |  CAST(c.n_trans * 10000 // rt.row_total AS BIGINT) AS p_e4
+        |FROM c JOIN rt USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin)
+  }
+
+  /** Session duration statistics per acquisition channel (first-touch
+    * event type): per channel, the session count and the sum / max /
+    * truncated-mean of session durations in whole seconds. Single-event
+    * sessions have duration 0 — they stay in the denominator (the mart
+    * reports true means, not means-of-engaged).
+    *
+    * Scale shape: same single user_id shuffle as the other session marts
+    * (sessionize + min_by/min/max in one session-grain aggregate), then a
+    * channel-grain aggregate bounded by the type vocabulary. */
+  val qSessionDuration: Q = new Q {
+    val name = "q_session_duration"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val sess = graft.ops.WindowOps.sessionize(
+        Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+      sess.groupBy("user_id", "session_idx")
+        .agg(
+          expr("min_by(event_type, struct(ts, event_id))").as("first_type"),
+          ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+            .cast("long").as("dur_s"))
+        .groupBy("first_type")
+        .agg(count(lit(1)).as("n_sessions"), sum("dur_s").as("sum_dur_s"),
+          max("dur_s").as("max_dur_s"))
+        .withColumn("mean_dur_s", expr("sum_dur_s div n_sessions"))
+        .orderBy("first_type")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |r AS (
+        |  SELECT user_id, sid, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, sid,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+        |  FROM s GROUP BY 1, 2),
+        |ft AS (SELECT user_id, sid, event_type AS first_type FROM r WHERE rn = 1)
+        |SELECT ft.first_type, count(*) AS n_sessions,
+        |  CAST(sum(per.dur_s) AS BIGINT) AS sum_dur_s,
+        |  CAST(max(per.dur_s) AS BIGINT) AS max_dur_s,
+        |  CAST(sum(per.dur_s) // count(*) AS BIGINT) AS mean_dur_s
+        |FROM ft JOIN per ON ft.user_id = per.user_id AND ft.sid = per.sid
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Activity heatmap: the day-of-week × hour-of-day event-count grid (the
+    * operational "when are users active" mart; ISO day numbering, hours in
+    * the pinned UTC session). A pure calendar-function aggregate — one
+    * shuffle to a 7×24-bounded grain. */
+  val qActivityHeatmap: Q = new Q {
+    val name = "q_activity_heatmap"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .groupBy(
+          dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dow", "hod")
+    val oracle = Some(
+      // DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
-    qFreqTriples)
+    qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap)
 }

@@ -167,6 +167,52 @@ class BehaviorQueriesSpec extends SparkSpec {
       "rate not monotone in source size")
   }
 
+  test("q_markov_transitions: rows normalize and transition count ties out with sessions") {
+    val rows = BehaviorQueries.qMarkovTransitions.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getAs[String]("prev_type"))
+    byPrev.foreach { case (p, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_trans")).sum
+      rs.foreach(r => assert(r.getAs[Long]("p_e4") == r.getAs[Long]("n_trans") * 10000L / tot,
+        s"row-normalization broken for $p: $r"))
+      val sumP = rs.map(_.getAs[Long]("p_e4")).sum
+      assert(sumP <= 10000L && sumP > 10000L - rs.length, s"p_e4 of $p sums to $sumP")
+    }
+    // a session of k events contributes k-1 transitions:
+    // total transitions == total events - total sessions
+    val sess = graft.queries.Relational.qSessionize.run(spark, dir).collect()
+    val expected = sess.map(_.getAs[Long]("n_events")).sum - sess.map(_.getAs[Long]("n_sessions")).sum
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == expected,
+      "transition total != events - sessions")
+  }
+
+  test("q_session_duration: partitions the session universe, stats internally consistent") {
+    val rows = BehaviorQueries.qSessionDuration.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, mx) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("sum_dur_s"), r.getAs[Long]("max_dur_s"))
+      assert(r.getAs[Long]("mean_dur_s") == s / n)
+      assert(mx * n >= s, s"max below mean: $r")
+      assert(s >= 0L && mx >= 0L)
+    }
+    val att = BehaviorQueries.qAttributionFirstTouch.run(spark, dir).collect()
+      .map(r => r.getAs[String]("first_type") -> r.getAs[Long]("n_sessions")).toMap
+    rows.foreach(r => assert(att(r.getAs[String]("first_type")) == r.getAs[Long]("n_sessions"),
+      "channel session counts disagree with attribution mart"))
+  }
+
+  test("q_activity_heatmap: grid bounded, totals tie out with the event count") {
+    val rows = BehaviorQueries.qActivityHeatmap.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 1L && r.getAs[Long]("dow") <= 7L)
+      assert(r.getAs[Long]("hod") >= 0L && r.getAs[Long]("hod") <= 23L)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n"))
+    }
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+  }
+
   test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
     val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
     assert(rows.nonEmpty)
