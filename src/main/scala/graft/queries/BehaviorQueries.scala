@@ -247,8 +247,12 @@ object BehaviorQueries {
         .where(col("prev_type").isNotNull && col("prev_sid") === col("session_idx"))
       val counts = trans.groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n_trans"))
-      val rowTotals = counts.groupBy("prev_type").agg(sum("n_trans").as("row_total"))
-      counts.join(rowTotals, Seq("prev_type"))
+      // row totals as a window over the type×type counts frame (bounded by
+      // the type vocabulary) — no join, no second derivation of the events
+      // subtree
+      counts
+        .withColumn("row_total",
+          sum("n_trans").over(Window.partitionBy("prev_type")))
         .withColumn("p_e4", expr("n_trans * 10000 div row_total"))
         .select("prev_type", "next_type", "n_trans", "p_e4")
         .orderBy("prev_type", "next_type")
@@ -272,13 +276,10 @@ object BehaviorQueries {
         |c AS (
         |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
         |  FROM t WHERE prev_type IS NOT NULL AND prev_sid = sid
-        |  GROUP BY 1, 2),
-        |rt AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS row_total
-        |       FROM c GROUP BY 1)
-        |SELECT c.prev_type, c.next_type, c.n_trans,
-        |  CAST(c.n_trans * 10000 // rt.row_total AS BIGINT) AS p_e4
-        |FROM c JOIN rt USING (prev_type)
-        |ORDER BY prev_type, next_type""".stripMargin)
+        |  GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |  CAST(n_trans * 10000 // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_e4
+        |FROM c ORDER BY prev_type, next_type""".stripMargin)
   }
 
   /** Session duration statistics per acquisition channel (first-touch

@@ -212,4 +212,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
       s"span candidate generation must stay equi-join shaped:\n$plan")
   }
+
+  test("q_markov_transitions: sessionize and both lags share ONE events shuffle") {
+    val df = graft.queries.BehaviorQueries.qMarkovTransitions.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the events frame must be exchanged exactly once (hashpartitioning on
+    // user_id feeding all window passes); everything after is type×type
+    // grain. Allow the small post-agg exchanges, but only ONE hash
+    // partitioning over user_id may exist.
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+    assert(userExchanges == 1, s"expected one user_id shuffle, plan:\n$plan")
+  }
+
+  test("q_freq_triples expands baskets in-row: generators, no self-join") {
+    val df = graft.queries.BehaviorQueries.qFreqTriples.run(spark, sf)
+    val plan = planString(df)
+    assert(plan.contains("Generate"), s"no in-row expansion in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"triple expansion regressed to a join:\n$plan")
+  }
+
+  test("q_assoc_rules: totals join is broadcast, no cartesian over rule pairs") {
+    val df = graft.queries.BehaviorQueries.qAssocRules.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row totals frame not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"rule join degenerated to a cartesian:\n$plan")
+  }
 }
