@@ -359,6 +359,52 @@ object BehaviorQueries {
         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin)
   }
 
+  /** Per-user lifetime value from purchase events, with a recency-decayed
+    * companion score (binary decay, 2^(20−age-days) — the integer-exact
+    * half-life-one-day family the time-series marts use; events older
+    * than the 20-day horizon contribute 0 to the decayed score but fully
+    * to the raw LTV).
+    *
+    * Scale shape: one filter + one groupBy keyed on user_id; the max-date
+    * scalar is a broadcast 1-row frame. Nothing else. */
+  val qUserLtv: Q = new Q {
+    val name = "q_user_ltv"
+    private val Horizon = 20
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val p = Tables.events(spark, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          Q.cents(col("value")).as("cents"))
+      val hi = p.agg(max("day").as("hi"))
+      p.join(broadcast(hi))
+        .withColumn("age", datediff(col("hi"), col("day")))
+        .withColumn("weight", when(col("age") <= Horizon,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Horizon - age AS INT))"))
+          .otherwise(lit(0L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("ltv_cents"),
+          sum(col("cents") * col("weight")).as("decayed_num"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |h AS (SELECT max(day) AS hi FROM p),
+         |aged AS (
+         |  SELECT user_id, cents,
+         |    CASE WHEN date_diff('day', day, hi) <= $Horizon
+         |         THEN (CAST(1 AS BIGINT) << CAST($Horizon - date_diff('day', day, hi) AS INT))
+         |         ELSE 0 END AS weight
+         |  FROM p, h)
+         |SELECT user_id, count(*) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS ltv_cents,
+         |  CAST(sum(cents * weight) AS BIGINT) AS decayed_num
+         |FROM aged GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
-    qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap)
+    qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
+    qUserLtv)
 }

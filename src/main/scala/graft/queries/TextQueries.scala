@@ -878,8 +878,45 @@ object TextQueries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Text normalization — the cleanup stage every ingestion pipeline runs
+    * before tokenizing: control characters → space, whitespace runs
+    * collapsed to single spaces, ends trimmed. Exported as lengths + an
+    * md5 of the cleaned text (the compare-friendly shape; raw cleaned text
+    * stays out of the oracle output by convention). Patterns use explicit
+    * byte classes (`[\x00-\x1F\x7F]`, `\s+`) that mean the same thing in
+    * Java regex and RE2, so both engines clean identically.
+    *
+    * Scale shape: pure row-local narrow ops — no shuffle except the
+    * output order. */
+  val docClean: Q = new Q {
+    val name = "doc_clean"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(cleaned).cast("long").as("n_clean"),
+          md5(cleaned).as("clean_md5"),
+          when(cleaned === col("text"), 0L).otherwise(1L).as("changed"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_raw,
+        |  CAST(length(cleaned) AS BIGINT) AS n_clean,
+        |  md5(cleaned) AS clean_md5,
+        |  CAST(CASE WHEN cleaned = text THEN 0 ELSE 1 END AS BIGINT) AS changed
+        |FROM c ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
-    qualityLinearScore, docNovelty)
+    qualityLinearScore, docNovelty, docClean)
 }

@@ -291,6 +291,69 @@ object TimeSeriesQueries {
         |ORDER BY o_orderstatus, day""".stripMargin)
   }
 
+  /** Winsorized mean of daily revenue per order status — the 5%-clamped
+    * robust mean (values below the 5th / above the 95th DISCRETE
+    * quantile are clamped to those order statistics, then averaged).
+    * Everything is rank arithmetic over BIGINTs: k = n div 20, the clamp
+    * bounds are the values AT ranks k+1 and n−k (discrete quantiles, not
+    * interpolated — so no floats anywhere), and the mean is integer
+    * division of the clamped sum. Complements q_anomaly_mad: MAD flags
+    * outliers, winsorization neutralizes them.
+    *
+    * Scale shape: one window pass over the calendar-bounded daily frame
+    * (rank + per-group count in the same sort), one conditional aggregate
+    * to per-status bounds (broadcast-sized), one join back + final
+    * aggregate. The fact table is touched once, in the daily groupBy. */
+  val qWinsorizedMean: Q = new Q {
+    val name = "q_winsorized_mean"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderstatus"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("rev_cents"), col("day"))
+      val ranked = daily
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+        .withColumn("k", expr("n div 20"))
+      val bounds = ranked.groupBy("o_orderstatus")
+        .agg(max(when(col("r") === col("k") + 1, col("rev_cents"))).as("v_lo"),
+          max(when(col("r") === col("n") - col("k"), col("rev_cents"))).as("v_hi"))
+      ranked.join(broadcast(bounds), Seq("o_orderstatus"))
+        .withColumn("wins", greatest(least(col("rev_cents"), col("v_hi")), col("v_lo")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_days"),
+          max("v_lo").as("v_lo"), max("v_hi").as("v_hi"),
+          sum("wins").as("wins_sum"), sum("rev_cents").as("raw_sum"))
+        .withColumn("wins_mean", expr("wins_sum div n_days"))
+        .withColumn("raw_mean", expr("raw_sum div n_days"))
+        .select("o_orderstatus", "n_days", "v_lo", "v_hi", "wins_mean", "raw_mean")
+        .orderBy("o_orderstatus")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderstatus,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_orderstatus, rev_cents,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY rev_cents, day) AS r,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n,
+        |    count(*) OVER (PARTITION BY o_orderstatus) // 20 AS k
+        |  FROM daily),
+        |bounds AS (
+        |  SELECT o_orderstatus,
+        |    max(CASE WHEN r = k + 1 THEN rev_cents END) AS v_lo,
+        |    max(CASE WHEN r = n - k THEN rev_cents END) AS v_hi
+        |  FROM ranked GROUP BY 1)
+        |SELECT rk.o_orderstatus, count(*) AS n_days,
+        |  CAST(max(b.v_lo) AS BIGINT) AS v_lo, CAST(max(b.v_hi) AS BIGINT) AS v_hi,
+        |  CAST(sum(greatest(least(rk.rev_cents, b.v_hi), b.v_lo)) // count(*) AS BIGINT) AS wins_mean,
+        |  CAST(sum(rk.rev_cents) // count(*) AS BIGINT) AS raw_mean
+        |FROM ranked rk JOIN bounds b USING (o_orderstatus)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
-    qInterpolateDaily, qAnomalyMad)
+    qInterpolateDaily, qAnomalyMad, qWinsorizedMean)
 }

@@ -213,6 +213,52 @@ class BehaviorQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == total)
   }
 
+  test("q_user_ltv: totals tie out with raw purchase cents, decay bounded by horizon weight") {
+    val rows = BehaviorQueries.qUserLtv.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val totalCents = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .agg(sum(graft.queries.Q.cents(col("value")))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("ltv_cents")).sum == totalCents,
+      "per-user LTV does not partition total purchase revenue")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases") >= 1L)
+      // decayed score is the cents sum re-weighted by at most 2^20
+      assert(math.abs(r.getAs[Long]("decayed_num")) <=
+        math.abs(r.getAs[Long]("ltv_cents")) * (1L << 20),
+        s"decay weight envelope broken: $r")
+    }
+  }
+
+  test("q_winsorized_mean: clamp bounds ordered and the mean lands inside them") {
+    val rows = graft.queries.TimeSeriesQueries.qWinsorizedMean.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, wm) = (r.getAs[Long]("v_lo"), r.getAs[Long]("v_hi"), r.getAs[Long]("wins_mean"))
+      assert(lo <= hi, s"bounds inverted: $r")
+      assert(wm >= lo && wm <= hi, s"winsorized mean outside clamp bounds: $r")
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+  }
+
+  test("doc_clean: cleaning is idempotent-shaped (shorter, md5 consistent with changed flag)") {
+    val rows = graft.queries.TextQueries.docClean.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clean") <= r.getAs[Long]("n_raw"), s"cleaning grew text: $r")
+      val cleaned = texts(r.getAs[Long]("doc_id"))
+        .replaceAll("[\\x00-\\x1F\\x7F]", " ").replaceAll("\\s+", " ").trim
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 == r.getAs[String]("clean_md5"), s"clean_md5 mismatch for $r")
+      assert((r.getAs[Long]("changed") == 0L) == (cleaned == texts(r.getAs[Long]("doc_id"))))
+      assert(!cleaned.contains("  "), "whitespace not collapsed")
+    }
+  }
+
   test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
     val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
     assert(rows.nonEmpty)
