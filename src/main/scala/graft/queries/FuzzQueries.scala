@@ -596,6 +596,61 @@ object FuzzQueries {
     }
   }
 
+  /** Events/session grammar: random event predicates × session gap ×
+    * session-grain aggregate shape over the gap sessionizer — the stateful
+    * window surface (lag-threshold flag + running sum + two-level
+    * aggregation) that the TPC-H/documents arms never exercise. All
+    * outputs integral; the gap is applied in microseconds on both sides. */
+  private def genSession(r: Random, idx: Int): Q = {
+    val predPool = Seq(
+      "event_type = 'click'" -> "event_type = 'click'",
+      "event_type IN ('view', 'purchase')" -> "event_type IN ('view', 'purchase')",
+      "value >= 10.0" -> "value >= 10.0",
+      "user_id % 3 = 0" -> "user_id % 3 = 0",
+      "event_id % 2 = 1" -> "event_id % 2 = 1")
+    val preds = r.shuffle(predPool).take(r.nextInt(3))
+    val gapS = pick(r, Seq(600L, 1800L, 3600L))
+    val withTypes = r.nextBoolean()
+    new Q {
+      val name = f"q_fuzzb_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val ev = preds.foldLeft(Tables.events(spark, dir))((d, p) => d.where(expr(p._1)))
+        val sess = graft.ops.WindowOps.sessionize(ev, Seq("user_id"), "ts",
+          Seq(col("ts"), col("event_id")), gapS * 1000000L)
+        val per = sess.groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("se"), countDistinct("event_type").as("st"))
+        val aggs = Seq(
+          (max("session_idx") + 1).cast("long").as("n_sessions"),
+          sum("se").as("n_events"),
+          max("se").as("max_sess_events")) ++
+          (if (withTypes) Seq(max("st").as("max_sess_types")) else Nil)
+        per.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        val extra = if (withTypes) ",\n  CAST(max(st) AS BIGINT) AS max_sess_types" else ""
+        s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events $where),
+           |f AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > ${gapS * 1000000L}
+           |         THEN 1 ELSE 0 END AS newf
+           |  FROM e),
+           |s AS (
+           |  SELECT user_id, event_type,
+           |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM f),
+           |per AS (
+           |  SELECT user_id, sid, count(*) AS se, count(DISTINCT event_type) AS st
+           |  FROM s GROUP BY 1, 2)
+           |SELECT user_id, CAST(max(sid) + 1 AS BIGINT) AS n_sessions,
+           |  CAST(sum(se) AS BIGINT) AS n_events,
+           |  CAST(max(se) AS BIGINT) AS max_sess_events$extra
+           |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -610,7 +665,8 @@ object FuzzQueries {
     val frames = (0 until 6).map(genFrame(r, _))
     val hofs = (0 until 6).map(genHof(r, _))
     val texts = (0 until 6).map(genText(r, _))
+    val sessions = (0 until 6).map(genSession(r, _))
     scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
-      frames ++ hofs ++ texts
+      frames ++ hofs ++ texts ++ sessions
   }
 }
