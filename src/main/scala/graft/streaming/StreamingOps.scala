@@ -367,4 +367,49 @@ object StreamingOps {
           closed.reverse.iterator
       }
   }
+
+  case class TypedEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class AttribState(start_us: Long, last_us: Long, n: Long,
+                         first_type: String, conv: Boolean)
+  case class AttributedSession(user_id: Long, start_us: Long, end_us: Long,
+                               n_events: Long, first_type: String,
+                               converted: Boolean)
+
+  /** Streaming twin of the batch first-touch attribution mart
+    * (BehaviorQueries.qAttributionFirstTouch): gap sessionization that
+    * carries the acquisition channel (the session's FIRST event type) and
+    * the conversion flag (any 'purchase') in per-user state, emitting each
+    * closed session already attributed. Aggregating the emitted sessions
+    * by first_type reproduces the batch mart's channel counts for closed
+    * sessions. State is O(1) per user (one open session), unbounded-stream
+    * safe. */
+  def attributedSessions(events: Dataset[TypedEvent],
+                         gapMicros: Long): Dataset[AttributedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val evs = it.toIndexedSeq.sortBy(_.ts_us)
+          var closed = List.empty[AttributedSession]
+          var open = state.getOption
+          evs.foreach { e =>
+            val isConv = e.event_type == "purchase"
+            open = open match {
+              case Some(s) if e.ts_us - s.last_us > gapMicros =>
+                closed ::= AttributedSession(uid, s.start_us, s.last_us, s.n,
+                  s.first_type, s.conv)
+                Some(AttribState(e.ts_us, e.ts_us, 1, e.event_type, isConv))
+              case Some(s) =>
+                Some(s.copy(last_us = e.ts_us, n = s.n + 1, conv = s.conv || isConv))
+              case None =>
+                Some(AttribState(e.ts_us, e.ts_us, 1, e.event_type, isConv))
+            }
+          }
+          open.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
 }

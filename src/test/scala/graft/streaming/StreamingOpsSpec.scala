@@ -470,4 +470,31 @@ class StreamingOpsSpec extends SparkSpec {
       assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("attributedSessions emits closed sessions with first-touch channel and conversion") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val sessions = attributedSessions(input.toDS(), gapMicros = 60L * 1000000)
+    val q = sessions.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: click → purchase (converted, first-touch = click)
+      input.addData(TypedEvent(1, 0, "click"), TypedEvent(1, 30000000, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("attr").count() === 0) // still open
+      // 200s later: closes session 1, opens session 2 (view, unconverted)
+      input.addData(TypedEvent(1, 200000000, "view"))
+      q.processAllAvailable()
+      val got1 = spark.table("attr").as[AttributedSession].collect().toSeq
+      assert(got1 === Seq(AttributedSession(1, 0, 30000000, 2, "click", true)))
+      // another gap: closes session 2 — view-first, no purchase
+      input.addData(TypedEvent(1, 400000000, "signup"))
+      q.processAllAvailable()
+      val got2 = spark.table("attr").as[AttributedSession].collect().toSeq
+      assert(got2.contains(AttributedSession(1, 200000000, 200000000, 1, "view", false)))
+      // agreement with the batch mart semantics: grouping emitted sessions
+      // by first_type is exactly qAttributionFirstTouch's channel grain
+      assert(got2.map(_.first_type).toSet === Set("click", "view"))
+    } finally q.stop()
+  }
 }
