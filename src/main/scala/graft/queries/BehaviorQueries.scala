@@ -84,12 +84,23 @@ object BehaviorQueries {
   val qAssocRules: Q = new Q {
     val name = "q_assoc_rules"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val pairs = GraphQueries.copurchase(spark, dir)
-      val orderPart = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val supp = orderPart.groupBy(col("l_partkey").as("part"))
-        .agg(count(lit(1)).as("supp"))
-      val totals = orderPart.select(countDistinct("l_orderkey").as("n_tot"))
+      // ONE basket shuffle feeds pair supports, item supports, and the
+      // totals scalar (persisted: three consumers below — without it the
+      // lineage rescans lineitem and rebuilds the collect_set per consumer).
+      // Semantics identical to copurchase + distinct(order,part): the set
+      // explode IS the (order, part) distinct.
+      val baskets = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .persist()
+      val pairs = baskets
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(expr("filter(ps, p -> p > pa)")).as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= GraphQueries.CoSupport)
+      val supp = baskets.select(explode(col("ps")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("supp"))
+      val totals = baskets.select(count(lit(1)).as("n_tot"))
       val directed = pairs
         .select(col("pa").as("antecedent"), col("pb").as("consequent"),
           col("n_orders").as("supp_ab"))

@@ -850,8 +850,12 @@ object TextQueries {
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
+      // persisted: referenced as both the count build side and the join
+      // probe side — lineage would re-tokenize + re-explode the corpus for
+      // the second reference
       val positions = toks
         .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("tri"))
+        .persist()
       val counts = positions.groupBy("tri").agg(count(lit(1)).as("c"))
       positions.join(counts, Seq("tri"))
         .groupBy("doc_id")
