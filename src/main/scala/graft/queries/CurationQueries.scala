@@ -123,5 +123,32 @@ object CurationQueries {
          |FROM t GROUP BY source ORDER BY source""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource)
+  /** Per-source exact-duplication rate — the data-quality dashboard mart
+    * (which ingestion source ships how much verbatim-duplicate content):
+    * docs are globally dup-ranked by content hash (keep-lowest-id), then
+    * rolled up to source grain with the e4 duplicate share.
+    *
+    * Scale shape: one window by content hash (the dedup shuffle the
+    * pipeline runs anyway), one aggregate at source grain. */
+  val dedupRateBySource: Q = new Q {
+    val name = "dedup_rate_by_source"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      DedupOps.exactDupRank(Tables.documents(spark, dir), md5(col("text")), col("doc_id"))
+        .withColumn("is_dup", (col("dup_rank") > 1).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+        .withColumn("dup_e4", expr("n_dups * 10000 div n_docs"))
+        .orderBy("source")
+    val oracle = Some(
+      """WITH r AS (
+        |  SELECT source,
+        |    CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  CAST(sum(is_dup) * 10000 // count(*) AS BIGINT) AS dup_e4
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource)
 }

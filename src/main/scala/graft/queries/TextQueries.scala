@@ -919,8 +919,68 @@ object TextQueries {
         |FROM c ORDER BY doc_id""".stripMargin)
   }
 
+  /** Term association by lift (the rational-arithmetic face of PMI —
+    * lift = P(a,b)/(P(a)P(b)), e6-quantized; log-free so it is
+    * oracle-exact): co-occurrence of the corpus's TOP-40
+    * document-frequency terms within documents, support ≥ 3 docs.
+    *
+    * Scale shape: the pair space is bounded by the top-k vocabulary (a
+    * deployment constant — C(40,2) possible pairs), the per-doc expansion
+    * by C(min(tokens, 40), 2); candidates come from one doc-grain
+    * collect_set over the broadcast-filtered postings, the same basket
+    * shape as the co-purchase miner. df/totals joins are broadcasts. */
+  val qTermLift: Q = new Q {
+    val name = "q_term_lift"
+    private val TopT = 40
+    private val MinCoDf = 3
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      // persisted: postings feed the df count AND the pair expansion
+      val e = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .persist()
+      val dfq = e.groupBy("term").agg(count(lit(1)).as("df"))
+      val top = dfq.orderBy(col("df").desc, col("term")).limit(TopT)
+      val nDocs = e.select(countDistinct("doc_id").as("n_docs"))
+      val pe = e.join(broadcast(top.select("term")), Seq("term"))
+      val pairs = pe.groupBy("doc_id").agg(sort_array(collect_set(col("term"))).as("ps"))
+        .select(explode(col("ps")).as("ta"), col("ps"))
+        .select(col("ta"), explode(expr("filter(ps, t -> t > ta)")).as("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("co_df"))
+        .where(col("co_df") >= MinCoDf)
+      pairs
+        .join(broadcast(top.select(col("term").as("ta"), col("df").as("df_a"))), Seq("ta"))
+        .join(broadcast(top.select(col("term").as("tb"), col("df").as("df_b"))), Seq("tb"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("lift_e6", expr("co_df * n_docs * 1000000 div (df_a * df_b)"))
+        .select(col("ta").as("term_a"), col("tb").as("term_b"),
+          col("co_df"), col("df_a"), col("df_b"), col("lift_e6"))
+        .orderBy("term_a", "term_b")
+    }
+    val oracle = Some(
+      s"""WITH dt AS (
+         |  SELECT doc_id, list_distinct($SqlToks) AS ts FROM documents
+         |  WHERE len($SqlToks) > 0),
+         |e AS (SELECT doc_id, unnest(ts) AS term FROM dt),
+         |dfq AS (SELECT term, count(*) AS df FROM e GROUP BY term),
+         |top AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT $TopT),
+         |pe AS (SELECT e.doc_id, e.term FROM e JOIN top USING (term)),
+         |co AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS co_df
+         |  FROM pe a JOIN pe b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinCoDf),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM e)
+         |SELECT co.term_a, co.term_b, co.co_df,
+         |  CAST(da.df AS BIGINT) AS df_a, CAST(db.df AS BIGINT) AS df_b,
+         |  CAST(co.co_df * n.n_docs * 1000000 // (da.df * db.df) AS BIGINT) AS lift_e6
+         |FROM co
+         |  JOIN top da ON co.term_a = da.term
+         |  JOIN top db ON co.term_b = db.term
+         |  CROSS JOIN n
+         |ORDER BY term_a, term_b""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
-    qualityLinearScore, docNovelty, docClean)
+    qualityLinearScore, docNovelty, docClean, qTermLift)
 }

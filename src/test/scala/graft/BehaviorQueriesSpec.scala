@@ -259,6 +259,37 @@ class BehaviorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_rate_by_source: partitions the corpus, dup totals tie out with dedup_exact") {
+    val rows = graft.queries.CurationQueries.dedupRateBySource.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val globalDups = DedupQueries.dedupExact.run(spark, dir).collect()
+      .count(_.getAs[Int]("is_dup") == 1).toLong
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == globalDups,
+      "per-source dup counts don't sum to the global dup count")
+    rows.foreach(r => assert(r.getAs[Long]("dup_e4") ==
+      r.getAs[Long]("n_dups") * 10000L / r.getAs[Long]("n_docs")))
+  }
+
+  test("q_term_lift: supports bounded by dfs, canonical orientation, lift formula exact") {
+    val rows = TextQueries.qTermLift.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, dir)
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("term_a"), r.getAs[String]("term_b"))
+      assert(a < b, s"pair not canonically ordered: $r")
+      val (co, da, db) = (r.getAs[Long]("co_df"), r.getAs[Long]("df_a"), r.getAs[Long]("df_b"))
+      assert(co <= math.min(da, db), s"co-df exceeds marginal df: $r")
+      assert(co >= 3L)
+      assert(r.getAs[Long]("lift_e6") == co * nDocs * 1000000L / (da * db),
+        s"lift formula mismatch (nDocs=$nDocs): $r")
+    }
+  }
+
   test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
     val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
     assert(rows.nonEmpty)
