@@ -17,6 +17,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("CatalogDump family partition covers SparkEntry.catalog exactly (no drift)") {
+    val dumped = graft.tools.CatalogDump.families.flatMap(_._2).map(_.name)
+    assert(dumped.size === SparkEntry.catalog.size,
+      s"CatalogDump lists ${dumped.size} queries, catalog has ${SparkEntry.catalog.size} " +
+        "— a query family is missing from the generated inventory")
+    assert(dumped.toSet === SparkEntry.catalog.map(_.name).toSet)
+  }
+
   test("oracle SQL strings are non-empty and reference at least one table") {
     val tables = Seq("lineitem", "orders", "customer", "nation", "region",
       "events", "documents", "embeddings", "part", "supplier")
