@@ -290,6 +290,47 @@ object ParityQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Exact wide-precision arithmetic (the DecimalType surface): sums of
+    * cent-products that OVERFLOW int64 at large scale factors —
+    * Σ price_cents² per flag is ~6e18 already at sf1 — carried exactly in
+    * DECIMAL(38,0) (Spark) / HUGEINT-backed sum (DuckDB) and exported as
+    * plain digit strings, which both engines render identically for
+    * integral values. This is the money-math path a 100 TB aggregate
+    * needs once BIGINT headroom runs out; everything upstream stays the
+    * repo's exact-cents convention (no double→decimal casts, whose
+    * rounding modes diverge between engines).
+    *
+    * Scale shape: one partial+final hash aggregate, decimal sums are
+    * fixed-width state — exactly the q1 shape. */
+  val qDecimalExact: Q = new Q {
+    val name = "q_decimal_exact"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val pc = Q.cents(col("l_extendedprice"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), pc.as("pc"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("pc").cast("decimal(38,0)") * col("pc")).as("sum_sq"),
+          sum(col("pc").cast("decimal(38,0)") * col("qty")).as("sum_pq"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          col("sum_sq").cast("string").as("sum_sq_cents2"),
+          col("sum_pq").cast("string").as("sum_pq"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }
+    val oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS sum_sq_cents2,
+        |  CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |           * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS sum_pq,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
-    qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs)
+    qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs,
+    qDecimalExact)
 }

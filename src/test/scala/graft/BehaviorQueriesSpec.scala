@@ -290,6 +290,27 @@ class BehaviorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_decimal_exact: digit strings match a BigInt driver-side recomputation") {
+    val rows = graft.queries.ParityQueries.qDecimalExact.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+    val expected = li.groupBy(_.getAs[String]("l_returnflag")).map { case (f, rs) =>
+      val sums = rs.foldLeft((BigInt(0), BigInt(0))) { case ((sq, pq), r) =>
+        val pc = BigInt(math.round(r.getAs[Double]("l_extendedprice") * 100))
+        val q = BigInt(r.getAs[Double]("l_quantity").toLong)
+        (sq + pc * pc, pq + pc * q)
+      }
+      f -> sums
+    }
+    rows.foreach { r =>
+      val (sq, pq) = expected(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[String]("sum_sq_cents2") == sq.toString, s"sum_sq mismatch: $r")
+      assert(r.getAs[String]("sum_pq") == pq.toString, s"sum_pq mismatch: $r")
+      assert(r.getAs[String]("sum_sq_cents2").forall(_.isDigit), "not a plain digit string")
+    }
+  }
+
   test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
     val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
     assert(rows.nonEmpty)
