@@ -415,7 +415,68 @@ object BehaviorQueries {
          |FROM aged GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  /** Hopping (sliding) window counts — 1-hour windows every 15 minutes,
+    * the overlap mode tumbling `date_trunc` can't express: each event
+    * lands in up to 4 windows. Spark's `window(ts, "1 hour", "15 minutes")`
+    * generator is mirrored in SQL by a bounded hop-offset expansion
+    * (4 = window/hop copies per event — a compile-time constant, so the
+    * fan-out is fixed, not data-dependent).
+    *
+    * Scale shape: in-row 4× expansion then one aggregate at
+    * (window, type) grain — calendar-bounded output. */
+  val qHoppingCounts: Q = new Q {
+    val name = "q_hopping_counts"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .groupBy(col("w.start").as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("window_start", "event_type")
+    val oracle = Some(
+      """WITH hops AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL 15 MINUTE, ts) - (o.k * INTERVAL 15 MINUTE) AS window_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) o),
+        |valid AS (
+        |  SELECT window_start, event_type FROM hops)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM valid GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+  }
+
+  /** Null-safe equi-join parity (`<=>` vs `IS NOT DISTINCT FROM`): both
+    * sides derive a NULLABLE bucket key (nullif of a modulus), and the
+    * join must match null-to-null — the semantics a plain `=` silently
+    * drops. Counts per matched key prove the null bucket joins.
+    *
+    * Scale note: a null-safe join hashes NULL as a regular key value, so
+    * the null bucket is ONE hash partition — at scale a hot null bucket
+    * is a skew key like any other (AQE skew split or salting applies). */
+  val qNullsafeJoin: Q = new Q {
+    val name = "q_nullsafe_join"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val c = Tables.customer(spark, dir)
+        .select(nullif(col("c_nationkey") % 7, lit(3)).as("k"), col("c_custkey"))
+      val s = Tables.supplier(spark, dir)
+        .select(nullif(col("s_nationkey") % 7, lit(3)).as("sk"), col("s_suppkey"))
+      c.join(s, col("k") <=> col("sk"))
+        .groupBy(coalesce(col("k"), lit(-1L)).cast("long").as("key_or_null"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("c_custkey").as("n_cust"),
+          countDistinct("s_suppkey").as("n_supp"))
+        .orderBy("key_or_null")
+    }
+    val oracle = Some(
+      """WITH c AS (SELECT nullif(c_nationkey % 7, 3) AS k, c_custkey FROM customer),
+        |s AS (SELECT nullif(s_nationkey % 7, 3) AS sk, s_suppkey FROM supplier)
+        |SELECT CAST(coalesce(k, -1) AS BIGINT) AS key_or_null,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT c_custkey) AS n_cust,
+        |  count(DISTINCT s_suppkey) AS n_supp
+        |FROM c JOIN s ON k IS NOT DISTINCT FROM sk
+        |GROUP BY 1 ORDER BY key_or_null""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
-    qUserLtv)
+    qUserLtv, qHoppingCounts, qNullsafeJoin)
 }

@@ -311,6 +311,31 @@ class BehaviorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_hopping_counts: every event lands in exactly 4 hops; tumbling totals contained") {
+    val rows = BehaviorQueries.qHoppingCounts.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == totalEvents * 4,
+      "hop fan-out is not exactly window/hop = 4 per event")
+    // window starts are 15-minute aligned
+    rows.foreach { r =>
+      val ms = r.getAs[java.sql.Timestamp]("window_start").getTime
+      assert(ms % (15L * 60 * 1000) == 0L, s"unaligned window start: $r")
+    }
+  }
+
+  test("q_nullsafe_join: the null bucket joins (plain = would drop it)") {
+    val rows = BehaviorQueries.qNullsafeJoin.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nullBucket = rows.filter(_.getAs[Long]("key_or_null") == -1L)
+    assert(nullBucket.length == 1, "null-key bucket missing from null-safe join")
+    assert(nullBucket.head.getAs[Long]("n_pairs") ==
+      nullBucket.head.getAs[Long]("n_cust") * nullBucket.head.getAs[Long]("n_supp"),
+      "null bucket must be the full cross of null-keyed rows")
+    rows.foreach(r => assert(r.getAs[Long]("n_pairs") >=
+      math.max(r.getAs[Long]("n_cust"), r.getAs[Long]("n_supp"))))
+  }
+
   test("q_anomaly_mad: flag matches the integer Hampel rule recomputed from the output") {
     val rows = graft.queries.TimeSeriesQueries.qAnomalyMad.run(spark, dir).collect()
     assert(rows.nonEmpty)
