@@ -9,8 +9,8 @@ import graft.Tables
   * /root/reference/src/scripts/calculate_user_city.py reads the same
   * stream) builds on top of the enrichment pipeline.
   *
-  * Both queries are integer-exact (counts and `div`-scaled ratios) so the
-  * DuckDB oracle matches bit-for-bit.
+  * Every query here is integer-exact (counts and `div`-scaled ratios) so
+  * the DuckDB oracle matches bit-for-bit.
   */
 object BehaviorQueries {
 
@@ -75,12 +75,12 @@ object BehaviorQueries {
     * under 2^63 while N_orders · max-pair-support < 9.2e12 — at larger
     * scales drop the quantization to e4).
     *
-    * Scale shape: pair supports come from the basket-shaped co-purchase
-    * miner (in-row pair expansion, fan-out bounded by basket size — see
-    * GraphQueries.copurchase); item supports are one distinct + groupBy at
-    * (order, part) grain; the rule join is two equi-joins on the part key
-    * (part-grain tables, co-partitioned) plus one broadcast of the 1-row
-    * totals frame. */
+    * Scale shape: ONE fact shuffle builds the persisted basket frame;
+    * pair supports (in-row expansion, fan-out bounded by basket size),
+    * item supports (set explode = the (order, part) distinct), and the
+    * totals scalar all derive from it. The rule join is two equi-joins on
+    * the part key (part-grain tables, co-partitioned) plus one broadcast
+    * of the 1-row totals frame. */
   val qAssocRules: Q = new Q {
     val name = "q_assoc_rules"
     def run(spark: SparkSession, dir: String): DataFrame = {
