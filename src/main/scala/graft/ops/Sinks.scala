@@ -177,6 +177,67 @@ object Sinks {
     } finally u.unpersist()
   }
 
+  /** Targeted delete (the right-to-be-forgotten / data-retention op):
+    * remove every row matching `pred` from a hive-partitioned parquet
+    * snapshot, rewriting ONLY partitions that contain matching rows —
+    * cost scales with the predicate's partition footprint, not the table
+    * size. Returns the number of rows deleted.
+    *
+    * Semantics pinned by LakeMaintSpec:
+    *  - NULL-evaluating predicates do NOT delete (keep = NOT
+    *    coalesce(pred, false)) — a plain `where(!pred)` would silently
+    *    drop null rows, losing data that was never asked to be deleted;
+    *  - a partition whose every row matches is REMOVED outright (dynamic
+    *    partition overwrite alone cannot express an empty partition — it
+    *    only touches partitions present in the written frame, so a fully
+    *    deleted partition would otherwise keep its stale files);
+    *  - untouched partitions' files are not rewritten.
+    *
+    * The affected-partition probe reads only the predicate + partition
+    * columns (column-pruned, filter pushed down); its distinct collect is
+    * bounded by the footprint's partition count. Partition values are
+    * rendered with Spark's default hive-style escaping for simple types —
+    * the snapshot layouts this lake writes (`writePartitioned`). */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+                  partitionCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val snap = spark.read.parquet(path)
+    val affected = snap.where(pred)
+      .select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0L
+    val partPred = affected.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val slice = snap.where(partPred).persist()
+    try {
+      val deleted = slice.where(coalesce(pred, lit(false))).count()
+      val surviving = slice.where(!coalesce(pred, lit(false)))
+      val survivingParts = surviving
+        .select(partitionCols.map(col): _*).distinct().collect()
+        .map(r => partitionCols.indices.map(r.get).toSeq).toSet
+      val tmp = path.stripSuffix("/") + "__delete_tmp"
+      surviving.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // fully-emptied partitions: no surviving rows → dynamic overwrite
+      // never touched them → drop their directories explicitly
+      affected.foreach { r =>
+        val key = partitionCols.indices.map(r.get).toSeq
+        if (!survivingParts.contains(key)) {
+          val dir = partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/" + dir), true)
+        }
+      }
+      deleted
+    } finally slice.unpersist()
+  }
+
   /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`
     * row files. Long-running lakes accrete tiny files (every incremental
     * write adds some); scans then pay per-file open/footer costs and the

@@ -74,4 +74,46 @@ class LakeMaintSpec extends SparkSpec {
       }
     }
   }
+
+  test("deleteWhere: targeted rows gone, others byte-identical, emptied partition dropped") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    val base = Files.createTempDirectory("graft-del").toString + "/snap"
+    // partitioned snapshot: events by day
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    Sinks.writePartitioned(ev, base, Seq("day"))
+    val before = spark.read.parquet(base)
+    val totalBefore = before.count()
+    // pick a victim user
+    val victim = before.select("user_id").head.getLong(0)
+    // record an untouched partition's file listing + sizes
+    // NB: hive partition-column inference reads `day` back as DATE
+    val untouchedDay = before.where(col("user_id") =!= victim)
+      .select("day").except(before.where(col("user_id") === victim).select("day"))
+      .head.get(0).toString
+    def listing(day: String) =
+      Files.list(Paths.get(s"$base/day=$day")).toArray.map(_.toString).sorted.toSeq
+    val untouchedBefore = listing(untouchedDay)
+    val expectDeleted = before.where(col("user_id") === victim).count()
+    val deleted = Sinks.deleteWhere(spark, base, col("user_id") === victim, Seq("day"))
+    assert(deleted === expectDeleted)
+    val after = spark.read.parquet(base)
+    assert(after.where(col("user_id") === victim).count() === 0L, "victim rows remain")
+    assert(after.count() === totalBefore - deleted, "non-victim rows lost")
+    assert(listing(untouchedDay) === untouchedBefore,
+      "untouched partition was rewritten")
+    // a delete that empties a whole partition must remove its directory
+    // (predicate on the partition column empties day=untouchedDay exactly)
+    val fullDayDeleted = Sinks.deleteWhere(spark, base,
+      col("day") === untouchedDay, Seq("day"))
+    assert(fullDayDeleted > 0L)
+    assert(!Files.exists(Paths.get(s"$base/day=$untouchedDay")),
+      "fully-emptied partition directory not removed")
+    // NULL-evaluating predicate deletes nothing
+    val n0 = Sinks.deleteWhere(spark, base,
+      org.apache.spark.sql.functions.lit(null).cast("boolean"), Seq("day"))
+    assert(n0 === 0L)
+    assert(spark.read.parquet(base).count() === totalBefore - deleted - fullDayDeleted)
+  }
 }
