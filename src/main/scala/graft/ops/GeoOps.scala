@@ -90,9 +90,16 @@ object GeoOps {
     * ≥ the radius in longitude degrees at the highest |lat| of interest
     * (completeness near the poles needs a dedicated cap cell — out of scope
     * for |lat| ≤ 90° − radius).
+    *
+    * `extraKeys` join IN the same shuffle as the cells (e.g. the
+    * recommendation mart's channel/zone: candidate pairs must share them,
+    * so putting them in the equi-join key both shrinks the pair space and
+    * co-partitions by (cell, channel, zone) for free — the full-semantics
+    * §2.8(b) mart at 100 TB is ONE shuffle-bounded equi-join, never a
+    * per-channel explode + post-filter).
     */
   def distanceBandJoin(left: DataFrame, right: DataFrame, radiusKm: Double,
-                       cellDeg: Double = 1.0): DataFrame = {
+                       cellDeg: Double = 1.0, extraKeys: Seq[String] = Nil): DataFrame = {
     require(radiusKm > 0 && cellDeg > 0)
     val nLon = math.round(360.0 / cellDeg)
     require(math.abs(nLon * cellDeg - 360.0) < 1e-9, s"cellDeg=$cellDeg must divide 360")
@@ -107,7 +114,7 @@ object GeoOps {
       .withColumn("__clon",
         pmod(floor(col("lon_r") / cellDeg).cast("long") + col("__dlon"), lit(nLon)))
       .drop("__dlat", "__dlon")
-    lCell.join(rRep, Seq("__clat", "__clon"))
+    lCell.join(rRep, Seq("__clat", "__clon") ++ extraKeys)
       .where(haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")) <= radiusKm)
       .drop("__clat", "__clon")
   }

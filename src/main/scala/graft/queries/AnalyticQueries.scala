@@ -161,19 +161,42 @@ object AnalyticQueries {
   /** Sketch-based distinct counting: HLL++ (`approx_count_distinct`) and a
     * DataSketches HLL (`hll_sketch_agg`) side by side with the exact count.
     * Sketches are mergeable partial aggregates — constant-size shuffle per
-    * group at any scale, the whole point at 100 TB. No oracle: estimates
-    * are implementation-defined (driver records rows-only; the error bound
-    * is spec-checked in AnalyticQueriesSpec). */
+    * group at any scale, the whole point at 100 TB.
+    *
+    * Oracle-checkable shape (r8 verdict item 1): the raw estimates are
+    * implementation-defined, but both estimators are DETERMINISTIC
+    * functions of the value SET (order-independent register merges), so
+    * "estimate within the accuracy envelope of exact" is a stable boolean.
+    * The query exports the exact count (DuckDB-computable) plus
+    * within-envelope flags as BIGINT 0/1; the oracle asserts the exact
+    * column and literal 1s. Envelopes: HLL++ default rsd 0.05 → 3σ = 15 %;
+    * hll_sketch lgK=12 → rsd ≈ 1.6 %, 3σ ≈ 5 %, checked at 10 %; both get
+    * a +16 absolute slack for tiny groups (sparse mode is near-exact
+    * there, the slack only de-flakes single-digit cardinalities). The raw
+    * estimates stay spec-checked in AnalyticQueriesSpec. */
   val approxDistinctUsers: Q = new Q {
     val name = "approx_distinct_users"
-    def run(spark: SparkSession, dir: String): DataFrame =
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      def withinPct(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column,
+                    pct: Double): org.apache.spark.sql.Column =
+        when(abs(est.cast("double") - exact.cast("double")) <=
+          greatest(exact.cast("double") * pct, lit(16.0)), lit(1L)).otherwise(lit(0L))
       Tables.events(spark, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users"),
           expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("hll_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          withinPct(col("approx_users"), col("exact_users"), 0.15).as("approx_ok"),
+          withinPct(col("hll_users"), col("exact_users"), 0.10).as("hll_ok"))
         .orderBy("event_type")
-    val oracle = None
+    }
+    val oracle = Some(
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS approx_ok,
+        |  CAST(1 AS BIGINT) AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** Time-series bar (OHLC) aggregation per (user, day): open/close are

@@ -348,9 +348,10 @@ object BehaviorQueries {
   }
 
   /** Activity heatmap: the day-of-week × hour-of-day event-count grid (the
-    * operational "when are users active" mart; ISO day numbering, hours in
-    * the pinned UTC session). A pure calendar-function aggregate — one
-    * shuffle to a 7×24-bounded grain. */
+    * operational "when are users active" mart; Sunday-first day numbering —
+    * Spark's dayofweek is 1=Sunday..7=Saturday, NOT ISO, and the oracle's
+    * dayofweek(ts)+1 matches it — hours in the pinned UTC session). A pure
+    * calendar-function aggregate — one shuffle to a 7×24-bounded grain. */
   val qActivityHeatmap: Q = new Q {
     val name = "q_activity_heatmap"
     def run(spark: SparkSession, dir: String): DataFrame =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{CollectOps, GeoOps, TimeOps, WindowOps}
+import graft.ops.{CollectOps, GeoOps, Sinks, TimeOps, WindowOps}
 
 /** The reference's four pipeline stages re-expressed Spark-first over the
   * driver's test tables (FIXTURES.md §3 mapping):
@@ -358,9 +358,13 @@ object GeoPipeline {
       // join channel AND zone jointly (reference J5 joins on [subc, city_id],
       // calculate_user_recommendations.py:37-38): attaching the actual zone
       // BEFORE the self-join keeps the pair space (channel, zone)-bounded
-      // instead of exploding per channel and filtering after
-      val subsZ = subs.join(broadcast(act.select(col("user_id"),
-        col("zone_id"), col("ts"), col("lat_e"), col("lon_e"), col("lon_z"))), Seq("user_id"))
+      // instead of exploding per channel and filtering after.
+      // NO broadcast hint: both sides are user-grain (billions of rows at
+      // the 100 TB design point — a hint here is an OOM AQE can't undo);
+      // the user_id equi-join co-partitions on its own, and AQE still
+      // broadcast-converts at runtime when the measured size allows.
+      val subsZ = subs.join(act.select(col("user_id"),
+        col("zone_id"), col("ts"), col("lat_e"), col("lon_e"), col("lon_z")), Seq("user_id"))
       val al = subsZ.select(col("user_id").as("user_left"), col("channel"),
         col("zone_id"), col("ts").as("ts_l"),
         col("lat_e").as("lat_l"), col("lon_e").as("lon_l"), col("lon_z").as("lon_z_l"))
@@ -445,6 +449,105 @@ object GeoPipeline {
     }
   }
 
-  val all: Seq[Q] = Seq(geoEnrich, geoEnrichXjoin, userActCity, userHomeCity,
-    userTravel, userCityMart, zoneReport, recommendations, recommendationsGrid)
+  /** Stage 4 at 100 TB — the FULL §2.8(b) mart on the grid-bucketed
+    * distance-band join (J6): identical semantics — and the identical
+    * oracle — to `recommendations` (shared channel + shared actual zone +
+    * within RecsRadiusKm + left user's local time), but the candidate pair
+    * space is bounded by ONE equi-join on (grid cell, channel, zone)
+    * instead of (channel, zone) alone. cellDeg=30 ≥ the 1500 km radius in
+    * longitude degrees at |lat| < 60° (the fixture coordinate domain,
+    * Tables.eventsGeo), so the 3×3 cell neighborhood is complete. No
+    * broadcast of any user-grain frame, no nested-loop join
+    * (PlanSpec-pinned): shuffle-bounded equi-joins end to end — the shape
+    * that survives billions of users (calculate_user_recommendations.py:
+    * 37-44 intent at scale). */
+  val recommendationsGridFull: Q = new Q {
+    val name = "recommendations_grid_full"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val subs = Tables.events(spark, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % RecsChannels).as("channel"))
+        .distinct()
+      val act = actPosition(spark, dir)
+        .select(col("user_id"), col("ts"), col("lat_e"), col("lon_e"),
+          col("zone_id").cast("long").as("zone_id"), col("lon_z"))
+      val subsZ = subs.join(act, Seq("user_id"))
+      val al = subsZ.select(col("user_id").as("user_left"), col("channel"),
+        col("zone_id"), col("ts").as("ts_l"),
+        col("lat_e").as("lat_l"), col("lon_e").as("lon_l"), col("lon_z").as("lon_z_l"))
+      val ar = subsZ.select(col("user_id").as("user_right"), col("channel"),
+        col("zone_id"), col("lat_e").as("lat_r"), col("lon_e").as("lon_r"))
+      GeoOps.distanceBandJoin(al, ar, RecsRadiusKm, cellDeg = 30.0,
+        extraKeys = Seq("channel", "zone_id"))
+        .where(col("user_left") < col("user_right"))
+        .select(col("user_left"), col("user_right"), col("channel"), col("zone_id"),
+          round(GeoOps.haversineKm(col("lat_l"), col("lon_l"), col("lat_r"), col("lon_r")) * 100)
+            .cast("long").as("dist_km_e2"),
+          TimeOps.localTimeByOffset(col("ts_l"), col("lon_z_l")).as("local_time"))
+        .orderBy("user_left", "user_right", "channel")
+    }
+    val oracle = recommendations.oracle
+  }
+
+  /** Paths staged by THIS process for the partitioned-layout arm (same
+    * once-per-JVM semantics as SourceQueries.staged: layout is one-time
+    * setup, later invocations measure the read path). */
+  private val staged = scala.collection.mutable.HashSet.empty[String]
+
+  /** Stage 1 over the reference's RAW LAYOUT, end to end (S2/S3): events
+    * land hive-partitioned by day (`events/date=YYYY-MM-DD/`,
+    * save_mes_geo.py:16-22) and the job reads a depth-N day window off the
+    * partitioned root (reports_dag.py:11 — depth 10 here). The date
+    * predicate resolves to STATIC partition pruning — the scan's
+    * PartitionFilters drop whole-day directories before a single file is
+    * opened (PlanSpec-pinned) — so at 100 TB the daily run reads 10 of
+    * ~3000 day dirs. The layout is written once per process (Staging);
+    * the oracle enriches the same window straight off the unpartitioned
+    * table, proving layout + pruning lose nothing. */
+  val geoEnrichPartitioned: Q = new Q {
+    val name = "geo_enrich_partitioned"
+    val WindowStart = "2024-01-21"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val path = graft.ops.Staging.dir("/tmp/graft_evdays", dir, "events_bydate")
+      val src = Tables.eventsGeo(spark, dir)
+        .withColumn("date", to_date(col("ts")).cast("string"))
+      staged.synchronized {
+        if (!staged.contains(path)) {
+          // cluster by day before writing: one file per day dir, not one
+          // per (task × day)
+          Sinks.writePartitioned(src.repartition(col("date")), path, Seq("date"))
+          staged += path
+        }
+      }
+      // explicit schema: readable even if a regenerated fixture's window
+      // were empty (file-less dir); partition col `date` binds by name
+      val windowed = spark.read.schema(src.schema).parquet(path)
+        .where(col("date") >= WindowStart)
+      GeoOps.nearestZone(windowed, Tables.zones(spark, dir), "lat_e", "lon_e")
+        .select(col("event_id"), col("zone_id"), col("zone_name"),
+          round(col("dist_km") * 100).cast("long").as("dist_km_e2"))
+        .orderBy("event_id")
+    }
+    val oracle = Some(
+      s"""WITH ${Tables.Sql.zones},
+         |ev AS (
+         |  SELECT *,
+         |         ((event_id*13) % 1200) / 10.0 - 60.0  AS lat_e,
+         |         ((event_id*29) % 3600) / 10.0 - 180.0 AS lon_e
+         |  FROM events WHERE CAST(ts AS DATE) >= DATE '$WindowStart'),
+         |d AS (
+         |  SELECT ev.*, z.zone_id, z.zone_name, $hav AS dist_km
+         |  FROM ev CROSS JOIN zones z),
+         |nn AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist_km, zone_id) AS rn
+         |  FROM d)
+         |SELECT event_id, CAST(zone_id AS BIGINT) AS zone_id, zone_name,
+         |       CAST(round(dist_km * 100) AS BIGINT) AS dist_km_e2
+         |FROM nn WHERE rn = 1 ORDER BY event_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(geoEnrich, geoEnrichXjoin, geoEnrichPartitioned,
+    userActCity, userHomeCity, userTravel, userCityMart, zoneReport,
+    recommendations, recommendationsGrid, recommendationsGridFull)
 }

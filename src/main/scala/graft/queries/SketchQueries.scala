@@ -10,7 +10,8 @@ import graft.ops.HashOps
   * distinct-count summary (Bar-Yossef et al. 2002; the theta-sketch
   * family): keep the k smallest values of a uniform hash of the key; the
   * k-th minimum h_k estimates cardinality as (k−1)·M / h_k for hash space
-  * [0, M). Unlike HyperLogLog (`approx_distinct_users`, rows-only gated),
+  * [0, M). Unlike HyperLogLog (`approx_distinct_users`, oracle-gated only
+  * via exact counts + within-envelope flags),
   * KMV is DETERMINISTIC given the hash, so both engines compute the
   * identical estimate and the oracle gate checks it at full value level.
   *

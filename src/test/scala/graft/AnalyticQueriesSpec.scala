@@ -10,11 +10,20 @@ class AnalyticQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("approx_distinct_users: HLL estimates within relative error bound of exact") {
-    val rows = AnalyticQueries.approxDistinctUsers.run(spark, dir).collect()
-    assert(rows.nonEmpty)
+    // the catalog query exports only exact + within-envelope flags (so the
+    // DuckDB oracle can hash-check it); the raw estimates stay spec-checked
+    // here against the same envelope, computed with the same aggregation
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("hll_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
+    assert(raw.nonEmpty)
     // approx_count_distinct default rsd = 0.05; hll_sketch_agg(lgK=12) has
     // ~1.04/sqrt(2^12) ≈ 1.6% std error. Allow 5 sigma on both.
-    rows.foreach { r =>
+    raw.foreach { r =>
       val exact = r.getAs[Long]("exact_users").toDouble
       val approx = r.getAs[Long]("approx_users").toDouble
       val hll = r.getAs[Long]("hll_users").toDouble
@@ -22,6 +31,13 @@ class AnalyticQueriesSpec extends SparkSpec {
         s"approx_count_distinct off by ${math.abs(approx - exact) / exact} for $r")
       assert(math.abs(hll - exact) / exact <= 0.10,
         s"hll_sketch estimate off by ${math.abs(hll - exact) / exact} for $r")
+    }
+    // and the exported flags must all be green (what the oracle pins)
+    val flags = AnalyticQueries.approxDistinctUsers.run(spark, dir).collect()
+    assert(flags.nonEmpty)
+    flags.foreach { r =>
+      assert(r.getAs[Long]("approx_ok") == 1L && r.getAs[Long]("hll_ok") == 1L,
+        s"estimate outside its envelope: $r")
     }
   }
 

@@ -13,8 +13,9 @@ class EmptyInputSpec extends SparkSpec {
   // queries whose semantics REQUIRE a non-empty dimension: enriching
   // against an empty zone dim is an upstream config error and must fail
   // loudly (silent NULL zones would poison every downstream mart)
-  private val requiresZoneDim = Set("geo_enrich", "recommendations",
-    "recommendations_grid", "user_act_city", "user_city_mart",
+  private val requiresZoneDim = Set("geo_enrich", "geo_enrich_partitioned",
+    "recommendations", "recommendations_grid", "recommendations_grid_full",
+    "user_act_city", "user_city_mart",
     "user_home_city", "user_travel", "zone_report")
 
   // global aggregates (no GROUP BY): one row over empty input is standard

@@ -241,4 +241,65 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"rule join degenerated to a cartesian:\n$plan")
   }
+
+  test("recommendations: no broadcast HINT on any user-grain join (r8 verdict 2)") {
+    // an explicit broadcast() hint on a per-user frame is an executor OOM
+    // at real user cardinality, and AQE cannot override an explicit hint.
+    // Runtime size-based broadcast conversion remains allowed — the pin is
+    // on the optimized LOGICAL plan's hints, not the adaptive physical plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.queries.GeoPipeline.recommendations.run(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val userGrain = j.condition.exists(_.references.exists(a =>
+        a.name == "user_id" || a.name == "user_left" || a.name == "user_right"))
+      if (userGrain)
+        assert(j.hint.leftHint.flatMap(_.strategy).isEmpty &&
+          j.hint.rightHint.flatMap(_.strategy).isEmpty,
+          s"broadcast hint on a user-grain join: $j")
+    }
+  }
+
+  test("recommendations_grid_full: equi-join on cell keys, no nested-loop/cartesian") {
+    val df = graft.queries.GeoPipeline.recommendationsGridFull.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"full-semantics grid mart must stay an equi-join:\n$plan")
+    assert(plan.contains("__clat"), s"cell keys missing from the join:\n$plan")
+  }
+
+  test("sketch windows keep partial top-k pushdown (r8 verdict 4)") {
+    // the KMV sites run rn<=K / rn=K filters over window sorts; Spark 4
+    // keeps them safe via InferWindowGroupLimit (per-group partial top-k
+    // before the exchange) and, for GLOBAL Window.orderBy, by rewriting the
+    // limit into TakeOrderedAndProject before the single-partition window.
+    // Pin both shapes so a refactor can't silently lose the rn<=K filter
+    // and turn these into full-data single-partition sorts.
+    val perGroup = graft.queries.SketchQueries.kmvDistinct.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(perGroup.contains("WindowGroupLimit"),
+      s"q_kmv_distinct lost WindowGroupLimit pushdown:\n$perGroup")
+    Seq(
+      "q_kmv_union" -> graft.queries.SketchQueries.kmvUnion,
+      "q_join_size_est" -> graft.queries.SketchQueries.joinSizeEst
+    ).foreach { case (name, q) =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+        s"$name lost the bounded-before-window shape:\n$plan")
+      // every global (un-partitioned) window must sit above a bounded input,
+      // never a full-data global sort
+      assert(!plan.contains("Sort [hv"),
+        s"$name global-sorts the full hash set before the window:\n$plan")
+    }
+  }
+
+  test("geo_enrich_partitioned: date window prunes day partitions statically") {
+    val df = graft.queries.GeoPipeline.geoEnrichPartitioned.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.nonEmpty, s"no PartitionFilters in scan:\n$plan")
+    assert(pf.contains("date") && !pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"date predicate not in PartitionFilters: $pf\n$plan")
+  }
 }
