@@ -7,11 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // pinned UTC like Verify/specs: the events loader's NTZ→timestamp
-      // normalization is timezone-sensitive; bench must time the same plans
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fixture smoke gate, WARN-only here (Bench must still emit its JSON
@@ -60,7 +56,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Full per-query artifact on disk (VERDICT r8 item 6): the driver's
+    // BENCH_r*.json keeps only the tail of stdout, so only ~23% of
+    // per-query timings survived into the round record — the committed
+    // file carries ALL of them so every query is regression-diffable
+    // across rounds. Failure names included: a failed query's "timing"
+    // must never be mistaken for a fast run (the r7 lesson).
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_latest.json")
+      val failedJson = failed.map(Verify.jsonString).mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"${sfDir}","n_queries":${results.size},"failed":$failedJson,"queries":$qs}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write full artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -135,9 +135,7 @@ object Pipeline {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     runAll(spark, sfDir, lake)

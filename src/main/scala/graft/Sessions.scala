@@ -1,0 +1,27 @@
+package graft
+
+/** The ONE home for session-level SQL conf every graft entry point shares
+  * (Verify, Bench, Pipeline, dev tools, and the test session). Keeping
+  * these in a single map means a conf added for correctness (e.g. the
+  * legacy-nanos parquet flag) cannot silently apply to one tool and not
+  * another — the r7 fixture incident started exactly that way.
+  */
+object Sessions {
+  /** Session defaults, applied via `SparkSession.builder().config(defaults)`:
+    *  - UTC session timezone: the events loader's TIMESTAMP_NTZ
+    *    normalization is timezone-sensitive; every engine entry point must
+    *    see the same wall-clock values the DuckDB oracle sees.
+    *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver has shipped
+    *    `events.ts` as parquet TIMESTAMP(NANOS) (rounds 1-6); without this
+    *    flag Spark cannot even infer that footer's schema. It is a no-op
+    *    for every other encoding, so it is safe to set unconditionally —
+    *    and setting it HERE (session setup) keeps `Tables.events`
+    *    read-only instead of mutating conf per plan construction.
+    *  - graft extensions: the as-of-join planner pipeline + SQL functions.
+    */
+  val defaults: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
+}

@@ -35,12 +35,20 @@ object Tables {
     *                     (wall-clock preserved under the pinned UTC session,
     *                     bit-identical to DuckDB's naive read)
     *  - TimestampType  → already what we want
-    * The legacy flag is set unconditionally: it only affects NANOS columns
-    * (no-op on every other encoding) and must be set before the read for
-    * the nanos footer to be readable at all. */
+    * Reading the NANOS footer at all requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the SESSION
+    * (`Sessions.defaults` — set by every graft entry point's builder); the
+    * loader itself is read-only and never mutates conf. If a caller built
+    * a session without it, the rethrow below names the fix. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    val raw =
+      try table(spark, dir, "events")
+      catch { case e: Throwable if isNanosFooterError(e) =>
+        throw new IllegalArgumentException(
+          s"$dir/events.parquet uses the legacy parquet TIMESTAMP(NANOS) " +
+            "encoding; build the session with graft.Sessions.defaults " +
+            "(spark.sql.legacy.parquet.nanosAsLong=true) to read it", e)
+      }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -51,6 +59,16 @@ object Tables {
           "testdata encoding changed; extend Tables.events")
     }
   }
+  /** True iff `e` is Spark refusing a parquet TIMESTAMP(NANOS) footer
+    * because `spark.sql.legacy.parquet.nanosAsLong` is not set — the one
+    * schema-inference failure the fixture gate must name actionably
+    * instead of reporting the table "unreadable". */
+  private def isNanosFooterError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { c =>
+      val m = String.valueOf(c.getMessage)
+      m.contains("TIMESTAMP(NANOS") || m.contains("NANOS is not supported")
+    }
+
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
@@ -123,6 +141,15 @@ object Tables {
           }
         }
       } catch {
+        // legacy TIMESTAMP(NANOS) footer + session without the flag: name
+        // the actual fix instead of "unreadable" (ADVICE r8 — this is the
+        // exact fixture-flip scenario the gate was built to survive; with
+        // Sessions.defaults in the builder the read succeeds and this
+        // branch never fires)
+        case e: Throwable if isNanosFooterError(e) =>
+          Seq(s"$name: legacy parquet TIMESTAMP(NANOS) encoding — build " +
+            "the session with graft.Sessions.defaults " +
+            "(spark.sql.legacy.parquet.nanosAsLong=true)")
         case e: Throwable => Seq(s"$name: unreadable — ${e.getMessage}")
       }
     }

@@ -10,9 +10,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fixture smoke gate: fail with ONE diagnostic naming table/column/type

@@ -163,17 +163,24 @@ object Sinks {
       val latest = merged.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn", "__src")
       val tmp = path.stripSuffix("/") + "__merge_tmp"
-      // cluster by partition column before writing: the window above leaves
-      // the data hash-partitioned by KEY, where every task holds rows of
-      // every partition — writing that directly fans out tasks × partitions
-      // tiny files per merge (the small-file accretion compact() exists to
-      // undo; don't create it here)
-      latest.repartition(partitionCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      try {
+        // cluster by partition column before writing: the window above
+        // leaves the data hash-partitioned by KEY, where every task holds
+        // rows of every partition — writing that directly fans out
+        // tasks × partitions tiny files per merge (the small-file
+        // accretion compact() exists to undo; don't create it here)
+        latest.repartition(partitionCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        // failure inside overwritePartitions can leave a subset of
+        // partitions merged; rerunning the same batch is idempotent
+        // (latest-version-wins) and completes the merge
+        overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
     } finally u.unpersist()
   }
 
@@ -211,31 +218,49 @@ object Sinks {
         .reduce(_ && _)
     }.reduce(_ || _)
     val slice = snap.where(partPred).persist()
+    val tmp = path.stripSuffix("/") + "__delete_tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     try {
       val deleted = slice.where(coalesce(pred, lit(false))).count()
       val surviving = slice.where(!coalesce(pred, lit(false)))
       val survivingParts = surviving
         .select(partitionCols.map(col): _*).distinct().collect()
         .map(r => partitionCols.indices.map(r.get).toSeq).toSet
-      val tmp = path.stripSuffix("/") + "__delete_tmp"
       surviving.repartition(partitionCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
+      // NOTE: a failure inside overwritePartitions can leave the snapshot
+      // with some partitions rewritten and others not (dynamic partition
+      // overwrite is per-partition atomic, not per-call atomic); rerunning
+      // deleteWhere with the same predicate is idempotent and completes
+      // the delete.
       overwritePartitions(spark.read.parquet(tmp), path, partitionCols)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       // fully-emptied partitions: no surviving rows → dynamic overwrite
-      // never touched them → drop their directories explicitly
+      // never touched them → drop their directories explicitly, rendered
+      // EXACTLY as Spark's commit protocol writes them (hive escaping for
+      // special chars, __HIVE_DEFAULT_PARTITION__ for null) — a
+      // hand-rolled "col=value" misses the on-disk name for values
+      // needing escaping and would silently strand the stale rows
       affected.foreach { r =>
         val key = partitionCols.indices.map(r.get).toSeq
         if (!survivingParts.contains(key)) {
-          val dir = partitionCols.zipWithIndex
-            .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+          val dir = partitionCols.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c,
+                if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
+          }.mkString("/")
           fs.delete(new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/" + dir), true)
         }
       }
       deleted
-    } finally slice.unpersist()
+    } finally {
+      slice.unpersist()
+      // always reap the staging dir, even when the write/read-back/
+      // overwrite throws — a stale __delete_tmp would otherwise sit
+      // beside the snapshot (and a rerun would read its leftovers)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
   }
 
   /** Small-file compaction: rewrite a table directory into ~`targetRowsPerFile`

@@ -423,6 +423,48 @@ object DedupQueries {
          |FROM v ORDER BY id_l, id_r""".stripMargin)
   }
 
+  /** Leakage-free train/val/test split: assignment is a function of the
+    * NEAR-DUP CLUSTER, not the document — two near-duplicates can never
+    * land in different splits (the classic eval-contamination bug a
+    * per-doc hash split cannot prevent; `corpus_split` is that weaker
+    * per-doc variant). Split = portable 60-bit hash of the cluster label
+    * mod 10 → 8/1/1 train/val/test. At 100 TB the cluster labels already
+    * exist (dedup_clusters) and the assignment is one in-row hash — no
+    * extra shuffle beyond the label join. */
+  val splitDedupAware: Q = new Q {
+    val name = "split_dedup_aware"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, dir).select("id_l", "id_r")
+      val cc = DedupOps.connectedComponents(nodes, pairs)
+      val bucket = graft.ops.HashOps.hash60(col("cluster_id").cast("string")) % 10
+      cc.select(col("node").as("doc_id"), col("cluster_id"),
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val bucket = s"(${graft.ops.HashOps.sqlHash60("CAST(cluster_id AS VARCHAR)")} % 10)"
+      Some(
+        s"""WITH RECURSIVE $SqlMinhashPairCtes,
+           |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+           |base AS (
+           |  SELECT id_l AS a, id_r AS b FROM pairs
+           |  UNION SELECT id_r, id_l FROM pairs
+           |  UNION SELECT doc_id, doc_id FROM documents),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM base
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+           |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN $bucket <= 7 THEN 'train'
+           |       WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
+           |FROM cc ORDER BY doc_id""".stripMargin)
+    }
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-    dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify)
+    dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
+    splitDedupAware)
 }

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Staging
+
+/** Round-9 data-QA / engine-parity wave: blocked entity resolution,
+  * schema-evolution reads, sketch-vs-exact percentile envelopes, and the
+  * higher-order array-function surface. Each query follows the catalog
+  * conventions (total ordering, scaled-BIGINT doubles, paired DuckDB
+  * oracle).
+  */
+object EvalQueries {
+
+  /** Blocked entity resolution (record linkage) over customers: candidate
+    * pairs only WITHIN a blocking key (nation), then an edit-distance
+    * match on the name. The blocking join is a plain equi-join — the pair
+    * space is Σ_b n_b², bounded by the largest block, never corpus² —
+    * which is the only linkage plan that survives a billion-row customer
+    * table; skewed blocks would get the salting treatment (SkewOps).
+    * Match rule: levenshtein ≤ 2 (names differing in at most two edits —
+    * the classic typo/transcription-error band). */
+  val qRecordLinkage: Q = new Q {
+    val name = "q_record_linkage"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_nationkey").as("nation"), col("c_custkey"), col("c_name"))
+      val l = c.select(col("nation"), col("c_custkey").as("cust_l"), col("c_name").as("name_l"))
+      val r = c.select(col("nation"), col("c_custkey").as("cust_r"), col("c_name").as("name_r"))
+      l.join(r, Seq("nation"))
+        .where(col("cust_l") < col("cust_r"))
+        .withColumn("lev", levenshtein(col("name_l"), col("name_r")).cast("long"))
+        .where(col("lev") <= 2)
+        .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
+        .orderBy("cust_l", "cust_r")
+    }
+    val oracle = Some(
+      """SELECT CAST(l.c_nationkey AS BIGINT) AS nation,
+        |       l.c_custkey AS cust_l, r.c_custkey AS cust_r,
+        |       CAST(levenshtein(l.c_name, r.c_name) AS BIGINT) AS lev
+        |FROM customer l JOIN customer r
+        |  ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey
+        |WHERE levenshtein(l.c_name, r.c_name) <= 2
+        |ORDER BY cust_l, cust_r""".stripMargin)
+  }
+
+  /** Schema-evolution read: two batches of the same logical table where
+    * the newer batch ADDED a column, read through ONE `mergeSchema` scan —
+    * the lake's "new field appeared upstream" case. Old-batch rows surface
+    * the new column as NULL; nothing is rewritten. mergeSchema footer
+    * reconciliation costs one footer read per FILE — at 100 TB pin the
+    * merged schema in a catalog/metastore and read with an explicit
+    * schema instead (see Sinks.readAs); this query checks the semantics,
+    * not the discovery path. */
+  val qSchemaEvolution: Q = new Q {
+    val name = "q_schema_evolution"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val p = Staging.dir("/tmp/graft_stage", dir, "schema_evo")
+      val o = Tables.orders(spark, dir)
+      o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), Q.cents(col("o_totalprice")).as("total_cents"))
+        .write.mode("overwrite").parquet(s"$p/batch=1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), Q.cents(col("o_totalprice")).as("total_cents"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$p/batch=2")
+      spark.read.option("mergeSchema", "true").parquet(p)
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("n_status"),
+          sum(col("total_cents")).as("sum_cents"))
+        .orderBy("batch")
+    }
+    val oracle = Some(
+      """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n, CAST(0 AS BIGINT) AS n_status,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), count(o_orderstatus),
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY batch""".stripMargin)
+  }
+
+  /** Approximate-percentile error envelope, the `approx_distinct_users`
+    * pattern applied to quantile sketches: per group, the EXACT discrete
+    * p50/p95 (integer-rank selection — deterministic and DuckDB-checkable)
+    * plus Spark-computed flags that the GK sketch estimate
+    * (`approx_percentile`, accuracy B) lands within its guaranteed rank
+    * envelope [k − ⌈2n/B⌉, k + ⌈2n/B⌉]. The estimate itself is an
+    * observed value with bounded RANK error, so the value-envelope check
+    * is deterministic regardless of sketch merge order. Exact ranks are
+    * integer-arithmetic (⌈pn⌉ = (pn·100 + 99) div 100) — no double
+    * boundary can flip a rank. */
+  val qApproxPercentileEnvelope: Q = new Q {
+    val name = "q_approx_percentile_envelope"
+    val B = 10000
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val c = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"), Q.cents(col("l_extendedprice")).as("cents"))
+      val w = Window.partitionBy("flag").orderBy("cents")
+      val r = c.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      // integer ceil(n·p/100): Column./ is double division, so floor+cast
+      // back to long (quotients stay < 2^53 — the doubles are exact)
+      def kOf(p: Int) = floor((col("n") * p + 99) / 100).cast("long")
+      val slack = floor((col("n") * 2 + (B - 1)) / B).cast("long")
+      r.groupBy("flag", "n")
+        .agg(
+          max(when(col("rn") <= kOf(50), col("cents"))).as("p50_cents"),
+          max(when(col("rn") <= kOf(95), col("cents"))).as("p95_cents"),
+          max(when(col("rn") <= greatest(kOf(50) - slack, lit(1L)), col("cents"))).as("lo50"),
+          max(when(col("rn") <= kOf(50) + slack, col("cents"))).as("hi50"),
+          max(when(col("rn") <= greatest(kOf(95) - slack, lit(1L)), col("cents"))).as("lo95"),
+          max(when(col("rn") <= kOf(95) + slack, col("cents"))).as("hi95"),
+          expr(s"approx_percentile(cents, 0.5, $B)").as("est50"),
+          expr(s"approx_percentile(cents, 0.95, $B)").as("est95"))
+        .select(col("flag"), col("n").cast("long").as("n"),
+          col("p50_cents"), col("p95_cents"),
+          when(col("est50").between(col("lo50"), col("hi50")), 1L).otherwise(0L).as("p50_ok"),
+          when(col("est95").between(col("lo95"), col("hi95")), 1L).otherwise(0L).as("p95_ok"))
+        .orderBy("flag")
+    }
+    val oracle = Some(
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, cents,
+        |         row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY flag) AS n
+        |  FROM c)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  max(CASE WHEN rn <= (n*50 + 99)//100 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn <= (n*95 + 99)//100 THEN cents END) AS p95_cents,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p95_ok
+        |FROM r GROUP BY flag, n ORDER BY flag""".stripMargin)
+  }
+
+  /** Higher-order array-function surface (transform / filter / aggregate
+    * / zip_with / exists / forall) over the embedding vectors — all in-row
+    * codegen'd lambdas, zero shuffle beyond the final sort; the DuckDB
+    * twin uses list_transform / list_filter / list_reduce with the SAME
+    * left-fold order, so double sums are bit-identical. */
+  val qHigherOrderFuncs: Q = new Q {
+    val name = "q_higher_order_funcs"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .withColumn("dbl", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"),
+          expr("size(filter(dbl, x -> x > 0))").cast("long").as("n_pos"),
+          expr("round(aggregate(dbl, 0D, (a, x) -> a + x) * 1000000)").cast("long").as("sum_e6"),
+          expr("round(aggregate(zip_with(dbl, dbl, (a, b) -> a * b), 0D, (a, x) -> a + x) * 1000000)")
+            .cast("long").as("dot_e6"),
+          expr("CASE WHEN exists(dbl, x -> abs(x) > 2D) THEN 1 ELSE 0 END")
+            .cast("long").as("any_big"),
+          expr("CASE WHEN forall(dbl, x -> abs(x) < 100D) THEN 1 ELSE 0 END")
+            .cast("long").as("all_small"))
+        .orderBy("vec_id")
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(length(list_filter(dbl, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(round(list_reduce(list_prepend(0.0, dbl), (a, x) -> a + x) * 1000000) AS BIGINT) AS sum_e6,
+        |  CAST(round(list_reduce(list_prepend(0.0,
+        |         list_transform(dbl, x -> x * x)), (a, x) -> a + x) * 1000000) AS BIGINT) AS dot_e6,
+        |  CAST(CASE WHEN length(list_filter(dbl, x -> abs(x) > 2)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS any_big,
+        |  CAST(CASE WHEN length(list_filter(dbl, x -> abs(x) >= 100)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_small
+        |FROM d ORDER BY vec_id""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
+    qApproxPercentileEnvelope, qHigherOrderFuncs)
+}

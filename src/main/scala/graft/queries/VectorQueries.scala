@@ -735,7 +735,55 @@ object VectorQueries {
          |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin)
   }
 
+  /** Embedding-space label consistency (the kNN-agreement data-QA check a
+    * labeled corpus runs before training on it): for each query vector,
+    * the fraction of its exact top-k cosine neighbors sharing its label.
+    * Low agreement flags mislabeled rows or an embedding space that does
+    * not separate the classes. Query batch is the id-bounded strided set
+    * (constant as the corpus grows); neighbor search reuses the
+    * broadcast-queries brute-force kernel — at 100 TB the same output is
+    * produced by swapping in the IVF/LSH candidate path, the agreement
+    * aggregation is unchanged. */
+  val annLabelConsistency: Q = new Q {
+    val name = "ann_label_consistency"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").cast("long").as("q_label"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("c_label"))
+      VectorOps.bruteForceTopK(queries, cands, Dim, TopK)
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+        .select(col("q_id"), col("q_label"), col("n_same"),
+          (col("n_same") * 10000 / TopK).cast("long").as("agree_e4"))
+        .orderBy("q_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, CAST(label AS BIGINT) AS q_label
+         |  FROM embeddings WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_vec, CAST(label AS BIGINT) AS c_label
+         |      FROM embeddings),
+         |s AS (
+         |  SELECT q_id, q_label, c_id, c_label,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cosine_sim
+         |  FROM c CROSS JOIN q WHERE q_id != c_id),
+         |r AS (
+         |  SELECT q_id, q_label, c_label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS rank
+         |  FROM s),
+         |a AS (
+         |  SELECT q_id, q_label,
+         |    sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_same
+         |  FROM r WHERE rank <= $TopK GROUP BY q_id, q_label)
+         |SELECT q_id, q_label, CAST(n_same AS BIGINT) AS n_same,
+         |       CAST(n_same * 10000 // $TopK AS BIGINT) AS agree_e4
+         |FROM a ORDER BY q_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
-    embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk)
+    embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency)
 }

@@ -11,8 +11,7 @@ object CcBench {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nodes = graft.Tables.documents(spark, dir).select(col("doc_id").as("id"))

@@ -11,7 +11,7 @@ object ExprProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
+      .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val o = graft.Tables.orders(spark, dir)

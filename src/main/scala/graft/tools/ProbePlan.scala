@@ -4,9 +4,7 @@ object ProbePlan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { n =>

@@ -13,8 +13,7 @@ object QBench {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries

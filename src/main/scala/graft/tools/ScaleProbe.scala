@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * makes dedup/ANN probes WORST-case (every replica is a near-dup / exact
   * tie).
   *
-  * Usage: runMain graft.tools.ScaleProbe [replicas] [query...]
+  * The `users` mode scales the USER dimension instead (VERDICT r8 item 7):
+  * every events replica shifts user_id too, so N× replicas = N× distinct
+  * users with facts proportional and per-user activity CONSTANT. The
+  * default mode (facts ×N, users fixed) cannot see per-user state growth
+  * or a user-grain broadcast going superlinear — this axis can.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [users] [replicas] [query...]
   */
 object ScaleProbe {
   private val KeyStride = 1000000000000L // far above any real key
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("users")) return usersMain(args.tail)
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "q1_agg", "q_tpch_q3", "q_topk_orders_agg", "scd2_order_status",
@@ -43,9 +50,7 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,6 +62,50 @@ object ScaleProbe {
       val t1 = warm(spark, qs(name), base)
       val tN = warm(spark, qs(name), scaled)
       println(f"$name%-24s $t1%9.2fs $tN%9.2fs  ${tN / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  /** User-dimension arm: events ×N with user_id AND event_id shifted per
+    * replica — N× distinct users, per-user activity constant. Sub-linear-
+    * to-linear wall ratios prove no per-user state or pair space grows
+    * faster than the user count (the axis the fixed-dims probe cannot
+    * exercise: it was exactly how the user-grain broadcast hint in
+    * `recommendations` stayed invisible through r8). */
+  private def usersMain(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "recommendations", "recommendations_grid_full", "q_cohort_retention",
+      "q_user_ltv", "user_city_mart", "q_attribution_first_touch",
+      "q_sessionize", "user_home_city")
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale/users_x$replicas"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config(graft.Sessions.defaults)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$scaled/_done").exists()) {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$scaled/$t.parquet")
+      }
+      (0 until replicas).map { i =>
+        graft.Tables.events(spark, base)
+          .withColumn("event_id", col("event_id") + lit(i * KeyStride))
+          .withColumn("user_id", col("user_id") + lit(i * KeyStride))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/events.parquet")
+      new java.io.File(s"$scaled/_done").createNewFile()
+    }
+    val qs = graft.SparkEntry.queries
+    println(f"${"query"}%-28s ${"t1x_warm"}%10s ${"tNx_warm"}%10s  ratio (users x$replicas, facts proportional)")
+    names.foreach { name =>
+      val t1 = warm(spark, qs(name), base)
+      val tN = warm(spark, qs(name), scaled)
+      println(f"$name%-28s $t1%9.2fs $tN%9.2fs  ${tN / t1}%5.1fx")
     }
     spark.stop()
   }

@@ -116,4 +116,40 @@ class LakeMaintSpec extends SparkSpec {
     assert(n0 === 0L)
     assert(spark.read.parquet(base).count() === totalBefore - deleted - fullDayDeleted)
   }
+
+  test("deleteWhere: hive-escaped and NULL partition values still cleaned up") {
+    import java.nio.file.{Files, Paths}
+    import graft.ops.Sinks
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-del-esc").toString + "/snap"
+    // partition values that exercise Spark's hive-style escaping (space,
+    // colon) and the null → __HIVE_DEFAULT_PARTITION__ rendering — a raw
+    // "col=value" directory name matches NONE of these on disk
+    val rows = Seq(
+      (1L, "US east"), (2L, "US east"),
+      (3L, "a:b"), (4L, "a:b"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]),
+      (7L, "plain"))
+      .toDF("id", "zone")
+    Sinks.writePartitioned(rows, base, Seq("zone"))
+    assert(Files.exists(Paths.get(s"$base/zone=__HIVE_DEFAULT_PARTITION__")))
+    // empty out each tricky partition entirely: its escaped directory
+    // must be REMOVED, not silently stranded
+    val d1 = Sinks.deleteWhere(spark, base, col("id") <= 2L, Seq("zone"))
+    assert(d1 === 2L)
+    assert(!Files.list(Paths.get(base)).toArray.map(_.toString)
+      .exists(_.contains("US%20east")),
+      "escaped-space partition directory survived a full delete")
+    val d2 = Sinks.deleteWhere(spark, base, col("id").isin(3L, 4L), Seq("zone"))
+    assert(d2 === 2L)
+    assert(!Files.list(Paths.get(base)).toArray.map(_.toString)
+      .exists(_.contains("a%3Ab")),
+      "escaped-colon partition directory survived a full delete")
+    val d3 = Sinks.deleteWhere(spark, base, col("zone").isNull, Seq("zone"))
+    assert(d3 === 2L)
+    assert(!Files.exists(Paths.get(s"$base/zone=__HIVE_DEFAULT_PARTITION__")),
+      "null partition directory survived a full delete")
+    val left = spark.read.parquet(base)
+    assert(left.count() === 1L && left.head.getLong(0) === 7L)
+  }
 }

@@ -17,9 +17,7 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(Sessions.defaults)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
