@@ -103,10 +103,10 @@ object EvalQueries {
       val w = Window.partitionBy("flag").orderBy("cents")
       val r = c.withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-      // integer ceil(n·p/100): Column./ is double division, so floor+cast
-      // back to long (quotients stay < 2^53 — the doubles are exact)
-      def kOf(p: Int) = floor((col("n") * p + 99) / 100).cast("long")
-      val slack = floor((col("n") * 2 + (B - 1)) / B).cast("long")
+      // integer ceil(n·p/100) via integer DIV (Column./ is double division
+      // and a one-ulp-low quotient would floor to the wrong rank)
+      def kOf(p: Int) = expr(s"(n * $p + 99) div 100")
+      val slack = expr(s"(n * 2 + ${B - 1}) div $B")
       r.groupBy("flag", "n")
         .agg(
           max(when(col("rn") <= kOf(50), col("cents"))).as("p50_cents"),
@@ -174,6 +174,161 @@ object EvalQueries {
         |FROM d ORDER BY vec_id""".stripMargin)
   }
 
+  /** Point-in-time (as-of) read over the SCD-2 history — the time-travel
+    * query a slowly-changing-dimension mart exists to answer: each
+    * customer's status valid AT a timestamp T, i.e. the unique history row
+    * with valid_from ≤ T < valid_to (open-ended current rows included).
+    * Expressed as a filter OVER the scd2_order_status mart, so the whole
+    * history build plans once and the as-of read is a predicate — at
+    * 100 TB the mart is materialized and this is a partition-prunable
+    * scan, not a rebuild. */
+  val qScd2Asof: Q = new Q {
+    val name = "q_scd2_asof"
+    val AsOf = "1996-06-01"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val t = lit(AsOf).cast("timestamp")
+      AdvancedQueries.qScd2OrderStatus.run(spark, dir)
+        .where(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select(col("o_custkey"), col("o_orderstatus").as("status_at"),
+          col("run_id"), col("valid_from"), col("n_orders"))
+        .orderBy("o_custkey")
+    }
+    val oracle = Some(
+      s"""SELECT o_custkey, o_orderstatus AS status_at, run_id, valid_from, n_orders
+         |FROM (${AdvancedQueries.qScd2OrderStatus.oracle.get})
+         |WHERE valid_from <= TIMESTAMP '$AsOf'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$AsOf')
+         |ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** Debounce / rapid-repeat collapse: drop an event when the SAME user
+    * emitted the SAME event type within the last hour — the standard
+    * client-retry / double-fire cleanup before sessionization. One lag
+    * window per (user, type) — a single hash exchange on the entity key;
+    * the micros comparison is integer-exact on both engines
+    * (`unix_micros` / `epoch_us`). Output is per-type keep/drop counts
+    * plus an id checksum of the KEPT stream, so the oracle value-checks
+    * which rows survived, not just how many. */
+  val DebounceGapUs: Long = 3600L * 1000000L
+  val qDebounce: Q = new Q {
+    val name = "q_debounce"
+    private val GapUs = DebounceGapUs
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("keep",
+          (col("us") - lag("us", 1).over(w)).isNull ||
+            (col("us") - lag("us", 1).over(w)) >= GapUs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("event_id")).otherwise(0L)).as("kept_id_sum"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+         |g AS (
+         |  SELECT event_id, event_type,
+         |    (us - lag(us) OVER (PARTITION BY user_id, event_type
+         |                        ORDER BY us, event_id)) AS gap
+         |  FROM e)
+         |SELECT event_type, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN gap IS NULL OR gap >= $GapUs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN gap IS NULL OR gap >= $GapUs THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift between the first and second half
+    * of the event window, per event type — the distribution-shift monitor
+    * a training pipeline runs on every new data drop. Integer-exact: with
+    * cumulative counts cumA/cumB and totals nA/nB, the KS statistic
+    * D = max |cumA/nA − cumB/nB| is computed as
+    * max |cumA·nB − cumB·nA| / (nA·nB) in BIGINTs — no float CDFs, so
+    * Spark and DuckDB agree bit-for-bit. (Products stay < 2^63 up to
+    * ~3·10⁶ rows per side per type; beyond that, pre-bin values — the
+    * distinct-value grain here is already the e4-rounded value.) The
+    * cumsum window partitions by type over distinct values only. */
+  val qKsDrift: Q = new Q {
+    val name = "q_ks_drift"
+    val Boundary = "2024-01-16"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val b = lit(Boundary).cast("timestamp")
+      val e = Tables.events(spark, dir)
+        .select(col("event_type"),
+          when(col("ts") < b, 0L).otherwise(1L).as("half"),
+          round(col("value") * 10000).cast("long").as("v4"))
+      val c = e.groupBy("event_type", "v4")
+        .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.partitionBy("event_type").orderBy("v4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("event_type")
+      c.withColumn("cuma", sum("ca").over(wCum))
+        .withColumn("cumb", sum("cb").over(wCum))
+        .withColumn("na", sum("ca").over(wTot))
+        .withColumn("nb", sum("cb").over(wTot))
+        .groupBy("event_type", "na", "nb")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dnum"))
+        .select(col("event_type"), col("na"), col("nb"),
+          // integer DIV, not double '/': a quotient one ulp under an
+          // integer would floor differently from DuckDB's `//`
+          expr("dnum * 1000000 div (na * nb)").cast("long").as("ks_e6"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CASE WHEN ts < TIMESTAMP '$Boundary' THEN 0 ELSE 1 END AS half,
+         |    CAST(round(value * 10000) AS BIGINT) AS v4
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type, v4,
+         |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+         |  FROM e GROUP BY event_type, v4),
+         |m AS (
+         |  SELECT event_type,
+         |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+         |    sum(ca) OVER t AS na, sum(cb) OVER t AS nb
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY v4
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         t AS (PARTITION BY event_type))
+         |SELECT event_type, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |  CAST(max(abs(cuma*nb - cumb*na)) * 1000000 // (na*nb) AS BIGINT) AS ks_e6
+         |FROM m GROUP BY event_type, na, nb ORDER BY event_type""".stripMargin)
+  }
+
+  /** Per-source language-mixture Gini impurity (1 − Σ pᵢ²) — the corpus-
+    * composition purity score, integer-exact as (n² − Σcᵢ²)·10⁶ div n².
+    * Two tiny aggregations over (source, lang) counts — the fact table is
+    * touched once, the rest is dimension-sized. */
+  val qLabelGini: Q = new Q {
+    val name = "q_label_gini"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_langs"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("source"), col("n"), col("n_langs"),
+          expr("(n * n - ss) * 1000000 div (n * n)").cast("long").as("gini_e6"))
+        .orderBy("source")
+    val oracle = Some(
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_langs,
+        |  CAST((sum(c)*sum(c) - sum(c*c)) * 1000000 // (sum(c)*sum(c)) AS BIGINT) AS gini_e6
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
-    qApproxPercentileEnvelope, qHigherOrderFuncs)
+    qApproxPercentileEnvelope, qHigherOrderFuncs,
+    qScd2Asof, qDebounce, qKsDrift, qLabelGini)
 }

@@ -121,6 +121,90 @@ class EvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_asof: exactly one state per customer active at T, matching a replay") {
+    val t = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val rows = EvalQueries.qScd2Asof.run(spark, dir).collect()
+    val custs = rows.map(_.getAs[Long]("o_custkey"))
+    assert(custs.distinct.length == custs.length, "as-of read must be unique per key")
+    // driver-side replay: latest status among orders strictly before/at T
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long"), col("o_orderstatus"),
+        col("o_orderdate").cast("timestamp"), col("o_orderkey").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val want = orders.filter(_._3.compareTo(t) <= 0)
+      .groupBy(_._1).map { case (k, os) =>
+        k -> os.maxBy(o => (o._3.getTime, o._4))._2
+      }
+    assert(rows.length == want.size, "one row per customer with history at T")
+    rows.foreach { r =>
+      assert(r.getAs[String]("status_at") == want(r.getAs[Long]("o_custkey")),
+        s"as-of state mismatch for customer ${r.getAs[Long]("o_custkey")}")
+    }
+  }
+
+  test("q_debounce matches a driver-side replay and never keeps a rapid repeat") {
+    val rows = EvalQueries.qDebounce.run(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byType = ev.groupBy(_._3)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val es = byType(et)
+      val kept = es.groupBy(_._2).values.flatMap { seq =>
+        val s = seq.sortBy(e => (e._4, e._1))
+        s.zip(None +: s.map(Some(_))).collect {
+          case (e, prev) if prev.forall(p => e._4 - p._4 >= EvalQueries.DebounceGapUs) => e
+        }
+      }.toSeq
+      assert(r.getAs[Long]("n_total") == es.length.toLong)
+      assert(r.getAs[Long]("n_kept") == kept.length.toLong, s"$et kept count")
+      assert(r.getAs[Long]("kept_id_sum") == kept.map(_._1).sum, s"$et kept ids")
+    }
+  }
+
+  test("q_ks_drift: statistic in [0, 1e6] and exact for a driver-side CDF walk") {
+    val rows = EvalQueries.qKsDrift.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val b = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("timestamp"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).compareTo(b) < 0, halfUp(r.getDouble(2) * 10000)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val (a, c) = ev.filter(_._1 == et).partition(_._2)
+      val (na, nb) = (a.length.toLong, c.length.toLong)
+      assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == nb)
+      val ks = r.getAs[Long]("ks_e6")
+      assert(ks >= 0L && ks <= 1000000L)
+      val xs = (a.map(_._3) ++ c.map(_._3)).distinct.sorted
+      val dnum = xs.map(x =>
+        math.abs(a.count(_._3 <= x).toLong * nb - c.count(_._3 <= x).toLong * na)).max
+      assert(ks == dnum * 1000000L / (na * nb), s"$et KS mismatch")
+    }
+  }
+
+  test("q_label_gini: zero for pure sources, bounded by (k-1)/k, exact recompute") {
+    val rows = EvalQueries.qLabelGini.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = docs.filter(_._1 == src).groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = counts.sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_langs") == counts.length.toLong)
+      val gini = (n * n - counts.map(c => c * c).sum) * 1000000L / (n * n)
+      assert(r.getAs[Long]("gini_e6") == gini, s"$src gini")
+      if (counts.length == 1) assert(gini == 0L)
+      val k = counts.length.toLong
+      assert(gini <= (k - 1) * 1000000L / k, s"$src above theoretical max")
+    }
+  }
+
   test("q_record_linkage plans a blocked equi-join, never a cartesian pair space") {
     val plan = EvalQueries.qRecordLinkage.run(spark, dir)
       .queryExecution.executedPlan.toString
