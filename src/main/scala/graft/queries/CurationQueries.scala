@@ -150,5 +150,68 @@ object CurationQueries {
         |FROM r GROUP BY source ORDER BY source""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource)
+  /** C4/RefinedWeb-style BOILERPLATE detection: a 3-gram shingle that
+    * recurs across ≥ 8% of a source's documents is template text (nav
+    * bars, footers, license blurbs), and each document is scored by the
+    * fraction of its distinct shingles that are boilerplate — the signal
+    * a curation pass uses to strip or down-weight templated pages.
+    *
+    * Scale shape: shingle hashes are computed in-row (codegen kernel);
+    * per-(source, shingle) df is ONE groupBy over the exploded shingles
+    * (map-side combine; output bounded by per-source vocab, not corpus
+    * rows); the per-source doc counts are a tiny dim joined broadcast;
+    * the boilerplate probe back into the exploded frame is a left-semi
+    * equi-join on (source, shingle). No stage is pairwise. */
+  val boilerplateNgrams: Q = new Q {
+    val name = "boilerplate_ngrams"
+    val DfPct = 8L // shingle is boilerplate if present in ≥ 8% of source docs
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.shingleHashes(col("text"), 3).as("hs"))
+        .persist()
+      val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      // shingleHashes is distinct-per-doc, so count(*) per (source, h) = df
+      val ex = docs.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+      val bp = ex.groupBy("source", "h").agg(count(lit(1)).as("h_df"))
+        .join(broadcast(nDocs), Seq("source"))
+        .where(col("h_df") * 100 >= col("n_docs") * DfPct)
+        .select("source", "h")
+      val perDoc = ex.join(bp, Seq("source", "h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+      docs.select(col("doc_id"), col("source"), size(col("hs")).cast("long").as("n_sh"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_bp"))
+        .withColumn("bp_e4",
+          when(col("n_sh") > 0, expr("n_bp * 10000 div n_sh")).otherwise(lit(0L)))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      val shs = "list_distinct(list_transform(" +
+        s"list_transform(range(1, greatest(len($toks) - 2, 0) + 1), " +
+        s"i -> array_to_string(list_slice($toks, i, i + 2), ' ')), " +
+        s"s -> ${graft.ops.HashOps.sqlHashP("s")}))"
+      Some(
+        s"""WITH sh AS (SELECT doc_id, source, $shs AS hs FROM documents),
+           |ex AS (SELECT doc_id, source, unnest(hs) AS h FROM sh),
+           |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+           |bp AS (
+           |  SELECT ex.source, h FROM ex JOIN nd USING (source)
+           |  GROUP BY ex.source, h, n_docs HAVING count(*) * 100 >= n_docs * 8),
+           |pd AS (
+           |  SELECT doc_id, count(*) AS n_bp FROM ex
+           |  WHERE (source, h) IN (SELECT (source, h) FROM bp) GROUP BY doc_id)
+           |SELECT sh.doc_id, sh.source, CAST(len(hs) AS BIGINT) AS n_sh,
+           |  CAST(coalesce(n_bp, 0) AS BIGINT) AS n_bp,
+           |  CASE WHEN len(hs) > 0
+           |       THEN CAST(coalesce(n_bp, 0) * 10000 // len(hs) AS BIGINT)
+           |       ELSE 0 END AS bp_e4
+           |FROM sh LEFT JOIN pd ON sh.doc_id = pd.doc_id
+           |ORDER BY sh.doc_id""".stripMargin)
+    }
+  }
+
+  val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource,
+    boilerplateNgrams)
 }

@@ -783,7 +783,121 @@ object VectorQueries {
          |FROM a ORDER BY q_id""".stripMargin)
   }
 
+  /** Per-label centroid similarity matrix — the "dataset cartography"
+    * check run before training on a labeled embedding corpus: classes
+    * whose centroids are near-parallel are candidates for merging or
+    * relabeling. Determinism: components are quantized to e6 BIGINTs
+    * in-row, the per-(label, dim) SUMS are exact integer aggregation
+    * (order-free), and cosine is scale-invariant so the un-divided sum
+    * vector IS the centroid direction — no float accumulation anywhere
+    * before the final 64-term left fold, which both engines run in the
+    * same dim order. Scale shape: one groupBy keyed (label, dim) —
+    * |labels|·dim output rows regardless of corpus size — then a
+    * |labels|² (= 100) self-join on a frame of 10 rows. */
+  val labelCentroidSim: Q = new Q {
+    val name = "label_centroid_sim"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val sums = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          round(col("v").cast("double") * 1000000).cast("long").as("q"))
+        .groupBy("label", "pos").agg(sum("q").as("s"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+          x => x("s").cast("double")).as("vec"))
+      def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val l = sums.select(col("label").as("label_l"), col("vec").as("vec_l"))
+      val r = sums.select(col("label").as("label_r"), col("vec").as("vec_r"))
+      l.crossJoin(r).where(col("label_l") < col("label_r"))
+        .withColumn("cos", fold(col("vec_l"), col("vec_r")) /
+          (sqrt(fold(col("vec_l"), col("vec_l"))) * sqrt(fold(col("vec_r"), col("vec_r")))))
+        .select(col("label_l"), col("label_r"),
+          round(col("cos") * 10000).cast("long").as("cos_e4"))
+        .orderBy("label_l", "label_r")
+    }
+    val oracle = {
+      def dot(a: String, b: String) = sqlSeqSum(
+        s"list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i])")
+      Some(
+        s"""WITH q AS (
+           |  SELECT CAST(label AS BIGINT) AS label, i AS pos,
+           |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS s
+           |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) r(i) GROUP BY 1, 2),
+           |v AS (
+           |  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS vec
+           |  FROM q GROUP BY label)
+           |SELECT l.label AS label_l, r.label AS label_r,
+           |  CAST(round(${dot("l.vec", "r.vec")} /
+           |    (sqrt(${dot("l.vec", "l.vec")}) * sqrt(${dot("r.vec", "r.vec")})) * 10000)
+           |    AS BIGINT) AS cos_e4
+           |FROM v l JOIN v r ON l.label < r.label
+           |ORDER BY label_l, label_r""".stripMargin)
+    }
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * its nearest SAME-label neighbor (the positive) and nearest
+    * DIFFERENT-label neighbor (the hard negative), with the triplet margin
+    * between them. margin ≤ 0 means an impostor sits closer than every
+    * true neighbor — the row is either mislabeled or the embedding space
+    * fails it; those rows are exactly the mined triplets a contrastive
+    * fine-tune trains on. Scale shape identical to `ann_brute_topk`
+    * (bounded query batch broadcast, corpus streams map-side); the two
+    * argmaxes are ONE groupBy with conditional struct-max — no window,
+    * no second pass. Tie-break: higher cosine, then LOWER c_id (struct
+    * max over (cos, -c_id) = row_number over (cos DESC, c_id ASC)). */
+  val hardNegatives: Q = new Q {
+    val name = "hard_negatives"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").cast("long").as("q_label"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("c_label"))
+      val scored = cands.crossJoin(broadcast(queries))
+        .where(col("q_id") =!= col("c_id"))
+        .withColumn("cos", VectorOps.cosine(col("q_vec"), col("c_vec"), Dim))
+      def best(cond: org.apache.spark.sql.Column) =
+        max(when(cond, struct(col("cos"), (-col("c_id")).as("nid"))))
+      scored.groupBy("q_id", "q_label")
+        .agg(best(col("c_label") === col("q_label")).as("p"),
+          best(col("c_label") =!= col("q_label")).as("n"))
+        .select(col("q_id"), col("q_label"),
+          (-col("p.nid")).as("pos_id"), (-col("n.nid")).as("neg_id"),
+          round((col("p.cos") - col("n.cos")) * 1000000).cast("long").as("margin_e6"))
+        .withColumn("is_hard", (col("margin_e6") <= 0).cast("long"))
+        .orderBy("q_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, CAST(label AS BIGINT) AS q_label
+         |  FROM embeddings WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_vec, CAST(label AS BIGINT) AS c_label
+         |      FROM embeddings),
+         |s AS (
+         |  SELECT q_id, q_label, c_id, c_label,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cos
+         |  FROM c CROSS JOIN q WHERE q_id != c_id),
+         |p AS (SELECT q_id, c_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |      FROM s WHERE c_label = q_label),
+         |n AS (SELECT q_id, c_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |      FROM s WHERE c_label != q_label)
+         |SELECT q.q_id, q.q_label, p.c_id AS pos_id, n.c_id AS neg_id,
+         |  CAST(round((p.cos - n.cos) * 1000000) AS BIGINT) AS margin_e6,
+         |  CAST(CASE WHEN round((p.cos - n.cos) * 1000000) <= 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_hard
+         |FROM q JOIN p ON q.q_id = p.q_id AND p.rn = 1
+         |       JOIN n ON q.q_id = n.q_id AND n.rn = 1
+         |ORDER BY q.q_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
-    embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency)
+    embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
+    labelCentroidSim, hardNegatives)
 }
