@@ -469,7 +469,43 @@ object AnalyticQueries {
         |FROM seqs""".stripMargin)
   }
 
+  /** ECDF / rank ("quantile") normalization — the feature-scaling pass an
+    * ML pipeline runs over a heavy-tailed numeric column before training:
+    * map each value to its empirical CDF position, per group. Computed at
+    * the DISTINCT-VALUE grain (groupBy value → counts, then ONE cumulative
+    * window over the value domain per group), so the window input is
+    * bounded by the value domain, not the row count — at 100 TB the
+    * row-level transform is a broadcast/merge join of facts against this
+    * small lookup. Integer-exact: ecdf_e4 = (Σ count ≤ v) · 10000 div n. */
+  val qEcdfNormalize: Q = new Q {
+    val name = "q_ecdf_normalize"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy("cents")
+      val wAll = Window.partitionBy("l_returnflag")
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), Q.cents(col("l_extendedprice")).as("cents"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("n_rows"))
+        .withColumn("cum", sum("n_rows").over(w))
+        .withColumn("n", sum("n_rows").over(wAll))
+        .select(col("l_returnflag"), col("cents"), col("n_rows"), col("cum"),
+          expr("cum * 10000 div n").as("ecdf_e4"))
+        .orderBy("l_returnflag", "cents")
+    }
+    val oracle = Some(
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, cents, CAST(n_rows AS BIGINT) AS n_rows,
+        |    CAST(sum(n_rows) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST(sum(n_rows) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT l_returnflag, cents, n_rows, cum, CAST(cum * 10000 // n AS BIGINT) AS ecdf_e4
+        |FROM c ORDER BY l_returnflag, cents""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
-    qSkewStats, qSeqMatch)
+    qSkewStats, qSeqMatch, qEcdfNormalize)
 }

@@ -510,6 +510,76 @@ object GraphQueries {
     }
   }
 
+  /** Community detection by WEIGHTED LABEL PROPAGATION over the
+    * co-purchase graph — the modularity-flavored complement to `q_graph_cc`
+    * (CC answers "connected at all?"; LPA answers "which cluster does the
+    * connectivity WEIGHT pull you into?"). Three fixed SYNCHRONOUS
+    * iterations from label(v)=v: each node adopts the label with the
+    * highest co-purchase-weight sum among its neighbors, ties to the
+    * smallest label, isolated nodes keep their own. Fixed iteration count
+    * + integer weights + min tie-break ⇒ fully deterministic (async LPA is
+    * famously not), and the oracle unrolls the same three rounds as CTEs.
+    *
+    * Scale shape (Pregel-via-joins, same as pagerank): per iteration ONE
+    * equi-join of the undirected edge list with the |V|-sized label frame
+    * and ONE (node, label) groupBy with map-side partial sums, then a
+    * struct-max argmax — no window over the corpus, no driver state. At
+    * web scale the label frame partitions by node id and the loop would
+    * localCheckpoint every few rounds; at 3 rounds lineage stays compact. */
+  val labelPropagation: Q = new Q {
+    val name = "q_label_propagation"
+    val Rounds = 3
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val cop = copurchase(spark, dir)
+      // materialize the undirected edge list once (3 iterations reference
+      // it; lineage would re-run the basket expansion per round)
+      val e = cop.select(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("w"))
+        .union(cop.select(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w")))
+        .localCheckpoint()
+      val nodes = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("id"))
+      var labels = nodes.select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to Rounds) {
+        val best = e.join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(sum("w").as("s"))
+          .groupBy(col("src").as("id"))
+          .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("b"))
+          .select(col("id"), (-col("b.nl")).as("new_lbl"))
+        labels = labels.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("id").as("part_key"), col("lbl").as("community"), col("community_size"))
+        .orderBy("part_key")
+    }
+    val oracle = {
+      def round(i: Int) =
+        s"""s$i AS (
+           |  SELECT e.src AS id, l.lbl, sum(e.w) AS s
+           |  FROM e JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src, l.lbl),
+           |b$i AS (
+           |  SELECT id, lbl,
+           |    row_number() OVER (PARTITION BY id ORDER BY s DESC, lbl ASC) AS rn
+           |  FROM s$i),
+           |l$i AS (
+           |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+           |  FROM l${i - 1} p LEFT JOIN b$i b ON p.id = b.id AND b.rn = 1)"""
+      Some(
+        s"""WITH cop AS ($CopurchaseSql),
+           |e AS (SELECT pa AS src, pb AS dst, n_orders AS w FROM cop
+           |      UNION ALL SELECT pb, pa, n_orders FROM cop),
+           |l0 AS (SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS lbl
+           |       FROM part),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+           |SELECT l3.id AS part_key, l3.lbl AS community, sz.community_size
+           |FROM l3 JOIN sz ON l3.lbl = sz.lbl
+           |ORDER BY part_key""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
-    linkPrediction, weightedSssp)
+    linkPrediction, weightedSssp, labelPropagation)
 }

@@ -979,8 +979,56 @@ object TextQueries {
          |ORDER BY term_a, term_b""".stripMargin)
   }
 
+  /** Language-ID CONFIDENCE margin — the curation-side companion to
+    * `lang_id`: besides the argmax language, emit the best and runner-up
+    * stopword-hit counts and their difference. A margin of 0 means two
+    * languages tied (or nothing matched) — exactly the docs a pipeline
+    * routes to a heavier classifier instead of trusting the cheap n-gram
+    * vote. Pure in-row integer arithmetic (codegen'd set probes + a
+    * 4-element sort), no shuffle before the output ordering. */
+  val docLangMargin: Q = new Q {
+    val name = "doc_lang_margin"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      val hits = TextOps.Stopwords.map { case (_, words) =>
+        TextOps.stopwordHits(toks, words)
+      }
+      val sorted = sort_array(array(hits: _*), asc = false)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.langId(toks).as("pred_lang"),
+          sorted.getItem(0).as("hits_best"), sorted.getItem(1).as("hits_second"))
+        .withColumn("margin", col("hits_best") - col("hits_second"))
+        .withColumn("is_confident", (col("margin") > 0).cast("long"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val scores = TextOps.Stopwords.map { case (lang, words) =>
+        val l = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($SqlToks, t -> t IN ($l))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextOps.Stopwords.map(_._1)
+      val lst = langs.map(l => s"s_$l").mkString("[", ", ", "]")
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      Some(
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    $scores
+           |  FROM documents),
+           |g AS (SELECT *, $best AS best,
+           |        list_sort($lst, 'DESC') AS srt FROM s)
+           |SELECT doc_id,
+           |  CASE $cases ELSE 'und' END AS pred_lang,
+           |  srt[1] AS hits_best, srt[2] AS hits_second,
+           |  srt[1] - srt[2] AS margin,
+           |  CAST(CASE WHEN srt[1] - srt[2] > 0 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_confident
+           |FROM g ORDER BY doc_id""".stripMargin)
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
-    qualityLinearScore, docNovelty, docClean, qTermLift)
+    qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin)
 }
