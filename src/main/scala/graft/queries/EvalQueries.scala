@@ -328,7 +328,114 @@ object EvalQueries {
         |FROM c GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** k-anonymity audit + generalization check — the data-governance pass a
+    * lake runs before releasing a table: every quasi-identifier group
+    * (nation, mktsegment) with fewer than k members re-identifies its rows;
+    * the standard remediation is GENERALIZING a QI up its hierarchy
+    * (nation → region), so each violating group also reports whether the
+    * coarser grain clears the bar. Two groupBys on the fact table (fine +
+    * generalized grain) and two broadcast dim joins — no row-level state,
+    * scales as a pair of partial-aggregated shuffles. k = 10. */
+  val qKAnonymity: Q = new Q {
+    val name = "q_k_anonymity"
+    val KAnon = 10L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val natRegion = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("nation_key"), col("n_regionkey").as("region_key"))
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        .join(broadcast(natRegion.select(col("nation_key").cast("long"),
+          col("region_key").cast("long"))), Seq("nation_key"))
+      val fine = cust.groupBy("nation_key", "segment", "region_key")
+        .agg(count(lit(1)).as("n"))
+      val coarse = cust.groupBy("region_key", "segment")
+        .agg(count(lit(1)).as("n_region_segment"))
+      fine.join(coarse, Seq("region_key", "segment"))
+        .select(col("nation_key"), col("segment"), col("n"),
+          (col("n") < KAnon).cast("long").as("violates"),
+          col("region_key"), col("n_region_segment"),
+          (col("n_region_segment") >= KAnon).cast("long").as("ok_after_gen"))
+        .orderBy("nation_key", "segment")
+    }
+    val oracle = Some(
+      s"""WITH cust AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+         |         c_mktsegment AS segment,
+         |         CAST(n_regionkey AS BIGINT) AS region_key
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         |fine AS (
+         |  SELECT nation_key, segment, region_key, count(*) AS n
+         |  FROM cust GROUP BY 1, 2, 3),
+         |coarse AS (
+         |  SELECT region_key, segment, count(*) AS n_region_segment
+         |  FROM cust GROUP BY 1, 2)
+         |SELECT f.nation_key, f.segment AS segment, CAST(f.n AS BIGINT) AS n,
+         |  CAST(CASE WHEN f.n < 10 THEN 1 ELSE 0 END AS BIGINT) AS violates,
+         |  f.region_key, CAST(c.n_region_segment AS BIGINT) AS n_region_segment,
+         |  CAST(CASE WHEN c.n_region_segment >= 10 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS ok_after_gen
+         |FROM fine f JOIN coarse c
+         |  ON f.region_key = c.region_key AND f.segment = c.segment
+         |ORDER BY f.nation_key, f.segment""".stripMargin)
+  }
+
+  /** Model-evaluation LIFT table over ECDF deciles — "is the quality score
+    * actually predictive?": bucket documents into score deciles via the
+    * empirical CDF computed at the SCORE-VALUE grain (score domain is
+    * bounded 0..10000, so the cumulative window never sees corpus-sized
+    * input — the same scale argument as q_ecdf_normalize; a global ntile
+    * would single-partition-sort the corpus), then per decile report the
+    * English-document rate and its lift over the base rate, exact integer
+    * arithmetic throughout. */
+  val qDecileLift: Q = new Q {
+    val name = "q_decile_lift"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val base = Tables.documents(spark, dir)
+        .where(graft.ops.TextOps.tokenCount(col("text")) > 0)
+        .select(CurationQueries.qualityE4(col("text")).as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val byScore = base.groupBy("score")
+        .agg(count(lit(1)).as("n_v"), sum("pos").as("pos_v"))
+      val w = Window.orderBy("score") // value-domain window: ≤ 10001 rows
+      val deciles = byScore
+        .withColumn("cum", sum("n_v").over(w))
+        .withColumn("n_total", sum("n_v").over(Window.partitionBy()))
+        .withColumn("pos_total", sum("pos_v").over(Window.partitionBy()))
+        .withColumn("decile", expr("(cum * 10 + n_total - 1) div n_total"))
+        .groupBy("decile", "n_total", "pos_total")
+        .agg(sum("n_v").as("n"), sum("pos_v").as("n_pos"))
+      deciles
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr("n_pos * 10000 div n").as("pos_rate_e4"),
+          expr("n_pos * n_total * 10000 div (n * pos_total)").as("lift_e4"))
+        .orderBy("decile")
+    }
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |base AS (
+         |  SELECT q.quality_e4 AS score, CAST(d.lang = 'en' AS BIGINT) AS pos
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |v AS (SELECT score, count(*) AS n_v, sum(pos) AS pos_v FROM base GROUP BY 1),
+         |d AS (
+         |  SELECT score, n_v, pos_v,
+         |    sum(n_v) OVER (ORDER BY score) AS cum,
+         |    sum(n_v) OVER () AS n_total,
+         |    sum(pos_v) OVER () AS pos_total
+         |  FROM v),
+         |g AS (
+         |  SELECT (cum * 10 + n_total - 1) // n_total AS decile,
+         |    n_total, pos_total, sum(n_v) AS n, sum(pos_v) AS n_pos
+         |  FROM d GROUP BY 1, 2, 3)
+         |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_pos * 10000 // n AS BIGINT) AS pos_rate_e4,
+         |  CAST(n_pos * n_total * 10000 // (n * pos_total) AS BIGINT) AS lift_e4
+         |FROM g ORDER BY decile""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
-    qScd2Asof, qDebounce, qKsDrift, qLabelGini)
+    qScd2Asof, qDebounce, qKsDrift, qLabelGini,
+    qKAnonymity, qDecileLift)
 }

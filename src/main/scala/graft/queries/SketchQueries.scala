@@ -302,6 +302,79 @@ object SketchQueries {
     }
   }
 
+  /** KMV set-INTERSECTION estimate by inclusion–exclusion — completing the
+    * sketch set algebra (distinct → `q_kmv_distinct`, union →
+    * `q_kmv_union`): |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped at 0.
+    * Sets: heavy clickers vs heavy viewers (users with ≥ 14 events of the
+    * type) — a genuine partial overlap. KMV union merges by taking the k
+    * smallest of the combined hash sets (mergeable without re-reading
+    * either input — the property that matters at 100 TB, where per-segment
+    * sketches union in the metastore). Exact |A∩B| rides along so the
+    * estimate is auditable. All integer arithmetic in the 1e9+7 field. */
+  val kmvIntersect: Q = new Q {
+    val name = "q_kmv_intersect"
+    private val K = 64
+    private val MinEvents = 14
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+      def heavy(t: String) = ev.where(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as("n")).where(col("n") >= MinEvents)
+        .select(col("user_id"),
+          HashOps.hashP(concat(col("user_id").cast("string"), lit(":kmv"))).as("hv"))
+      val a = heavy("click").localCheckpoint()
+      val b = heavy("view").localCheckpoint()
+      def sketch(df: DataFrame) = df.select("hv")
+        .withColumn("rn", row_number().over(Window.orderBy("hv")))
+        .where(col("rn") <= K)
+      def est(df: DataFrame, alias: String) = {
+        val sk = sketch(df)
+        sk.agg(count(lit(1)).as("n_h"), max(when(col("rn") === K, col("hv"))).as("hk"))
+          .select(when(col("n_h") < K, col("n_h"))
+            .otherwise(expr(s"${(K - 1) * HashOps.P}L div hk")).as(alias))
+      }
+      val u = sketch(a).select("hv").union(sketch(b).select("hv")).distinct()
+      val estU = u.withColumn("rn", row_number().over(Window.orderBy("hv")))
+        .where(col("rn") <= K)
+        .agg(count(lit(1)).as("n_h"), max(when(col("rn") === K, col("hv"))).as("hk"))
+        .select(when(col("n_h") < K, col("n_h"))
+          .otherwise(expr(s"${(K - 1) * HashOps.P}L div hk")).as("est_union"))
+      val exact = a.select(col("user_id")).intersect(b.select(col("user_id")))
+        .agg(count(lit(1)).as("n_exact_intersect"))
+      est(a, "est_a").crossJoin(est(b, "est_b")).crossJoin(estU).crossJoin(exact)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+            .as("est_intersect"),
+          col("n_exact_intersect"))
+    }
+    val oracle = {
+      val h = HashOps.sqlHashP("concat(CAST(user_id AS VARCHAR), ':kmv')")
+      def heavy(t: String) =
+        s"""SELECT user_id, $h AS hv FROM events WHERE event_type = '$t'
+           |GROUP BY user_id HAVING count(*) >= $MinEvents""".stripMargin
+      def estSql(src: String) =
+        s"""SELECT CASE WHEN count(*) < $K THEN count(*)
+           |  ELSE ${(K - 1) * HashOps.P} // max(CASE WHEN rn = $K THEN hv END) END
+           |FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM $src) t
+           |WHERE rn <= $K""".stripMargin
+      Some(
+        s"""WITH a AS (${heavy("click")}),
+           |b AS (${heavy("view")}),
+           |ska AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) rn FROM a) WHERE rn <= $K),
+           |skb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) rn FROM b) WHERE rn <= $K),
+           |u AS (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)),
+           |e AS (
+           |  SELECT CAST((${estSql("a")}) AS BIGINT) AS est_a,
+           |         CAST((${estSql("b")}) AS BIGINT) AS est_b,
+           |         CAST((${estSql("u")}) AS BIGINT) AS est_union,
+           |         (SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b) i)
+           |           AS n_exact_intersect)
+           |SELECT est_a, est_b, est_union,
+           |  greatest(est_a + est_b - est_union, 0) AS est_intersect,
+           |  CAST(n_exact_intersect AS BIGINT) AS n_exact_intersect
+           |FROM e""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(kmvDistinct, kmvUnion, cmsHeavyHitters, bottomkSample,
-    joinSizeEst)
+    joinSizeEst, kmvIntersect)
 }

@@ -282,6 +282,7 @@ class PlanSpec extends SparkSpec {
       s"q_kmv_distinct lost WindowGroupLimit pushdown:\n$perGroup")
     Seq(
       "q_kmv_union" -> graft.queries.SketchQueries.kmvUnion,
+      "q_kmv_intersect" -> graft.queries.SketchQueries.kmvIntersect,
       "q_join_size_est" -> graft.queries.SketchQueries.joinSizeEst
     ).foreach { case (name, q) =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
