@@ -491,31 +491,45 @@ object DedupQueries {
     val name = "dedup_prefix_filter"
     def run(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      // Token sets as SORTED DISTINCT hashP longs: long join keys beat
+      // string keys in the hot candidate join, and verification runs the
+      // codegen'd two-pointer intersect kernel instead of per-row
+      // hash-set array_intersect. The oracle hashes identically.
       // persisted: referenced by df-count, prefix build, and both
       // verification joins — lineage would re-run the scan per reference
       val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          sort_array(array_distinct(transform(TextOps.tokens(col("text")),
+            t => HashOps.hashP(t)))).as("hs"))
         .persist()
-      val ex = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val dfq = ex.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+      val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dfq = ex.groupBy("h").agg(count(lit(1)).as("tok_df"))
       val wDoc = Window.partitionBy("doc_id")
-      val prefix = ex.join(dfq, Seq("tok"))
+      val prefix = ex.join(dfq, Seq("h"))
         .withColumn("rnk",
-          row_number().over(wDoc.orderBy(col("tok_df").asc, col("tok").asc)))
+          row_number().over(wDoc.orderBy(col("tok_df").asc, col("h").asc)))
         .withColumn("sz", count(lit(1)).over(wDoc))
         // prefix length = s − ⌈0.9·s⌉ + 1, integer ceil via (9s+9) div 10
         .where(col("rnk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-        .select("doc_id", "tok")
-      val cand = prefix.select(col("doc_id").as("id_l"), col("tok"))
-        .join(prefix.select(col("doc_id").as("id_r"), col("tok")), Seq("tok"))
-        .where(col("id_l") < col("id_r"))
+        .select("doc_id", "h", "sz")
+      // candidate equi-join on prefix tokens, with the PPJoin LENGTH
+      // FILTER fused into the join condition: J ≥ 0.9 forces
+      // |∩| ≥ 0.9·max(sl, sr) and |∩| ≤ min(sl, sr), hence
+      // 10·min ≥ 9·max — pairs outside the ±10% size band cannot
+      // qualify, so pruning them is lossless. On a hot join key this
+      // turns the C(df, 2) blow-up into per-size-band blocks.
+      val cand = prefix.select(col("doc_id").as("id_l"), col("h"), col("sz").as("sz_l"))
+        .join(prefix.select(col("doc_id").as("id_r"), col("h"), col("sz").as("sz_r")),
+          Seq("h"))
+        .where(col("id_l") < col("id_r") &&
+          col("sz_l") * 10 >= col("sz_r") * 9 && col("sz_r") * 10 >= col("sz_l") * 9)
         .select("id_l", "id_r").distinct()
       cand
-        .join(docs.select(col("doc_id").as("id_l"), col("toks").as("toks_l")), Seq("id_l"))
-        .join(docs.select(col("doc_id").as("id_r"), col("toks").as("toks_r")), Seq("id_r"))
-        .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))).cast("long"))
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
         .withColumn("uni",
-          (size(col("toks_l")) + size(col("toks_r"))).cast("long") - col("inter"))
+          (size(col("hs_l")) + size(col("hs_r"))).cast("long") - col("inter"))
         .where(col("inter") * 10 >= col("uni") * 9)
         .select(col("id_l"), col("id_r"), col("inter"), col("uni"),
           expr("inter * 10000 div uni").as("jac_e4"))
@@ -525,11 +539,13 @@ object DedupQueries {
     // the prefix filter is lossless, not merely self-consistent.
     val oracle = Some(
       s"""WITH s AS (
-         |  SELECT doc_id, list_distinct($SqlToks) AS toks FROM documents),
+         |  SELECT doc_id,
+         |    list_distinct(list_transform($SqlToks, t -> ${HashOps.sqlHashP("t")})) AS hs
+         |  FROM documents),
          |p AS (
          |  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
-         |    CAST(len(list_intersect(l.toks, r.toks)) AS BIGINT) AS inter,
-         |    CAST(len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)) AS BIGINT) AS uni
+         |    CAST(len(list_intersect(l.hs, r.hs)) AS BIGINT) AS inter,
+         |    CAST(len(l.hs) + len(r.hs) - len(list_intersect(l.hs, r.hs)) AS BIGINT) AS uni
          |  FROM s l JOIN s r ON l.doc_id < r.doc_id)
          |SELECT id_l, id_r, inter, uni, CAST(inter * 10000 // uni AS BIGINT) AS jac_e4
          |FROM p WHERE inter * 10 >= uni * 9 ORDER BY id_l, id_r""".stripMargin)
