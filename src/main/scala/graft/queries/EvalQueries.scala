@@ -434,8 +434,100 @@ object EvalQueries {
          |FROM g ORDER BY decile""".stripMargin)
   }
 
+  /** Benford first-digit audit — the forensic-accounting data-QA pass over
+    * a money column: natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); a ledger that deviates hard was generated or
+    * tampered. Expected probabilities are PRE-COMPUTED Scala constants
+    * embedded literally in BOTH the plan and the oracle SQL, so no engine
+    * libm is ever consulted at query time. One 9-group aggregate; the
+    * observed shares are integer e6. (The synthetic uniform-ish price
+    * fixture deviates from Benford by construction — the deviation column
+    * IS the signal being checked.) */
+  val qBenford: Q = new Q {
+    val name = "q_benford"
+    private val ExpE6: Seq[(Int, Long)] =
+      (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val expCase = ExpE6.foldRight(lit(0L)) { case ((d, e), rest) =>
+        when(col("digit") === d, lit(e)).otherwise(rest)
+      }
+      Tables.orders(spark, dir)
+        .select(substring(Q.cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum("n").over(Window.partitionBy()))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_e6"),
+          expCase.as("exp_e6"))
+        .withColumn("dev_e6", abs(col("obs_e6") - col("exp_e6")))
+        .orderBy("digit")
+    }
+    val oracle = {
+      val expCase = ExpE6.map { case (d, e) => s"WHEN digit = $d THEN $e" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      Some(
+        s"""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+           |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+           |t AS (SELECT digit, n, sum(n) OVER () AS total FROM g)
+           |SELECT digit, CAST(n AS BIGINT) AS n,
+           |  CAST(n * 1000000 // total AS BIGINT) AS obs_e6,
+           |  CAST($expCase AS BIGINT) AS exp_e6,
+           |  CAST(abs(n * 1000000 // total - ($expCase)) AS BIGINT) AS dev_e6
+           |FROM t ORDER BY digit""".stripMargin)
+    }
+  }
+
+  /** Exact AUC (Mann–Whitney U) of the quality score against the
+    * English-document label — the threshold-free companion to
+    * `q_decile_lift`: AUC = P(score_pos > score_neg) + ½·P(tie).
+    * Computed at the SCORE-VALUE grain with doubled average ranks so ties
+    * stay integer-exact: for a value group with prior cumulative count c
+    * and size m, every member's doubled midrank is r2 = 2c + m + 1;
+    * S2 = Σ_pos r2, U2 = S2 − np(np+1), auc_e6 = U2·1e6 div (2·np·nn).
+    * The cumulative window runs over the bounded score domain (0..10000),
+    * never the corpus. BIGINT headroom: S2 ≲ 2·np·n — exact to ~1e9 rows;
+    * past that the sums move to DECIMAL(38) exactly as q_decimal_exact
+    * demonstrates. */
+  val qAucScore: Q = new Q {
+    val name = "q_auc_score"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val base = Tables.documents(spark, dir)
+        .where(graft.ops.TextOps.tokenCount(col("text")) > 0)
+        .select(CurationQueries.qualityE4(col("text")).as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val byScore = base.groupBy("score")
+        .agg(count(lit(1)).as("m"), sum("pos").as("mp"))
+      val w = Window.orderBy("score") // bounded: score-value domain
+      byScore
+        .withColumn("c_prev", sum("m").over(w) - col("m"))
+        .withColumn("r2", col("c_prev") * 2 + col("m") + 1)
+        .agg(sum(col("mp") * col("r2")).as("s2"),
+          sum("mp").as("np"), (sum("m") - sum("mp")).as("nn"))
+        .select(col("np"), col("nn"), col("s2"),
+          expr("(s2 - np * (np + 1)) * 1000000 div (2 * np * nn)").as("auc_e6"))
+    }
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |base AS (
+         |  SELECT q.quality_e4 AS score, CAST(d.lang = 'en' AS BIGINT) AS pos
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |v AS (SELECT score, count(*) AS m, sum(pos) AS mp FROM base GROUP BY score),
+         |r AS (
+         |  SELECT m, mp,
+         |    (sum(m) OVER (ORDER BY score) - m) * 2 + m + 1 AS r2
+         |  FROM v),
+         |a AS (SELECT sum(mp * r2) AS s2, sum(mp) AS np, sum(m) - sum(mp) AS nn FROM r)
+         |SELECT CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn,
+         |  CAST(s2 AS BIGINT) AS s2,
+         |  CAST((s2 - np * (np + 1)) * 1000000 // (2 * np * nn) AS BIGINT) AS auc_e6
+         |FROM a""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
-    qKAnonymity, qDecileLift)
+    qKAnonymity, qDecileLift, qBenford, qAucScore)
 }

@@ -425,6 +425,46 @@ object MixQueries {
         |ORDER BY source""".stripMargin)
   }
 
+  /** EXACT stratified k-fold assignment — the cross-validation companion
+    * to `corpus_split`: hash-bucket splits only approximate class balance,
+    * but a stratified fold must hold it exactly (per label, fold sizes
+    * differ by at most 1). fold(v) = row_number within the label, ordered
+    * by a salted content hash (deterministic shuffle), mod k. One window
+    * per label partition — the window key is the stratum, so the sort is
+    * per-label, never corpus-global. Membership checksums value-check the
+    * actual assignment, not just the counts. */
+  val stratifiedFolds: Q = new Q {
+    val name = "q_stratified_folds"
+    val Folds = 5
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val h = HashOps.hash60(concat(col("vec_id").cast("string"), lit(":fold")))
+      val w = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"), h.as("h"))
+        .withColumn("fold", (row_number().over(w) - 1) % Folds)
+        .groupBy("fold", "label")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(HashOps.hash60(col("vec_id").cast("string")), lit(1000000000L)))
+            .as("member_checksum"))
+        .orderBy("fold", "label")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    ${HashOps.sqlHash60("concat(CAST(vec_id AS VARCHAR), ':fold')")} AS h
+         |  FROM embeddings),
+         |f AS (
+         |  SELECT vec_id, label,
+         |    (row_number() OVER (PARTITION BY label ORDER BY h, vec_id) - 1) % $Folds
+         |      AS fold
+         |  FROM t)
+         |SELECT fold, label, count(*) AS n,
+         |  CAST(sum(${HashOps.sqlHash60("CAST(vec_id AS VARCHAR)")} % 1000000000)
+         |    AS BIGINT) AS member_checksum
+         |FROM f GROUP BY fold, label ORDER BY fold, label""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
-    corpusSplit, weightedSample, domainQuota, decontaminateSpan, mixTemperature)
+    corpusSplit, weightedSample, domainQuota, decontaminateSpan, mixTemperature,
+    stratifiedFolds)
 }
