@@ -551,7 +551,79 @@ object DedupQueries {
          |FROM p WHERE inter * 10 >= uni * 9 ORDER BY id_l, id_r""".stripMargin)
   }
 
+  /** DIRECTIONAL containment near-dup detection — the asymmetric measure
+    * the whole Jaccard family (and the prefix filter's ±10% length band)
+    * structurally misses: a short document quoted wholesale inside a long
+    * one has tiny Jaccard but containment(sub ⊂ sup) ≈ 1. Containment of
+    * l in r = |∩| / |l| over the 3-gram shingle sets; pairs are emitted in
+    * BOTH qualifying directions as (id_sub, id_sup).
+    *
+    * Candidate generation reuses the df-capped rare-shingle equi-join
+    * (2 ≤ df ≤ MaxDf, ≥ 3 co-occurring rare shingles — mirrored exactly by
+    * the oracle, like dedup_ngram_jaccard): hot shingles never expand, so
+    * the pair space stays bounded by rare-shingle co-occurrence at any
+    * corpus size. Verification is the codegen'd sorted-set intersect. */
+  val dedupContainment: Q = new Q {
+    val name = "dedup_containment"
+    val ContainE4Min = 9000L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .persist()
+      val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dfq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, MaxDf)).select("h")
+      val exPruned = ex.join(dfq, Seq("h"))
+      val cand = exPruned.select(col("doc_id").as("id_l"), col("h"))
+        .join(exPruned.select(col("doc_id").as("id_r"), col("h")), Seq("h"))
+        .where(col("id_l") < col("id_r"))
+        .groupBy("id_l", "id_r").agg(count(lit(1)).as("co"))
+        .where(col("co") >= 3).select("id_l", "id_r")
+      val scored = cand
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+        .withColumn("sz_l", size(col("hs_l")).cast("long"))
+        .withColumn("sz_r", size(col("hs_r")).cast("long"))
+      val lInR = scored.where(col("sz_l") > 0 &&
+          col("inter") * 10000 >= col("sz_l") * ContainE4Min)
+        .select(col("id_l").as("id_sub"), col("id_r").as("id_sup"),
+          col("inter"), col("sz_l").as("sz_sub"),
+          expr("inter * 10000 div sz_l").as("cont_e4"))
+      val rInL = scored.where(col("sz_r") > 0 &&
+          col("inter") * 10000 >= col("sz_r") * ContainE4Min)
+        .select(col("id_r").as("id_sub"), col("id_l").as("id_sup"),
+          col("inter"), col("sz_r").as("sz_sub"),
+          expr("inter * 10000 div sz_r").as("cont_e4"))
+      lInR.union(rInL).orderBy("id_sub", "id_sup")
+    }
+    val oracle = Some(
+      s"""WITH $SqlShingleSets,
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |dfq AS (SELECT h FROM e GROUP BY h HAVING count(*) BETWEEN 2 AND $MaxDf),
+         |ep AS (SELECT e.doc_id, e.h FROM e JOIN dfq USING (h)),
+         |cand AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r
+         |  FROM ep a JOIN ep b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+         |sc AS (
+         |  SELECT id_l, id_r,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+         |    CAST(len(sa.hs) AS BIGINT) AS sz_l, CAST(len(sb.hs) AS BIGINT) AS sz_r
+         |  FROM cand JOIN sh sa ON id_l = sa.doc_id JOIN sh sb ON id_r = sb.doc_id),
+         |dir AS (
+         |  SELECT id_l AS id_sub, id_r AS id_sup, inter, sz_l AS sz_sub,
+         |    CAST(inter * 10000 // sz_l AS BIGINT) AS cont_e4
+         |  FROM sc WHERE sz_l > 0 AND inter * 10000 >= sz_l * $ContainE4Min
+         |  UNION ALL
+         |  SELECT id_r, id_l, inter, sz_r,
+         |    CAST(inter * 10000 // sz_r AS BIGINT)
+         |  FROM sc WHERE sz_r > 0 AND inter * 10000 >= sz_r * $ContainE4Min)
+         |SELECT id_sub, id_sup, inter, sz_sub, cont_e4
+         |FROM dir ORDER BY id_sub, id_sup""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
-    splitDedupAware, dedupPrefixFilter)
+    splitDedupAware, dedupPrefixFilter, dedupContainment)
 }

@@ -526,8 +526,44 @@ object EvalQueries {
          |FROM a""".stripMargin)
   }
 
+  /** l-diversity audit — k-anonymity's classic companion (Machanavajjhala
+    * et al. 2006): a QI group can be large (k-anonymous) yet still leak if
+    * everyone in it shares the same SENSITIVE value. Per (region, segment)
+    * quasi-identifier group: distinct count of the sensitive attribute
+    * (nation — the finer geography the release is meant to hide), and
+    * whether it reaches l = 3. One groupBy with count + countDistinct;
+    * partial-aggregated, no row-level state. */
+  val qLDiversity: Q = new Q {
+    val name = "q_l_diversity"
+    val LDiv = 3L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val natRegion = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("nation_key"),
+          col("n_regionkey").cast("long").as("region_key"))
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey").cast("long").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        .join(broadcast(natRegion), Seq("nation_key"))
+        .groupBy("region_key", "segment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("nation_key").as("n_sensitive"))
+        .select(col("region_key"), col("segment"), col("n"), col("n_sensitive"),
+          (col("n_sensitive") >= LDiv).cast("long").as("satisfies_l"))
+        .orderBy("region_key", "segment")
+    }
+    val oracle = Some(
+      s"""SELECT CAST(n_regionkey AS BIGINT) AS region_key, c_mktsegment AS segment,
+         |  count(*) AS n,
+         |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+         |  CAST(CASE WHEN count(DISTINCT c_nationkey) >= $LDiv THEN 1 ELSE 0 END
+         |    AS BIGINT) AS satisfies_l
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_regionkey, c_mktsegment
+         |ORDER BY region_key, segment""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
-    qKAnonymity, qDecileLift, qBenford, qAucScore)
+    qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity)
 }

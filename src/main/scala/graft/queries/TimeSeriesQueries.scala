@@ -354,6 +354,49 @@ object TimeSeriesQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Time-weighted average (TWAP) per user — the metric where a value is
+    * HELD between observations, so each reading weights by how long it was
+    * in force (the finance/ops complement to the event-count averages):
+    * per user, value v_i held for dur_i = ts_{i+1} − ts_i micros; the last
+    * observation has no close and drops out. twap_cents =
+    * Σ(cents_i · dur_i) div Σ(dur_i) — exact integer arithmetic on micros;
+    * tie-safe via (ts, event_id) lead ordering in both engines. One
+    * user-partitioned lead window + one groupBy: the single-user_id-shuffle
+    * house shape. BIGINT headroom: cents·micros ≈ 1e4·1e13 per hold —
+    * a decade-long hold at 1e6 cents stays under 2^63. */
+  val qTwap: Q = new Q {
+    val name = "q_twap"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          Q.cents(col("value")).as("cents"))
+        .withColumn("dur_us", unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+        .where(col("dur_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum("dur_us").as("total_dur_us"),
+          sum(col("cents") * col("dur_us")).as("wsum"))
+        .select(col("user_id"), col("n_holds"), col("total_dur_us"),
+          expr("wsum div total_dur_us").as("twap_cents"))
+        .orderBy("user_id")
+    }
+    val oracle = Some(
+      """WITH h AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dur_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_holds,
+        |    sum(dur_us) AS total_dur_us, sum(cents * dur_us) AS wsum
+        |  FROM h WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_holds, CAST(total_dur_us AS BIGINT) AS total_dur_us,
+        |  CAST(wsum // total_dur_us AS BIGINT) AS twap_cents
+        |FROM g ORDER BY user_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
-    qInterpolateDaily, qAnomalyMad, qWinsorizedMean)
+    qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap)
 }
