@@ -580,6 +580,78 @@ object GraphQueries {
     }
   }
 
+  /** DETERMINISTIC hash-seeded random walks — the node2vec/DeepWalk
+    * data-prep op: walks over the co-purchase graph generate the
+    * (center, context) pairs a graph-embedding trainer consumes. True
+    * random walks can't pass a cross-engine bit gate, so each step is
+    * seeded arithmetic: from node v at step s of the walk started at a,
+    * the successor is the neighbor ranked (hashP("a:s") mod outdeg(v)) + 1
+    * in (dst asc) order — reproducible on any engine, any partitioning.
+    * Walks start from the bounded strided batch (p_partkey % 50 = 0) and
+    * take 3 steps; a node with no neighbors ends its walk early.
+    *
+    * Scale shape: the ranked adjacency is built once (one groupBy-free
+    * window per src); each step is ONE equi-join of the frontier with it
+    * (join on src, residual rank-pick filter) — walks never touch the
+    * driver, and the frontier is |starts|-bounded. */
+  val graphWalks: Q = new Q {
+    val name = "q_graph_walks"
+    val Steps = 3
+    val StartStride = 50
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val cop = copurchase(spark, dir)
+      val und = cop.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(cop.select(col("pb").as("src"), col("pa").as("dst")))
+      val adj = und
+        .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()
+      val starts = Tables.part(spark, dir)
+        .where(col("p_partkey") % StartStride === 0)
+        .select(col("p_partkey").cast("long").as("start_key"),
+          col("p_partkey").cast("long").as("node_key"), lit(0).as("step"))
+      var frontier = starts
+      var out = starts
+      for (s <- 1 to Steps) {
+        val pick = graft.ops.HashOps.hashP(concat(col("start_key").cast("string"), lit(s":$s")))
+        frontier = frontier
+          .join(adj, col("node_key") === col("src") &&
+            col("rn") === pick % col("outdeg") + 1)
+          .select(col("start_key"), col("dst").cast("long").as("node_key"),
+            lit(s).as("step"))
+        out = out.union(frontier)
+      }
+      out.orderBy("start_key", "step")
+    }
+    val oracle = {
+      def step(i: Int) = {
+        val pick = graft.ops.HashOps.sqlHashP(s"concat(CAST(start_key AS VARCHAR), ':$i')")
+        s"""w$i AS (
+           |  SELECT w.start_key, CAST(a.dst AS BIGINT) AS node_key, $i AS step
+           |  FROM w${i - 1} w JOIN adj a
+           |    ON w.node_key = a.src AND a.rn = ($pick) % a.outdeg + 1)"""
+      }
+      Some(
+        s"""WITH cop AS ($CopurchaseSql),
+           |und AS (SELECT pa AS src, pb AS dst FROM cop
+           |        UNION ALL SELECT pb, pa FROM cop),
+           |adj AS (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+           |    count(*) OVER (PARTITION BY src) AS outdeg
+           |  FROM und),
+           |w0 AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS start_key,
+           |         CAST(p_partkey AS BIGINT) AS node_key, 0 AS step
+           |  FROM part WHERE p_partkey % $StartStride = 0),
+           |${(1 to Steps).map(step).mkString(",\n")}
+           |SELECT start_key, node_key, step FROM w0
+           |${(1 to Steps).map(i => s"UNION ALL SELECT start_key, node_key, step FROM w$i").mkString("\n")}
+           |ORDER BY start_key, step""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
-    linkPrediction, weightedSssp, labelPropagation)
+    linkPrediction, weightedSssp, labelPropagation, graphWalks)
 }
