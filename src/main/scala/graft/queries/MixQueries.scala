@@ -464,7 +464,57 @@ object MixQueries {
          |FROM f GROUP BY fold, label ORDER BY fold, label""".stripMargin)
   }
 
+  /** Webdataset-style SHARD MANIFEST — the last step of a training-data
+    * pipeline: assign documents to fixed-token-budget shard files in a
+    * deterministic shuffled order, so any worker can reproduce shard
+    * boundaries without coordination. Distinct from `pack_sequences`
+    * (which packs token windows WITHIN rows) and `q_compaction_plan`
+    * (parquet byte bins): this plans the doc→shard-file mapping by token
+    * budget. A doc belongs to the shard its cumulative START offset falls
+    * in (offset div budget) — docs are never split. Sharding is
+    * per-source, so the cumulative window partitions by source — no
+    * corpus-global sort. Budget = 64 BPE-ish tokens —
+    * sized to the SF-scaled fixture so shard boundaries actually occur at
+    * test scale; a production run would use e.g. 100M with identical
+    * mechanics. */
+  val shardManifest: Q = new Q {
+    val name = "q_shard_manifest"
+    val Budget = 64L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val h = HashOps.hash60(concat(col("doc_id").cast("string"), lit(":shard")))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("toks"), h.as("h"))
+        .withColumn("start_off", sum("toks").over(w) - col("toks"))
+        .withColumn("shard_id", expr(s"start_off div $Budget"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+          sum(pmod(HashOps.hash60(col("doc_id").cast("string")), lit(1000000000L)))
+            .as("member_checksum"))
+        .orderBy("source", "shard_id")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS toks,
+         |    ${HashOps.sqlHash60("concat(CAST(doc_id AS VARCHAR), ':shard')")} AS h
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, source, toks,
+         |    sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id) - toks
+         |      AS start_off
+         |  FROM t)
+         |SELECT source, CAST(start_off // $Budget AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+         |  CAST(sum(${HashOps.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000000000)
+         |    AS BIGINT) AS member_checksum
+         |FROM o GROUP BY source, start_off // $Budget
+         |ORDER BY source, shard_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(decontaminate, packSequences, mixSample, qualityCurriculum,
     corpusSplit, weightedSample, domainQuota, decontaminateSpan, mixTemperature,
-    stratifiedFolds)
+    stratifiedFolds, shardManifest)
 }
