@@ -31,8 +31,16 @@ object EvalQueries {
       val r = c.select(col("nation"), col("c_custkey").as("cust_r"), col("c_name").as("name_r"))
       l.join(r, Seq("nation"))
         .where(col("cust_l") < col("cust_r"))
-        .withColumn("lev", levenshtein(col("name_l"), col("name_r")).cast("long"))
-        .where(col("lev") <= 2)
+        // bounded-threshold Levenshtein (Spark 3.5+): the DP works a
+        // 2k+1-wide band and bails out the moment the distance provably
+        // exceeds k, returning -1 — O(len·k) per pair instead of O(len²)
+        // (20.2 s → 13.9 s warm at sf0.1; the residual is the genuine
+        // Σ_b n_b² block pair space, which this fixture's constant
+        // "Customer#" prefix makes irreducible — PassJoin-style segment
+        // blocking needs discriminating segments). Kept pairs carry the
+        // exact distance.
+        .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
+        .where(col("lev") >= 0)
         .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
         .orderBy("cust_l", "cust_r")
     }
