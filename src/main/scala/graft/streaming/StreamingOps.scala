@@ -333,6 +333,54 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class TwapEvent(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
+  case class TwapState(last_ts: Long, last_id: Long, last_cents: Long,
+                       wsum: Long, dur: Long, n: Long)
+  case class TwapOut(user_id: Long, n_holds: Long, total_dur_us: Long, twap_cents: Long)
+
+  /** Streaming TWAP — the stateful twin of the batch `q_twap`: a value is
+    * HELD from one observation to the next, so state per user is exactly
+    * the open hold (last ts/value) plus the running Σ(cents·dur) and Σdur
+    * — O(1) regardless of stream length. Events are folded in
+    * (ts, event_id) order within each micro-batch (the batch query's
+    * tie-break); across batches the per-key ordered-log assumption holds
+    * (same contract as [[sessionize]]). Feeding the batch fixture through
+    * in order yields bit-identical per-user TWAP — spec-pinned. */
+  class TwapProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[Long, TwapEvent, TwapOut] {
+    @transient private var state: ValueState[TwapState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwapState]("twap",
+        org.apache.spark.sql.Encoders.product[TwapState], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[TwapEvent],
+                                 timers: TimerValues): Iterator[TwapOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = if (state.exists()) state.get() else null
+      sorted.foreach { e =>
+        st =
+          if (st == null) TwapState(e.ts_us, e.event_id, e.cents, 0L, 0L, 0L)
+          else {
+            val d = e.ts_us - st.last_ts
+            TwapState(e.ts_us, e.event_id, e.cents,
+              st.wsum + st.last_cents * d, st.dur + d, st.n + 1)
+          }
+      }
+      state.update(st)
+      Iterator.single(TwapOut(key, st.n, st.dur,
+        if (st.dur > 0) st.wsum / st.dur else 0L))
+    }
+  }
+
+  /** Wire [[TwapProcessor]] over a keyed event stream (RocksDB state). */
+  def twapStream(events: Dataset[TwapEvent],
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[TwapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TwapProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class UserEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)

@@ -362,6 +362,41 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("twapStream: cross-micro-batch holds equal the batch q_twap fold") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingOps.TwapEvent]
+    val q = StreamingOps.twapStream(input.toDS())
+      .writeStream.format("memory").queryName("stwap")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // user 1: 100¢ held 10s, 200¢ held 5s (split ACROSS batches);
+      // user 2: single event → no closed hold
+      input.addData(
+        StreamingOps.TwapEvent(1L, 0L, 1L, 100L),
+        StreamingOps.TwapEvent(1L, 10000000L, 2L, 200L),
+        StreamingOps.TwapEvent(2L, 0L, 3L, 50L))
+      q.processAllAvailable()
+      input.addData(StreamingOps.TwapEvent(1L, 15000000L, 4L, 400L))
+      q.processAllAvailable()
+      val got = spark.table("stwap").as[StreamingOps.TwapOut].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n_holds) }
+      // wsum = 100*10s + 200*5s = 2_000_000_000 ¢·µs over 15 s
+      assert(got(1L) === StreamingOps.TwapOut(1L, 2L, 15000000L,
+        (100L * 10000000L + 200L * 5000000L) / 15000000L))
+      assert(got(2L).n_holds === 0L && got(2L).twap_cents === 0L)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("aggregation state survives a query restart from the checkpoint") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
