@@ -22,27 +22,50 @@ object EvalQueries {
     * table; skewed blocks would get the salting treatment (SkewOps).
     * Match rule: levenshtein ≤ 2 (names differing in at most two edits —
     * the classic typo/transcription-error band). */
+  /** The un-materialized matched-pair frame behind `q_record_linkage` —
+    * exposed so the plan spec can pin the join shape on the frame that
+    * actually runs the pair space (run() materializes it before sorting,
+    * which truncates the visible plan). */
+  private[graft] def linkagePairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"), col("c_custkey"), col("c_name"))
+    val l = c.select(col("nation"), col("c_custkey").as("cust_l"), col("c_name").as("name_l"))
+    val r = c.select(col("nation"), col("c_custkey").as("cust_r"), col("c_name").as("name_r"))
+    // the broadcast blocking join streams the LEFT side, so the verify
+    // stage's parallelism is the left SCAN's partitioning — one small
+    // parquet file = ONE task doing every Σ_b n_b² levenshtein call.
+    // Repartitioning the probe side first (one tiny shuffle of the
+    // dimension) spreads the verify across the cluster. At 100 TB the
+    // probe side arrives pre-partitioned and this shuffle disappears. The
+    // partition count is pinned (column-only repartition is
+    // AQE-coalescible — tiny input would collapse right back to one task;
+    // the cost here is per-PAIR, not per-input-byte, so size-based
+    // coalescing is the wrong heuristic).
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    l.repartition(nPart, col("cust_l")).join(r, Seq("nation"))
+      .where(col("cust_l") < col("cust_r"))
+      // bounded-threshold Levenshtein (Spark 3.5+): the DP works a
+      // 2k+1-wide band and bails out the moment the distance provably
+      // exceeds k, returning -1 — O(len·k) per pair instead of O(len²).
+      // The residual cost is the genuine Σ_b n_b² block pair space, which
+      // this fixture's constant "Customer#" prefix makes irreducible —
+      // PassJoin-style segment blocking needs discriminating segments.
+      // Kept pairs carry the exact distance.
+      .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
+      .where(col("lev") >= 0)
+      .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
+  }
+
   val qRecordLinkage: Q = new Q {
     val name = "q_record_linkage"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val c = Tables.customer(spark, dir)
-        .select(col("c_nationkey").as("nation"), col("c_custkey"), col("c_name"))
-      val l = c.select(col("nation"), col("c_custkey").as("cust_l"), col("c_name").as("name_l"))
-      val r = c.select(col("nation"), col("c_custkey").as("cust_r"), col("c_name").as("name_r"))
-      l.join(r, Seq("nation"))
-        .where(col("cust_l") < col("cust_r"))
-        // bounded-threshold Levenshtein (Spark 3.5+): the DP works a
-        // 2k+1-wide band and bails out the moment the distance provably
-        // exceeds k, returning -1 — O(len·k) per pair instead of O(len²)
-        // (20.2 s → 13.9 s warm at sf0.1; the residual is the genuine
-        // Σ_b n_b² block pair space, which this fixture's constant
-        // "Customer#" prefix makes irreducible — PassJoin-style segment
-        // blocking needs discriminating segments). Kept pairs carry the
-        // exact distance.
-        .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
-        .where(col("lev") >= 0)
-        .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
-        .orderBy("cust_l", "cust_r")
+      // materialize the (small) match set BEFORE the global sort: orderBy
+      // range-partitioning SAMPLES its child, which would re-execute the
+      // whole join+levenshtein pipeline a second time (the sample pass
+      // runs the full result stage). Persisting the matches makes the
+      // sort a sort of thousands of rows, not a second pair-space scan
+      // (16.6 s → 2.7 s warm at sf0.1 combined with the repartition fix).
+      linkagePairs(spark, dir).persist().orderBy("cust_l", "cust_r")
     }
     val oracle = Some(
       """SELECT CAST(l.c_nationkey AS BIGINT) AS nation,

@@ -14,8 +14,6 @@ object ExprProbe {
       .config(graft.Sessions.defaults)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val o = graft.Tables.orders(spark, dir)
-    val l = graft.Tables.lineitem(spark, dir)
     def time(tag: String)(df: => DataFrame): Unit = {
       for (p <- 1 to 2) {
         val t0 = System.nanoTime()
@@ -23,67 +21,34 @@ object ExprProbe {
         println(f"[probe] $tag%-28s pass=$p ${(System.nanoTime() - t0) / 1e9}%.3fs")
       }
     }
-    time("orders_sorted_plain") {
-      o.select(col("o_orderkey"), col("o_totalprice")).orderBy("o_orderkey")
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"), col("c_custkey"), col("c_name"))
+    val l = c.select(col("nation"), col("c_custkey").as("cust_l"), col("c_name").as("name_l"))
+    val r = c.select(col("nation"), col("c_custkey").as("cust_r"), col("c_name").as("name_r"))
+    val pairs = l.join(r, Seq("nation")).where(col("cust_l") < col("cust_r"))
+    val _ = pairs
+    time("real_rr32") {
+      l.repartition(32).join(r, Seq("nation"))
+        .where(col("cust_l") < col("cust_r"))
+        .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
+        .where(col("lev") >= 0)
+        .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
+        .orderBy("cust_l", "cust_r")
     }
-    time("try_cast_only") {
-      o.select(col("o_orderkey"),
-        expr("try_cast(substr(o_orderpriority, 1, 1) AS LONG)").as("p"),
-        expr("try_cast(o_orderpriority AS LONG)").as("f")).orderBy("o_orderkey")
+    time("real_hash32") {
+      l.repartition(32, col("cust_l")).join(r, Seq("nation"))
+        .where(col("cust_l") < col("cust_r"))
+        .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
+        .where(col("lev") >= 0)
+        .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
+        .orderBy("cust_l", "cust_r")
     }
-    time("try_divide_only") {
-      o.select(col("o_orderkey"),
-        round(expr("try_divide(round(o_totalprice * 100), o_orderkey % 3)") * 1000)
-          .cast("long").as("d")).orderBy("o_orderkey")
-    }
-    time("li_sorted_plain") {
-      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-        col("l_quantity")).orderBy("l_orderkey", "ln")
-    }
-    time("map_no_hof") {
-      l.withColumn("m", map(lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice")))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-          element_at(col("m"), "qty").as("q"))
-        .orderBy("l_orderkey", "ln")
-    }
-    time("map_with_hof") {
-      l.withColumn("m", map(lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice")))
-        .withColumn("m2", map_concat(
-          expr("transform_values(m, (k, v) -> round(v * 100))"),
-          map(lit("disc"), round(col("l_discount") * 10000))))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-          element_at(col("m2"), "qty").as("q"))
-        .orderBy("l_orderkey", "ln")
-    }
-    time("map_concat_3x") {
-      l.withColumn("m", map(lit("qty"), round(col("l_quantity") * 100),
-          lit("price"), round(col("l_extendedprice") * 100)))
-        .withColumn("m2", map_concat(col("m"), map(lit("disc"), round(col("l_discount") * 10000))))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-          element_at(col("m2"), "qty").cast("long").as("q"),
-          element_at(col("m2"), "price").cast("long").as("p"),
-          element_at(col("m2"), "disc").cast("long").as("d"),
-          size(map_keys(col("m2"))).cast("long").as("nk"))
-        .orderBy("l_orderkey", "ln")
-    }
-    time("map_single_3") {
-      l.withColumn("m2", map(lit("qty"), round(col("l_quantity") * 100),
-          lit("price"), round(col("l_extendedprice") * 100),
-          lit("disc"), round(col("l_discount") * 10000)))
-        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-          element_at(col("m2"), "qty").cast("long").as("q"),
-          element_at(col("m2"), "price").cast("long").as("p"),
-          element_at(col("m2"), "disc").cast("long").as("d"),
-          size(map_keys(col("m2"))).cast("long").as("nk"))
-        .orderBy("l_orderkey", "ln")
-    }
-    time("no_map_direct") {
-      l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-        round(col("l_quantity") * 100).cast("long").as("q"),
-        round(col("l_extendedprice") * 100).cast("long").as("p"),
-        round(col("l_discount") * 10000).cast("long").as("d"),
-        lit(3L).as("nk"))
-        .orderBy("l_orderkey", "ln")
+    time("real_hash32_noorder") {
+      l.repartition(32, col("cust_l")).join(r, Seq("nation"))
+        .where(col("cust_l") < col("cust_r"))
+        .withColumn("lev", levenshtein(col("name_l"), col("name_r"), 2).cast("long"))
+        .where(col("lev") >= 0)
+        .select(col("nation").cast("long").as("nation"), col("cust_l"), col("cust_r"), col("lev"))
     }
     spark.stop()
   }

@@ -206,7 +206,10 @@ class EvalQueriesSpec extends SparkSpec {
   }
 
   test("q_record_linkage plans a blocked equi-join, never a cartesian pair space") {
-    val plan = EvalQueries.qRecordLinkage.run(spark, dir)
+    // pin the shape on the pair frame itself: run() persists it before the
+    // global sort (sample-pass economy), which would hide the join behind
+    // an InMemoryRelation in the outer plan
+    val plan = EvalQueries.linkagePairs(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
