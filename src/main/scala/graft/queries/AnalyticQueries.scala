@@ -489,6 +489,9 @@ object AnalyticQueries {
         .withColumn("n", sum("n_rows").over(wAll))
         .select(col("l_returnflag"), col("cents"), col("n_rows"), col("cum"),
           expr("cum * 10000 div n").as("ecdf_e4"))
+        // persisted before the global sort: the range sample pass would
+        // re-run the cumulative window stage over the full value grain
+        .persist()
         .orderBy("l_returnflag", "cents")
     }
     val oracle = Some(

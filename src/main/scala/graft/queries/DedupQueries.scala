@@ -406,6 +406,9 @@ object DedupQueries {
           greatest(length(col("text_l")), length(col("text_r"))).cast("long"))
         .withColumn("lev_sim_e4", expr("(max_len - lev) * 10000 div max_len"))
         .select("id_l", "id_r", "lev", "lev_sim_e4")
+        // persisted before the global sort: the range-partitioner's sample
+        // pass would re-run the Levenshtein verify stage a second time
+        .persist()
         .orderBy("id_l", "id_r")
     }
     val oracle = Some(
@@ -524,6 +527,10 @@ object DedupQueries {
         .where(col("id_l") < col("id_r") &&
           col("sz_l") * 10 >= col("sz_r") * 9 && col("sz_r") * 10 >= col("sz_l") * 9)
         .select("id_l", "id_r").distinct()
+      // persisted before the global sort: orderBy's range-partitioning
+      // SAMPLE pass re-executes its child stage, which here is the whole
+      // intersect-verify join — materializing the (output-sized) verified
+      // pairs makes the sort sort rows, not recompute the verify
       cand
         .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
         .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
@@ -533,6 +540,7 @@ object DedupQueries {
         .where(col("inter") * 10 >= col("uni") * 9)
         .select(col("id_l"), col("id_r"), col("inter"), col("uni"),
           expr("inter * 10000 div uni").as("jac_e4"))
+        .persist()
         .orderBy("id_l", "id_r")
     }
     // The oracle is deliberately the BRUTE-FORCE all-pairs join: it proves
