@@ -477,7 +477,50 @@ object BehaviorQueries {
         |GROUP BY 1 ORDER BY key_or_null""".stripMargin)
   }
 
+  /** Built-in `session_window` parity — the same sessionization semantics
+    * as the hand-rolled gaps-and-islands (`q_sessionize` /
+    * `WindowOps.sessionize`), expressed through Spark's NATIVE session
+    * window aggregate ("functions, not hand-rolls"): one
+    * `groupBy(session_window(ts, gap), user)` is a single
+    * partial-aggregated shuffle with in-operator session merge, vs the
+    * window+cumsum plan's full per-user sort. Boundary semantics differ
+    * from the hand-rolled mart BY DESIGN and the oracle pins them: the
+    * built-in opens a NEW session when the gap is ≥ 30 min (windows
+    * [ts, ts+gap) merge only on strict overlap), while `q_sessionize`
+    * splits on > 30 min; session_end is last_ts + gap, exactly as a
+    * streaming watermark would close it. */
+  val qSessionWindowSql: Q = new Q {
+    val name = "q_session_window_sql"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Q.cents(col("value"))).as("sum_cents"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_cents"))
+        .orderBy("user_id", "session_start")
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, cents,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
-    qUserLtv, qHoppingCounts, qNullsafeJoin)
+    qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql)
 }

@@ -593,8 +593,106 @@ object EvalQueries {
          |ORDER BY region_key, segment""".stripMargin)
   }
 
+  /** Cohen's kappa between two cheap binary "annotators" over the corpus —
+    * the inter-rater agreement score an annotation pipeline reports before
+    * trusting silver labels: rater A = language-ID (lang = 'en'), rater B =
+    * the quality model (score ≥ QualityKeep). Chance-corrected, so it
+    * exposes agreement that raw accuracy hides when classes are skewed.
+    * Exact integer form: kappa_e6 = (n·agree − Σ marginals)·10⁶ div
+    * (n² − Σ marginals) with Σ marginals = a1·b1 + a0·b0. One
+    * partial-aggregated pass over the corpus; BIGINT headroom to ~3e9
+    * docs (n² < 2⁶³). */
+  val qCohenKappa: Q = new Q {
+    val name = "q_cohen_kappa"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(graft.ops.TextOps.tokenCount(col("text")) > 0)
+        .select((col("lang") === "en").cast("long").as("a"),
+          (CurationQueries.qualityE4(col("text")) >= CurationQueries.QualityKeep)
+            .cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum("a").as("a1"), sum("b").as("b1"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        .select(col("n"), col("a1"), col("b1"), col("agree"),
+          expr("agree * 1000000 div n").as("po_e6"),
+          expr("(a1 * b1 + (n - a1) * (n - b1)) * 1000000 div (n * n)").as("pe_e6"),
+          expr("""(n * agree - (a1 * b1 + (n - a1) * (n - b1))) * 1000000
+                  div (n * n - (a1 * b1 + (n - a1) * (n - b1)))""").as("kappa_e6"))
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |base AS (
+         |  SELECT CAST(d.lang = 'en' AS BIGINT) AS a,
+         |         CAST(q.quality_e4 >= ${CurationQueries.QualityKeep} AS BIGINT) AS b
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |g AS (
+         |  SELECT count(*) AS n, sum(a) AS a1, sum(b) AS b1,
+         |         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+         |  FROM base)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(a1 AS BIGINT) AS a1,
+         |  CAST(b1 AS BIGINT) AS b1, CAST(agree AS BIGINT) AS agree,
+         |  CAST(agree * 1000000 // n AS BIGINT) AS po_e6,
+         |  CAST((a1*b1 + (n-a1)*(n-b1)) * 1000000 // (n*n) AS BIGINT) AS pe_e6,
+         |  CAST((n*agree - (a1*b1 + (n-a1)*(n-b1))) * 1000000
+         |       // (n*n - (a1*b1 + (n-a1)*(n-b1))) AS BIGINT) AS kappa_e6
+         |FROM g""".stripMargin)
+  }
+
+  /** Precision / recall / F1 table at fixed operating thresholds of the
+    * quality score against the English label — the operating-point
+    * companion to the threshold-free `q_auc_score`. Each (doc, threshold)
+    * pair is one row of a partial-aggregated groupBy (3 deployment-constant
+    * thresholds — the fan-out is a constant factor, not a join); all three
+    * metrics are exact integer rationals with a −1 sentinel where the
+    * denominator is empty (both engines spell the same CASE). */
+  val qPrCurve: Q = new Q {
+    val name = "q_pr_curve"
+    val Thresholds = Seq(2500L, 5000L, 7500L)
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .where(graft.ops.TextOps.tokenCount(col("text")) > 0)
+        .select(CurationQueries.qualityE4(col("text")).as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .crossJoin(broadcast(Thresholds.toDF("thr")))
+        .groupBy("thr")
+        .agg(sum(when(col("score") >= col("thr") && col("pos") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("thr") && col("pos") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("thr") && col("pos") === 1L, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 div (tp + fp) END")
+            .as("precision_e4"),
+          expr("CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 div (tp + fn) END")
+            .as("recall_e4"),
+          expr("CASE WHEN 2*tp + fp + fn = 0 THEN -1 ELSE 2 * tp * 10000 div (2*tp + fp + fn) END")
+            .as("f1_e4"))
+        .orderBy("thr")
+    }
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |base AS (
+         |  SELECT q.quality_e4 AS score, CAST(d.lang = 'en' AS BIGINT) AS pos
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |t AS (${Thresholds.map(t => s"SELECT CAST($t AS BIGINT) AS thr")
+            .mkString(" UNION ALL ")}),
+         |g AS (
+         |  SELECT thr,
+         |    sum(CASE WHEN score >= thr AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN score >= thr AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN score < thr AND pos = 1 THEN 1 ELSE 0 END) AS fn
+         |  FROM base CROSS JOIN t GROUP BY thr)
+         |SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS precision_e4,
+         |  CAST(CASE WHEN tp + fn = 0 THEN -1 ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_e4,
+         |  CAST(CASE WHEN 2*tp + fp + fn = 0 THEN -1 ELSE 2 * tp * 10000 // (2*tp + fp + fn) END AS BIGINT) AS f1_e4
+         |FROM g ORDER BY thr""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
-    qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity)
+    qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
+    qCohenKappa, qPrCurve)
 }

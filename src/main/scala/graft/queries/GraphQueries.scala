@@ -652,6 +652,55 @@ object GraphQueries {
     }
   }
 
+  /** k-core decomposition (fixed-round peeling) over the co-purchase
+    * graph — the density filter a graph pipeline runs before expensive
+    * community/embedding passes: iteratively delete nodes of degree < K
+    * and report what survives. True coreness iterates to a fixpoint whose
+    * round count is data-dependent; for a cross-engine bit gate the query
+    * runs EXACTLY `Rounds` synchronous peel rounds (the standard
+    * Pregel-style formulation — both engines unroll the same rounds, and
+    * the spec checks fixpoint-reached on the fixture).
+    *
+    * Scale shape per round: one degree groupBy + two semi-joins, all
+    * partial-aggregated equi-joins on the node key; the edge list shrinks
+    * monotonically and is localCheckpointed between rounds so lineage
+    * stays flat. No driver-side state. */
+  val kcore: Q = new Q {
+    val name = "q_kcore"
+    val K = 3
+    val Rounds = 4
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val cop = copurchase(spark, dir)
+      var e = cop.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(cop.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      for (_ <- 1 to Rounds) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= K).select("src")
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+      e.groupBy("src").agg(count(lit(1)).as("degree"))
+        .select(col("src").as("part_key"), col("degree"))
+        .orderBy("part_key")
+    }
+    val oracle = {
+      def round(i: Int) =
+        s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $K),
+           |e$i AS (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"""
+      Some(
+        s"""WITH cop AS ($CopurchaseSql),
+           |e0 AS (SELECT pa AS src, pb AS dst FROM cop
+           |       UNION ALL SELECT pb, pa FROM cop),
+           |${(1 to Rounds).map(round).mkString(",\n")}
+           |SELECT src AS part_key, count(*) AS degree
+           |FROM e$Rounds GROUP BY src ORDER BY part_key""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
-    linkPrediction, weightedSssp, labelPropagation, graphWalks)
+    linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore)
 }

@@ -1027,8 +1027,57 @@ object TextQueries {
     }
   }
 
+  /** Cross-source vocabulary overlap — the corpus-composition QA matrix
+    * ("are these two crawls actually the same distribution?"): exact
+    * Jaccard between each source pair's distinct-term vocabularies.
+    * Scale shape: one distinct at (source, term) grain (the only
+    * fact-sized pass), then a term-keyed self-join whose fan-out per term
+    * is C(#sources-containing-term, 2) ≤ C(|sources|, 2) — bounded by the
+    * SOURCE dimension, a deployment constant, never by corpus size; the
+    * output is |sources|² rows. Pairs with empty intersection are omitted
+    * (they never meet in the term join — defined semantics, mirrored by
+    * the oracle's inner join). */
+  val vocabOverlap: Q = new Q {
+    val name = "q_vocab_overlap"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      // persisted: feeds both the per-source sizes and the pair join
+      val st = Tables.documents(spark, dir)
+        .select(col("source"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .distinct().persist()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("vocab"))
+      val inter = st.select(col("source").as("source_a"), col("term"))
+        .join(st.select(col("source").as("source_b"), col("term")), Seq("term"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("source").as("source_a"), col("vocab").as("vocab_a")), Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"), col("vocab").as("vocab_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+          col("inter"),
+          expr("inter * 10000 div (vocab_a + vocab_b - inter)").as("jac_e4"))
+        .orderBy("source_a", "source_b")
+    }
+    val oracle = Some(
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, unnest(list_distinct($SqlToks)) AS term
+         |  FROM documents),
+         |sz AS (SELECT source, count(*) AS vocab FROM st GROUP BY source),
+         |iv AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+         |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT iv.source_a, iv.source_b,
+         |  CAST(za.vocab AS BIGINT) AS vocab_a, CAST(zb.vocab AS BIGINT) AS vocab_b,
+         |  CAST(iv.inter AS BIGINT) AS inter,
+         |  CAST(iv.inter * 10000 // (za.vocab + zb.vocab - iv.inter) AS BIGINT) AS jac_e4
+         |FROM iv JOIN sz za ON iv.source_a = za.source
+         |        JOIN sz zb ON iv.source_b = zb.source
+         |ORDER BY source_a, source_b""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
-    qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin)
+    qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin,
+    vocabOverlap)
 }

@@ -397,6 +397,55 @@ object TimeSeriesQueries {
         |FROM g ORDER BY user_id""".stripMargin)
   }
 
+  /** CUSUM change-point detection over daily revenue — the classic
+    * level-shift monitor on a KPI series: the cumulative deviation from
+    * the global mean peaks exactly where the series' mean shifts. Exact
+    * integer form (no mean division): with days indexed 1..n in date
+    * order, dev_d = n·cum_d − idx_d·total is n·(CUSUM of x−x̄); the
+    * change-point flag marks the day(s) of max |dev|. Fact table is
+    * aggregated to the calendar grain first — all windows run over the
+    * bounded daily frame. BIGINT headroom: n·total < 2⁶³ holds to ~10⁵
+    * days × ~10¹³ cents (≈ sf10k). */
+  val qCusumChangepoint: Q = new Q {
+    val name = "q_cusum_changepoint"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+      val w = Window.orderBy("day") // calendar-bounded frame
+      val wAll = Window.partitionBy()
+      daily
+        .withColumn("idx", row_number().over(w))
+        .withColumn("cum", sum("rev_cents").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("total", sum("rev_cents").over(wAll))
+        .withColumn("dev", col("n") * col("cum") - col("idx") * col("total"))
+        .withColumn("is_cp",
+          (abs(col("dev")) === max(abs(col("dev"))).over(wAll)).cast("long"))
+        .select(col("day"), col("rev_cents"), col("cum").as("cum_cents"),
+          col("dev"), col("is_cp"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day, rev_cents,
+        |    row_number() OVER (ORDER BY day) AS idx,
+        |    sum(rev_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER () AS n, sum(rev_cents) OVER () AS total
+        |  FROM daily),
+        |d AS (SELECT day, rev_cents, cum, n*cum - idx*total AS dev FROM c)
+        |SELECT day, rev_cents, CAST(cum AS BIGINT) AS cum_cents,
+        |  CAST(dev AS BIGINT) AS dev,
+        |  CAST(abs(dev) = max(abs(dev)) OVER () AS BIGINT) AS is_cp
+        |FROM d ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
-    qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap)
+    qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint)
 }
