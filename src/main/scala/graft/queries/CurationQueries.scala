@@ -212,6 +212,63 @@ object CurationQueries {
     }
   }
 
+  /** One-row dataset DATASHEET ("Datasheets for Datasets", Gebru et al.
+    * 2021) — the summary card published alongside a training-data release:
+    * corpus size, composition, token budget, exact-dup rate, English
+    * share, and mean quality, every figure integer-exact and derived in
+    * ONE pass over the corpus plus one md5-grain aggregate (no joins, no
+    * windows — partial aggregation end to end). */
+  val datasetDatasheet: Q = new Q {
+    val name = "q_dataset_datasheet"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val d = Tables.documents(spark, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextOps.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        sum((col("lang") === KeepLang).cast("long")).as("n_en"),
+        sum(when(TextOps.tokenCount(col("text")) > 0, qualityE4(col("text")))
+          .otherwise(0L)).as("q_sum"),
+        sum((TextOps.tokenCount(col("text")) > 0).cast("long")).as("n_scored"))
+      val dups = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("n_exact_dups"))
+      base.crossJoin(dups)
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("ws_tokens"), col("bpe_tokens"),
+          expr("n_en * 10000 div n_docs").as("pct_en_e4"),
+          expr("q_sum div n_scored").as("mean_quality_e4"),
+          col("n_exact_dups"),
+          expr("n_exact_dups * 10000 div n_docs").as("dup_rate_e4"))
+    }
+    val oracle = Some(
+      s"""WITH $SqlQuality,
+         |base AS (
+         |  SELECT count(*) AS n_docs,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT lang) AS n_langs,
+         |    sum(len(regexp_extract_all(text, '\\S+'))) AS ws_tokens,
+         |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+         |    sum(CASE WHEN lang = '$KeepLang' THEN 1 ELSE 0 END) AS n_en,
+         |    sum(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN 1 ELSE 0 END) AS n_scored
+         |  FROM documents),
+         |qs AS (SELECT sum(quality_e4) AS q_sum FROM q),
+         |dup AS (
+         |  SELECT sum(c - 1) AS n_exact_dups
+         |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1) g)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_sources AS BIGINT) AS n_sources,
+         |  CAST(n_langs AS BIGINT) AS n_langs,
+         |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+         |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+         |  CAST(n_en * 10000 // n_docs AS BIGINT) AS pct_en_e4,
+         |  CAST(q_sum // n_scored AS BIGINT) AS mean_quality_e4,
+         |  CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+         |  CAST(n_exact_dups * 10000 // n_docs AS BIGINT) AS dup_rate_e4
+         |FROM base CROSS JOIN qs CROSS JOIN dup""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource,
-    boilerplateNgrams)
+    boilerplateNgrams, datasetDatasheet)
 }

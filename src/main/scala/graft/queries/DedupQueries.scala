@@ -631,7 +631,92 @@ object DedupQueries {
          |FROM dir ORDER BY id_sub, id_sup""".stripMargin)
   }
 
+  /** MEASURED recall of the MinHash-LSH candidate generator against exact
+    * ground truth — the dedup-quality gate a pipeline runs before trusting
+    * a probabilistic dedup config (the text twin of `ann_recall_at_k`).
+    * Truth = ALL pairs with exact shingle-Jaccard ≥ θ, computed by the
+    * LOSSLESS prefix filter (the dedup_prefix_filter machinery at θ = 0.7
+    * over shingle sets — never all-pairs); LSH pairs are exact-verified,
+    * so they are structurally ⊆ truth and the gap IS the banding's miss
+    * rate. Output: one audit row with counts, recall_e4, and the
+    * similarity of the WORST miss (the highest-Jaccard pair the band
+    * structure dropped; −1 when nothing was missed). */
+  val qLshRecall: Q = new Q {
+    val name = "q_lsh_recall"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+        .persist()
+      val ex = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      val dfq = ex.groupBy("h").agg(count(lit(1)).as("tok_df"))
+      val wDoc = Window.partitionBy("doc_id")
+      // prefix length for θ = 0.7: s − ⌈0.7s⌉ + 1 (integer ceil)
+      val prefix = ex.join(dfq, Seq("h"))
+        .withColumn("rnk",
+          row_number().over(wDoc.orderBy(col("tok_df").asc, col("h").asc)))
+        .withColumn("sz", count(lit(1)).over(wDoc))
+        .where(col("rnk") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+        .select("doc_id", "h", "sz")
+      val cand = prefix.select(col("doc_id").as("id_l"), col("h"), col("sz").as("sz_l"))
+        .join(prefix.select(col("doc_id").as("id_r"), col("h"), col("sz").as("sz_r")),
+          Seq("h"))
+        // PPJoin length filter, lossless for θ = 0.7: 10·min ≥ 7·max
+        .where(col("id_l") < col("id_r") &&
+          col("sz_l") * 10 >= col("sz_r") * 7 && col("sz_r") * 10 >= col("sz_l") * 7)
+        .select("id_l", "id_r").distinct()
+      // verify with the SAME double formula as minhashPairs (correctly-
+      // rounded IEEE division — identical boundary behavior both sides)
+      val truth = cand
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+        .withColumn("uni",
+          (size(col("hs_l")) + size(col("hs_r"))).cast("long") - col("inter"))
+        .where(col("inter").cast("double") / col("uni") >= JaccardThreshold)
+        .select("id_l", "id_r", "inter", "uni")
+        .persist()
+      val lsh = minhashPairs(spark, dir).select("id_l", "id_r")
+      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
+      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(missed.agg(
+          count(lit(1)).as("n_missed"),
+          coalesce(max(expr("inter * 10000 div uni")), lit(-1L)).as("worst_miss_jac_e4")))
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"), col("n_missed"),
+          expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+            .as("recall_e4"),
+          col("worst_miss_jac_e4"))
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |lsh AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |truth AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+         |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS BIGINT) AS uni
+         |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+         |        >= $JaccardThreshold),
+         |hit AS (SELECT t.* FROM truth t SEMI JOIN lsh USING (id_l, id_r)),
+         |mis AS (SELECT t.* FROM truth t ANTI JOIN lsh USING (id_l, id_r))
+         |SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM lsh) AS n_lsh,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  (SELECT count(*) FROM mis) AS n_missed,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+         |       END AS BIGINT) AS recall_e4,
+         |  CAST(coalesce((SELECT max(inter * 10000 // uni) FROM mis), -1)
+         |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
-    splitDedupAware, dedupPrefixFilter, dedupContainment)
+    splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall)
 }

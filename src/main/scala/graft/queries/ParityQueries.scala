@@ -330,7 +330,43 @@ object ParityQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Calendar edge-case parity — the date-function surface where engines
+    * classically diverge (end-of-month clamping, leap days, week
+    * truncation, epoch arithmetic), pinned on every distinct order date:
+    * last_day, add_months (+1 month with Feb/leap clamp), Monday
+    * date_trunc('week'), quarter, days-in-month, Sunday-first day-of-week
+    * (Spark dayofweek = DuckDB dayofweek + 1 — the known offset, spelled
+    * explicitly), and days-since-epoch. The frame is the distinct date
+    * domain — calendar-bounded, never fact-sized. */
+  val qDateEdgeParity: Q = new Q {
+    val name = "q_date_edge_parity"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.orders(spark, dir)
+        .select(to_date(col("o_orderdate")).as("day")).distinct()
+        .select(col("day"),
+          last_day(col("day")).as("month_end"),
+          add_months(col("day"), 1).as("plus_month"),
+          date_trunc("week", col("day")).cast("date").as("week_start"),
+          quarter(col("day")).cast("long").as("qtr"),
+          dayofmonth(last_day(col("day"))).cast("long").as("days_in_month"),
+          dayofweek(col("day")).cast("long").as("dow_sunday1"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            .as("epoch_days"))
+        .orderBy("day")
+    val oracle = Some(
+      """SELECT day,
+        |  last_day(day) AS month_end,
+        |  CAST(day + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        |  CAST(date_trunc('week', day) AS DATE) AS week_start,
+        |  CAST(quarter(day) AS BIGINT) AS qtr,
+        |  CAST(day(last_day(day)) AS BIGINT) AS days_in_month,
+        |  CAST(dayofweek(day) + 1 AS BIGINT) AS dow_sunday1,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_days
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders) d
+        |ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
     qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs,
-    qDecimalExact)
+    qDecimalExact, qDateEdgeParity)
 }

@@ -1075,9 +1075,78 @@ object TextQueries {
          |ORDER BY source_a, source_b""".stripMargin)
   }
 
+  /** Tokenizer fertility audit — tokens-per-character by (source, lang),
+    * for BOTH the whitespace and the BPE-ish pre-tokenizer: the
+    * cost-estimation table a training pipeline builds before budgeting
+    * compute ("how many tokens does a byte of this source buy?"). One
+    * partial-aggregated groupBy; fertility is an exact integer e6 ratio of
+    * two sums, so per-doc rounding never accumulates. */
+  val tokenFertility: Q = new Q {
+    val name = "q_token_fertility"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(TextOps.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+          expr("ws_tokens * 1000000 div n_chars").as("ws_fert_e6"),
+          expr("bpe_tokens * 1000000 div n_chars").as("bpe_fert_e6"))
+        .orderBy("source", "lang")
+    val oracle = Some(
+      s"""WITH g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    sum(len(regexp_extract_all(text, '\\S+'))) AS ws_tokens,
+         |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+         |    sum(length(text)) AS n_chars
+         |  FROM documents GROUP BY source, lang)
+         |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+         |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(ws_tokens * 1000000 // n_chars AS BIGINT) AS ws_fert_e6,
+         |  CAST(bpe_tokens * 1000000 // n_chars AS BIGINT) AS bpe_fert_e6
+         |FROM g ORDER BY source, lang""".stripMargin)
+  }
+
+  /** Context-length histogram — document token counts in power-of-two
+    * bins per source (the "will it fit the context window?" profile every
+    * packing/curriculum stage consults). The bin is the bit length of the
+    * token count (floor(log2)+1), an exact integer both engines compute
+    * as length(bin(n)) — no float log. Zero-token docs get bin 0. One
+    * partial-aggregated groupBy at (source, bin) grain. */
+  val lengthHistogram: Q = new Q {
+    val name = "q_length_histogram"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          when(TextOps.tokenCount(col("text")) === 0, 0L)
+            .otherwise(length(bin(TextOps.tokenCount(col("text")).cast("long"))))
+            .cast("long").as("p2_bin"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+        .groupBy("source", "p2_bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("sum_toks"),
+          min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
+        .orderBy("source", "p2_bin")
+    val oracle = Some(
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0
+         |         ELSE length(bin(len(regexp_extract_all(text, '\\S+')))) END AS p2_bin,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_toks
+         |  FROM documents)
+         |SELECT source, CAST(p2_bin AS BIGINT) AS p2_bin, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(min(n_toks) AS BIGINT) AS min_toks,
+         |  CAST(max(n_toks) AS BIGINT) AS max_toks
+         |FROM d GROUP BY source, p2_bin ORDER BY source, p2_bin""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
     qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin,
-    vocabOverlap)
+    vocabOverlap, tokenFertility, lengthHistogram)
 }
