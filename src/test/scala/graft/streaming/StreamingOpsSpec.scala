@@ -453,6 +453,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts over the real fixture equals the batch session_window mart") {
+    // batch↔stream parity on the SAME data: the native session_window
+    // aggregate must produce identical closed sessions whether it sees the
+    // events as one table (q_session_window_sql) or as two out-of-order
+    // micro-batches with a watermark
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select($"ts".as[Timestamp], $"user_id".as[Long]).collect()
+    // split by TIME (events later than the watermark of batch 1 would be
+    // dropped as late under any other split); every user is active across
+    // the whole window, so sessions still straddle the boundary and the
+    // cross-micro-batch merge is exercised
+    val maxTs = ev.map(_._1.getTime).max
+    val midTs = (ev.map(_._1.getTime).min + maxTs) / 2
+    val (b1, b2) = ev.zipWithIndex.partition(_._1._1.getTime <= midTs)
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = sessionWindowCounts(
+      input.toDF().toDF("ts", "user_id"), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("swfix")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.map(_._1).toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map(_._1).toSeq)
+      q.processAllAvailable()
+      // sentinel far past every event: advances the watermark so every
+      // real session closes; its own session stays open and never emits
+      input.addData((new Timestamp(maxTs + 7L * 86400000L), -1L))
+      q.processAllAvailable()
+      val got = spark.table("swfix")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, s.getTime, e.getTime, n) }.toSet
+      val want = graft.queries.BehaviorQueries.qSessionWindowSql.run(spark, dir)
+        .select($"user_id".as[Long], $"session_start".as[Timestamp],
+          $"session_end".as[Timestamp], $"n_events".as[Long]).collect()
+        .map { case (u, s, e, n) => (u, s.getTime, e.getTime, n) }.toSet
+      assert(got === want)
+      assert(want.size > ev.map(_._2).distinct.length,
+        "fewer sessions than users — gap threshold degenerate on this fixture")
+    } finally q.stop()
+  }
+
   test("streamStaticEnrich: static dim joins per micro-batch with no stream state") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
