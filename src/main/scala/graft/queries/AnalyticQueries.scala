@@ -508,7 +508,57 @@ object AnalyticQueries {
         |FROM c ORDER BY l_returnflag, cents""".stripMargin)
   }
 
+  /** Pareto frontier (skyline) of parts: minimize retail price, maximize
+    * size — the multi-objective "best tradeoff" query (data-curation use:
+    * pick corpus shards on the cost/quality frontier). A part is dominated
+    * iff some part is strictly cheaper with size ≥ its, or same-priced
+    * with strictly larger size.
+    *
+    * Scale shape — the sort-based sweep, NOT the O(n²) dominance
+    * anti-join: first reduce to the DISTINCT-PRICE grain (max size per
+    * price — one partial-aggregated groupBy, output bounded by the price
+    * value domain), run the running-max sweep as a RANGE window over that
+    * small frame, then equi-join facts back against the surviving frontier
+    * prices. The only global window runs at the value grain, the fact
+    * table is touched by scan + one groupBy + one broadcastable join. */
+  val qParetoFrontier: Q = new Q {
+    val name = "q_pareto_frontier"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val parts = Tables.part(spark, dir)
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+          col("p_size").cast("long").as("size"))
+      val byPrice = parts.groupBy("price_c").agg(max("size").as("best_size"))
+      // strictly-cheaper running max: RANGE frame ending 1 cent before self
+      val sweep = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val frontierPrices = byPrice
+        .withColumn("cheaper_best", max("best_size").over(sweep))
+        .where(col("cheaper_best").isNull || col("cheaper_best") < col("best_size"))
+        .select("price_c", "best_size")
+      parts.join(frontierPrices, Seq("price_c"))
+        .where(col("size") === col("best_size"))
+        .select(col("p_partkey"), col("price_c"), col("size"))
+        .orderBy("price_c", "p_partkey")
+    }
+    val oracle = Some(
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |bp AS (SELECT price_c, max(size) AS best_size FROM p GROUP BY 1),
+        |sw AS (
+        |  SELECT price_c, best_size,
+        |    max(best_size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_best
+        |  FROM bp),
+        |f AS (SELECT price_c, best_size FROM sw
+        |      WHERE cheaper_best IS NULL OR cheaper_best < best_size)
+        |SELECT p.p_partkey, p.price_c, p.size
+        |FROM p JOIN f USING (price_c) WHERE p.size = f.best_size
+        |ORDER BY price_c, p_partkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
-    qSkewStats, qSeqMatch, qEcdfNormalize)
+    qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier)
 }

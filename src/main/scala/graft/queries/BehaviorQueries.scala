@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -520,7 +521,95 @@ object BehaviorQueries {
         |ORDER BY user_id, session_start""".stripMargin)
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM mart: per customer, days since last order (vs the
+    * table-max anchor date), order count, and lifetime spend, each coded
+    * into quintiles 1..5, composed as a 3-digit RFM code.
+    *
+    * Quintile assignment runs at the VALUE grain (the q_decile_lift ECDF
+    * idiom): group by metric value, one cumulative window over the
+    * bounded value domain, quintile = ⌈5·ecdf⌉, then equi-join the code
+    * lookup back to the per-customer frame. Recency days (≈ 2 400) and
+    * frequency (≤ ~50) are naturally bounded; monetary is BANDED to $100
+    * so its grain is value-bounded too (~15 k bands) instead of
+    * customer-cardinality — the difference between a calendar-sized and
+    * a dimension-sized global sort at 10⁹ customers.
+    * Scale shape: one custkey shuffle, three value-grain windows, three
+    * broadcastable lookup joins. */
+  val qRfmSegments: Q = new Q {
+    val name = "q_rfm_segments"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+          Q.cents(col("o_totalprice")).as("cents"))
+      val anchor = o.agg(max("day").as("anchor"))
+      val rfm = o.groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+          sum("cents").as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("anchor"), col("last_day")).cast("long").as("r_days"),
+          col("f"), col("m_cents"),
+          expr("m_cents div 10000").as("m_band"))
+      // value-grain quintile lookup: (value → code 1..5); LOW recency is
+      // GOOD, so recency quintiles are coded on the descending ECDF.
+      def quintiles(base: DataFrame, valueCol: String, desc0: Boolean): DataFrame = {
+        val byV = base.groupBy(valueCol).agg(count(lit(1)).as("n_v"))
+        val w =
+          if (desc0) Window.orderBy(col(valueCol).desc)
+          else Window.orderBy(col(valueCol))
+        byV
+          .withColumn("cum", sum("n_v").over(w))
+          .withColumn("n_total", sum("n_v").over(Window.partitionBy()))
+          .select(col(valueCol),
+            expr("(cum * 5 + n_total - 1) div n_total").as(s"${valueCol}_q"))
+      }
+      rfm
+        .join(broadcast(quintiles(rfm, "r_days", desc0 = true)), Seq("r_days"))
+        .join(broadcast(quintiles(rfm, "f", desc0 = false)), Seq("f"))
+        .join(broadcast(quintiles(rfm, "m_band", desc0 = false)), Seq("m_band"))
+        .select(col("o_custkey"), col("r_days"), col("f"), col("m_cents"),
+          col("r_days_q").as("r_q"), col("f_q"), col("m_band_q").as("m_q"),
+          expr("r_days_q * 100 + f_q * 10 + m_band_q").as("rfm_code"))
+        .orderBy("o_custkey")
+    }
+    val oracle = Some(
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |anchor AS (SELECT max(day) AS anchor FROM o),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', max(day), (SELECT anchor FROM anchor)) AS BIGINT) AS r_days,
+        |    count(*) AS f, CAST(sum(cents) AS BIGINT) AS m_cents,
+        |    CAST(sum(cents) // 10000 AS BIGINT) AS m_band
+        |  FROM o GROUP BY 1),
+        |rq AS (
+        |  SELECT r_days, (cum * 5 + n_total - 1) // n_total AS q FROM (
+        |    SELECT r_days, sum(n_v) OVER (ORDER BY r_days DESC) AS cum,
+        |           sum(n_v) OVER () AS n_total
+        |    FROM (SELECT r_days, count(*) AS n_v FROM rfm GROUP BY 1))),
+        |fq AS (
+        |  SELECT f, (cum * 5 + n_total - 1) // n_total AS q FROM (
+        |    SELECT f, sum(n_v) OVER (ORDER BY f) AS cum,
+        |           sum(n_v) OVER () AS n_total
+        |    FROM (SELECT f, count(*) AS n_v FROM rfm GROUP BY 1))),
+        |mq AS (
+        |  SELECT m_band, (cum * 5 + n_total - 1) // n_total AS q FROM (
+        |    SELECT m_band, sum(n_v) OVER (ORDER BY m_band) AS cum,
+        |           sum(n_v) OVER () AS n_total
+        |    FROM (SELECT m_band, count(*) AS n_v FROM rfm GROUP BY 1)))
+        |SELECT rfm.o_custkey, rfm.r_days, rfm.f, rfm.m_cents,
+        |  CAST(rq.q AS BIGINT) AS r_q, CAST(fq.q AS BIGINT) AS f_q,
+        |  CAST(mq.q AS BIGINT) AS m_q,
+        |  CAST(rq.q * 100 + fq.q * 10 + mq.q AS BIGINT) AS rfm_code
+        |FROM rfm
+        |JOIN rq USING (r_days) JOIN fq USING (f) JOIN mq USING (m_band)
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
-    qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql)
+    qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments)
 }

@@ -690,9 +690,48 @@ object EvalQueries {
          |FROM g ORDER BY thr""".stripMargin)
   }
 
+  /** Probability-calibration audit (reliability diagram + Brier
+    * decomposition inputs) of the quality score read as P(doc is
+    * English): rows land in 10 equal-width score bins; per bin the mart
+    * exports n, positives, the predicted-probability MASS (Σ p, e4) and
+    * the Brier SUM (Σ (p − y)², e8) — sums, not means, so every column
+    * is an exact integer and the consumer derives calibration error /
+    * Brier score by one division at read time. A well-calibrated score
+    * has sum_p_e4 ≈ n_pos·10⁴ per bin — the gap IS the calibration gap.
+    *
+    * Scale shape: in-row score + bin, ONE partial-aggregated groupBy to
+    * 10 rows. BIGINT headroom: Brier ≤ 10⁸/row → exact to ~9·10¹⁰ rows;
+    * past that the sum moves to DECIMAL(38) (q_decimal_exact pattern). */
+  val qCalibrationBins: Q = new Q {
+    val name = "q_calibration_bins"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(graft.ops.TextOps.tokenCount(col("text")) > 0)
+        .select(CurationQueries.qualityE4(col("text")).as("p_e4"),
+          (col("lang") === "en").cast("long").as("pos"))
+        .withColumn("bin", least(expr("p_e4 div 1000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+          sum("p_e4").as("sum_p_e4"),
+          sum(expr("(p_e4 - pos * 10000) * (p_e4 - pos * 10000)")).as("brier_e8"))
+        .orderBy("bin")
+    val oracle = Some(
+      s"""WITH ${CurationQueries.SqlQuality},
+         |base AS (
+         |  SELECT q.quality_e4 AS p_e4, CAST(d.lang = 'en' AS BIGINT) AS pos
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT least(p_e4 // 1000, 9) AS bin, p_e4, pos FROM base)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+         |  CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(p_e4) AS BIGINT) AS sum_p_e4,
+         |  CAST(sum((p_e4 - pos * 10000) * (p_e4 - pos * 10000)) AS BIGINT) AS brier_e8
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
     qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
-    qCohenKappa, qPrCurve)
+    qCohenKappa, qPrCurve, qCalibrationBins)
 }

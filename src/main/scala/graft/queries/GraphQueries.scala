@@ -701,6 +701,71 @@ object GraphQueries {
     }
   }
 
+  /** HITS (hubs & authorities) over the BIPARTITE customer→part purchase
+    * graph — the mutual-reinforcement complement to PageRank: a part is
+    * authoritative if bought by strong hub customers, a customer is a hub
+    * if they buy authoritative parts. Two full hub↔authority rounds,
+    * integer-exact: scores are e6 BIGINTs normalized by the MAX (L∞) after
+    * every half-step — max is order-free and integer, where the textbook
+    * L2 normalization would drag a √ into the recurrence. Output: the
+    * top-100 authority parts.
+    *
+    * Scale shape (Pregel-via-joins): the distinct (cust, part) edge list
+    * is derived once from the fact pass and localCheckpointed; each
+    * half-step is ONE equi-join of edges with the |part|- or |cust|-sized
+    * score frame plus ONE partial-aggregated groupBy; the L∞ normalizer
+    * is a 1-row broadcast. The final top-100 is a rank-filtered window
+    * over the part-DIM frame (WindowGroupLimit applies). BIGINT headroom:
+    * score ≤ 10⁶, so a half-step sum ≤ 10⁶·maxdeg — exact to maxdeg 10¹²;
+    * the ×10⁶ renormalization products stay ≤ 10⁶·10⁶·maxdeg. */
+  val hitsBipartite: Q = new Q {
+    val name = "q_hits_bipartite"
+    private val E6 = 1000000L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val e = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+        .localCheckpoint() // reused by all three half-steps
+      // hub₀ ≡ e6 ⇒ auth₁(p) = e6 · indeg(p)
+      val a1 = e.groupBy("part").agg((count(lit(1)) * E6).as("a1"))
+      val a1n = a1.crossJoin(broadcast(a1.agg(max("a1").as("mx"))))
+        .select(col("part"), expr(s"a1 * $E6 div mx").as("a1n"))
+      val h1 = e.join(a1n, Seq("part")).groupBy("cust").agg(sum("a1n").as("h1"))
+      val h1n = h1.crossJoin(broadcast(h1.agg(max("h1").as("mx"))))
+        .select(col("cust"), expr(s"h1 * $E6 div mx").as("h1n"))
+      val a2 = e.join(h1n, Seq("cust")).groupBy("part").agg(sum("h1n").as("a2"))
+      val a2n = a2.crossJoin(broadcast(a2.agg(max("a2").as("mx"))))
+        .select(col("part"), expr(s"a2 * $E6 div mx").as("auth_e6"))
+      a2n
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("auth_e6").desc, col("part"))).cast("long"))
+        .where(col("rank") <= 100)
+        .select(col("part").as("p_partkey"), col("auth_e6"), col("rank"))
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      s"""WITH e AS (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |a1 AS (SELECT part, count(*) * $E6 AS a1 FROM e GROUP BY 1),
+         |a1n AS (SELECT part, a1 * $E6 // (SELECT max(a1) FROM a1) AS a1n FROM a1),
+         |h1 AS (SELECT cust, sum(a1n) AS h1 FROM e JOIN a1n USING (part) GROUP BY 1),
+         |h1n AS (SELECT cust, h1 * $E6 // (SELECT max(h1) FROM h1) AS h1n FROM h1),
+         |a2 AS (SELECT part, sum(h1n) AS a2 FROM e JOIN h1n USING (cust) GROUP BY 1),
+         |a2n AS (SELECT part, a2 * $E6 // (SELECT max(a2) FROM a2) AS auth_e6 FROM a2),
+         |r AS (
+         |  SELECT part, auth_e6,
+         |    row_number() OVER (ORDER BY auth_e6 DESC, part) AS rank
+         |  FROM a2n)
+         |SELECT part AS p_partkey, CAST(auth_e6 AS BIGINT) AS auth_e6,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
-    linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore)
+    linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore,
+    hitsBipartite)
 }

@@ -446,6 +446,76 @@ object TimeSeriesQueries {
         |FROM d ORDER BY day""".stripMargin)
   }
 
+  /** Autocorrelation of the daily-revenue series at lags 1..7, exported
+    * as the EXACT Pearson sufficient statistics per lag:
+    *   num    = n·Σxy − Σx·Σy       (covariance numerator × n)
+    *   varx_n = n·Σx² − (Σx)²       (variance numerator × n, current term)
+    *   vary_n = n·Σy² − (Σy)²       (lagged term)
+    * so ρ(k) = num / √(varx_n·vary_n). The final √/÷ is the one
+    * non-integer step, so it stays OUT of the gated output (the spec
+    * recomputes ρ in double and checks the week-seasonality shape) — the
+    * cross-engine contract covers everything order-dependent.
+    *
+    * Determinism & headroom: the series is quantized to thousands of
+    * dollars per day; at sf10 (~10⁵ k$/day, ~2 400 days) the largest
+    * product n·Σxy ≈ 5·10¹⁸ still fits BIGINT, past that the sums move to
+    * DECIMAL(38) as q_decimal_exact demonstrates. Pairing is at the
+    * OBSERVATION grain (row-lag over the ordered daily frame).
+    *
+    * Scale shape: one partial-aggregated fact scan → calendar-grain
+    * frame; the 7-lag ladder is 7 offset reads of ONE sorted window pass
+    * over ≤ |days| rows, unpivoted in-row by `stack`; final agg is 7
+    * groups. */
+  val qAcfDaily: Q = new Q {
+    val name = "q_acf_daily"
+    private val MaxLag = 7
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100000").as("x"))
+      val w = Window.orderBy("day") // calendar-grain window: ≤ |days| rows
+      val lagged = daily.select(
+        col("day") +: col("x") +:
+          (1 to MaxLag).map(k => lag(col("x"), k).over(w).as(s"y$k")): _*)
+      val arms = (1 to MaxLag).map(k => s"${k}L, x, y$k").mkString(", ")
+      lagged
+        .selectExpr(s"stack($MaxLag, $arms) as (lag, x, y)")
+        .where(col("y").isNotNull)
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sx2"),
+          sum(expr("y * y")).as("sy2"))
+        .select(col("lag"), col("n"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sx2 - sx * sx").as("varx_n"),
+          expr("n * sy2 - sy * sy").as("vary_n"))
+        .orderBy("lag")
+    }
+    val oracle = Some {
+      val lagCols = (1 to MaxLag)
+        .map(k => s"lag(x, $k) OVER (ORDER BY day) AS y$k").mkString(",\n    ")
+      val armUnion = (1 to MaxLag)
+        .map(k => s"SELECT $k AS lag, x, y$k AS y FROM lagged WHERE y$k IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000 AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |lagged AS (
+         |  SELECT day, x,
+         |    $lagCols
+         |  FROM daily),
+         |pairs AS (
+         |  $armUnion)
+         |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n,
+         |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS num,
+         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_n,
+         |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_n
+         |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
-    qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint)
+    qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint,
+    qAcfDaily)
 }

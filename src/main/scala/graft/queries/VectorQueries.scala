@@ -896,8 +896,97 @@ object VectorQueries {
          |ORDER BY q.q_id""".stripMargin)
   }
 
+  /** Graded retrieval-quality eval — NDCG@10 and MRR of the dense
+    * retrieval against label-match relevance (the standard IR eval over a
+    * labeled corpus: a neighbor is "relevant" iff it shares the query's
+    * label). The 1/log₂(1+rank) discounts are the ONLY transcendental in
+    * NDCG, so they are embedded as precomputed e9 literals (the q_benford
+    * pattern — no engine libm at query time): dcg_e9 sums the literal for
+    * each relevant rank; idcg_e9 is the cumulative-weight literal at
+    * min(total relevant, 10). MRR is 10⁶ div first-relevant-rank.
+    *
+    * Scale shape: the query batch is id-bounded (broadcast), candidates
+    * stream map-side through the brute-force kernel (swap in the IVF/LSH
+    * path at 100 TB — the eval aggregation below is unchanged); the label
+    * histogram for idcg is a |labels|-row broadcast. */
+  val qNdcgMrr: Q = new Q {
+    val name = "q_ndcg_mrr"
+    private val K = 10
+    // floor(1e9 / log2(r+1)) for r = 1..10, and cumulative sums
+    private val W = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
+      386852807L, 356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
+    private val C = W.scanLeft(0L)(_ + _).tail
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").cast("long").as("q_label"))
+      val cands = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("c_label"))
+      val wCase = (1 to K).map(r => s"WHEN $r THEN ${W(r - 1)}L")
+        .mkString("CASE rank ", " ", " ELSE 0L END")
+      val idcgCase = (1 to K).map(r => s"WHEN $r THEN ${C(r - 1)}L")
+        .mkString("CASE n_rel ", " ", " ELSE 0L END")
+      val labelCounts = emb.groupBy(col("label").cast("long").as("q_label"))
+        .agg(count(lit(1)).as("n_label"))
+      VectorOps.bruteForceTopK(queries, cands, Dim, K)
+        .groupBy("q_id", "q_label")
+        .agg(
+          sum(when(col("c_label") === col("q_label"), expr(wCase))
+            .otherwise(0L)).as("dcg_e9"),
+          min(when(col("c_label") === col("q_label"), col("rank").cast("long")))
+            .as("min_rel_rank"))
+        .join(broadcast(labelCounts), Seq("q_label"))
+        .withColumn("n_rel", least(col("n_label") - 1, lit(K.toLong)))
+        .withColumn("idcg_e9", expr(idcgCase))
+        .select(col("q_id"), col("q_label"), col("n_rel"), col("dcg_e9"),
+          col("idcg_e9"),
+          when(col("idcg_e9") > 0, expr("dcg_e9 * 1000000 div idcg_e9"))
+            .otherwise(0L).as("ndcg_e6"),
+          coalesce(expr("1000000 div min_rel_rank"), lit(0L)).as("mrr_e6"))
+        .orderBy("q_id")
+    }
+    val oracle = Some {
+      val wCase = (1 to K).map(r => s"WHEN $r THEN CAST(${W(r - 1)} AS BIGINT)")
+        .mkString("CASE rank ", " ", " ELSE 0 END")
+      val idcgCase = (1 to K).map(r => s"WHEN $r THEN CAST(${C(r - 1)} AS BIGINT)")
+        .mkString("CASE n_rel ", " ", " ELSE 0 END")
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, CAST(label AS BIGINT) AS q_label
+         |  FROM embeddings WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_vec, CAST(label AS BIGINT) AS c_label
+         |      FROM embeddings),
+         |s AS (
+         |  SELECT q_id, q_label, c_id, c_label,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cosine_sim
+         |  FROM c CROSS JOIN q WHERE q_id != c_id),
+         |r AS (
+         |  SELECT q_id, q_label, c_label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS rank
+         |  FROM s),
+         |a AS (
+         |  SELECT q_id, q_label,
+         |    sum(CASE WHEN c_label = q_label THEN $wCase ELSE 0 END) AS dcg_e9,
+         |    min(CASE WHEN c_label = q_label THEN rank END) AS min_rel_rank
+         |  FROM r WHERE rank <= $K GROUP BY 1, 2),
+         |lc AS (SELECT CAST(label AS BIGINT) AS q_label, count(*) AS n_label
+         |       FROM embeddings GROUP BY 1),
+         |j AS (
+         |  SELECT a.q_id, a.q_label, least(lc.n_label - 1, $K) AS n_rel,
+         |    CAST(a.dcg_e9 AS BIGINT) AS dcg_e9, a.min_rel_rank
+         |  FROM a JOIN lc USING (q_label)),
+         |f AS (SELECT q_id, q_label, n_rel, dcg_e9, $idcgCase AS idcg_e9,
+         |             min_rel_rank FROM j)
+         |SELECT q_id, q_label, CAST(n_rel AS BIGINT) AS n_rel, dcg_e9, idcg_e9,
+         |  CAST(CASE WHEN idcg_e9 > 0 THEN dcg_e9 * 1000000 // idcg_e9
+         |       ELSE 0 END AS BIGINT) AS ndcg_e6,
+         |  CAST(COALESCE(1000000 // min_rel_rank, 0) AS BIGINT) AS mrr_e6
+         |FROM f ORDER BY q_id""".stripMargin
+    }
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
-    labelCentroidSim, hardNegatives)
+    labelCentroidSim, hardNegatives, qNdcgMrr)
 }
