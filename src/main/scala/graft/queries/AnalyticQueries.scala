@@ -558,7 +558,56 @@ object AnalyticQueries {
         |ORDER BY price_c, p_partkey""".stripMargin)
   }
 
+  /** ABC (Pareto 80/95) inventory classification of parts by revenue —
+    * the ops-analytics standard: class A parts carry the first 80 % of
+    * cumulative revenue, B the next 15 %, C the tail. Cumulative share is
+    * exact integer e4 over the revenue-DESC ordering (ties broken by
+    * partkey so the running sum is total-order deterministic).
+    *
+    * Scale shape: the fact scan collapses to the part DIMENSION grain in
+    * one partial-aggregated groupBy; the single global window runs over
+    * that dimension-sized frame (|parts|, not |lineitem|) — same class of
+    * bounded global sort as the sketch/top-k sites. */
+  val qInventoryAbc: Q = new Q {
+    val name = "q_inventory_abc"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val rev = Tables.lineitem(spark, dir)
+        .withColumn("rev_c",
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as long)"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum("rev_c").as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("cum", sum("rev_cents").over(w))
+        .withColumn("total", sum("rev_cents").over(Window.partitionBy()))
+        .withColumn("cum_share_e4", expr("cum * 10000 div total"))
+        .withColumn("abc",
+          when(col("cum_share_e4") <= 8000, "A")
+            .when(col("cum_share_e4") <= 9500, "B").otherwise("C"))
+        .select("p_partkey", "rev_cents", "cum_share_e4", "abc")
+        .orderBy(col("rev_cents").desc, col("p_partkey"))
+    }
+    val oracle = Some(
+      """WITH rev AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT p_partkey, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev_cents) OVER () AS total
+        |  FROM rev)
+        |SELECT p_partkey, rev_cents,
+        |  CAST(cum * 10000 // total AS BIGINT) AS cum_share_e4,
+        |  CASE WHEN cum * 10000 // total <= 8000 THEN 'A'
+        |       WHEN cum * 10000 // total <= 9500 THEN 'B' ELSE 'C' END AS abc
+        |FROM c ORDER BY rev_cents DESC, p_partkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
-    qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier)
+    qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier, qInventoryAbc)
 }

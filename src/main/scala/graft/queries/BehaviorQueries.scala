@@ -609,7 +609,133 @@ object BehaviorQueries {
         |ORDER BY o_custkey""".stripMargin)
   }
 
+  /** Item-item collaborative filtering ("customers also bought") — the
+    * recommender-serving mart next to `q_assoc_rules`' rule mining: for
+    * each part, its top-5 co-purchase neighbors by COSINE² similarity
+    * co(i,j)²·10⁶ div (n_i·n_j) — monotone in cosine over the binary
+    * basket incidence, and exactly integer where cosine needs a √.
+    *
+    * Scale shape: same single persisted basket shuffle as q_assoc_rules
+    * (the in-row filter explode emits each unordered pair once), support
+    * threshold prunes the pair space BEFORE scoring, and the top-5 is a
+    * rank window over the pruned pair frame partitioned by item —
+    * WindowGroupLimit keeps the per-item sort partial. The pair frame is
+    * support-bounded, never |parts|². */
+  val qItemCf: Q = new Q {
+    val name = "q_item_cf"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val baskets = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .persist()
+      val pairs = baskets
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(expr("filter(ps, p -> p > pa)")).as("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("co"))
+        .where(col("co") >= GraphQueries.CoSupport)
+      val supp = baskets.select(explode(col("ps")).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("supp"))
+      val directed = pairs
+        .select(col("pa").as("item"), col("pb").as("neighbor"), col("co"))
+        .union(pairs.select(col("pb"), col("pa"), col("co")))
+      val scored = directed
+        .join(supp.select(col("part").as("item"), col("supp").as("n_i")), Seq("item"))
+        .join(supp.select(col("part").as("neighbor"), col("supp").as("n_j")),
+          Seq("neighbor"))
+        .withColumn("cos2_e6", expr("co * co * 1000000 div (n_i * n_j)"))
+      scored
+        .withColumn("rank", row_number().over(Window.partitionBy("item")
+          .orderBy(col("cos2_e6").desc, col("neighbor"))).cast("long"))
+        .where(col("rank") <= 5)
+        .select("item", "neighbor", "co", "cos2_e6", "rank")
+        .orderBy("item", "rank")
+    }
+    val oracle = Some(
+      s"""WITH cop AS (${GraphQueries.CopurchaseSql}),
+         |op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |supp AS (SELECT l_partkey AS part, count(*) AS supp FROM op GROUP BY 1),
+         |dirr AS (
+         |  SELECT pa AS item, pb AS neighbor, n_orders AS co FROM cop
+         |  UNION ALL
+         |  SELECT pb, pa, n_orders FROM cop),
+         |sc AS (
+         |  SELECT d.item, d.neighbor, d.co,
+         |    d.co * d.co * 1000000 // (si.supp * sj.supp) AS cos2_e6
+         |  FROM dirr d
+         |    JOIN supp si ON d.item = si.part
+         |    JOIN supp sj ON d.neighbor = sj.part),
+         |r AS (
+         |  SELECT item, neighbor, co, cos2_e6,
+         |    row_number() OVER (PARTITION BY item
+         |                       ORDER BY cos2_e6 DESC, neighbor) AS rank
+         |  FROM sc)
+         |SELECT item, neighbor, CAST(co AS BIGINT) AS co,
+         |  CAST(cos2_e6 AS BIGINT) AS cos2_e6, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin)
+  }
+
+  /** Top converting paths — clickstream sequence mining: each session's
+    * first-5 event-type sequence becomes a path string, ranked by session
+    * count (the "what do users actually do" mart feeding funnel design).
+    *
+    * Scale shape: sessionization + per-session rank ride ONE user_id
+    * window pass; the path aggregate is per-session (bounded 5 events),
+    * and the final ranking runs over the PATH-VOCABULARY grain (≤ 5⁵
+    * event-type strings plus prefixes), not sessions. */
+  val qUserPathTopk: Q = new Q {
+    val name = "q_user_path_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.ops.WindowOps
+      val sess = WindowOps.sessionize(Tables.events(spark, dir), Seq("user_id"),
+        "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+      val wS = Window.partitionBy("user_id", "session_idx")
+        .orderBy(col("ts"), col("event_id"))
+      val paths = sess
+        .withColumn("rn", row_number().over(wS))
+        .where(col("rn") <= 5)
+        .groupBy("user_id", "session_idx")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+            " x -> x.event_type), '>')").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("path"))).cast("long"))
+        .where(col("rank") <= 20)
+        .select("rank", "path", "n_sessions")
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |rn AS (
+        |  SELECT user_id, session_idx, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_idx
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY 1, 2),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1),
+        |r AS (
+        |  SELECT path, n_sessions,
+        |    row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, path,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
-    qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments)
+    qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
+    qItemCf, qUserPathTopk)
 }

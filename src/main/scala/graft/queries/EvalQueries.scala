@@ -729,9 +729,75 @@ object EvalQueries {
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
   }
 
+  /** Subject-access report (GDPR art. 15 — the read companion to
+    * `Sinks.deleteWhere`'s right-to-be-forgotten): for a bounded subject
+    * list, everything the lake holds about each customer, aggregated per
+    * table — order count/dates/spend and line-item count — including
+    * subjects with NO data (left joins, zero-filled), since "we hold
+    * nothing" is itself the answer.
+    *
+    * Scale shape: the subject list is broadcast into both fact paths, so
+    * each fact table is touched by ONE semi-filtered scan + partial agg;
+    * lineitems reach their subject through the subject-bounded orders
+    * frame (broadcast equi-join on orderkey). Nothing fact-sized
+    * shuffles. */
+  val qGdprExport: Q = new Q {
+    val name = "q_gdpr_export"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val subjects = Tables.customer(spark, dir)
+        .where(col("c_custkey") % 100 === 0).select("c_custkey")
+      val ord = Tables.orders(spark, dir)
+        .join(broadcast(subjects), col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"),
+          Q.cents(col("o_totalprice")).as("cents"))
+      val ordAgg = ord.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_cents"),
+          min("day").as("first_day"), max("day").as("last_day"))
+      val liAgg = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+        .join(broadcast(ord.select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_items"))
+      subjects
+        .join(ordAgg, col("c_custkey") === ordAgg("o_custkey"), "left")
+        .drop("o_custkey")
+        .join(liAgg, col("c_custkey") === liAgg("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          coalesce(col("spend_cents"), lit(0L)).as("spend_cents"),
+          col("first_day"), col("last_day"))
+        .orderBy("c_custkey")
+    }
+    val oracle = Some(
+      """WITH subjects AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |o AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    min(CAST(o_orderdate AS DATE)) AS first_day,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day
+        |  FROM orders JOIN subjects ON o_custkey = c_custkey GROUP BY 1),
+        |li AS (
+        |  SELECT o.o_custkey, count(*) AS n_items
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN subjects s ON o.o_custkey = s.c_custkey
+        |  GROUP BY 1)
+        |SELECT s.c_custkey,
+        |  CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(li.n_items, 0) AS BIGINT) AS n_items,
+        |  CAST(COALESCE(o.spend_cents, 0) AS BIGINT) AS spend_cents,
+        |  o.first_day, o.last_day
+        |FROM subjects s
+        |LEFT JOIN o ON s.c_custkey = o.o_custkey
+        |LEFT JOIN li ON s.c_custkey = li.o_custkey
+        |ORDER BY s.c_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
     qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
-    qCohenKappa, qPrCurve, qCalibrationBins)
+    qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport)
 }

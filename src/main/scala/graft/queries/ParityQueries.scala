@@ -366,7 +366,39 @@ object ParityQueries {
         |ORDER BY day""".stripMargin)
   }
 
+  /** Order-to-ship latency distribution: datediff(l_shipdate, o_orderdate)
+    * histogram with per-lag revenue — the SLA/logistics profile and a
+    * cross-table date-arithmetic parity probe (both engines must agree on
+    * day subtraction over the whole fixture date range).
+    *
+    * Scale shape: one fact-fact equi-join on orderkey (both sides keyed,
+    * co-partitioned shuffle) collapsing straight into a lag-domain-sized
+    * aggregate (≤ ~150 distinct lags) — partial map-side combine does the
+    * heavy lifting; no windows. */
+  val qShippingLag: Q = new Q {
+    val name = "q_shipping_lag"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as long)")
+            .as("rev_c"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ordered")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(datediff(col("ship"), col("ordered")).cast("long").as("lag_days"))
+        .agg(count(lit(1)).as("n"), sum("rev_c").as("rev_cents"))
+        .orderBy("lag_days")
+    val oracle = Some(
+      """SELECT CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |                     CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY lag_days""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
     qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs,
-    qDecimalExact, qDateEdgeParity)
+    qDecimalExact, qDateEdgeParity, qShippingLag)
 }

@@ -515,7 +515,46 @@ object TimeSeriesQueries {
     }
   }
 
+  /** Day-of-week seasonal index of daily revenue — the multiplicative
+    * seasonality profile (index_e4 = 10⁴ · mean(dow) / mean(all), exact
+    * integer via cross-multiplication: sum_dow·n_tot·10⁴ div
+    * (n_dow·sum_tot) — no mean division before the final ratio).
+    * Numbering is Sunday-first (Spark `dayofweek`; the oracle's DuckDB
+    * `dayofweek` is 0-based Sunday so it adds 1 — the q_activity_heatmap
+    * convention).
+    *
+    * Scale shape: fact scan → calendar-grain daily frame (partial agg),
+    * then a 7-row aggregate joined with a broadcast 1-row total. BIGINT
+    * headroom: sum_dow·n_tot·10⁴ ≈ 10¹⁷ at sf10 in dollars. */
+  val qSeasonalIndex: Q = new Q {
+    val name = "q_seasonal_index"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100").as("x"))
+      val tot = daily.agg(count(lit(1)).as("n_tot"), sum("x").as("sum_tot"))
+      daily
+        .groupBy(dayofweek(col("day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sum_x"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("sum_x"),
+          expr("sum_x * n_tot * 10000 div (n_days * sum_tot)").as("index_e4"))
+        .orderBy("dow")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot, sum(x) AS sum_tot FROM daily)
+        |SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |  count(*) AS n_days, CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(x) * (SELECT n_tot FROM tot) * 10000
+        |       // (count(*) * (SELECT sum_tot FROM tot)) AS BIGINT) AS index_e4
+        |FROM daily GROUP BY 1 ORDER BY dow""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
     qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint,
-    qAcfDaily)
+    qAcfDaily, qSeasonalIndex)
 }
