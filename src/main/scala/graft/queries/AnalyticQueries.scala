@@ -607,7 +607,51 @@ object AnalyticQueries {
         |FROM c ORDER BY rev_cents DESC, p_partkey""".stripMargin)
   }
 
+  /** Equi-depth histogram of l_extendedprice — the ANALYZE-statistics
+    * operator a cost-based optimizer feeds on: 10 equal-row buckets with
+    * exact bounds, row counts, and per-bucket NDV. Bucket assignment is
+    * the value-grain ECDF idiom (bucket = ⌈10·ecdf⌉ on the DISTINCT-value
+    * frame), so the global sort runs over the value DOMAIN, not the fact
+    * table — exactly how an exact stats pass is built; the sketch-based
+    * alternative for when even the domain is too wide is
+    * q_approx_percentile_envelope's GK path.
+    *
+    * Equal values land in one bucket by construction (a value never
+    * splits), which is the histogram property that makes the stats safe
+    * for selectivity estimation. */
+  val qEquiDepthHistogram: Q = new Q {
+    val name = "q_equi_depth_histogram"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val byV = Tables.lineitem(spark, dir)
+        .select(cents(col("l_extendedprice")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_v"))
+      val w = Window.orderBy("v") // value-domain window
+      byV
+        .withColumn("cum", sum("n_v").over(w))
+        .withColumn("n_total", sum("n_v").over(Window.partitionBy()))
+        .withColumn("bucket", expr("(cum * 10 + n_total - 1) div n_total"))
+        .groupBy("bucket")
+        .agg(min("v").as("lo_cents"), max("v").as("hi_cents"),
+          sum("n_v").as("n_rows"), count(lit(1)).as("ndv"))
+        .orderBy("bucket")
+    }
+    val oracle = Some(
+      """WITH byv AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, count(*) AS n_v
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT v, n_v,
+        |    sum(n_v) OVER (ORDER BY v) AS cum,
+        |    sum(n_v) OVER () AS n_total
+        |  FROM byv)
+        |SELECT CAST((cum * 10 + n_total - 1) // n_total AS BIGINT) AS bucket,
+        |  min(v) AS lo_cents, max(v) AS hi_cents,
+        |  CAST(sum(n_v) AS BIGINT) AS n_rows, count(*) AS ndv
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
-    qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier, qInventoryAbc)
+    qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier, qInventoryAbc,
+    qEquiDepthHistogram)
 }

@@ -734,8 +734,136 @@ object BehaviorQueries {
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
   }
 
+  /** Peak concurrent sessions per day by DISTRIBUTED sweep-line — the
+    * capacity-planning statistic (max simultaneous open sessions), done
+    * as the two-phase prefix sum that survives 100 TB: phase 1 runs the
+    * ±1 running sum WITHIN each day partition (parallel across days);
+    * phase 2 adds each day's carry-in — the cumulative sum of per-day
+    * boundary totals — via one calendar-grain window. No global sort of
+    * the boundary stream ever happens; the only unpartitioned window is
+    * over |days| rows.
+    *
+    * Determinism: boundaries sort by (us, delta DESC) so session starts
+    * precede ends at the same microsecond (overlap-inclusive); within an
+    * equal (us, delta) tie group every permutation yields the same
+    * partial-sum multiset, so the per-day MAX is exactly defined. */
+  val qConcurrencyPeak: Q = new Q {
+    val name = "q_concurrency_peak"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.ops.WindowOps
+      val sess = WindowOps.sessionize(Tables.events(spark, dir), Seq("user_id"),
+        "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("e_us"), lit(-1L)))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val wDay = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRun = bounds.withColumn("run", sum("delta").over(wDay))
+      val dayPeak = withRun.groupBy("day")
+        .agg(max("run").as("peak_local"), sum("delta").as("dtot"))
+      val wCal = Window.orderBy("day") // calendar-grain: ≤ |days| rows
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dayPeak
+        .withColumn("carry", coalesce(sum("dtot").over(wCal), lit(0L)))
+        .select(col("day"), (col("carry") + col("peak_local")).as("peak"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |iv AS (
+        |  SELECT user_id, session_idx,
+        |    min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM s GROUP BY 1, 2),
+        |b AS (
+        |  SELECT s_us AS us, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT e_us, -1 FROM iv),
+        |r AS (
+        |  SELECT CAST(make_timestamp(us) AS DATE) AS day, us, delta,
+        |    sum(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+        |                     ORDER BY us, delta DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b),
+        |d AS (
+        |  SELECT day, max(run) AS peak_local, sum(delta) AS dtot
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT day, peak_local,
+        |    COALESCE(sum(dtot) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        |  FROM d)
+        |SELECT day, CAST(carry + peak_local AS BIGINT) AS peak
+        |FROM c ORDER BY day""".stripMargin)
+  }
+
+  /** Strict ordered window-funnel (the ClickHouse `windowFunnel`
+    * semantics, vs `q_funnel_conversion`'s first-occurrence
+    * approximation): view → first click AFTER that view → first purchase
+    * AFTER that click, the whole chain within 7 days of the view.
+    * Presence-based funnels overcount (a click before the first view
+    * counts); this one walks the actual sequence.
+    *
+    * Scale shape: three user_id-keyed aggregate/join rounds (each side
+    * already hash-partitioned by user_id — AQE coalesces the co-
+    * partitioned joins); per-step frames only shrink. No windows over
+    * raw facts, no per-user state beyond three timestamps. */
+  val qWindowFunnel: Q = new Q {
+    val name = "q_window_funnel"
+    private val WindowUs = 7L * 86400L * 1000000L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .where(col("us") > col("t1") && col("us") <= col("t1") + WindowUs)
+        .groupBy("user_id", "t1").agg(min("us").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .where(col("us") > col("t2") && col("us") <= col("t1") + WindowUs)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      t1.select(count(lit(1)).as("n_view"))
+        .crossJoin(t2.select(count(lit(1)).as("n_then_click")))
+        .crossJoin(t3.select(count(lit(1)).as("n_then_purchase")))
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (
+         |  SELECT user_id, min(us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (
+         |  SELECT ev.user_id, t1.t1, min(ev.us) AS t2
+         |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+         |  WHERE ev.event_type = 'click' AND ev.us > t1.t1
+         |    AND ev.us <= t1.t1 + $WindowUs
+         |  GROUP BY 1, 2),
+         |t3 AS (
+         |  SELECT ev.user_id, min(ev.us) AS t3
+         |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+         |  WHERE ev.event_type = 'purchase' AND ev.us > t2.t2
+         |    AND ev.us <= t2.t1 + $WindowUs
+         |  GROUP BY 1)
+         |SELECT (SELECT count(*) FROM t1) AS n_view,
+         |       (SELECT count(*) FROM t2) AS n_then_click,
+         |       (SELECT count(*) FROM t3) AS n_then_purchase""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
-    qItemCf, qUserPathTopk)
+    qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Sinks, WindowOps}
@@ -463,7 +464,57 @@ object SourceQueries {
         |ORDER BY rule""".stripMargin)
   }
 
+  /** Ingest-volume freshness/completeness monitor — the per-partition
+    * health check a production lake alerts on: each event day's row count
+    * vs its trailing-7-day average, as an exact e4 ratio
+    * (n·10⁴·n_win div sum_win — cross-multiplied, no float mean), flagged
+    * `drop` below 0.5×, `spike` above 2×, `warmup` while no history
+    * exists. A silent upstream outage shows up as `drop` rows here before
+    * any consumer query goes wrong.
+    *
+    * Scale shape: fact scan → calendar-grain daily counts (partial agg);
+    * the trailing window runs over ≤ |days| rows. */
+  val dqFreshness: Q = new Q {
+    val name = "q_dq_freshness"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("sum_win", sum("n").over(w))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .select(col("day"), col("n"), coalesce(col("sum_win"), lit(0L)).as("sum_win"),
+          col("n_win"),
+          when(col("n_win") === 0, lit(null).cast("long"))
+            .otherwise(expr("n * 10000 * n_win div sum_win")).as("ratio_e4"))
+        .withColumn("status",
+          when(col("ratio_e4").isNull, "warmup")
+            .when(col("ratio_e4") < 5000, "drop")
+            .when(col("ratio_e4") > 20000, "spike").otherwise("ok"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n,
+        |    COALESCE(sum(n) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS sum_win,
+        |    count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_win
+        |  FROM daily),
+        |r AS (
+        |  SELECT day, n, sum_win, CAST(n_win AS BIGINT) AS n_win,
+        |    CASE WHEN n_win = 0 THEN NULL
+        |         ELSE n * 10000 * n_win // sum_win END AS ratio_e4
+        |  FROM w)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(sum_win AS BIGINT) AS sum_win,
+        |  n_win, CAST(ratio_e4 AS BIGINT) AS ratio_e4,
+        |  CASE WHEN ratio_e4 IS NULL THEN 'warmup'
+        |       WHEN ratio_e4 < 5000 THEN 'drop'
+        |       WHEN ratio_e4 > 20000 THEN 'spike' ELSE 'ok' END AS status
+        |FROM r ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
     dppMonthRevenue, zorderLayout, tableDiff, compactionPlan, tableProfile,
-    dqChecks)
+    dqChecks, dqFreshness)
 }

@@ -554,7 +554,47 @@ object TimeSeriesQueries {
         |FROM daily GROUP BY 1 ORDER BY dow""".stripMargin)
   }
 
+  /** Month-over-month and year-over-year revenue growth — the BI
+    * reporting staple: per month, revenue plus growth vs the previous
+    * month (lag 1) and the same month last year (lag 12), as exact e4
+    * ratios (Spark `div` and DuckDB `//` both truncate toward zero, so
+    * negative growth months agree bit-for-bit). NULL where no base
+    * period exists.
+    *
+    * Scale shape: fact scan → month-grain frame (partial agg), two lag
+    * reads of one sorted window pass over ≤ |months| rows. */
+  val qMomGrowth: Q = new Q {
+    val name = "q_mom_growth"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy(date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("month"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as long))").as("rev_cents"))
+      val w = Window.orderBy("month") // calendar-grain window: ≤ |months| rows
+      monthly
+        .withColumn("prev_m", lag(col("rev_cents"), 1).over(w))
+        .withColumn("prev_y", lag(col("rev_cents"), 12).over(w))
+        .select(col("month"), col("rev_cents"),
+          expr("(rev_cents - prev_m) * 10000 div prev_m").as("mom_e4"),
+          expr("(rev_cents - prev_y) * 10000 div prev_y").as("yoy_e4"))
+        .orderBy("month")
+    }
+    val oracle = Some(
+      """WITH m AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, rev_cents,
+        |    lag(rev_cents, 1) OVER (ORDER BY month) AS prev_m,
+        |    lag(rev_cents, 12) OVER (ORDER BY month) AS prev_y
+        |  FROM m)
+        |SELECT month, rev_cents,
+        |  CAST((rev_cents - prev_m) * 10000 // prev_m AS BIGINT) AS mom_e4,
+        |  CAST((rev_cents - prev_y) * 10000 // prev_y AS BIGINT) AS yoy_e4
+        |FROM l ORDER BY month""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
     qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint,
-    qAcfDaily, qSeasonalIndex)
+    qAcfDaily, qSeasonalIndex, qMomGrowth)
 }
