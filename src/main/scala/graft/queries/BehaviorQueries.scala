@@ -808,6 +808,28 @@ object BehaviorQueries {
         |FROM c ORDER BY day""".stripMargin)
   }
 
+  private val FunnelWindowUs = 7L * 86400L * 1000000L
+
+  /** The strict view→click→purchase chain behind `q_window_funnel` and
+    * `q_time_to_convert`: per user, first view (t1), first click after it
+    * (t2), first purchase after that (t3) — all within 7 days of t1. */
+  private def funnelChain(spark: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .where(col("us") > col("t1") && col("us") <= col("t1") + FunnelWindowUs)
+      .groupBy("user_id", "t1").agg(min("us").as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .where(col("us") > col("t2") && col("us") <= col("t1") + FunnelWindowUs)
+      .groupBy("user_id", "t1").agg(min("us").as("t3"))
+    (t1, t2, t3)
+  }
+
   /** Strict ordered window-funnel (the ClickHouse `windowFunnel`
     * semantics, vs `q_funnel_conversion`'s first-occurrence
     * approximation): view → first click AFTER that view → first purchase
@@ -821,20 +843,8 @@ object BehaviorQueries {
     * raw facts, no per-user state beyond three timestamps. */
   val qWindowFunnel: Q = new Q {
     val name = "q_window_funnel"
-    private val WindowUs = 7L * 86400L * 1000000L
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val ev = Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val t1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("us").as("t1"))
-      val t2 = ev.where(col("event_type") === "click")
-        .join(t1, Seq("user_id"))
-        .where(col("us") > col("t1") && col("us") <= col("t1") + WindowUs)
-        .groupBy("user_id", "t1").agg(min("us").as("t2"))
-      val t3 = ev.where(col("event_type") === "purchase")
-        .join(t2, Seq("user_id"))
-        .where(col("us") > col("t2") && col("us") <= col("t1") + WindowUs)
-        .groupBy("user_id").agg(min("us").as("t3"))
+      val (t1, t2, t3) = funnelChain(spark, dir)
       t1.select(count(lit(1)).as("n_view"))
         .crossJoin(t2.select(count(lit(1)).as("n_then_click")))
         .crossJoin(t3.select(count(lit(1)).as("n_then_purchase")))
@@ -849,21 +859,121 @@ object BehaviorQueries {
          |  SELECT ev.user_id, t1.t1, min(ev.us) AS t2
          |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
          |  WHERE ev.event_type = 'click' AND ev.us > t1.t1
-         |    AND ev.us <= t1.t1 + $WindowUs
+         |    AND ev.us <= t1.t1 + $FunnelWindowUs
          |  GROUP BY 1, 2),
          |t3 AS (
          |  SELECT ev.user_id, min(ev.us) AS t3
          |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
          |  WHERE ev.event_type = 'purchase' AND ev.us > t2.t2
-         |    AND ev.us <= t2.t1 + $WindowUs
+         |    AND ev.us <= t2.t1 + $FunnelWindowUs
          |  GROUP BY 1)
          |SELECT (SELECT count(*) FROM t1) AS n_view,
          |       (SELECT count(*) FROM t2) AS n_then_click,
          |       (SELECT count(*) FROM t3) AS n_then_purchase""".stripMargin)
   }
 
+  /** Conversion-latency distribution: for every user completing the
+    * strict funnel chain, days from first view to the converting
+    * purchase, as a day-grain histogram — the "how long does conversion
+    * take" companion to `q_window_funnel`'s "how many convert".
+    *
+    * Scale shape: inherits the chain's user_id-keyed join rounds, then
+    * one aggregate to ≤ 8 rows (the 7-day window bounds the domain). */
+  val qTimeToConvert: Q = new Q {
+    val name = "q_time_to_convert"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val (_, _, t3) = funnelChain(spark, dir)
+      t3.groupBy(expr("(t3 - t1) div 86400000000").as("days_to_convert"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("days_to_convert")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (
+         |  SELECT user_id, min(us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (
+         |  SELECT ev.user_id, t1.t1, min(ev.us) AS t2
+         |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+         |  WHERE ev.event_type = 'click' AND ev.us > t1.t1
+         |    AND ev.us <= t1.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2),
+         |t3 AS (
+         |  SELECT ev.user_id, t2.t1, min(ev.us) AS t3
+         |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+         |  WHERE ev.event_type = 'purchase' AND ev.us > t2.t2
+         |    AND ev.us <= t2.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2)
+         |SELECT (t3 - t1) // 86400000000 AS days_to_convert,
+         |       count(*) AS n_users
+         |FROM t3 GROUP BY 1 ORDER BY days_to_convert""".stripMargin)
+  }
+
+  /** Popularity-fallback ("cold start") recommendations: for the bounded
+    * subject list, the top-3 globally-popular parts the subject has NOT
+    * already bought — the serving-side fallback when a user has no
+    * collaborative signal for `q_item_cf`.
+    *
+    * Scale shape: popularity is a part-DIM aggregate cut to a constant
+    * top-20 (rank window with WindowGroupLimit); subjects × top-20 is a
+    * broadcast cross of two bounded frames; the anti-join probes the
+    * subject-bounded purchase set. Nothing fact-sized shuffles twice. */
+  val qColdStartRecs: Q = new Q {
+    val name = "q_cold_start_recs"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val bought = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val popular = bought.groupBy("part").agg(count(lit(1)).as("n_buyers"))
+        .withColumn("pop_rank", row_number().over(
+          Window.orderBy(col("n_buyers").desc, col("part"))).cast("long"))
+        .where(col("pop_rank") <= 20)
+      val subjects = Tables.customer(spark, dir)
+        .where(col("c_custkey") % 100 === 0).select(col("c_custkey"))
+      val boughtA = bought
+        .select(col("cust").as("b_cust"), col("part").as("b_part"))
+      subjects.crossJoin(broadcast(popular))
+        .join(boughtA,
+          col("c_custkey") === col("b_cust") && col("part") === col("b_part"),
+          "left_anti")
+        .withColumn("rec_rank", row_number().over(
+          Window.partitionBy("c_custkey").orderBy("pop_rank")).cast("long"))
+        .where(col("rec_rank") <= 3)
+        .select(col("c_custkey"), col("part").as("p_partkey"),
+          col("n_buyers"), col("pop_rank"), col("rec_rank"))
+        .orderBy("c_custkey", "rec_rank")
+    }
+    val oracle = Some(
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pop AS (
+        |  SELECT part, count(*) AS n_buyers,
+        |    row_number() OVER (ORDER BY count(*) DESC, part) AS pop_rank
+        |  FROM bought GROUP BY part),
+        |top20 AS (SELECT * FROM pop WHERE pop_rank <= 20),
+        |subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |cand AS (
+        |  SELECT s.c_custkey, t.part, t.n_buyers, t.pop_rank
+        |  FROM subj s CROSS JOIN top20 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM bought b
+        |                    WHERE b.cust = s.c_custkey AND b.part = t.part)),
+        |r AS (
+        |  SELECT c_custkey, part, n_buyers, pop_rank,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY pop_rank) AS rec_rank
+        |  FROM cand)
+        |SELECT c_custkey, part AS p_partkey, CAST(n_buyers AS BIGINT) AS n_buyers,
+        |  CAST(pop_rank AS BIGINT) AS pop_rank, CAST(rec_rank AS BIGINT) AS rec_rank
+        |FROM r WHERE rec_rank <= 3 ORDER BY c_custkey, rec_rank""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
-    qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel)
+    qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
+    qColdStartRecs)
 }

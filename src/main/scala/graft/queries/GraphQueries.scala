@@ -765,7 +765,40 @@ object GraphQueries {
          |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin)
   }
 
+  /** Degree-distribution profile of the co-purchase graph — the first
+    * statistic any graph pipeline inspects (power-law vs uniform decides
+    * hub caps, salting, and orientation strategy for every downstream
+    * graph operator here). Log₂-binned via `length(bin(deg))` — an exact
+    * integer bit-length in both engines, no float log (the
+    * q_length_histogram device).
+    *
+    * Scale shape: degrees are one groupBy over the edge list (node-DIM
+    * output), the histogram a second groupBy to ≤ 64 bins. */
+  val degreeHistogram: Q = new Q {
+    val name = "q_degree_histogram"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val e = copurchase(spark, dir)
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.groupBy(length(bin(col("deg"))).cast("long").as("deg_bin"))
+        .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+          max("deg").as("max_deg"), sum("deg").as("sum_deg"))
+        .orderBy("deg_bin")
+    }
+    val oracle = Some(
+      s"""WITH cop AS ($CopurchaseSql),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT pa AS node FROM cop UNION ALL SELECT pb FROM cop) t
+         |  GROUP BY 1)
+         |SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bin,
+         |  count(*) AS n_nodes, CAST(min(deg) AS BIGINT) AS min_deg,
+         |  CAST(max(deg) AS BIGINT) AS max_deg, CAST(sum(deg) AS BIGINT) AS sum_deg
+         |FROM deg GROUP BY 1 ORDER BY deg_bin""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
     linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore,
-    hitsBipartite)
+    hitsBipartite, degreeHistogram)
 }

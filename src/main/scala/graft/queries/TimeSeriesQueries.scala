@@ -594,7 +594,70 @@ object TimeSeriesQueries {
         |FROM l ORDER BY month""".stripMargin)
   }
 
+  /** Tukey-fence (IQR) outlier audit per event type — the boxplot
+    * companion to `q_anomaly_mad`: exact discrete Q1/Q3 at the
+    * VALUE grain (cum ≥ ⌈p·n⌉ over the distinct-cents frame, never a
+    * fact-table rank sort), then outlier counts against the 1.5·IQR
+    * fences. All comparisons are doubled (2v vs 2q1−3·iqr) so the
+    * half-integer fences stay in exact BIGINT arithmetic.
+    *
+    * Scale shape: one partial-aggregated fact scan to the
+    * (type, cents) grain, per-type windows over the bounded value
+    * domain, one broadcast join of the 5-row fence table back onto the
+    * same value-grain frame — the fact table is scanned once. */
+  val qIqrOutliers: Q = new Q {
+    val name = "q_iqr_outliers"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val byV = Tables.events(spark, dir)
+        .select(col("event_type"), Q.cents(col("value")).as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("n_v"))
+        .persist() // feeds quartile selection AND the outlier counts
+      val w = Window.partitionBy("event_type").orderBy("v")
+      val cum = byV
+        .withColumn("cum", sum("n_v").over(w))
+        .withColumn("n", sum("n_v").over(Window.partitionBy("event_type")))
+      val fences = cum.groupBy("event_type", "n")
+        .agg(min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("v")))
+          .as("q1"),
+          min(when(col("cum") >= expr("(n * 75 + 99) div 100"), col("v")))
+            .as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+      byV.join(broadcast(fences), Seq("event_type"))
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(sum(when(expr("2 * v < 2 * q1 - 3 * iqr"), col("n_v"))
+          .otherwise(0L)).as("n_lo"),
+          sum(when(expr("2 * v > 2 * q3 + 3 * iqr"), col("n_v"))
+            .otherwise(0L)).as("n_hi"))
+        .select(col("event_type"), col("n"), col("q1").as("q1_cents"),
+          col("q3").as("q3_cents"), col("n_lo"), col("n_hi"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """WITH byv AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |         count(*) AS n_v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, n_v,
+        |    sum(n_v) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    sum(n_v) OVER (PARTITION BY event_type) AS n
+        |  FROM byv),
+        |f AS (
+        |  SELECT event_type, n,
+        |    min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS q1,
+        |    min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS q3
+        |  FROM c GROUP BY 1, 2)
+        |SELECT b.event_type, CAST(f.n AS BIGINT) AS n,
+        |  f.q1 AS q1_cents, f.q3 AS q3_cents,
+        |  CAST(sum(CASE WHEN 2 * b.v < 2 * f.q1 - 3 * (f.q3 - f.q1)
+        |                THEN b.n_v ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN 2 * b.v > 2 * f.q3 + 3 * (f.q3 - f.q1)
+        |                THEN b.n_v ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM byv b JOIN f ON b.event_type = f.event_type
+        |GROUP BY 1, 2, 3, 4 ORDER BY b.event_type""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
     qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint,
-    qAcfDaily, qSeasonalIndex, qMomGrowth)
+    qAcfDaily, qSeasonalIndex, qMomGrowth, qIqrOutliers)
 }
