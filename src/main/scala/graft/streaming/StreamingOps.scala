@@ -460,4 +460,56 @@ object StreamingOps {
           closed.reverse.iterator
       }
   }
+
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  /** −1 = step not reached. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelLevel(user_id: Long, level: Long, t1_us: Long, t3_us: Long)
+
+  /** Streaming twin of the batch strict window-funnel
+    * (BehaviorQueries.qWindowFunnel): per-user state is exactly the three
+    * chain timestamps (first view, first click after it, first purchase
+    * after that — all within `windowUs` of the view), O(1) on an
+    * unbounded stream. Events fold in ts order within each micro-batch;
+    * a chain step arriving in a LATER micro-batch than its predecessor
+    * advances the level then (spec-pinned). Emits the user's current
+    * level on every update — downstream counts per level reproduce the
+    * batch funnel. */
+  class FunnelProcessor(windowUs: Long, ttl: TTLConfig)
+    extends StatefulProcessor[Long, FunnelEvent, FunnelLevel] {
+    @transient private var state: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timers: TimerValues): Iterator[FunnelLevel] = {
+      var st = if (state.exists()) state.get() else FunnelState(-1L, -1L, -1L)
+      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+        e.event_type match {
+          case "view" if st.t1 < 0 => st = st.copy(t1 = e.ts_us)
+          case "click" if st.t1 >= 0 && st.t2 < 0 &&
+            e.ts_us > st.t1 && e.ts_us <= st.t1 + windowUs =>
+            st = st.copy(t2 = e.ts_us)
+          case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+            e.ts_us > st.t2 && e.ts_us <= st.t1 + windowUs =>
+            st = st.copy(t3 = e.ts_us)
+          case _ => ()
+        }
+      }
+      state.update(st)
+      val level = if (st.t3 >= 0) 3L else if (st.t2 >= 0) 2L
+      else if (st.t1 >= 0) 1L else 0L
+      Iterator.single(FunnelLevel(key, level, st.t1, st.t3))
+    }
+  }
+
+  /** Wire [[FunnelProcessor]] over a keyed event stream (RocksDB state). */
+  def funnelStream(events: Dataset[FunnelEvent], windowUs: Long,
+                   ttl: TTLConfig = TTLConfig.NONE): Dataset[FunnelLevel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(windowUs, ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -397,6 +397,82 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStream: chain steps crossing micro-batches; out-of-order and late steps rejected") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val day = 86400000000L
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), 7L * day)
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // user 1: view now, click+purchase arrive in the NEXT micro-batch
+      // user 2: click BEFORE the first view — must not advance the chain
+      // user 3: click inside, purchase outside the 7-day window
+      input.addData(
+        StreamingOps.FunnelEvent(1L, 0L, "view"),
+        StreamingOps.FunnelEvent(2L, 0L, "click"),
+        StreamingOps.FunnelEvent(2L, 10L, "view"),
+        StreamingOps.FunnelEvent(3L, 0L, "view"),
+        StreamingOps.FunnelEvent(3L, day, "click"))
+      q.processAllAvailable()
+      input.addData(
+        StreamingOps.FunnelEvent(1L, day, "click"),
+        StreamingOps.FunnelEvent(1L, 2 * day, "purchase"),
+        StreamingOps.FunnelEvent(3L, 8 * day, "purchase"))
+      q.processAllAvailable()
+      val fin = spark.table("sfunnel").as[StreamingOps.FunnelLevel].collect()
+        .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.level).level }
+      assert(fin === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("funnelStream on the real fixture reproduces the batch q_window_funnel counts") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_type")
+      .as[StreamingOps.FunnelEvent].collect().sortBy(_.ts_us)
+    val (first, second) = ev.splitAt(ev.length / 2) // chains cross the split
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(), 7L * 86400000000L)
+      .writeStream.format("memory").queryName("sfunnel_fix")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val levels = spark.table("sfunnel_fix").as[StreamingOps.FunnelLevel]
+        .collect().groupBy(_.user_id)
+        .map { case (_, rs) => rs.maxBy(_.level).level }.toSeq
+      val batch = graft.queries.BehaviorQueries.qWindowFunnel.run(spark, dir)
+        .collect().head
+      assert(levels.count(_ >= 1) == batch.getAs[Long]("n_view"))
+      assert(levels.count(_ >= 2) == batch.getAs[Long]("n_then_click"))
+      assert(levels.count(_ >= 3) == batch.getAs[Long]("n_then_purchase"))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("aggregation state survives a query restart from the checkpoint") {
     implicit val sc = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
