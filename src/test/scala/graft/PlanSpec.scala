@@ -303,4 +303,53 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("date") && !pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
       s"date predicate not in PartitionFilters: $pf\n$plan")
   }
+
+  test("q_item_cf: per-item top-5 keeps WindowGroupLimit; pair space never goes cartesian") {
+    val plan = graft.queries.BehaviorQueries.qItemCf.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-item rank lost partial top-k pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in CF pair space:\n$plan")
+  }
+
+  test("q_hits_bipartite: equi-joins only; final top-100 is rank-limited") {
+    val plan = graft.queries.GraphQueries.hitsBipartite.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in HITS plan:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("TakeOrderedAndProject"),
+      s"top-100 authority cut lost its bounded shape:\n$plan")
+  }
+
+  test("q_concurrency_peak: phase-1 sweep is day-partitioned, not a global sort") {
+    val plan = graft.queries.BehaviorQueries.qConcurrencyPeak.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(day"),
+      s"sweep-line lost its per-day partitioning — boundary stream would " +
+        s"single-partition at scale:\n$plan")
+  }
+
+  test("q_cold_start_recs: popularity cross is broadcast; ownership check is an anti-join") {
+    val plan = graft.queries.BehaviorQueries.qColdStartRecs.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"ownership filter is not an anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"subjects × top-20 must broadcast, not cartesian:\n$plan")
+  }
+
+  test("q_rfm_segments: quintile lookups join via broadcast (value-grain, never shuffled)") {
+    val plan = graft.queries.BehaviorQueries.qRfmSegments.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(nBroadcast >= 3,
+      s"expected 3 broadcast quintile-lookup joins, found $nBroadcast:\n$plan")
+  }
+
+  test("q_ndcg_mrr: query batch and label histogram broadcast; corpus streams map-side") {
+    val plan = graft.queries.VectorQueries.qNdcgMrr.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus × queries must broadcast the bounded side:\n$plan")
+  }
 }
