@@ -650,8 +650,102 @@ object AnalyticQueries {
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin)
   }
 
+  /** Gini coefficient of customer spend — the revenue-concentration /
+    * inequality audit (who carries the business; also the label-skew
+    * check before training on engagement data). Exact integer form over
+    * the spend-ASC ordering with (spend, custkey) tie-break:
+    *   gini_e6 = (2·Σ i·xᵢ − (n+1)·Σx) · 10⁶ div (n·Σx)
+    * Equal spends commute inside Σ i·xᵢ, so the tie-break changes nothing
+    * — the statistic is total-order deterministic.
+    *
+    * Scale shape: one custkey shuffle to the per-customer frame, one
+    * dimension-grain ranking window (|customers|, the same bounded class
+    * as the ABC sweep), one global aggregate. Headroom: spend in DOLLARS
+    * keeps Σ i·xᵢ under 2^63 to ~10⁶ customers; beyond, DECIMAL(38). */
+  val qGiniConcentration: Q = new Q {
+    val name = "q_gini_concentration"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val spend = Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100").as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      spend
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("i * x")).as("six"))
+        .select(col("n"), col("sx").as("total_dollars"),
+          expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)").as("gini_e6"))
+    }
+    val oracle = Some(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend)
+        |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total_dollars,
+        |  CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+        |       // (count(*) * sum(x)) AS BIGINT) AS gini_e6
+        |FROM r""".stripMargin)
+  }
+
+  /** Weekly event-mix drift: total-variation distance between each week's
+    * event-type distribution and the corpus-wide one, exact e6 via
+    * cross-multiplication (½·Σ|n_wt·N − n_t·N_w| over the common
+    * denominator N_w·N) — the categorical drift monitor next to
+    * `q_ks_drift`'s numeric one. A release that changes client logging
+    * shows up as a TVD spike that week.
+    *
+    * Scale shape: one partial-aggregated scan to the (week, type) grain;
+    * everything after runs on calendar×type-bounded frames (broadcast
+    * joins of the week totals and global mix). Headroom: the cross-
+    * multiplied |n_wt·N − n_t·N_w| stays in BIGINT to ~10⁹ total events
+    * (ANSI mode fails loudly past it — move the sums to DECIMAL(38) as
+    * q_decimal_exact demonstrates). */
+  val qMixDriftWeekly: Q = new Q {
+    val name = "q_mix_drift_weekly"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val wt = Tables.events(spark, dir)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_wt"))
+      val weekTot = wt.groupBy("week").agg(sum("n_wt").as("n_w"))
+      val typeTot = wt.groupBy("event_type").agg(sum("n_wt").as("n_t"))
+      val tot = wt.agg(sum("n_wt").as("n_tot"))
+      // a type VANISHING from a week is the loudest drift — zero-fill the
+      // full week×type grid (calendar×type-bounded) so it contributes n_t·N_w
+      weekTot.crossJoin(broadcast(typeTot))
+        .join(wt, Seq("week", "event_type"), "left")
+        .withColumn("n_wt", coalesce(col("n_wt"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .groupBy("week", "n_w", "n_tot")
+        .agg(sum(abs(expr("n_wt * n_tot - n_t * n_w"))).as("absdiff"))
+        .select(col("week"), col("n_w"),
+          expr("absdiff * 500000 div (n_w * n_tot)").as("tvd_e6"))
+        .orderBy("week")
+    }
+    val oracle = Some(
+      """WITH wt AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+        |         count(*) AS n_wt
+        |  FROM events GROUP BY 1, 2),
+        |wtot AS (SELECT week, sum(n_wt) AS n_w FROM wt GROUP BY 1),
+        |ttot AS (SELECT event_type, sum(n_wt) AS n_t FROM wt GROUP BY 1),
+        |tot AS (SELECT sum(n_wt) AS n_tot FROM wt),
+        |grid AS (
+        |  SELECT w.week, w.n_w, t.event_type, t.n_t,
+        |         COALESCE(wt.n_wt, 0) AS n_wt
+        |  FROM wtot w CROSS JOIN ttot t
+        |  LEFT JOIN wt ON wt.week = w.week AND wt.event_type = t.event_type)
+        |SELECT g.week, CAST(g.n_w AS BIGINT) AS n_w,
+        |  CAST(sum(abs(g.n_wt * t2.n_tot - g.n_t * g.n_w)) * 500000
+        |       // (g.n_w * t2.n_tot) AS BIGINT) AS tvd_e6
+        |FROM grid g CROSS JOIN tot t2
+        |GROUP BY g.week, g.n_w, t2.n_tot ORDER BY week""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qGroupingSets, qMovingAvg, qGapfill, qScalarSubquery,
     approxDistinctUsers, qOhlcDaily, qRollingDistinct, qFunnel, qQuantilesExact,
     qSkewStats, qSeqMatch, qEcdfNormalize, qParetoFrontier, qInventoryAbc,
-    qEquiDepthHistogram)
+    qEquiDepthHistogram, qGiniConcentration, qMixDriftWeekly)
 }

@@ -971,9 +971,46 @@ object BehaviorQueries {
         |FROM r WHERE rec_rank <= 3 ORDER BY c_custkey, rec_rank""".stripMargin)
   }
 
+  /** Inter-arrival burstiness profile: log₂ histogram of per-user
+    * inter-event gaps (seconds) — a bursty stream piles mass in the small
+    * bins AND the heavy tail at once; a Poisson-ish one is unimodal. The
+    * bit-length binning (`length(bin(gap+1))`) is exact in both engines —
+    * no float log (the q_length_histogram device). The profile drives
+    * session-gap and watermark tuning.
+    *
+    * Scale shape: ONE user_id window pass for the lag, in-row binning,
+    * final aggregate over ≤ 64 bins. */
+  val qInterarrivalProfile: Q = new Q {
+    val name = "q_interarrival_profile"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) div 1000000"))
+        .where(col("gap_s").isNotNull)
+        .groupBy(length(bin(col("gap_s") + 1)).cast("long").as("gap_bin"))
+        .agg(count(lit(1)).as("n"), min("gap_s").as("min_gap_s"),
+          max("gap_s").as("max_gap_s"), sum("gap_s").as("sum_gap_s"))
+        .orderBy("gap_bin")
+    }
+    val oracle = Some(
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) -
+        |          epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+        |         // 1000000 AS gap_s
+        |  FROM events)
+        |SELECT CAST(length(bin(gap_s + 1)) AS BIGINT) AS gap_bin,
+        |  count(*) AS n, CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+        |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY gap_bin""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
-    qColdStartRecs)
+    qColdStartRecs, qInterarrivalProfile)
 }

@@ -798,7 +798,55 @@ object GraphQueries {
          |FROM deg GROUP BY 1 ORDER BY deg_bin""".stripMargin)
   }
 
+  /** Degree assortativity of the co-purchase graph — do hubs attach to
+    * hubs (assortative, r>0) or to leaves (disassortative, r<0)? The
+    * number that decides whether hub-capping (link prediction) and
+    * degree-orientation (triangles) pay off. Exported as the EXACT
+    * Pearson sufficient statistics over directed edge endpoints
+    * (x = deg(src), y = deg(dst); both directions, so Σx = Σy):
+    * r = num / var_n. The √-free export is the q_acf_daily convention.
+    *
+    * Scale shape: one degree groupBy (node-DIM), two part-grain joins of
+    * the edge list against it, one global aggregate. Headroom: deg ≤ 10⁶
+    * keeps n·Σxy under 2^63 to ~10⁹ edges. */
+  val graphAssortativity: Q = new Q {
+    val name = "q_graph_assortativity"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val e = copurchase(spark, dir).select("pa", "pb")
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val directed = e.select(col("pa").as("s"), col("pb").as("d"))
+        .unionAll(e.select(col("pb"), col("pa")))
+      directed
+        .join(deg.select(col("node").as("s"), col("deg").as("x")), Seq("s"))
+        .join(deg.select(col("node").as("d"), col("deg").as("y")), Seq("d"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sx2"))
+        .select(col("n"),
+          expr("n * sxy - sx * sx").as("num"),
+          expr("n * sx2 - sx * sx").as("var_n"))
+    }
+    val oracle = Some(
+      s"""WITH cop AS ($CopurchaseSql),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT pa AS node FROM cop UNION ALL SELECT pb FROM cop) t
+         |  GROUP BY 1),
+         |dirr AS (
+         |  SELECT pa AS s, pb AS d FROM cop
+         |  UNION ALL SELECT pb, pa FROM cop),
+         |j AS (
+         |  SELECT ds.deg AS x, dd.deg AS y
+         |  FROM dirr JOIN deg ds ON dirr.s = ds.node
+         |            JOIN deg dd ON dirr.d = dd.node)
+         |SELECT count(*) AS n,
+         |  CAST(count(*) * sum(x * y) - sum(x) * sum(x) AS BIGINT) AS num,
+         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS var_n
+         |FROM j""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
     linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore,
-    hitsBipartite, degreeHistogram)
+    hitsBipartite, degreeHistogram, graphAssortativity)
 }

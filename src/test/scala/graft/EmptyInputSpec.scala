@@ -24,7 +24,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_tpch_q17", "q_tpch_q19", "q_funnel_conversion", "q_kmv_union",
     "q_join_size_est", "q_skew_stats", "q_seq_match",
     "q_kmv_intersect", "q_auc_score", "q_cohen_kappa", "q_lsh_recall",
-    "q_dataset_datasheet", "q_window_funnel")
+    "q_dataset_datasheet", "q_window_funnel", "q_graph_assortativity",
+    "q_gini_concentration")
 
   // queries whose output is sized by a deployment CONSTANT (a probe list,
   // a profiled-column list), not by the data: they legitimately return
