@@ -660,8 +660,12 @@ object AnalyticQueries {
     *
     * Scale shape: one custkey shuffle to the per-customer frame, one
     * dimension-grain ranking window (|customers|, the same bounded class
-    * as the ABC sweep), one global aggregate. Headroom: spend in DOLLARS
-    * keeps Σ i·xᵢ under 2^63 to ~10⁶ customers; beyond, DECIMAL(38). */
+    * as the ABC sweep), one global aggregate. The Σ i·xᵢ terms and the
+    * ×10⁶ numerator are carried in DECIMAL(38,0) (= DuckDB's HUGEINT
+    * sums — the q_decimal_exact convention), so the statistic is exact at
+    * any customer count; only the final e6 quotient returns to BIGINT.
+    * (BIGINT throughout overflows the ×10⁶ step already at sf0.1×10 —
+    * caught by the scale probe, ANSI mode failing loudly.) */
   val qGiniConcentration: Q = new Q {
     val name = "q_gini_concentration"
     def run(spark: SparkSession, dir: String): DataFrame = {
@@ -672,9 +676,10 @@ object AnalyticQueries {
       spend
         .withColumn("i", row_number().over(w).cast("long"))
         .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-          sum(expr("i * x")).as("six"))
+          sum(col("i").cast("decimal(38,0)") * col("x")).as("six"))
         .select(col("n"), col("sx").as("total_dollars"),
-          expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)").as("gini_e6"))
+          expr("cast((2 * six - (cast(n as decimal(38,0)) + 1) * sx) * 1000000" +
+            " div (cast(n as decimal(38,0)) * sx) as long)").as("gini_e6"))
     }
     val oracle = Some(
       """WITH spend AS (
