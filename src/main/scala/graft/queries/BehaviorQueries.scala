@@ -1008,9 +1008,87 @@ object BehaviorQueries {
         |GROUP BY 1 ORDER BY gap_bin""".stripMargin)
   }
 
+  /** Audience-overlap matrix: exact Jaccard between the USER SETS of each
+    * event-type pair — "do clickers also purchase?" — the segmentation
+    * overlap audit. |A∩B| comes from a user-keyed self-join of the
+    * distinct (type, user) frame (pair fan-out bounded by types-per-user
+    * ≤ |types|²); |A∪B| = |A|+|B|−|A∩B| keeps everything integer.
+    *
+    * Scale shape: one distinct at (type, user) grain (the only
+    * fact-cardinality pass), the self-join is user-keyed (co-partitioned)
+    * with in-row C(types_u, 2) fan-out, final agg at the |types|² grain. */
+  val qAudienceOverlap: Q = new Q {
+    val name = "q_audience_overlap"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val tu = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct().persist()
+      val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val l = tu.select(col("event_type").as("type_a"), col("user_id"))
+      val r = tu.select(col("event_type").as("type_b"), col("user_id"))
+      l.join(r, Seq("user_id"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_e6"))
+        .orderBy("type_a", "type_b")
+    }
+    val oracle = Some(
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        |pair AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(p.n_both AS BIGINT) AS n_both,
+        |  CAST(p.n_both * 1000000 // (sa.n + sb.n - p.n_both) AS BIGINT)
+        |    AS jaccard_e6
+        |FROM pair p JOIN sz sa ON p.type_a = sa.event_type
+        |            JOIN sz sb ON p.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin)
+  }
+
+  /** Daily active users split into NEW vs RETURNING — the growth
+    * dashboard's first chart. A user's first-ever day marks them new that
+    * day, returning on any later active day.
+    *
+    * Scale shape: one user_id shuffle for first days, one (user, day)
+    * distinct (fact-cardinality pass), one co-partitioned equi-join back
+    * on user_id, final calendar-grain aggregate. */
+  val qNewVsReturning: Q = new Q {
+    val name = "q_new_vs_returning"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(first, Seq("user_id"))
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+        .withColumn("dau", col("n_new") + col("n_returning"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT ud.day,
+        |  CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+        |  count(*) AS dau
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY ud.day ORDER BY ud.day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
-    qColdStartRecs, qInterarrivalProfile)
+    qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning)
 }

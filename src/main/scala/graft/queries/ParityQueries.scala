@@ -398,7 +398,51 @@ object ParityQueries {
         |GROUP BY 1 ORDER BY lag_days""".stripMargin)
   }
 
+  /** SLA attainment by order priority: share of orders whose FIRST
+    * shipment left within 30/60/90 days — the logistics scorecard over
+    * the `q_shipping_lag` distribution, at the order grain (min ship date
+    * per order, then one priority-grain aggregate). Exact e4 shares.
+    *
+    * Scale shape: one orderkey-grain aggregate of lineitem (partial,
+    * co-partitioned with the orders join), final agg at 5 priorities. */
+  val qSlaByPriority: Q = new Q {
+    val name = "q_sla_by_priority"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val firstShip = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("ordered"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("lag_d", datediff(col("first_ship"), col("ordered")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("lag_d") <= 30, 1L).otherwise(0L)).as("n_30d"),
+          sum(when(col("lag_d") <= 60, 1L).otherwise(0L)).as("n_60d"),
+          sum(when(col("lag_d") <= 90, 1L).otherwise(0L)).as("n_90d"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          expr("n_30d * 10000 div n_orders").as("sla30_e4"),
+          expr("n_60d * 10000 div n_orders").as("sla60_e4"),
+          expr("n_90d * 10000 div n_orders").as("sla90_e4"))
+        .orderBy("o_orderpriority")
+    }
+    val oracle = Some(
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority,
+        |    datediff('day', CAST(o.o_orderdate AS DATE), fs.first_ship) AS lag_d
+        |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS sla30_e4,
+        |  CAST(sum(CASE WHEN lag_d <= 60 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS sla60_e4,
+        |  CAST(sum(CASE WHEN lag_d <= 90 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS sla90_e4
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qSetOpsAll, qStringAgg, qMinMaxBy, qTryArith,
     qBitwiseAggs, qMapFunctions, qCondAggs, qSkewTwoPhaseAgg, qRegrAggs,
-    qDecimalExact, qDateEdgeParity, qShippingLag)
+    qDecimalExact, qDateEdgeParity, qShippingLag, qSlaByPriority)
 }

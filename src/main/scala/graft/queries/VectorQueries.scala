@@ -985,8 +985,43 @@ object VectorQueries {
     }
   }
 
+  /** Embedding-norm health profile: log₂ histogram of squared L2 norms —
+    * the "did the encoder collapse / explode" check run before any
+    * cosine-based pipeline trusts the space. Norms concentrated in one
+    * narrow bin (normalized output) vs a spread (raw logits) changes
+    * whether dot ≈ cosine. Components quantize to e6 in-row (the
+    * label_centroid_sim device), norm² is an exact BIGINT fold, the bin
+    * an exact bit-length — no float anywhere in the gated output.
+    *
+    * Scale shape: pure in-row map + one partial-aggregated groupBy to
+    * ≤ 64 bins; the corpus is touched once, map-side. */
+  val qEmbeddingNormProfile: Q = new Q {
+    val name = "q_embedding_norm_profile"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .withColumn("norm2_e12", expr(
+          "aggregate(transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, q) -> acc + q * q)"))
+        .groupBy(length(bin(col("norm2_e12"))).cast("long").as("norm_bin"))
+        .agg(count(lit(1)).as("n_vecs"), min("norm2_e12").as("min_norm2"),
+          max("norm2_e12").as("max_norm2"))
+        .orderBy("norm_bin")
+    val oracle = Some(
+      """WITH q AS (
+        |  SELECT CAST(list_sum(list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |              * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |         AS BIGINT) AS norm2_e12
+        |  FROM embeddings)
+        |SELECT CAST(length(bin(norm2_e12)) AS BIGINT) AS norm_bin,
+        |  count(*) AS n_vecs, min(norm2_e12) AS min_norm2,
+        |  max(norm2_e12) AS max_norm2
+        |FROM q GROUP BY 1 ORDER BY norm_bin""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
-    labelCentroidSim, hardNegatives, qNdcgMrr)
+    labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)
 }
