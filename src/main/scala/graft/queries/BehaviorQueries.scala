@@ -1086,9 +1086,119 @@ object BehaviorQueries {
         |GROUP BY ud.day ORDER BY ud.day""".stripMargin)
   }
 
+  /** Classic Dk retention curve (k = 1, 7, 14, 28): share of users active
+    * EXACTLY k days after their first day — the mobile-analytics headline
+    * metric, with correct RIGHT-CENSORING: a user only enters day-k's
+    * denominator if day first+k lies inside the observed window (without
+    * it, late cohorts silently depress the tail).
+    *
+    * Scale shape: one user_id shuffle (first days), one (user, day)
+    * distinct, a 4-way in-row explode of the k list, one co-partitioned
+    * left join against activity on (user, day), final 4-row aggregate. */
+  val qRetentionCurve: Q = new Q {
+    val name = "q_retention_curve"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      val bounds = ud.agg(max("day").as("hi"))
+      val cand = first
+        .withColumn("k", explode(array(lit(1), lit(7), lit(14), lit(28))))
+        .withColumn("target", expr("date_add(first_day, k)"))
+        .crossJoin(broadcast(bounds))
+        .where(col("target") <= col("hi"))
+      cand
+        .join(ud.select(col("user_id"), col("day").as("target"))
+          .withColumn("hit", lit(1L)), Seq("user_id", "target"), "left")
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_eligible"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_retained"))
+        .select(col("k"), col("n_eligible"), col("n_retained"),
+          expr("n_retained * 10000 div n_eligible").as("retention_e4"))
+        .orderBy("k")
+    }
+    val oracle = Some(
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |b AS (SELECT max(day) AS hi FROM ud),
+        |cand AS (
+        |  SELECT f.user_id, k.k, f.first_day + k.k * INTERVAL 1 DAY AS target
+        |  FROM f CROSS JOIN (VALUES (1), (7), (14), (28)) k(k)
+        |  CROSS JOIN b WHERE f.first_day + k.k * INTERVAL 1 DAY <= b.hi),
+        |j AS (
+        |  SELECT c.k, CASE WHEN ud.user_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM cand c LEFT JOIN ud
+        |    ON ud.user_id = c.user_id AND ud.day = c.target)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_eligible,
+        |  CAST(sum(hit) AS BIGINT) AS n_retained,
+        |  CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS retention_e4
+        |FROM j GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  /** Discrete conversion-hazard table over the strict funnel — the
+    * survival-analysis view of `q_time_to_convert`: per day d since the
+    * first view, the users still unconverted entering d (n_at_risk),
+    * the conversions landing on d, and the exact hazard rate. The
+    * Kaplan–Meier product is left to the consumer (it's a product of
+    * these exact rationals); the export is the sufficient table.
+    *
+    * Scale shape: inherits the chain's user_id-keyed rounds; everything
+    * after runs on a ≤ 8-row day frame. */
+  val qConversionHazard: Q = new Q {
+    val name = "q_conversion_hazard"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val (t1, _, t3) = funnelChain(spark, dir)
+      val nView = t1.agg(count(lit(1)).as("n_view"))
+      val byDay = t3
+        .groupBy(expr("(t3 - t1) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_conv"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+      byDay
+        .withColumn("prior_conv", coalesce(sum("n_conv").over(w), lit(0L)))
+        .crossJoin(broadcast(nView))
+        .select(col("day"), (col("n_view") - col("prior_conv")).as("n_at_risk"),
+          col("n_conv"),
+          expr("n_conv * 1000000 div (n_view - prior_conv)").as("hazard_e6"))
+        .orderBy("day")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (
+         |  SELECT user_id, min(us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |t2 AS (
+         |  SELECT ev.user_id, t1.t1, min(ev.us) AS t2
+         |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+         |  WHERE ev.event_type = 'click' AND ev.us > t1.t1
+         |    AND ev.us <= t1.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2),
+         |t3 AS (
+         |  SELECT ev.user_id, t2.t1, min(ev.us) AS t3
+         |  FROM ev JOIN t2 ON ev.user_id = t2.user_id
+         |  WHERE ev.event_type = 'purchase' AND ev.us > t2.t2
+         |    AND ev.us <= t2.t1 + $FunnelWindowUs
+         |  GROUP BY 1, 2),
+         |nv AS (SELECT count(*) AS n_view FROM t1),
+         |bd AS (
+         |  SELECT (t3 - t1) // 86400000000 AS day, count(*) AS n_conv
+         |  FROM t3 GROUP BY 1),
+         |c AS (
+         |  SELECT day, n_conv,
+         |    COALESCE(sum(n_conv) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_conv
+         |  FROM bd)
+         |SELECT CAST(c.day AS BIGINT) AS day,
+         |  CAST(nv.n_view - c.prior_conv AS BIGINT) AS n_at_risk,
+         |  CAST(c.n_conv AS BIGINT) AS n_conv,
+         |  CAST(c.n_conv * 1000000 // (nv.n_view - c.prior_conv) AS BIGINT) AS hazard_e6
+         |FROM c CROSS JOIN nv ORDER BY day""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
-    qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning)
+    qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning,
+    qRetentionCurve, qConversionHazard)
 }
