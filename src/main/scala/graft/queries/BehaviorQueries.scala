@@ -1195,10 +1195,73 @@ object BehaviorQueries {
          |FROM c CROSS JOIN nv ORDER BY day""".stripMargin)
   }
 
+  /** Sequential pattern pairs (PrefixSpan depth-2): per session, the
+    * ordered pairs of event types where a's FIRST occurrence precedes
+    * b's (not necessarily adjacent — the complement to
+    * `q_markov_transitions`' adjacent bigrams), counted once per session,
+    * with session-level support. Ties on the first-occurrence timestamp
+    * break by type name (struct comparison — total order, deterministic).
+    *
+    * Scale shape: sessionize + per-(session, type) first-occurrence agg
+    * ride the user_id partitioning; the pair join is keyed by session
+    * (co-partitioned self-join, in-row fan-out ≤ C(|types|, 2) = 10);
+    * final agg at the |types|² grain. */
+  val qSeqPatternPairs: Q = new Q {
+    val name = "q_seq_pattern_pairs"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.ops.WindowOps
+      val sess = WindowOps.sessionize(Tables.events(spark, dir), Seq("user_id"),
+        "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+      val firsts = sess
+        .groupBy("user_id", "session_idx", "event_type")
+        .agg(min(struct(unix_micros(col("ts")), col("event_id"))).as("first_at"))
+      val nSess = firsts.select("user_id", "session_idx").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val l = firsts.select(col("user_id"), col("session_idx"),
+        col("event_type").as("type_a"), col("first_at").as("at_a"))
+      val r = firsts.select(col("user_id"), col("session_idx"),
+        col("event_type").as("type_b"), col("first_at").as("at_b"))
+      l.join(r, Seq("user_id", "session_idx"))
+        .where(col("type_a") =!= col("type_b") && col("at_a") < col("at_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_sess"))
+        .crossJoin(broadcast(nSess))
+        .select(col("type_a"), col("type_b"), col("n_sess"),
+          expr("n_sess * 10000 div n_sessions").as("support_e4"))
+        .orderBy("type_a", "type_b")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |fo AS (
+        |  SELECT user_id, session_idx, event_type,
+        |    min(ROW(epoch_us(ts), event_id)) AS first_at
+        |  FROM s GROUP BY 1, 2, 3),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |       (SELECT DISTINCT user_id, session_idx FROM fo)),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_sess
+        |  FROM fo a JOIN fo b
+        |    ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+        |   AND a.event_type <> b.event_type AND a.first_at < b.first_at
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.n_sess AS BIGINT) AS n_sess,
+        |  CAST(p.n_sess * 10000 // ns.n_sessions AS BIGINT) AS support_e4
+        |FROM p CROSS JOIN ns ORDER BY type_a, type_b""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
     qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning,
-    qRetentionCurve, qConversionHazard)
+    qRetentionCurve, qConversionHazard, qSeqPatternPairs)
 }

@@ -795,9 +795,75 @@ object EvalQueries {
         |ORDER BY s.c_custkey""".stripMargin)
   }
 
+  /** Two-proportion A/B test on conversion, EXACTLY: users split by a
+    * deterministic assignment (user_id parity here; production swaps in
+    * the salted-hash device of q_stratified_folds), metric = converted
+    * (≥1 purchase). The z-test collapses to one integer inequality by
+    * clearing denominators:
+    *   z² > 3.8415  ⟺  (x_a·n_b − x_b·n_a)²·N·10⁴ > 38415·n_a·n_b·x·(N−x)
+    * Both sides are exported as DECIMAL(38,0)/HUGEINT digit strings (the
+    * q_decimal_exact convention — they overflow BIGINT already at sf0.1)
+    * plus the verdict bit. No float, no approximate normal table beyond
+    * the single published 3.8415 critical constant.
+    *
+    * Scale shape: one user_id-grain aggregate (conversion flags), one
+    * 2-row group, everything after is constant-size arithmetic. */
+  val qAbTest: Q = new Q {
+    val name = "q_ab_test"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val users = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      val arms = users.groupBy("variant")
+        .agg(count(lit(1)).as("n"), sum("converted").as("x"))
+      val a = arms.where(col("variant") === 0)
+        .select(col("n").as("n_a"), col("x").as("x_a"))
+      val b = arms.where(col("variant") === 1)
+        .select(col("n").as("n_b"), col("x").as("x_b"))
+      a.crossJoin(b)
+        .withColumn("lhs",
+          expr("cast(x_a as decimal(38,0)) * n_b - cast(x_b as decimal(38,0)) * n_a"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          expr("x_a * 1000000 div n_a").as("p_a_e6"),
+          expr("x_b * 1000000 div n_b").as("p_b_e6"),
+          expr("cast(lhs * lhs * (n_a + n_b) * 10000 as string)").as("z2_lhs"),
+          expr("cast(38415 * cast(n_a as decimal(38,0)) * n_b * (x_a + x_b)" +
+            " * (n_a + n_b - x_a - x_b) as string)").as("z2_rhs"),
+          expr("cast(lhs * lhs * (n_a + n_b) * 10000 >" +
+            " 38415 * cast(n_a as decimal(38,0)) * n_b * (x_a + x_b)" +
+            " * (n_a + n_b - x_a - x_b) as long)").as("significant"))
+    }
+    val oracle = Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT variant, count(*) AS n, sum(converted) AS x
+        |         FROM u GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+        |    CAST(a.x AS HUGEINT) * b.n - CAST(b.x AS HUGEINT) * a.n AS lhs
+        |  FROM arms a CROSS JOIN arms b
+        |  WHERE a.variant = 0 AND b.variant = 1)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  CAST(x_a * 1000000 // n_a AS BIGINT) AS p_a_e6,
+        |  CAST(x_b * 1000000 // n_b AS BIGINT) AS p_b_e6,
+        |  CAST(lhs * lhs * (n_a + n_b) * 10000 AS VARCHAR) AS z2_lhs,
+        |  CAST(38415 * CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |       * (n_a + n_b - x_a - x_b) AS VARCHAR) AS z2_rhs,
+        |  CAST(lhs * lhs * (n_a + n_b) * 10000 >
+        |       38415 * CAST(n_a AS HUGEINT) * n_b * (x_a + x_b)
+        |       * (n_a + n_b - x_a - x_b) AS BIGINT) AS significant
+        |FROM ab""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
     qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
-    qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport)
+    qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport, qAbTest)
 }
