@@ -1258,10 +1258,65 @@ object BehaviorQueries {
         |FROM p CROSS JOIN ns ORDER BY type_a, type_b""".stripMargin)
   }
 
+  /** LINEAR multi-touch attribution — every non-purchase touch in a
+    * CONVERTING session splits the conversion credit equally
+    * (credit = 10⁶ div n_touches, truncating — both engines truncate
+    * identically, and the per-session remainder ≤ n_touches−1 is the
+    * documented quantization). The fractional-credit counterpart to
+    * `q_attribution_first_touch`'s winner-takes-all.
+    *
+    * Scale shape: the same ONE user_id window pass as first-touch, one
+    * (user, session) aggregate for conversion + touch counts, one
+    * co-partitioned join back, channel-grain final aggregate. */
+  val qAttributionLinear: Q = new Q {
+    val name = "q_attribution_linear"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val sess = graft.ops.WindowOps.sessionize(
+        Tables.events(spark, dir).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), 1800000000L)
+        .withColumn("is_touch",
+          (col("event_type") =!= "purchase").cast("long"))
+      val per = sess.groupBy("user_id", "session_idx")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+          sum("is_touch").as("n_touches"))
+        .where(col("conv") === 1 && col("n_touches") > 0)
+      sess.where(col("is_touch") === 1)
+        .join(per, Seq("user_id", "session_idx"))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches_total"),
+          sum(expr("1000000 div n_touches")).as("credit_e6"))
+        .orderBy("channel")
+    }
+    val oracle = Some(
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS newf
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(event_type <> 'purchase' AS BIGINT) AS is_touch,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |per AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    sum(is_touch) AS n_touches
+        |  FROM s GROUP BY 1, 2),
+        |conv AS (SELECT user_id, sid, n_touches FROM per
+        |         WHERE conv = 1 AND n_touches > 0)
+        |SELECT s.event_type AS channel, count(*) AS n_touches_total,
+        |  CAST(sum(1000000 // c.n_touches) AS BIGINT) AS credit_e6
+        |FROM s JOIN conv c ON s.user_id = c.user_id AND s.sid = c.sid
+        |WHERE s.is_touch = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
     qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning,
-    qRetentionCurve, qConversionHazard, qSeqPatternPairs)
+    qRetentionCurve, qConversionHazard, qSeqPatternPairs, qAttributionLinear)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{HashOps, TextOps}
@@ -1144,9 +1145,81 @@ object TextQueries {
          |FROM d GROUP BY source, p2_bin ORDER BY source, p2_bin""".stripMargin)
   }
 
+  /** χ²-significant term–label association (feature selection with a
+    * significance gate, beyond `q_term_lift`'s raw strength): for the
+    * top-20 df terms, the 2×2 document-presence table against the
+    * English label and the χ² > 3.8415 verdict decided by ONE integer
+    * inequality (denominators cleared; both sides exported as
+    * DECIMAL(38)/HUGEINT digit strings — they pass BIGINT at sf0.01 and
+    * overflow it at sf0.1, the q_ab_test device).
+    *
+    * Scale shape: one (doc, term)-distinct explode (fact-cardinality
+    * pass), top-20 by df via a rank window over the TERM-VOCABULARY
+    * frame, a broadcast semi-probe of those 20 terms back over the
+    * corpus, 20-row arithmetic after. */
+  val qChi2Terms: Q = new Q {
+    val name = "q_chi2_terms"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("en"),
+          col("text"))
+      val totals = docs.agg(count(lit(1)).as("n_docs"), sum("en").as("n_en"))
+      val docTerm = docs
+        .select(col("doc_id"), col("en"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      val top = docTerm.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("en").as("a"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))).cast("long"))
+        .where(col("rank") <= 20)
+      top.crossJoin(broadcast(totals))
+        .withColumn("b", col("df") - col("a"))
+        .withColumn("c", col("n_en") - col("a"))
+        .withColumn("d", col("n_docs") - col("n_en") - col("b"))
+        .withColumn("det",
+          expr("cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c"))
+        .select(col("term"), col("rank"), col("a"), col("b"), col("c"), col("d"),
+          expr("cast(cast(n_docs as decimal(38,0)) * det * det * 10000 as string)")
+            .as("chi2_lhs"),
+          expr("cast(38415 * cast(a + b as decimal(38,0)) * (c + d)" +
+            " * (a + c) * (b + d) as string)").as("chi2_rhs"),
+          expr("cast(cast(n_docs as decimal(38,0)) * det * det * 10000 >" +
+            " 38415 * cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d)" +
+            " as long)").as("significant"))
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS en, text FROM documents),
+         |tot AS (SELECT count(*) AS n_docs, sum(en) AS n_en FROM docs),
+         |dt AS (
+         |  SELECT DISTINCT doc_id, en, unnest($SqlToks) AS term FROM docs),
+         |top AS (
+         |  SELECT term, count(*) AS df, sum(en) AS a,
+         |    row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+         |  FROM dt GROUP BY term),
+         |t20 AS (SELECT * FROM top WHERE rank <= 20),
+         |x AS (
+         |  SELECT t.term, t.rank, t.a, t.df - t.a AS b,
+         |    o.n_en - t.a AS c, o.n_docs - o.n_en - (t.df - t.a) AS d,
+         |    o.n_docs,
+         |    CAST(t.a AS HUGEINT) * (o.n_docs - o.n_en - (t.df - t.a))
+         |      - CAST(t.df - t.a AS HUGEINT) * (o.n_en - t.a) AS det
+         |  FROM t20 t CROSS JOIN tot o)
+         |SELECT term, CAST(rank AS BIGINT) AS rank, CAST(a AS BIGINT) AS a,
+         |  CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         |  CAST(CAST(n_docs AS HUGEINT) * det * det * 10000 AS VARCHAR) AS chi2_lhs,
+         |  CAST(38415 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+         |       AS VARCHAR) AS chi2_rhs,
+         |  CAST(CAST(n_docs AS HUGEINT) * det * det * 10000 >
+         |       38415 * CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+         |       AS BIGINT) AS significant
+         |FROM x ORDER BY rank""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
     qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin,
-    vocabOverlap, tokenFertility, lengthHistogram)
+    vocabOverlap, tokenFertility, lengthHistogram, qChi2Terms)
 }
