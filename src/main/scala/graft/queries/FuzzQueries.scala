@@ -651,6 +651,98 @@ object FuzzQueries {
     }
   }
 
+  /** Set-operation grammar: two predicate-filtered projections of the
+    * same table combined by a random bag-semantics set op (the SQL
+    * surface where engines classically diverge on duplicate handling),
+    * then re-aggregated to a totally-ordered count frame. Spark's
+    * unionAll/intersectAll/exceptAll and DuckDB's UNION/INTERSECT/EXCEPT
+    * ALL both implement SQL bag semantics — this arm fuzzes that claim
+    * across random predicate/column combinations. */
+  private def genSetOp(r: Random, idx: Int): Q = {
+    val tableName = pick(r, tables.keys.toSeq.sorted)
+    val (cols, predPool) = tables(tableName)
+    val keyCands = cols.filter(c => c.kind == "cat" ||
+      (c.kind == "int" && Set("l_linenumber", "c_nationkey").contains(c.name)))
+    val keys = r.shuffle(keyCands).take(1 + r.nextInt(2)).map(_.name)
+    val predA = pick(r, predPool)
+    val predB = pick(r, predPool.filterNot(_ == predA))
+    val (opName, opSql) = pick(r, Seq(
+      ("unionAll", "UNION ALL"), ("intersectAll", "INTERSECT ALL"),
+      ("exceptAll", "EXCEPT ALL")))
+    // EXCEPT ALL subtracts B = (A AND predB) from A — B ⊆ A as a bag, so
+    // the result is exactly A's predB-complement rows: structurally
+    // non-empty for any selective predB (a free-standing B could subsume
+    // A and collapse the instance to zero rows).
+    val exceptShape = opName == "exceptAll"
+    new Q {
+      val name = f"q_fuzzu_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = Tables.table(spark, dir, tableName)
+        val a = base.where(expr(predA._1)).select(keys.map(col): _*)
+        val b =
+          if (exceptShape)
+            base.where(expr(predA._1)).where(expr(predB._1))
+              .select(keys.map(col): _*)
+          else base.where(expr(predB._1)).select(keys.map(col): _*)
+        val combined = opName match {
+          case "unionAll" => a.unionAll(b)
+          case "intersectAll" => a.intersectAll(b)
+          case _ => a.exceptAll(b)
+        }
+        combined.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(keys.map(col): _*)
+      }
+      val oracle = Some {
+        val keySql = keys.mkString(", ")
+        val bWhere =
+          if (exceptShape) s"${predA._2} AND ${predB._2}" else predB._2
+        s"""SELECT $keySql, count(*) AS cnt FROM (
+           |  SELECT $keySql FROM $tableName WHERE ${predA._2}
+           |  $opSql
+           |  SELECT $keySql FROM $tableName WHERE $bWhere) t
+           |GROUP BY $keySql ORDER BY $keySql""".stripMargin
+      }
+    }
+  }
+
+  /** Calendar-bucketing grammar: random date_trunc grain (week included —
+    * both engines truncate to Monday, pinned by q_date_edge_parity; this
+    * arm fuzzes it across random predicates/aggregates) over the orders
+    * date, partial-aggregated to the calendar grain. */
+  private def genDateBucket(r: Random, idx: Int): Q = {
+    val grain = pick(r, Seq("week", "month", "quarter", "year"))
+    val (_, predPool) = tables("orders")
+    val preds = r.shuffle(predPool).take(r.nextInt(2))
+    val withStatus = r.nextBoolean()
+    new Q {
+      val name = f"q_fuzzc_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = preds.foldLeft(Tables.table(spark, dir, "orders"))(
+          (d, p) => d.where(expr(p._1)))
+        val keys = Seq(date_trunc(grain, to_date(col("o_orderdate")))
+          .cast("date").as("bucket")) ++
+          (if (withStatus) Seq(col("o_orderstatus")) else Nil)
+        val keyNames = Seq("bucket") ++
+          (if (withStatus) Seq("o_orderstatus") else Nil)
+        base.groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"),
+            sum(Q.cents(col("o_totalprice"))).as("rev_cents"))
+          .orderBy(keyNames.map(col): _*)
+      }
+      val oracle = Some {
+        val where = if (preds.isEmpty) "" else preds.map(_._2).mkString("WHERE ", " AND ", "")
+        val statusKey = if (withStatus) ", o_orderstatus" else ""
+        s"""SELECT CAST(date_trunc('$grain', CAST(o_orderdate AS DATE)) AS DATE) AS bucket$statusKey,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           |FROM orders $where
+           |GROUP BY 1${if (withStatus) ", 2" else ""}
+           |ORDER BY bucket$statusKey""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -666,7 +758,9 @@ object FuzzQueries {
     val hofs = (0 until 6).map(genHof(r, _))
     val texts = (0 until 6).map(genText(r, _))
     val sessions = (0 until 6).map(genSession(r, _))
+    val setops = (0 until 6).map(genSetOp(r, _))
+    val calendars = (0 until 6).map(genDateBucket(r, _))
     scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
-      frames ++ hofs ++ texts ++ sessions
+      frames ++ hofs ++ texts ++ sessions ++ setops ++ calendars
   }
 }
