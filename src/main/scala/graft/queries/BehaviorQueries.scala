@@ -1313,10 +1313,92 @@ object BehaviorQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** User-lifecycle state machine: per user-week, the state derived from
+    * weeks-since-last-activity (new → active → at_risk (1–2 idle weeks)
+    * → churned (≥3)), exported as the week-over-week TRANSITION MATRIX —
+    * the growth-accounting table (how many actives slipped to at-risk,
+    * how many churned users resurrected) behind every retention
+    * dashboard.
+    *
+    * Scale shape: the user×week grid is the mart's natural grain
+    * (explode of each user's week span — |users|·|weeks| rows, the same
+    * class as a gap-filled per-entity calendar); ONE window pass per
+    * user computes last-active and the previous state via lag; the
+    * output is the ≤ 4×4 transition matrix. */
+  val qUserLifecycle: Q = new Q {
+    val name = "q_user_lifecycle"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val uw = Tables.events(spark, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val hi = uw.agg(max("week").as("hi"))
+      val grid = uw.groupBy("user_id").agg(min("week").as("first_week"))
+        .crossJoin(broadcast(hi))
+        .select(col("user_id"),
+          explode(expr("sequence(first_week, hi, interval 7 days)")).as("week"))
+      val w = Window.partitionBy("user_id").orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val states = grid
+        .join(uw.withColumn("active", lit(1L)), Seq("user_id", "week"), "left")
+        .withColumn("last_active",
+          max(when(col("active") === 1, col("week"))).over(w))
+        .withColumn("idle_weeks",
+          expr("datediff(week, last_active) div 7"))
+        .withColumn("state",
+          when(col("active") === 1 && col("week") === col("last_active") &&
+            col("idle_weeks") === 0,
+            when(col("week") === min(col("week"))
+              .over(Window.partitionBy("user_id")), "new").otherwise("active"))
+            .when(col("idle_weeks") <= 2, "at_risk").otherwise("churned"))
+      states
+        .withColumn("prev_state", lag(col("state"), 1)
+          .over(Window.partitionBy("user_id").orderBy("week")))
+        .where(col("prev_state").isNotNull)
+        .groupBy("prev_state", "state").agg(count(lit(1)).as("n"))
+        .orderBy("prev_state", "state")
+    }
+    val oracle = Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |hi AS (SELECT max(week) AS hi FROM uw),
+        |grid AS (
+        |  SELECT f.user_id, CAST(unnest(generate_series(f.first_week,
+        |    (SELECT hi FROM hi), INTERVAL 7 DAY)) AS DATE) AS week
+        |  FROM (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1) f),
+        |st AS (
+        |  SELECT g.user_id, g.week,
+        |    CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END AS active,
+        |    max(CASE WHEN u.user_id IS NOT NULL THEN g.week END)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.week
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active,
+        |    min(g.week) OVER (PARTITION BY g.user_id) AS first_week
+        |  FROM grid g LEFT JOIN uw u
+        |    ON u.user_id = g.user_id AND u.week = g.week),
+        |named AS (
+        |  SELECT user_id, week,
+        |    CASE WHEN active = 1 AND week = last_active
+        |           AND datediff('day', last_active, week) // 7 = 0
+        |         THEN CASE WHEN week = first_week THEN 'new' ELSE 'active' END
+        |         WHEN datediff('day', last_active, week) // 7 <= 2 THEN 'at_risk'
+        |         ELSE 'churned' END AS state
+        |  FROM st),
+        |tr AS (
+        |  SELECT user_id, week, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY week) AS prev_state
+        |  FROM named)
+        |SELECT prev_state, state, count(*) AS n
+        |FROM tr WHERE prev_state IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_state, state""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qCohortRetention, qAssocRules, qAttributionFirstTouch,
     qFreqTriples, qMarkovTransitions, qSessionDuration, qActivityHeatmap,
     qUserLtv, qHoppingCounts, qNullsafeJoin, qSessionWindowSql, qRfmSegments,
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
     qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning,
-    qRetentionCurve, qConversionHazard, qSeqPatternPairs, qAttributionLinear)
+    qRetentionCurve, qConversionHazard, qSeqPatternPairs, qAttributionLinear,
+    qUserLifecycle)
 }

@@ -657,7 +657,116 @@ object TimeSeriesQueries {
         |GROUP BY 1, 2, 3, 4 ORDER BY b.event_type""".stripMargin)
   }
 
+  /** Weekly top movers: the 10 parts with the largest absolute
+    * week-over-week revenue change in the latest complete week pair —
+    * the "trending items" mart. Deltas are exact cents; ranking is a
+    * bounded top-10 (TakeOrdered/WindowGroupLimit shape).
+    *
+    * Scale shape: one partial-aggregated fact scan to the (part, week)
+    * grain, a broadcast 1-row latest-week frame, one part-DIM-sized
+    * join of the two week columns, top-10 rank. */
+  val qTopMovers: Q = new Q {
+    val name = "q_top_movers"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val pw = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          date_trunc("week", to_date(col("l_shipdate"))).cast("date").as("week"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as long)")
+            .as("rev_c"))
+        .groupBy("l_partkey", "week").agg(sum("rev_c").as("rev"))
+      val latest = pw.agg(max("week").as("w1"))
+        .select(col("w1"), date_sub(col("w1"), 7).as("w0"))
+      val cur = pw.join(broadcast(latest), col("week") === col("w1"))
+        .select(col("l_partkey"), col("rev").as("rev_cur"))
+      val prev = pw.join(broadcast(latest), col("week") === col("w0"))
+        .select(col("l_partkey"), col("rev").as("rev_prev"))
+      cur.join(prev, Seq("l_partkey"), "full_outer")
+        .select(col("l_partkey"),
+          coalesce(col("rev_cur"), lit(0L)).as("rev_cur"),
+          coalesce(col("rev_prev"), lit(0L)).as("rev_prev"))
+        .withColumn("delta", col("rev_cur") - col("rev_prev"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("delta")).desc, col("l_partkey"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "l_partkey", "rev_prev", "rev_cur", "delta")
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      """WITH pw AS (
+        |  SELECT l_partkey,
+        |    CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS week,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |latest AS (SELECT max(week) AS w1, max(week) - 7 AS w0 FROM pw),
+        |cur AS (SELECT l_partkey, rev AS rev_cur FROM pw, latest WHERE week = w1),
+        |prev AS (SELECT l_partkey, rev AS rev_prev FROM pw, latest WHERE week = w0),
+        |j AS (
+        |  SELECT COALESCE(c.l_partkey, p.l_partkey) AS l_partkey,
+        |    COALESCE(c.rev_cur, 0) AS rev_cur, COALESCE(p.rev_prev, 0) AS rev_prev
+        |  FROM cur c FULL OUTER JOIN prev p ON c.l_partkey = p.l_partkey),
+        |r AS (
+        |  SELECT l_partkey, rev_prev, rev_cur, rev_cur - rev_prev AS delta,
+        |    row_number() OVER (ORDER BY abs(rev_cur - rev_prev) DESC, l_partkey) AS rank
+        |  FROM j)
+        |SELECT CAST(rank AS BIGINT) AS rank, l_partkey,
+        |  CAST(rev_prev AS BIGINT) AS rev_prev, CAST(rev_cur AS BIGINT) AS rev_cur,
+        |  CAST(delta AS BIGINT) AS delta
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)
+  }
+
+  /** Seasonal-residual anomalies: each day's revenue vs its day-of-week
+    * MEAN (the q_seasonal_index model applied back), exact by
+    * cross-multiplication: dev_e4 = x·n_dow·10⁴ div sum_dow − 10⁴ — the
+    * e4 deviation from the dow expectation without ever materializing
+    * the float mean. Top-5 |dev| days reported: the detrended complement
+    * to q_anomaly_mad's global robust fences (a Sunday that's normal
+    * globally but wild FOR A SUNDAY shows up here, not there).
+    *
+    * Scale shape: calendar-grain daily frame, 7-row dow model broadcast
+    * back, top-5 rank over ≤ |days| rows. */
+  val qSeasonalResidual: Q = new Q {
+    val name = "q_seasonal_residual"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as long)) div 100").as("x"))
+      val model = daily
+        .groupBy(dayofweek(col("day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sum_x"))
+      daily
+        .withColumn("dow", dayofweek(col("day")).cast("long"))
+        .join(broadcast(model), Seq("dow"))
+        .withColumn("dev_e4",
+          expr("x * n_days * 10000 div sum_x - 10000"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("dev_e4")).desc, col("day"))).cast("long"))
+        .where(col("rank") <= 5)
+        .select("rank", "day", "dow", "x", "dev_e4")
+        .orderBy("rank")
+    }
+    val oracle = Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |model AS (
+        |  SELECT dayofweek(day) + 1 AS dow, count(*) AS n_days, sum(x) AS sum_x
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.day, m.dow, d.x,
+        |    d.x * m.n_days * 10000 // m.sum_x - 10000 AS dev_e4
+        |  FROM daily d JOIN model m ON dayofweek(d.day) + 1 = m.dow),
+        |r AS (
+        |  SELECT day, dow, x, dev_e4,
+        |    row_number() OVER (ORDER BY abs(dev_e4) DESC, day) AS rank
+        |  FROM dev)
+        |SELECT CAST(rank AS BIGINT) AS rank, day, CAST(dow AS BIGINT) AS dow,
+        |  CAST(x AS BIGINT) AS x, CAST(dev_e4 AS BIGINT) AS dev_e4
+        |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qEwmaRevenue, qDecayRevenue, qIncrementalAgg,
     qInterpolateDaily, qAnomalyMad, qWinsorizedMean, qTwap, qCusumChangepoint,
-    qAcfDaily, qSeasonalIndex, qMomGrowth, qIqrOutliers)
+    qAcfDaily, qSeasonalIndex, qMomGrowth, qIqrOutliers, qTopMovers,
+    qSeasonalResidual)
 }
