@@ -102,10 +102,16 @@ object BehaviorQueries {
       val supp = baskets.select(explode(col("ps")).as("part"))
         .groupBy("part").agg(count(lit(1)).as("supp"))
       val totals = baskets.select(count(lit(1)).as("n_tot"))
-      val directed = pairs
-        .select(col("pa").as("antecedent"), col("pb").as("consequent"),
-          col("n_orders").as("supp_ab"))
-        .union(pairs.select(col("pb"), col("pa"), col("n_orders")))
+      // rule directions IN-ROW (2-element explode): the former self-union
+      // re-ran the (pa, pb) pair aggregation once per direction — the
+      // probe-visible reason this was the round's slowest query
+      val directed = pairs.select(explode(array(
+          struct(col("pa").as("antecedent"), col("pb").as("consequent"),
+            col("n_orders").as("supp_ab")),
+          struct(col("pb").as("antecedent"), col("pa").as("consequent"),
+            col("n_orders").as("supp_ab")))).as("d"))
+        .select(col("d.antecedent").as("antecedent"),
+          col("d.consequent").as("consequent"), col("d.supp_ab").as("supp_ab"))
       directed
         .join(supp.select(col("part").as("antecedent"), col("supp").as("supp_a")),
           Seq("antecedent"))
@@ -635,9 +641,15 @@ object BehaviorQueries {
         .where(col("co") >= GraphQueries.CoSupport)
       val supp = baskets.select(explode(col("ps")).as("part"))
         .groupBy("part").agg(count(lit(1)).as("supp"))
-      val directed = pairs
-        .select(col("pa").as("item"), col("pb").as("neighbor"), col("co"))
-        .union(pairs.select(col("pb"), col("pa"), col("co")))
+      // direction expansion IN-ROW: a self-union would re-run the pair
+      // aggregation once per direction (ProbePlan showed two independent
+      // (pa, pb) exchanges); the 2-element explode reuses one
+      val directed = pairs.select(explode(array(
+          struct(col("pa").as("item"), col("pb").as("neighbor"), col("co")),
+          struct(col("pb").as("item"), col("pa").as("neighbor"), col("co"))))
+          .as("d"))
+        .select(col("d.item").as("item"), col("d.neighbor").as("neighbor"),
+          col("d.co").as("co"))
       val scored = directed
         .join(supp.select(col("part").as("item"), col("supp").as("n_i")), Seq("item"))
         .join(supp.select(col("part").as("neighbor"), col("supp").as("n_j")),
@@ -756,8 +768,13 @@ object BehaviorQueries {
         .groupBy("user_id", "session_idx")
         .agg(min(unix_micros(col("ts"))).as("s_us"),
           max(unix_micros(col("ts"))).as("e_us"))
-      val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
-        .unionAll(sess.select(col("e_us"), lit(-1L)))
+      // emit both boundaries IN-ROW (explode of a 2-element array) — a
+      // self-union here re-runs the whole sessionize pipeline once per
+      // branch (two window stacks over raw events; caught by ProbePlan)
+      val bounds = sess.select(explode(array(
+          struct(col("s_us").as("us"), lit(1L).as("delta")),
+          struct(col("e_us").as("us"), lit(-1L).as("delta")))).as("b"))
+        .select(col("b.us").as("us"), col("b.delta").as("delta"))
         .withColumn("day", to_date(timestamp_micros(col("us"))))
       val wDay = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
