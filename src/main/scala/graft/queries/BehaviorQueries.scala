@@ -945,6 +945,7 @@ object BehaviorQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
+        .persist() // feeds popularity, the anti-join build, and the cross
       val popular = bought.groupBy("part").agg(count(lit(1)).as("n_buyers"))
         .withColumn("pop_rank", row_number().over(
           Window.orderBy(col("n_buyers").desc, col("part"))).cast("long"))
@@ -1084,6 +1085,7 @@ object BehaviorQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val ud = Tables.events(spark, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .persist() // feeds the first-day aggregate AND the join back
       val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
       ud.join(first, Seq("user_id"))
         .groupBy("day")
@@ -1117,6 +1119,7 @@ object BehaviorQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val ud = Tables.events(spark, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .persist() // feeds first days, the bound scalar, and the hit join
       val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
       val bounds = ud.agg(max("day").as("hi"))
       val cand = first
@@ -1349,6 +1352,7 @@ object BehaviorQueries {
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("date").as("week"))
         .distinct()
+        .persist() // feeds the bound scalar, the grid span, the active join
       val hi = uw.agg(max("week").as("hi"))
       val grid = uw.groupBy("user_id").agg(min("week").as("first_week"))
         .crossJoin(broadcast(hi))

@@ -161,9 +161,9 @@ object GraphQueries {
       val e2 = oriented.select(col("u").as("x"), col("v").as("z"))
       val e3 = oriented.select(col("u").as("y"), col("v").as("z"))
       val tri = e1.join(e2, Seq("x")).where(col("y") =!= col("z")).join(e3, Seq("y", "z"))
-      tri.select(col("x").as("node"))
-        .union(tri.select(col("y")))
-        .union(tri.select(col("z")))
+      // corner roles IN-ROW: a 3-way self-union re-runs the wedge join
+      // once per corner (the plan showed three independent join subtrees)
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
         .orderBy("node")
     }
@@ -221,8 +221,11 @@ object GraphQueries {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-      val both = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b"), col("a"))).localCheckpoint()
+      val both = und.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint()
       val d0 = nodes.select(col("node"),
         when(col("node") === 0, lit(0L)).otherwise(lit(Sentinel)).as("d"))
       val dFinal = (1 to Iters).foldLeft(d0) { (dists, _) =>
@@ -533,8 +536,11 @@ object GraphQueries {
       val cop = copurchase(spark, dir)
       // materialize the undirected edge list once (3 iterations reference
       // it; lineage would re-run the basket expansion per round)
-      val e = cop.select(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("w"))
-        .union(cop.select(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w")))
+      val e = cop.select(explode(array(
+          struct(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("w")),
+          struct(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w"))))
+          .as("t"))
+        .select(col("t.src").as("src"), col("t.dst").as("dst"), col("t.w").as("w"))
         .localCheckpoint()
       val nodes = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("id"))
       var labels = nodes.select(col("id"), col("id").as("lbl"))
@@ -601,8 +607,10 @@ object GraphQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val cop = copurchase(spark, dir)
-      val und = cop.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(cop.select(col("pb").as("src"), col("pa").as("dst")))
+      val und = cop.select(explode(array(
+          struct(col("pa").as("src"), col("pb").as("dst")),
+          struct(col("pb").as("src"), col("pa").as("dst")))).as("t"))
+        .select(col("t.src").as("src"), col("t.dst").as("dst"))
       val adj = und
         .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
         .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
@@ -671,8 +679,10 @@ object GraphQueries {
     val Rounds = 4
     def run(spark: SparkSession, dir: String): DataFrame = {
       val cop = copurchase(spark, dir)
-      var e = cop.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(cop.select(col("pb").as("src"), col("pa").as("dst")))
+      var e = cop.select(explode(array(
+          struct(col("pa").as("src"), col("pb").as("dst")),
+          struct(col("pb").as("src"), col("pa").as("dst")))).as("t"))
+        .select(col("t.src").as("src"), col("t.dst").as("dst"))
         .localCheckpoint()
       for (_ <- 1 to Rounds) {
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -778,8 +788,8 @@ object GraphQueries {
     val name = "q_degree_histogram"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val e = copurchase(spark, dir)
-      val deg = e.select(col("pa").as("node"))
-        .unionAll(e.select(col("pb")))
+      // both endpoints IN-ROW — a self-union re-runs the pair aggregation
+      val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       deg.groupBy(length(bin(col("deg"))).cast("long").as("deg_bin"))
         .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
@@ -812,12 +822,15 @@ object GraphQueries {
   val graphAssortativity: Q = new Q {
     val name = "q_graph_assortativity"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val e = copurchase(spark, dir).select("pa", "pb")
-      val deg = e.select(col("pa").as("node"))
-        .unionAll(e.select(col("pb")))
+      // the pair aggregate feeds degree AND both directions: checkpoint
+      // it once, expand in-row (self-unions re-ran it up to 4×)
+      val e = copurchase(spark, dir).select("pa", "pb").localCheckpoint()
+      val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val directed = e.select(col("pa").as("s"), col("pb").as("d"))
-        .unionAll(e.select(col("pb"), col("pa")))
+      val directed = e.select(explode(array(
+          struct(col("pa").as("s"), col("pb").as("d")),
+          struct(col("pb").as("s"), col("pa").as("d")))).as("t"))
+        .select(col("t.s").as("s"), col("t.d").as("d"))
       directed
         .join(deg.select(col("node").as("s"), col("deg").as("x")), Seq("s"))
         .join(deg.select(col("node").as("d"), col("deg").as("y")), Seq("d"))
