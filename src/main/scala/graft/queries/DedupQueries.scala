@@ -593,17 +593,20 @@ object DedupQueries {
         .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
         .withColumn("sz_l", size(col("hs_l")).cast("long"))
         .withColumn("sz_r", size(col("hs_r")).cast("long"))
-      val lInR = scored.where(col("sz_l") > 0 &&
-          col("inter") * 10000 >= col("sz_l") * ContainE4Min)
-        .select(col("id_l").as("id_sub"), col("id_r").as("id_sup"),
-          col("inter"), col("sz_l").as("sz_sub"),
-          expr("inter * 10000 div sz_l").as("cont_e4"))
-      val rInL = scored.where(col("sz_r") > 0 &&
-          col("inter") * 10000 >= col("sz_r") * ContainE4Min)
-        .select(col("id_r").as("id_sub"), col("id_l").as("id_sup"),
-          col("inter"), col("sz_r").as("sz_sub"),
-          expr("inter * 10000 div sz_r").as("cont_e4"))
-      lInR.union(rInL).orderBy("id_sub", "id_sup")
+      // both containment directions IN-ROW: branching `scored` through a
+      // self-union re-ran the candidate join + intersect kernel once per
+      // direction (the q_assoc_rules lesson)
+      scored.select(explode(array(
+          struct(col("id_l").as("id_sub"), col("id_r").as("id_sup"),
+            col("inter").as("inter"), col("sz_l").as("sz_sub")),
+          struct(col("id_r").as("id_sub"), col("id_l").as("id_sup"),
+            col("inter").as("inter"), col("sz_r").as("sz_sub")))).as("t"))
+        .select(col("t.id_sub").as("id_sub"), col("t.id_sup").as("id_sup"),
+          col("t.inter").as("inter"), col("t.sz_sub").as("sz_sub"))
+        .where(col("sz_sub") > 0 &&
+          col("inter") * 10000 >= col("sz_sub") * ContainE4Min)
+        .withColumn("cont_e4", expr("inter * 10000 div sz_sub"))
+        .orderBy("id_sub", "id_sup")
     }
     val oracle = Some(
       s"""WITH $SqlShingleSets,
