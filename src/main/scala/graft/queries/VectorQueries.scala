@@ -179,6 +179,153 @@ object VectorQueries {
          |FROM p WHERE cosine_sim >= $NearDupCos ORDER BY id_l, id_r""".stripMargin)
   }
 
+  /** Banded-LSH config for the near-dup PAIR path: 32 hyperplane sign
+    * bits split into 8 bands of 4 bits. A pair is a candidate iff it
+    * agrees on ALL 4 bits of at least one band — the classic
+    * MinHash-banding recall curve applied to random-hyperplane sketches.
+    * At the θ = 0.4 boundary (collision prob per bit ≈ 0.63) per-band
+    * agreement is ≈ 0.16, so 8 bands give ≈ 75% recall at the boundary
+    * and → 1 rapidly above it; the recall gate below MEASURES the
+    * realized rate instead of trusting the formula. */
+  val DedupLshPlanes = 32
+  val DedupLshBands = 8
+  val DedupLshBandBits = 4
+
+  /** SQL fragment: per-vector 32-plane signature CTEs (`sig32`) + banded
+    * key CTE (`bd`) — mirrors `lshBandedKeys` exactly. */
+  private val SqlLshBandCtes: String = {
+    val planeDot = sqlSeqSum(
+      s"list_transform(range(1, ${Dim + 1}), i -> " +
+        s"((((j*73856093 + i*19349663) % 2001) - 1000) / 1000.0) * CAST(embedding[i] AS DOUBLE))")
+    s"""b32 AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN $planeDot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+       |  FROM embeddings CROSS JOIN range($DedupLshPlanes) r(j)),
+       |sig32 AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM b32 GROUP BY vec_id),
+       |bd AS (
+       |  SELECT vec_id,
+       |    t.band * ${1 << DedupLshBandBits} +
+       |      ((sig >> CAST(t.band * $DedupLshBandBits AS INTEGER)) & ${(1 << DedupLshBandBits) - 1}) AS bkey
+       |  FROM sig32 CROSS JOIN range($DedupLshBands) t(band)),
+       |lsh_cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_l, b.vec_id AS id_r
+       |  FROM bd a JOIN bd b ON a.bkey = b.bkey AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  /** Per-vector banded keys: (vec_id, bkey) with bkey = band·16 + the
+    * band's 4 signature bits — band id folded into the key so ONE
+    * equi-join column carries both. In-row (explode of a literal array),
+    * shuffle-free until the join. */
+  private def lshBandedKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        VectorOps.lshBucket(col("embedding"), Dim, DedupLshPlanes).as("sig"))
+      .withColumn("band", explode(array((0 until DedupLshBands).map(lit): _*)))
+      .select(col("vec_id"),
+        expr(s"band * ${1 << DedupLshBandBits} + " +
+          s"((sig >> (band * $DedupLshBandBits)) & ${(1 << DedupLshBandBits) - 1})")
+          .as("bkey"))
+
+  /** The SCALE twin of `dedup_embedding`: banded-LSH candidate pairs
+    * (equi-join on the band key) exact-verified with the identical
+    * cosine fold and θ — output schema and semantics match
+    * `dedup_embedding` row-for-row wherever a band collides, and the
+    * companion `q_embedding_lsh_recall` measures exactly how many
+    * θ-pairs the banding missed. At 10⁹ vectors this is the only
+    * runnable shape: candidates ∝ Σ_bucket n_b², never n². */
+  val dedupEmbeddingLsh: Q = new Q {
+    val name = "dedup_embedding_lsh"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val keys = lshBandedKeys(spark, dir)
+      val cand = keys.select(col("vec_id").as("id_l"), col("bkey"))
+        .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
+        .where(col("id_l") < col("id_r"))
+        .select("id_l", "id_r").distinct()
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+      cand
+        .join(emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
+          col("nrm").as("n_l")), Seq("id_l"))
+        .join(emb.select(col("vec_id").as("id_r"), col("embedding").as("v_r"),
+          col("nrm").as("n_r")), Seq("id_r"))
+        .withColumn("cosine_sim",
+          VectorOps.dot(col("v_l"), col("v_r"), Dim) / (col("n_l") * col("n_r")))
+        .where(col("cosine_sim") >= NearDupCos)
+        .select(col("id_l"), col("id_r"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH $SqlLshBandCtes,
+         |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT id_l, id_r,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
+         |  FROM lsh_cand JOIN e a ON id_l = a.vec_id JOIN e b ON id_r = b.vec_id)
+         |SELECT id_l, id_r, CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM p WHERE cosine_sim >= $NearDupCos ORDER BY id_l, id_r""".stripMargin)
+  }
+
+  /** MEASURED recall of the banded-LSH pair path against the brute-force
+    * θ-pair ground truth (`dedup_embedding` — the deliberate all-pairs
+    * twin, exactly the `ann_brute_topk` role for top-k): one audit row
+    * with truth/lsh/hit/missed counts, recall_e4, and the cosine of the
+    * WORST missed pair (the highest-similarity pair the banding dropped;
+    * −1 when nothing was missed). The vector twin of `q_lsh_recall`. */
+  val qEmbeddingLshRecall: Q = new Q {
+    val name = "q_embedding_lsh_recall"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+      val l = emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
+        col("nrm").as("n_l"))
+      val r = emb.select(col("vec_id").as("id_r"), col("embedding").as("v_r"),
+        col("nrm").as("n_r"))
+      val truth = l.crossJoin(r).where(col("id_l") < col("id_r"))
+        .withColumn("cosine_sim",
+          VectorOps.dot(col("v_l"), col("v_r"), Dim) / (col("n_l") * col("n_r")))
+        .where(col("cosine_sim") >= NearDupCos)
+        .select(col("id_l"), col("id_r"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .persist()
+      val keys = lshBandedKeys(spark, dir)
+      val lsh = keys.select(col("vec_id").as("id_l"), col("bkey"))
+        .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
+        .where(col("id_l") < col("id_r"))
+        .select("id_l", "id_r").distinct()
+      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
+      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(missed.agg(
+          count(lit(1)).as("n_missed"),
+          coalesce(max(col("cos_e6")), lit(-1L)).as("worst_miss_cos_e6")))
+        .select(col("n_truth"), col("n_hit"), col("n_missed"),
+          expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+            .as("recall_e4"),
+          col("worst_miss_cos_e6"))
+    }
+    val oracle = Some(
+      s"""WITH $SqlLshBandCtes,
+         |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |truth AS (
+         |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+         |    CAST(round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000)
+         |      AS BIGINT) AS cos_e6
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupCos),
+         |hit AS (SELECT t.* FROM truth t SEMI JOIN lsh_cand USING (id_l, id_r)),
+         |mis AS (SELECT t.* FROM truth t ANTI JOIN lsh_cand USING (id_l, id_r))
+         |SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  (SELECT count(*) FROM mis) AS n_missed,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+         |       END AS BIGINT) AS recall_e4,
+         |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin)
+  }
+
   val IvfStride = 41 // vec_id % stride == 0 → centroid set
 
   /** IVF assignment: nearest centroid (argmax cosine) per vector, with a
@@ -1021,6 +1168,7 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
+    dedupEmbeddingLsh, qEmbeddingLshRecall,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)
