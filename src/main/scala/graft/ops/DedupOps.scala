@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -107,7 +108,7 @@ object DedupOps {
                           maxIter: Int = 20,
                           driverEdgeLimit: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_l").cast("long").as("src"),
-      col("id_r").cast("long").as("dst")).localCheckpoint()
+      col("id_r").cast("long").as("dst")).cutLineage()
     val nPairs = p.count()
     // Adaptive plan choice, AQE-style: the near-dup pair graph is usually
     // orders of magnitude smaller than the corpus (it exists only where
@@ -119,11 +120,11 @@ object DedupOps {
     // (equality is pinned by a spec).
     if (nPairs <= driverEdgeLimit) return ccViaDriver(nodes, p)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     // localCheckpoint (not persist): the doubling self-join would otherwise
     // triple the logical plan every round — lineage must be cut, not cached.
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
+      .select(col("node"), col("node").as("label")).cutLineage()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -144,7 +145,7 @@ object DedupOps {
         .select(col("l.node").as("node"), col("l.label").as("old_label"),
           least(col("l.label"), col("d.dlabel"),
             coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
-        .localCheckpoint()
+        .cutLineage()
       changed = stepped.where(col("label") =!= col("old_label")).count()
       labels = stepped.select("node", "label")
       i += 1

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 import graft.Tables
 
 /** Graph analytics over a derived trade graph — the link-analysis
@@ -69,7 +70,7 @@ object GraphQueries {
       // expensive part; materialize it ONCE so the 8 iterations iterate
       // over the |E|-sized frame, not 8 re-reads of lineitem∘orders.
       val edgesOut = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")).localCheckpoint()
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")).cutLineage()
       val stats = nodes.agg(count(lit(1)).as("n_nodes"))
       val r0 = nodes.crossJoin(broadcast(stats))
         .select(col("node"), expr(s"$E9 div n_nodes").as("r"))
@@ -89,7 +90,7 @@ object GraphQueries {
           // GraphX-documented iterative-algorithm pattern; measured 3.5 s
           // → 2.0 s at sf0.1). At cluster scale you'd use a reliable
           // checkpoint dir for executor-loss recovery instead.
-          .localCheckpoint()
+          .cutLineage()
       }
       rFinal
         .join(broadcast(nation), col("node") === col("n_nationkey"))
@@ -144,7 +145,7 @@ object GraphQueries {
         .where(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       val deg = und.select(col("a").as("node")).union(und.select(col("b")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val withDeg = und
@@ -156,7 +157,7 @@ object GraphQueries {
           .otherwise(col("b")).as("u"),
         when(col("dega") < col("degb") ||
             (col("dega") === col("degb") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("v")).localCheckpoint()
+          .otherwise(col("a")).as("v")).cutLineage()
       val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
       val e2 = oriented.select(col("u").as("x"), col("v").as("z"))
       val e3 = oriented.select(col("u").as("y"), col("v").as("z"))
@@ -225,7 +226,7 @@ object GraphQueries {
           struct(col("a").as("src"), col("b").as("dst")),
           struct(col("b").as("src"), col("a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint()
+        .cutLineage()
       val d0 = nodes.select(col("node"),
         when(col("node") === 0, lit(0L)).otherwise(lit(Sentinel)).as("d"))
       val dFinal = (1 to Iters).foldLeft(d0) { (dists, _) =>
@@ -234,7 +235,7 @@ object GraphQueries {
           .select(col("dst").as("node"), (col("d") + 1L).as("d"))
         dists.union(relaxed)
           .groupBy("node").agg(min("d").as("d"))
-          .localCheckpoint()
+          .cutLineage()
       }
       dFinal.join(broadcast(nation), col("node") === col("n_nationkey"))
         .select(col("node").as("nation_key"), col("n_name").as("nation_name"),
@@ -373,7 +374,7 @@ object GraphQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val cop = copurchase(spark, dir)
-        .select(col("pa"), col("pb"), col("n_orders")).localCheckpoint()
+        .select(col("pa"), col("pb"), col("n_orders")).cutLineage()
       val adj = cop.select(col("pa").as("w"), col("pb").as("n"), col("n_orders"))
         .union(cop.select(col("pb"), col("pa"), col("n_orders")))
         .withColumn("rn", row_number().over(Window.partitionBy("w")
@@ -457,7 +458,7 @@ object GraphQueries {
         .where(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           (lit(1000L) - least(col("strength"), lit(999L))).as("w"))
-        .localCheckpoint()
+        .cutLineage()
       val d0 = weighted.select(col("src").as("u"), col("dst").as("v"), col("w").as("d"))
         .union(nodes.select(col("node").as("u"), col("node").as("v"), lit(0L).as("d")))
       val closure = (1 to 5).foldLeft(d0) { (dmat, _) =>
@@ -465,7 +466,7 @@ object GraphQueries {
           .select(col("a.u").as("u"), col("b.v").as("v"),
             (col("a.d") + col("b.d")).as("d"))
         dmat.union(through).groupBy("u", "v").agg(min("d").as("d"))
-          .localCheckpoint()
+          .cutLineage()
       }
       nodes
         .join(closure.where(col("u") === 0)
@@ -541,7 +542,7 @@ object GraphQueries {
           struct(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w"))))
           .as("t"))
         .select(col("t.src").as("src"), col("t.dst").as("dst"), col("t.w").as("w"))
-        .localCheckpoint()
+        .cutLineage()
       val nodes = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("id"))
       var labels = nodes.select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to Rounds) {
@@ -553,7 +554,7 @@ object GraphQueries {
           .select(col("id"), (-col("b.nl")).as("new_lbl"))
         labels = labels.join(best, Seq("id"), "left")
           .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .cutLineage()
       }
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       labels.join(sizes, Seq("lbl"))
@@ -614,7 +615,7 @@ object GraphQueries {
       val adj = und
         .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
         .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src")))
-        .localCheckpoint()
+        .cutLineage()
       val starts = Tables.part(spark, dir)
         .where(col("p_partkey") % StartStride === 0)
         .select(col("p_partkey").cast("long").as("start_key"),
@@ -683,13 +684,13 @@ object GraphQueries {
           struct(col("pa").as("src"), col("pb").as("dst")),
           struct(col("pb").as("src"), col("pa").as("dst")))).as("t"))
         .select(col("t.src").as("src"), col("t.dst").as("dst"))
-        .localCheckpoint()
+        .cutLineage()
       for (_ <- 1 to Rounds) {
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= K).select("src")
         e = e.join(keep, Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          .localCheckpoint()
+          .cutLineage()
       }
       e.groupBy("src").agg(count(lit(1)).as("degree"))
         .select(col("src").as("part_key"), col("degree"))
@@ -737,7 +738,7 @@ object GraphQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
-        .localCheckpoint() // reused by all three half-steps
+        .cutLineage() // reused by all three half-steps
       // hub₀ ≡ e6 ⇒ auth₁(p) = e6 · indeg(p)
       val a1 = e.groupBy("part").agg((count(lit(1)) * E6).as("a1"))
       val a1n = a1.crossJoin(broadcast(a1.agg(max("a1").as("mx"))))
@@ -824,7 +825,7 @@ object GraphQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       // the pair aggregate feeds degree AND both directions: checkpoint
       // it once, expand in-row (self-unions re-ran it up to 4×)
-      val e = copurchase(spark, dir).select("pa", "pb").localCheckpoint()
+      val e = copurchase(spark, dir).select("pa", "pb").cutLineage()
       val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val directed = e.select(explode(array(

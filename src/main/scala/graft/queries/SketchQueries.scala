@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 import graft.Tables
 import graft.ops.HashOps
 
@@ -36,7 +37,7 @@ object SketchQueries {
       val ev = Tables.events(spark, dir)
       val hashes = ev.select(col("event_type"),
           HashOps.hashP(concat(col("user_id").cast("string"), lit(":kmv"))).as("hv"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       val stats = hashes.groupBy("event_type").agg(count(lit(1)).as("n_hashes"))
       val kth = hashes
         .withColumn("rn", row_number().over(
@@ -89,7 +90,7 @@ object SketchQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("hv")))
         .where(col("rn") <= K)
-      val merged = sketches.select("hv").distinct().localCheckpoint()
+      val merged = sketches.select("hv").distinct().cutLineage()
       val stats = merged.agg(count(lit(1)).as("n_hashes"))
       val kth = merged
         .withColumn("rn", row_number().over(Window.orderBy("hv")))
@@ -144,7 +145,7 @@ object SketchQueries {
       import spark.implicits._
       val tf = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt")).localCheckpoint()
+        .groupBy("term").agg(count(lit(1)).as("cnt")).cutLineage()
       val rows = spark.range(D).select(col("id").as("j"))
       val counters = tf.crossJoin(broadcast(rows))
         .select(col("j"),
@@ -240,9 +241,9 @@ object SketchQueries {
       def hv(c: org.apache.spark.sql.Column) =
         HashOps.hashP(concat(c.cast("string"), lit(":kmv2")))
       val a = Tables.customer(spark, dir).select(hv(col("c_custkey")).as("hv"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       val b = Tables.orders(spark, dir).select(hv(col("o_custkey")).as("hv"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       def sketch(df: DataFrame): DataFrame = df
         .withColumn("rn", row_number().over(Window.orderBy("hv")))
         .where(col("rn") <= K)
@@ -321,8 +322,8 @@ object SketchQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n")).where(col("n") >= MinEvents)
         .select(col("user_id"),
           HashOps.hashP(concat(col("user_id").cast("string"), lit(":kmv"))).as("hv"))
-      val a = heavy("click").localCheckpoint()
-      val b = heavy("view").localCheckpoint()
+      val a = heavy("click").cutLineage()
+      val b = heavy("view").cutLineage()
       def sketch(df: DataFrame) = df.select("hv")
         .withColumn("rn", row_number().over(Window.orderBy("hv")))
         .where(col("rn") <= K)

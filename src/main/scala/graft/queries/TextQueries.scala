@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints._
 import graft.Tables
 import graft.ops.{HashOps, TextOps}
 
@@ -514,7 +515,7 @@ object TextQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val td = Tables.documents(spark, dir)
         .select(explode(TextOps.tokens(col("text"))).as("term"), col("doc_id"))
-        .distinct().localCheckpoint()
+        .distinct().cutLineage()
       val top = td.groupBy("term").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("term")).limit(TopTerms)
       td.join(broadcast(top), Seq("term"))
@@ -583,7 +584,7 @@ object TextQueries {
         .groupBy("word").agg(count(lit(1)).as("wc"))
         .select(col("word"), col("wc"),
           concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-        .localCheckpoint()
+        .cutLineage()
       def bestPair(words: DataFrame): DataFrame = words
         .select(col("wc"),
           explode(TextOps.shingles(split(trim(col("s")), " "), 2)).as("pair"))
@@ -597,7 +598,7 @@ object TextQueries {
       }
       (1 to Rounds).foldLeft((w0, Seq.empty[DataFrame])) {
         case ((words, acc), _) =>
-          val best = bestPair(words).localCheckpoint()
+          val best = bestPair(words).cutLineage()
           (applyMerge(words, best), acc :+ best)
       }
     }
@@ -668,7 +669,7 @@ object TextQueries {
       // frames re-evaluate combinatorially (measured 9.8 s → 2.9 s warm).
       val cand = bm25Topk.run(spark, dir)
         .orderBy(col("score_e4").desc, col("doc_id")).limit(Pool)
-        .select(col("doc_id"), col("score_e4").as("rel")).localCheckpoint()
+        .select(col("doc_id"), col("score_e4").as("rel")).cutLineage()
       val ct = cand.join(Tables.documents(spark, dir), Seq("doc_id"))
         .select(col("doc_id"),
           sort_array(array_distinct(TextOps.tokens(col("text")))).as("tk"))
@@ -679,9 +680,9 @@ object TextQueries {
           (size(col("x.tk")) + size(col("y.tk"))).as("sz"))
         .select(col("a"), col("b"),
           expr("CAST(inter AS BIGINT) * 10000 div CAST(sz - inter AS BIGINT)")
-            .as("sim_e4")).localCheckpoint()
+            .as("sim_e4")).cutLineage()
       val first = cand.orderBy(col("rel").desc, col("doc_id")).limit(1)
-        .select(col("doc_id"), col("rel").as("mmr_e4")).localCheckpoint()
+        .select(col("doc_id"), col("rel").as("mmr_e4")).cutLineage()
       val (picks, _) = (2 to Select).foldLeft(
         (Seq(first), first.select("doc_id"))) { case ((acc, sel), _) =>
         val mmr = cand.join(sel, Seq("doc_id"), "left_anti")
@@ -691,7 +692,7 @@ object TextQueries {
           .agg(coalesce(max("sim_e4"), lit(0L)).as("maxsim"))
           .select(col("doc_id"), (col("rel") - col("maxsim")).as("mmr_e4"))
         val pick = mmr.orderBy(col("mmr_e4").desc, col("doc_id")).limit(1)
-          .localCheckpoint()
+          .cutLineage()
         (acc :+ pick, sel.unionAll(pick.select("doc_id")))
       }
       picks.zipWithIndex.map { case (p, i) =>
