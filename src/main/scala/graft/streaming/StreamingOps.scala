@@ -461,7 +461,8 @@ object StreamingOps {
       }
   }
 
-  case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String)
   /** −1 = step not reached. */
   case class FunnelState(t1: Long, t2: Long, t3: Long)
   case class FunnelLevel(user_id: Long, level: Long, t1_us: Long, t3_us: Long)
@@ -470,7 +471,10 @@ object StreamingOps {
     * (BehaviorQueries.qWindowFunnel): per-user state is exactly the three
     * chain timestamps (first view, first click after it, first purchase
     * after that — all within `windowUs` of the view), O(1) on an
-    * unbounded stream. Events fold in ts order within each micro-batch;
+    * unbounded stream. Events fold in (ts, event_id) order within each
+    * micro-batch (the repo-wide total-order tie-break — the strict `>`
+    * window guards make the final state tie-insensitive, but the fold
+    * order itself stays deterministic);
     * a chain step arriving in a LATER micro-batch than its predecessor
     * advances the level then (spec-pinned). Emits the user's current
     * level on every update — downstream counts per level reproduce the
@@ -484,7 +488,7 @@ object StreamingOps {
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
                                  timers: TimerValues): Iterator[FunnelLevel] = {
       var st = if (state.exists()) state.get() else FunnelState(-1L, -1L, -1L)
-      rows.toSeq.sortBy(_.ts_us).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         e.event_type match {
           case "view" if st.t1 < 0 => st = st.copy(t1 = e.ts_us)
           case "click" if st.t1 >= 0 && st.t2 < 0 &&
@@ -512,4 +516,30 @@ object StreamingOps {
       .transformWithState(new FunnelProcessor(windowUs, ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Batch↔stream twin registry: every streaming operator above, mapped to
+    * the batch computation it must reproduce on the shared fixture (a
+    * catalog query name, or a description of the inline batch recompute).
+    * `StreamingParitySpec` enumerates this map with one parity assertion
+    * per entry AND reflects over this object's public operator methods to
+    * assert the map is complete — a new streaming twin cannot land without
+    * a registry entry, and a registry entry cannot land without a parity
+    * runner. Keep keys = method names. */
+  val batchTwins: Map[String, String] = Map(
+    "windowedEventCounts" -> "q_windowed_counts (same unified helper, batch mode)",
+    "zoneActivityStream" -> "inline batch window x zone conditional counts",
+    "dedupStream" -> "inline batch distinct on the dedup keys",
+    "nearDupDedupBatch" -> "driver replay of the two-batch LSH band-store fold",
+    "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
+    "streamIntervalJoin" -> "inline batch join with the same interval predicate",
+    "sessionWindowCounts" -> "q_session_window_sql",
+    "streamStaticEnrich" -> "inline batch broadcast left join",
+    "qualityFilterStream" -> "inline batch quality_linear_score expression",
+    "runningTotals" -> "inline batch groupBy count/sum",
+    "ewmaStream" -> "driver fold of the binary-decay recurrence in (ts, event_id) order",
+    "kmvDistinctStream" -> "driver KMV of the distinct hash set (k-th smallest estimator)",
+    "twapStream" -> "q_twap",
+    "sessionize" -> "q_sessionize",
+    "attributedSessions" -> "inline batch WindowOps.sessionize + first-touch/conversion agg",
+    "funnelStream" -> "q_window_funnel")
 }

@@ -413,16 +413,16 @@ class StreamingOpsSpec extends SparkSpec {
       // user 2: click BEFORE the first view — must not advance the chain
       // user 3: click inside, purchase outside the 7-day window
       input.addData(
-        StreamingOps.FunnelEvent(1L, 0L, "view"),
-        StreamingOps.FunnelEvent(2L, 0L, "click"),
-        StreamingOps.FunnelEvent(2L, 10L, "view"),
-        StreamingOps.FunnelEvent(3L, 0L, "view"),
-        StreamingOps.FunnelEvent(3L, day, "click"))
+        StreamingOps.FunnelEvent(1L, 0L, 0L, "view"),
+        StreamingOps.FunnelEvent(2L, 0L, 0L, "click"),
+        StreamingOps.FunnelEvent(2L, 10L, 0L, "view"),
+        StreamingOps.FunnelEvent(3L, 0L, 0L, "view"),
+        StreamingOps.FunnelEvent(3L, day, 0L, "click"))
       q.processAllAvailable()
       input.addData(
-        StreamingOps.FunnelEvent(1L, day, "click"),
-        StreamingOps.FunnelEvent(1L, 2 * day, "purchase"),
-        StreamingOps.FunnelEvent(3L, 8 * day, "purchase"))
+        StreamingOps.FunnelEvent(1L, day, 0L, "click"),
+        StreamingOps.FunnelEvent(1L, 2 * day, 0L, "purchase"),
+        StreamingOps.FunnelEvent(3L, 8 * day, 0L, "purchase"))
       q.processAllAvailable()
       val fin = spark.table("sfunnel").as[StreamingOps.FunnelLevel].collect()
         .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.level).level }
@@ -444,8 +444,8 @@ class StreamingOpsSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, dir)
-      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_type")
-      .as[StreamingOps.FunnelEvent].collect().sortBy(_.ts_us)
+      .selectExpr("user_id", "unix_micros(ts) as ts_us", "event_id", "event_type")
+      .as[StreamingOps.FunnelEvent].collect().sortBy(e => (e.ts_us, e.event_id))
     val (first, second) = ev.splitAt(ev.length / 2) // chains cross the split
     val input = MemoryStream[StreamingOps.FunnelEvent]
     val q = StreamingOps.funnelStream(input.toDS(), 7L * 86400000000L)

@@ -1,0 +1,427 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.ops.{DedupOps, TextOps, WindowOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** THE batch↔stream parity battery (r9 verdict item 6): one parity
+  * assertion per streaming twin in [[StreamingOps.batchTwins]], all over
+  * the SAME real fixture (sf0.001 events/documents) fed as out-of-order
+  * micro-batches. A reflection test pins the registry against
+  * StreamingOps' public operator surface, so a new twin cannot land
+  * without a registry entry, and the registry/runner equality test makes
+  * a registry entry without a parity runner a failure — parity coverage
+  * is structurally closed.
+  *
+  * Individual mechanics (state TTL, late-data drops, restart recovery,
+  * watermark edges) stay in StreamingOpsSpec; THIS suite only answers
+  * "does the streaming twin reproduce the batch computation on real
+  * data?".
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val GapUs = 1800000000L // 30 min, the batch q_sessionize gap
+
+  // fixture rows sorted by the repo-wide (ts, event_id) total order
+  private lazy val ev: IndexedSeq[(Timestamp, Long, Long, Long, String, Long)] =
+    graft.Tables.events(spark, dir)
+      .selectExpr("ts", "unix_micros(ts) AS ts_us", "user_id", "event_id",
+        "event_type", "CAST(round(value * 100) AS LONG) AS cents")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+      .sortBy(t => (t._2, t._4)).toIndexedSeq
+
+  private lazy val (evA, evB) = ev.splitAt(ev.length / 2) // time split
+  private lazy val sentinelTs =
+    new Timestamp(ev.map(_._1.getTime).max + 30L * 86400000L)
+  private lazy val sentinelUs = ev.map(_._2).max + 30L * 86400000000L
+
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Run a streaming DataFrame built from `mk(input)` over the given
+    * batches into a memory sink and return the sink table. */
+  private def runStream[T: org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]], mode: OutputMode, name: String)(
+      mk: MemoryStream[T] => DataFrame): DataFrame = {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[T]
+    val q = mk(input).writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  // ---- registry closure ----------------------------------------------
+
+  private lazy val runners: Map[String, () => Unit] = Map(
+    "windowedEventCounts" -> (() => windowedEventCountsParity()),
+    "zoneActivityStream" -> (() => zoneActivityParity()),
+    "dedupStream" -> (() => dedupStreamParity()),
+    "nearDupDedupBatch" -> (() => nearDupParity()),
+    "snapshotMaintainBatch" -> (() => snapshotParity()),
+    "streamIntervalJoin" -> (() => intervalJoinParity()),
+    "sessionWindowCounts" -> (() => sessionWindowParity()),
+    "streamStaticEnrich" -> (() => staticEnrichParity()),
+    "qualityFilterStream" -> (() => qualityFilterParity()),
+    "runningTotals" -> (() => runningTotalsParity()),
+    "ewmaStream" -> (() => ewmaParity()),
+    "kmvDistinctStream" -> (() => kmvParity()),
+    "twapStream" -> (() => twapParity()),
+    "sessionize" -> (() => sessionizeParity()),
+    "attributedSessions" -> (() => attributedSessionsParity()),
+    "funnelStream" -> (() => funnelParity()))
+
+  test("registry is complete: every public streaming operator has a batch twin entry") {
+    val ops = StreamingOps.getClass.getMethods
+      .filter(_.getParameterTypes.exists(t => classOf[Dataset[_]].isAssignableFrom(t)))
+      .map(_.getName).filterNot(_.contains("$")).toSet
+    assert(ops == StreamingOps.batchTwins.keySet,
+      s"streaming ops without a twin entry: ${ops -- StreamingOps.batchTwins.keySet}; " +
+        s"registry entries without an op: ${StreamingOps.batchTwins.keySet -- ops}")
+  }
+
+  test("every registry entry has a parity runner in this battery") {
+    assert(runners.keySet == StreamingOps.batchTwins.keySet,
+      s"twins without a runner: ${StreamingOps.batchTwins.keySet -- runners.keySet}; " +
+        s"runners without a twin: ${runners.keySet -- StreamingOps.batchTwins.keySet}")
+  }
+
+  StreamingOps.batchTwins.toSeq.sortBy(_._1).foreach { case (op, twin) =>
+    test(s"parity: $op vs $twin") { runners(op)() }
+  }
+
+  // ---- runners --------------------------------------------------------
+
+  private def windowedEventCountsParity(): Unit = {
+    val batches = Seq(
+      evA.map(e => (e._1, e._5)), evB.map(e => (e._1, e._5)),
+      Seq((sentinelTs, "___sentinel")))
+    val got = runStream(batches, OutputMode.Append, "p_wec")(in =>
+      windowedEventCounts(in.toDF().toDF("ts", "event_type"),
+        "10 minutes", "1 hour"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.SparkEntry.queries("q_windowed_counts")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def zoneActivityParity(): Unit = {
+    val types = ev.map(_._5).distinct.sorted
+    def df(rows: Seq[(Timestamp, Long, String)]) = rows.toDF("ts", "zone_id", "event_type")
+    val rows = ev.map(e => (e._1, e._3 % 7, e._5))
+    val batches = Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2),
+      Seq((sentinelTs, -1L, "___sentinel")))
+    val got = runStream(batches, OutputMode.Append, "p_zone")(in =>
+      zoneActivityStream(in.toDF().toDF("ts", "zone_id", "event_type"),
+        types, "10 minutes", "1 hour"))
+      .collect().map(_.toSeq.toList).toSet
+    // the batch twin IS the same helper on a batch frame (unified plan)
+    val want = zoneActivityStream(df(rows), types, "10 minutes", "1 hour")
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def dedupStreamParity(): Unit = {
+    val rows = ev.map(e => (e._1, e._3, e._5))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Append, "p_dedup")(in =>
+      dedupStream(in.toDF().toDF("ts", "user_id", "event_type"),
+        Seq("user_id", "event_type"), "30 days"))
+      .collect()
+    val gotKeys = got.map(r => (r.getLong(1), r.getString(2))).toSet
+    val wantKeys = ev.map(e => (e._3, e._5)).toSet
+    assert(got.length == wantKeys.size, "a key emitted more than once")
+    assert(gotKeys == wantKeys)
+  }
+
+  private def nearDupParity(): Unit = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val store = java.nio.file.Files.createTempDirectory("p_neardup").toString + "/bands"
+    val kept1 = nearDupDedupBatch(d1.toSeq.toDF("doc_id", "text"), store)
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = nearDupDedupBatch(d2.toSeq.toDF("doc_id", "text"), store)
+      .select("doc_id").as[Long].collect().toSet
+    // driver replay of the same two-batch fold from batch-computed bands
+    val bands = docs.toSeq.toDF("doc_id", "text")
+      .withColumn("hs", TextOps.shingleHashes(col("text"), 3))
+      .where(size(col("hs")) > 0)
+      .withColumn("band", explode(DedupOps.lshBandKeys(
+        DedupOps.minhashSignature(col("hs"), 64), 16, 4)))
+      .select("doc_id", "band")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, bs) => id -> bs.map(_._2).toSet }
+    def fold(batch: Seq[Long], store: Set[String]): (Set[Long], Set[String]) = {
+      val inBatch = batch.filter(bands.contains)
+      val minPerBand = inBatch.flatMap(id => bands(id).map(_ -> id))
+        .groupBy(_._1).map { case (b, ids) => b -> ids.map(_._2).min }
+      val kept = inBatch.filter(id =>
+        bands(id).forall(b => minPerBand(b) == id) &&
+          bands(id).forall(b => !store.contains(b))).toSet
+      val keptNoBands = batch.filterNot(bands.contains).toSet // empty-shingle docs pass
+      (kept ++ keptNoBands, store ++ kept.flatMap(bands))
+    }
+    val (w1, store1) = fold(d1.map(_._1).toSeq, Set.empty)
+    val (w2, _) = fold(d2.map(_._1).toSeq, store1)
+    assert(kept1 == w1 && kept2 == w2)
+    assert((w1 ++ w2).nonEmpty && (w1 ++ w2).size < docs.length,
+      "fixture produced no near-dups — parity vacuous")
+  }
+
+  private def snapshotParity(): Unit = {
+    val snap = java.nio.file.Files.createTempDirectory("p_snap").toString + "/snap"
+    def df(rows: IndexedSeq[(Timestamp, Long, Long, Long, String, Long)]) =
+      rows.map(e => (e._3, e._3 % 4, e._4, e._5, e._6))
+        .toDF("user_id", "part", "event_id", "event_type", "cents")
+    snapshotMaintainBatch(df(evA), snap, Seq("user_id"), Seq("part"), "event_id")
+    snapshotMaintainBatch(df(evB), snap, Seq("user_id"), Seq("part"), "event_id")
+    val got = spark.read.parquet(snap)
+      .select("user_id", "event_id", "event_type", "cents")
+      .collect().map(_.toSeq.toList).toSet
+    val want = WindowOps.latestPerKey(df(ev), Seq("user_id"), Seq(col("event_id")))
+      .select("user_id", "event_id", "event_type", "cents")
+      .collect().map(_.toSeq.toList).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def intervalJoinParity(): Unit = {
+    implicit val sc = spark.sqlContext
+    val views = ev.filter(_._5 == "view").map(e => (e._1, e._3))
+    val clicks = ev.filter(_._5 == "click").map(e => (e._1, e._3))
+    val inL = MemoryStream[(Timestamp, Long)]
+    val inR = MemoryStream[(Timestamp, Long)]
+    val joined = streamIntervalJoin(
+      inL.toDF().toDF("ts", "user_id"), inR.toDF().toDF("ts", "user_id"),
+      Seq("user_id"), "ts", "ts", "30 days", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("p_ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inL.addData(views.take(views.length / 2): _*)
+      inR.addData(clicks.take(clicks.length / 2): _*)
+      q.processAllAvailable()
+      inL.addData(views.drop(views.length / 2): _*)
+      inR.addData(clicks.drop(clicks.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("p_ij")
+      .select("user_id", "ts", "r_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sortBy(t => (t._1, t._2.getTime, t._3.getTime)).toSeq
+    val want = views.toDF("ts", "user_id").alias("l")
+      .join(clicks.toDF("r_ts", "r_user_id").alias("r"),
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 30 minutes"))
+      .select("user_id", "ts", "r_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sortBy(t => (t._1, t._2.getTime, t._3.getTime)).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def sessionWindowParity(): Unit = {
+    val rows = ev.map(e => (e._1, e._3))
+    val batches = Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2),
+      Seq((sentinelTs, -1L)))
+    val got = runStream(batches, OutputMode.Append, "p_sw")(in =>
+      sessionWindowCounts(in.toDF().toDF("ts", "user_id"),
+        "30 minutes", "10 minutes"))
+      .where(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val want = graft.SparkEntry.queries("q_session_window_sql")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def staticEnrichParity(): Unit = {
+    val dim = ev.map(_._5).distinct.sorted.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("event_type", "type_idx")
+    val rows = ev.map(e => (e._4, e._5))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Append, "p_enrich")(in =>
+      streamStaticEnrich(in.toDF().toDF("event_id", "event_type"),
+        dim, Seq("event_type")))
+      .select("event_id", "type_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.toDF("event_id", "event_type")
+      .join(dim, Seq("event_type"), "left")
+      .select("event_id", "type_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.size == ev.length)
+  }
+
+  private def qualityFilterParity(): Unit = {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = runStream(
+      Seq(docs.take(docs.length / 2), docs.drop(docs.length / 2)),
+      OutputMode.Append, "p_qual")(in =>
+      qualityFilterStream(in.toDF().toDF("doc_id", "text")))
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = qualityFilterStream(docs.toDF("doc_id", "text"))
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty && want.size < docs.length)
+  }
+
+  private def runningTotalsParity(): Unit = withRocksDB {
+    val rows = ev.map(e => KeyedValue(e._3, e._6))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_rt")(in => runningTotals(in.toDS()).toDF())
+      .as[RunningTotal].collect()
+      .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n) }
+    val want = ev.groupBy(_._3).map { case (u, es) =>
+      u -> RunningTotal(u, es.length.toLong, es.map(_._6).sum)
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def ewmaParity(): Unit = withRocksDB {
+    val rows = ev.map(e => KeyedValue(e._3, e._6))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_ewma")(in => ewmaStream(in.toDS()).toDF())
+      .as[EwmaOut].collect()
+      .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n) }
+    val want = ev.groupBy(_._3).map { case (u, es) =>
+      // binary-decay fold in the same (ts, event_id) order the stream feeds
+      val s = es.sortBy(e => (e._2, e._4)).map(_._6)
+        .foldLeft(0L)((acc, v) => v * 128 + (acc >> 1))
+      u -> EwmaOut(u, es.length.toLong, s)
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def kmvParity(): Unit = withRocksDB {
+    val K = 8
+    val P = graft.ops.HashOps.P
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:skmv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val rows = ev.map(e => KeyedHash(e._5, h(e._3)))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_kmv")(in => kmvDistinctStream(in.toDS(), K, P).toDF())
+      .as[KmvOut].collect()
+      .groupBy(_.k).map { case (k, rs) => k -> rs.maxBy(_.n_held) }
+    val want = ev.groupBy(_._5).map { case (t, es) =>
+      val merged = es.map(e => h(e._3)).distinct.sorted.take(K)
+      val est = if (merged.length < K) merged.length.toLong
+                else (K - 1).toLong * P / merged.last
+      t -> KmvOut(t, merged.length.toLong, est)
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def twapParity(): Unit = withRocksDB {
+    val rows = ev.map(e => TwapEvent(e._3, e._2, e._4, e._6))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_twap")(in => twapStream(in.toDS()).toDF())
+      .as[TwapOut].collect()
+      .groupBy(_.user_id).map { case (k, rs) => k -> rs.maxBy(_.n_holds) }
+      .filter(_._2.n_holds > 0)
+    val want = graft.SparkEntry.queries("q_twap")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        TwapOut(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def sessionizeParity(): Unit = {
+    val rows = ev.map(e => UserEvent(e._3, e._2))
+    val sentinels = ev.map(_._3).distinct.map(u => UserEvent(u, sentinelUs))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2), sentinels),
+      OutputMode.Append, "p_sess")(in => sessionize(in.toDS(), GapUs).toDF())
+      .as[ClosedSession].collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+    val want = WindowOps.sessionize(graft.Tables.events(spark, dir),
+      Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), GapUs)
+      .groupBy("user_id", "session_idx")
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want && want.nonEmpty)
+    // q_sessionize parity at the per-user grain, via the catalog query
+    val counts = got.groupBy(_._1).map { case (u, ss) =>
+      (u, ss.size.toLong, ss.toSeq.map(_._4).sum) }.toSet
+    val qWant = graft.SparkEntry.queries("q_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == qWant)
+  }
+
+  private def attributedSessionsParity(): Unit = {
+    val rows = ev.map(e => TypedEvent(e._3, e._2, e._5))
+    val sentinels = ev.map(_._3).distinct
+      .map(u => TypedEvent(u, sentinelUs, "___sentinel"))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2), sentinels),
+      OutputMode.Append, "p_attr")(in =>
+      attributedSessions(in.toDS(), GapUs).toDF())
+      .as[AttributedSession].collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events, s.first_type,
+        s.converted)).toSet
+    val want = WindowOps.sessionize(graft.Tables.events(spark, dir),
+      Seq("user_id"), "ts", Seq(col("ts"), col("event_id")), GapUs)
+      .groupBy("user_id", "session_idx")
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"),
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("ft"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cv"))
+      .select("user_id", "s", "e", "n", "ft", "cv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5) == 1L)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  private def funnelParity(): Unit = withRocksDB {
+    val rows = ev.map(e => FunnelEvent(e._3, e._2, e._4, e._5))
+    val got = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_funnel")(in =>
+      funnelStream(in.toDS(), 7L * 86400000000L).toDF())
+      .as[FunnelLevel].collect()
+      .groupBy(_.user_id).map { case (_, rs) => rs.maxBy(_.level).level }.toSeq
+    val batch = graft.SparkEntry.queries("q_window_funnel")(spark, dir)
+      .collect().head
+    assert(got.count(_ >= 1) == batch.getAs[Long]("n_view"))
+    assert(got.count(_ >= 2) == batch.getAs[Long]("n_then_click"))
+    assert(got.count(_ >= 3) == batch.getAs[Long]("n_then_purchase"))
+    assert(batch.getAs[Long]("n_then_click") > 0)
+  }
+}
