@@ -743,6 +743,120 @@ object FuzzQueries {
     }
   }
 
+  /** Outer-join nullability grammar (r9 verdict item 7): LEFT / RIGHT /
+    * FULL orders↔customer joins with BOTH sides pre-filtered (predicates
+    * go INSIDE the join inputs — on the outer side of the join they would
+    * silently re-filter the null-extended rows, which is exactly the
+    * cross-engine divergence surface this arm fuzzes), group keys
+    * null-coalesced, and the three count flavors (count(*),
+    * count(fact_col), count(dim_col)) whose null-skipping is where
+    * engines classically disagree. */
+  private def genOuterJoin(r: Random, idx: Int): Q = {
+    val (joinType, joinSql) = pick(r, Seq(
+      ("left", "LEFT JOIN"), ("right", "RIGHT JOIN"), ("full", "FULL JOIN")))
+    val factPreds = r.shuffle(tables("orders")._2).take(r.nextInt(2))
+    val dimPreds = r.shuffle(Seq(
+      "c_acctbal >= 0" -> "c_acctbal >= 0",
+      "c_nationkey < 13" -> "c_nationkey < 13",
+      "c_mktsegment = 'BUILDING'" -> "c_mktsegment = 'BUILDING'"))
+      .take(1 + r.nextInt(2))
+    val keyChoices = Seq(
+      ("seg", coalesce(col("c_mktsegment"), lit("__none")),
+        "coalesce(c_mktsegment, '__none')"),
+      ("st", coalesce(col("o_orderstatus"), lit("__none")),
+        "coalesce(o_orderstatus, '__none')"))
+    val keys = r.shuffle(keyChoices).take(1 + r.nextInt(2))
+    val aggChoices = Seq(
+      ("cnt_all", count(lit(1)), "count(*)"),
+      ("cnt_fact", count(col("o_orderkey")), "count(o_orderkey)"),
+      ("cnt_dim", count(col("c_custkey")), "count(c_custkey)"),
+      ("sum_cents", coalesce(sum(Q.cents(col("o_totalprice"))), lit(0L)),
+        "CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)"))
+    val aggs = r.shuffle(aggChoices).take(2 + r.nextInt(2))
+
+    new Q {
+      val name = f"q_fuzzoj_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val fact = factPreds.foldLeft(Tables.orders(spark, dir))(
+          (d, p) => d.where(expr(p._1)))
+        val dim = dimPreds.foldLeft(Tables.customer(spark, dir))(
+          (d, p) => d.where(expr(p._1)))
+        fact.join(dim, col("o_custkey") === col("c_custkey"), joinType)
+          .groupBy(keys.map(k => k._2.as(k._1)): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+            aggs.tail.map(a => a._2.as(a._1)): _*)
+          .orderBy(keys.map(k => col(k._1)): _*)
+      }
+      val oracle = Some {
+        val fw = if (factPreds.isEmpty) ""
+          else factPreds.map(_._2).mkString("WHERE ", " AND ", "")
+        val dw = dimPreds.map(_._2).mkString("WHERE ", " AND ", "")
+        val keySql = keys.map(k => s"${k._3} AS ${k._1}").mkString(", ")
+        val aggSql = aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ")
+        s"""SELECT $keySql, $aggSql
+           |FROM (SELECT * FROM orders $fw) o
+           |$joinSql (SELECT * FROM customer $dw) c ON o_custkey = c_custkey
+           |GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}
+           |ORDER BY ${keys.map(_._1).mkString(", ")}""".stripMargin
+      }
+    }
+  }
+
+  /** Rank-semantics window grammar (r9 verdict item 7): rank/dense_rank
+    * ordered by a NON-unique money column — real ties, where rank vs
+    * row_number vs dense_rank semantics actually differ across engines —
+    * plus ntile/first_value/nth_value/partition counts ordered with the
+    * unique tie-break (they are tie-order-SENSITIVE, so they get the
+    * repo's total-order convention). Complements genWindow, whose draws
+    * are all unique-key-ordered. */
+  private def genWindowRank(r: Random, idx: Int): Q = {
+    import org.apache.spark.sql.expressions.Window
+    val partCol = pick(r, Seq("o_orderstatus", "o_orderpriority"))
+    val cents = Q.cents(col("o_totalprice"))
+    val centsSql = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    // ties: cents desc ONLY (rank-family safe); tie-broken: + o_orderkey
+    val tiesSql = s"PARTITION BY $partCol ORDER BY $centsSql DESC"
+    val tbSql = s"$tiesSql, o_orderkey"
+    lazy val wTies = Window.partitionBy(partCol).orderBy(cents.desc)
+    lazy val wTb = Window.partitionBy(partCol).orderBy(cents.desc, col("o_orderkey"))
+    lazy val wPart = Window.partitionBy(partCol)
+    val fnChoices = (0 until (1 + r.nextInt(3))).map { i =>
+      r.nextInt(5) match {
+        case 0 => (s"rk_$i", rank().over(wTies).cast("long"),
+          s"CAST(rank() OVER ($tiesSql) AS BIGINT)")
+        case 1 => (s"drk_$i", dense_rank().over(wTies).cast("long"),
+          s"CAST(dense_rank() OVER ($tiesSql) AS BIGINT)")
+        case 2 => (s"nt_$i", ntile(4).over(wTb).cast("long"),
+          s"CAST(ntile(4) OVER ($tbSql) AS BIGINT)")
+        case 3 => (s"fv_$i", first_value(cents).over(wTb),
+          s"first_value($centsSql) OVER ($tbSql)")
+        case 4 => (s"np_$i", count(lit(1)).over(wPart),
+          s"count(*) OVER (PARTITION BY $partCol)")
+      }
+    }
+    val pred = pick(r, Seq(
+      "o_totalprice < 150000", "o_orderpriority = '1-URGENT'",
+      "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+
+    new Q {
+      val name = f"q_fuzzwr_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame = {
+        val base = Tables.orders(spark, dir).where(expr(pred))
+          .select(col("o_orderkey"), col(partCol), col("o_totalprice"))
+        fnChoices.foldLeft(base) { case (d, (n, c, _)) => d.withColumn(n, c) }
+          .select((Seq(col("o_orderkey"), col(partCol)) ++
+            fnChoices.map(f => col(f._1))): _*)
+          .orderBy("o_orderkey")
+      }
+      val oracle = Some {
+        val fnSql = fnChoices.map(f => s"${f._3} AS ${f._1}").mkString(", ")
+        s"""SELECT o_orderkey, $partCol, $fnSql
+           |FROM orders WHERE $pred
+           |ORDER BY o_orderkey""".stripMargin
+      }
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -760,7 +874,11 @@ object FuzzQueries {
     val sessions = (0 until 6).map(genSession(r, _))
     val setops = (0 until 6).map(genSetOp(r, _))
     val calendars = (0 until 6).map(genDateBucket(r, _))
+    // round-10 arms (r9 verdict item 7), appended after all prior draws
+    val outerJoins = (0 until 6).map(genOuterJoin(r, _))
+    val windowRanks = (0 until 6).map(genWindowRank(r, _))
     scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
-      frames ++ hofs ++ texts ++ sessions ++ setops ++ calendars
+      frames ++ hofs ++ texts ++ sessions ++ setops ++ calendars ++
+      outerJoins ++ windowRanks
   }
 }
