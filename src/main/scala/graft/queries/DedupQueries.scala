@@ -467,6 +467,140 @@ object DedupQueries {
     }
   }
 
+  /** Eval-contamination report (r9 verdict item 8) — the closing audit of
+    * the dedup→split→decontaminate chain a training-data pipeline ships:
+    * for each EVAL split produced by the dedup-aware splitter, measure
+    * leakage from the train corpus through BOTH channels:
+    *
+    *  1. cluster leakage — an eval doc whose MinHash cluster also holds a
+    *     train doc. ZERO BY CONSTRUCTION (the splitter assigns clusters
+    *     atomically); the report computes it anyway, because an audit that
+    *     assumes the property it exists to check is not an audit.
+    *  2. span leakage — the residual channel the cluster split CANNOT
+    *     close: verbatim `DecontamK`-gram runs shared with any train doc
+    *     by pairs BELOW the Jaccard threshold (partial copies, shared
+    *     boilerplate, quoted passages). A doc counts as span-contaminated
+    *     when its longest shared run ≥ [[ContamMinRun]] grams.
+    *
+    * One row per eval split: doc count, leaked-by-cluster count, span-
+    * contaminated count, the longest shared span in tokens, and the
+    * contaminated share in e4.
+    *
+    * Scale shape: split frame persisted (3 consumers); train gram set is
+    * corpus-sized so it is an EQUI-JOIN on the gram hash (never broadcast
+    * — fan-out bounded by gram df), islands window partitions by doc. The
+    * CC stage inherits split_dedup_aware's guarded union-find. */
+  val ContamK = 3 // finer gram than DecontamK: the residual channel lives
+                  // BELOW the near-dup threshold, where 5-gram overlap is
+                  // already cluster-captured (measured: at sf0.01 every
+                  // 5-gram-sharing pair is same-cluster; 3-grams are not)
+  val ContamMinRun = 3 // ≥ 3 consecutive shared 3-grams ⇒ ≥ 5 verbatim tokens
+  val qContaminationReport: Q = new Q {
+    val name = "q_contamination_report"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val K = ContamK
+      val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, dir).select("id_l", "id_r")
+      val cc = DedupOps.connectedComponents(nodes, pairs)
+      val bucket = HashOps.hash60(col("cluster_id").cast("string")) % 10
+      val split = cc.select(col("node").as("doc_id"), col("cluster_id"),
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .persist() // consumed by train ids, eval side, and the leak probe
+      val trainIds = split.where(col("split") === "train").select("doc_id")
+      val evalDocs = split.where(col("split") =!= "train")
+      val trainClusters = split.where(col("split") === "train")
+        .select("cluster_id").distinct()
+      val leak = evalDocs.join(trainClusters, Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("leaked"))
+      val docsG = Tables.documents(spark, dir).select(col("doc_id"),
+        graft.expressions.F.shingleHashSeq(TextOps.tokens(col("text")), K).as("gs"))
+      val trainGrams = docsG.join(trainIds, Seq("doc_id"), "left_semi")
+        .select(explode(col("gs")).as("h")).distinct()
+      val evalPos = docsG.join(evalDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "h")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = evalPos.join(trainGrams, Seq("h"))
+        .withColumn("island", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "island").agg(count(lit(1)).as("run_grams"))
+        .groupBy("doc_id").agg(max("run_grams").as("max_run"))
+      evalDocs
+        .join(leak, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("leaked"), lit(0L)).as("n_cluster_leaked"),
+          sum(when(col("max_run") >= ContamMinRun, 1L).otherwise(0L))
+            .as("n_span_docs"),
+          coalesce(max(when(col("max_run") >= ContamMinRun,
+            col("max_run") + (K - 1))), lit(0L)).as("max_span_tokens"))
+        .select(col("split"), col("n_docs"), col("n_cluster_leaked"),
+          col("n_span_docs"), col("max_span_tokens"),
+          expr("n_span_docs * 10000 div n_docs").as("span_share_e4"))
+        .orderBy("split")
+    }
+    val oracle = {
+      val K = ContamK
+      val bucket = s"(${HashOps.sqlHash60("CAST(cluster_id AS VARCHAR)")} % 10)"
+      val toks = "regexp_extract_all(lower(text), '\\S+')"
+      Some(
+        s"""WITH RECURSIVE $SqlMinhashPairCtes,
+           |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+           |base AS (
+           |  SELECT id_l AS a, id_r AS b FROM pairs
+           |  UNION SELECT id_r, id_l FROM pairs
+           |  UNION SELECT doc_id, doc_id FROM documents),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM base
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+           |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+           |sp AS (
+           |  SELECT doc_id, cluster_id,
+           |    CASE WHEN $bucket <= 7 THEN 'train'
+           |         WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
+           |  FROM cc),
+           |t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |    unnest(range(1, greatest(len(toks) - ${K - 1}, 0) + 1)) AS pos,
+           |    unnest(list_transform(range(1, greatest(len(toks) - ${K - 1}, 0) + 1),
+           |      i -> ${HashOps.sqlHashP(s"array_to_string(list_slice(toks, i, i + ${K - 1}), ' ')")})) AS h
+           |  FROM t),
+           |tg AS (SELECT DISTINCT g.h FROM g JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+           |ep AS (
+           |  SELECT g.doc_id, g.pos FROM g
+           |  JOIN sp USING (doc_id) JOIN tg USING (h)
+           |  WHERE sp.split <> 'train'),
+           |runs AS (
+           |  SELECT doc_id,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM ep),
+           |agg AS (SELECT doc_id, island, count(*) AS run_grams FROM runs GROUP BY 1, 2),
+           |mr AS (SELECT doc_id, max(run_grams) AS max_run FROM agg GROUP BY 1),
+           |tc AS (SELECT DISTINCT cluster_id FROM sp WHERE split = 'train'),
+           |lk AS (
+           |  SELECT doc_id, 1 AS leaked FROM sp SEMI JOIN tc USING (cluster_id)
+           |  WHERE split <> 'train'),
+           |rep AS (
+           |  SELECT s.split, count(*) AS n_docs,
+           |    coalesce(sum(lk.leaked), 0) AS n_cluster_leaked,
+           |    sum(CASE WHEN mr.max_run >= $ContamMinRun THEN 1 ELSE 0 END) AS n_span_docs,
+           |    coalesce(max(CASE WHEN mr.max_run >= $ContamMinRun
+           |                      THEN mr.max_run + ${K - 1} END), 0) AS max_span_tokens
+           |  FROM sp s LEFT JOIN lk USING (doc_id) LEFT JOIN mr USING (doc_id)
+           |  WHERE s.split <> 'train' GROUP BY 1)
+           |SELECT split, n_docs,
+           |  CAST(n_cluster_leaked AS BIGINT) AS n_cluster_leaked,
+           |  CAST(n_span_docs AS BIGINT) AS n_span_docs,
+           |  CAST(max_span_tokens AS BIGINT) AS max_span_tokens,
+           |  CAST(n_span_docs * 10000 // n_docs AS BIGINT) AS span_share_e4
+           |FROM rep ORDER BY split""".stripMargin)
+    }
+  }
+
   /** Exact set-similarity self-join via PREFIX FILTERING (the PPJoin /
     * AllPairs family — Xiao et al., WWW'08; Bayardo et al., WWW'07): unlike
     * `dedup_ngram_jaccard` (df-capped heuristic candidates) and
@@ -721,5 +855,6 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
-    splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall)
+    splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
+    qContaminationReport)
 }

@@ -88,4 +88,51 @@ class Wave20QueriesSpec extends SparkSpec {
     val wantWorst = if (missed.isEmpty) -1L else missed.map(_._3).max
     assert(row.getAs[Long]("worst_miss_cos_e6") == wantWorst)
   }
+
+  test("q_contamination_report matches a from-scratch driver recompute of both leakage channels") {
+    import graft.queries.DedupQueries
+    val K = DedupQueries.ContamK
+    // split assignment from the catalog splitter (itself oracle-gated)
+    val split = SparkEntry.queries("split_dedup_aware")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split")))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    def grams(text: String): IndexedSeq[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+      (0 to toks.length - K).map(i => toks.slice(i, i + K).mkString(" "))
+    }
+    // channel 1: no minhash cluster may span train and an eval split
+    val bySplit = split.groupBy(_._3)
+    val trainClusters = bySplit.getOrElse("train", Array.empty).map(_._2).toSet
+    for (s <- Seq("val", "test"); (_, c, _) <- bySplit.getOrElse(s, Array.empty))
+      assert(!trainClusters.contains(c), s"cluster $c spans train and $s")
+    // channel 2: longest run of consecutive train-shared K-grams per eval doc
+    val trainGrams = bySplit.getOrElse("train", Array.empty)
+      .flatMap(d => grams(docs(d._1))).toSet
+    def maxRun(id: Long): Int = {
+      val hits = grams(docs(id)).map(trainGrams.contains)
+      var best = 0; var cur = 0
+      hits.foreach { h => cur = if (h) cur + 1 else 0; best = math.max(best, cur) }
+      best
+    }
+    val got = DedupQueries.qContaminationReport.run(spark, dir).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    for (s <- Seq("val", "test")) {
+      val members = bySplit.getOrElse(s, Array.empty).map(_._1)
+      val runs = members.map(maxRun)
+      val nSpan = runs.count(_ >= DedupQueries.ContamMinRun)
+      val maxSpan = runs.filter(_ >= DedupQueries.ContamMinRun)
+        .maxOption.map(_ + K - 1).getOrElse(0)
+      val row = got(s)
+      assert(row.getAs[Long]("n_docs") == members.length)
+      assert(row.getAs[Long]("n_cluster_leaked") == 0L)
+      assert(row.getAs[Long]("n_span_docs") == nSpan,
+        s"$s: span-doc count mismatch")
+      assert(row.getAs[Long]("max_span_tokens") == maxSpan)
+      assert(row.getAs[Long]("span_share_e4") ==
+        nSpan.toLong * 10000 / members.length)
+    }
+    assert(got.keySet == Set("val", "test"))
+  }
 }
