@@ -22,13 +22,23 @@ import org.apache.spark.sql.functions._
   * default mode (facts ×N, users fixed) cannot see per-user state growth
   * or a user-grain broadcast going superlinear — this axis can.
   *
-  * Usage: runMain graft.tools.ScaleProbe [users] [replicas] [query...]
+  * The `dims` mode scales the part/customer DIMENSIONS with facts
+  * (VERDICT r9 item 4): every replica shifts p_partkey/c_custkey AND the
+  * fact foreign keys consistently, so N× = N DISJOINT copies of the base
+  * world. This is the fair axis for the co-purchase graph family: the
+  * default facts-×N-over-fixed-dims mode densifies the part-pair graph
+  * quadratically (every order replica re-pairs the SAME parts), which
+  * reads as super-linearity even for a perfectly sharded plan; under
+  * disjoint-world scaling a well-shaped graph plan must be near-linear.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [users|dims] [replicas] [query...]
   */
 object ScaleProbe {
   private val KeyStride = 1000000000000L // far above any real key
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("users")) return usersMain(args.tail)
+    if (args.headOption.contains("dims")) return dimsMain(args.tail)
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "q1_agg", "q_tpch_q3", "q_topk_orders_agg", "scd2_order_status",
@@ -106,6 +116,67 @@ object ScaleProbe {
       val t1 = warm(spark, qs(name), base)
       val tN = warm(spark, qs(name), scaled)
       println(f"$name%-28s $t1%9.2fs $tN%9.2fs  ${tN / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+
+  /** Dims arm: part/customer/supplier dims ×N with all fact foreign keys
+    * shifted per replica — N disjoint copies of the base world. Output
+    * cardinality scales exactly ×N, so wall ratios ≲ N certify the plan
+    * shards; a super-linear ratio HERE (unlike the fixed-dims arm, where
+    * fact replication densifies pair graphs quadratically) is a genuine
+    * scale bug. region/nation stay (c_nationkey unshifted remains valid);
+    * events/documents/embeddings copy verbatim — not this axis. */
+  private def dimsMain(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "q_copurchase_edges", "q_pagerank", "q_graph_triangles", "q_graph_cc",
+      "q_link_prediction", "q_label_propagation", "q_kcore",
+      "q_hits_bipartite", "q_degree_histogram", "q_graph_assortativity",
+      "q_assoc_rules", "q_item_cf")
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale/dims_x$replicas"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config(graft.Sessions.defaults)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$scaled/_done").exists()) {
+      def reps(df: DataFrame, shifted: Seq[String]): DataFrame =
+        (0 until replicas).map { i =>
+          shifted.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * KeyStride)))
+        }.reduce(_ unionByName _)
+      Seq("region", "nation").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$scaled/$t.parquet")
+      }
+      Seq("documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$scaled/$t.parquet")
+      }
+      graft.Tables.events(spark, base)
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/events.parquet")
+      reps(spark.read.parquet(s"$base/part.parquet"), Seq("p_partkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/part.parquet")
+      reps(spark.read.parquet(s"$base/customer.parquet"), Seq("c_custkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/customer.parquet")
+      reps(spark.read.parquet(s"$base/supplier.parquet"), Seq("s_suppkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/supplier.parquet")
+      reps(spark.read.parquet(s"$base/orders.parquet"),
+        Seq("o_orderkey", "o_custkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/orders.parquet")
+      reps(spark.read.parquet(s"$base/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaled/lineitem.parquet")
+      new java.io.File(s"$scaled/_done").createNewFile()
+    }
+    val qs = graft.SparkEntry.queries
+    println(f"${"query"}%-24s ${"t1x_warm"}%10s ${"tNx_warm"}%10s  ratio (dims+facts x$replicas, disjoint worlds)")
+    names.foreach { name =>
+      val t1 = warm(spark, qs(name), base)
+      val tN = warm(spark, qs(name), scaled)
+      println(f"$name%-24s $t1%9.2fs $tN%9.2fs  ${tN / t1}%5.1fx")
     }
     spark.stop()
   }

@@ -2,7 +2,13 @@
 """Dev-only determinism gate: compare two graft.Verify output dirs
 (query-by-query, column-sorted, stringified cells) and report any query
 whose two runs differ — run-to-run determinism, which the DuckDB oracle
-compare alone does not prove. Usage: determinism.py <dirA> <dirB>."""
+compare alone does not prove. Usage: determinism.py <dirA> <dirB>.
+
+Equality is INTENTIONALLY row-order sensitive: outputs concatenate in
+sorted part-file-name order with in-file row order preserved, mirroring
+the driver's compare. A benign repartition between runs therefore reports
+as NON-DETERMINISTIC — that is the point: every catalog query must end in
+a total-order sort, so any ordering drift IS a determinism bug."""
 import sys, glob, os
 import pandas as pd
 
@@ -22,7 +28,8 @@ def main(a, b):
     for n in names:
         da, db = load(os.path.join(a, n)), load(os.path.join(b, n))
         if da is None or db is None:
-            bad.append(f"{n}: missing output ({da is None}/{db is None})")
+            missing = " ".join(d for d, df in ((a, da), (b, db)) if df is None)
+            bad.append(f"{n}: no parquet output under {missing}")
             continue
         if list(da.columns) != list(db.columns) or len(da) != len(db):
             bad.append(f"{n}: shape {da.shape} vs {db.shape}")
