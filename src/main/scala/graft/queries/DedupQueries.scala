@@ -132,7 +132,8 @@ object DedupQueries {
   /** MinHash-LSH near-dup pairs with exact-Jaccard refinement (id_l, id_r,
     * jac) — Spark side of SqlMinhashPairCtes, shared by the pair and
     * cluster queries. */
-  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(spark: SparkSession, dir: String,
+                                  minJac: Double = JaccardThreshold): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
       .where(size(col("hs")) > 0)
@@ -147,7 +148,7 @@ object DedupQueries {
       .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("hs_l")) + size(col("hs_r")) - col("inter")))
-      .where(col("jac") >= JaccardThreshold)
+      .where(col("jac") >= minJac)
   }
 
   /** MinHash + banded LSH candidates, refined with exact Jaccard — the
@@ -601,6 +602,213 @@ object DedupQueries {
     }
   }
 
+  /** Cross-source near-dup matrix — the PROVENANCE view of the near-dup
+    * pair set: how much does each source pair overlap? (The decision
+    * input for "which crawl snapshot duplicates which", "is the licensed
+    * corpus already inside the web scrape" — exact-dup rates per source
+    * exist in `dedup_rate_by_source`; this is the near-dup cross table.)
+    * Pair orientation is normalized (source_a ≤ source_b) so the matrix
+    * is upper-triangular. mean_jac_e4 is an exact integer division.
+    *
+    * Scale shape: the pair set comes from the banded-LSH equi-join
+    * (minhashPairs); the two source lookups are joins against the
+    * doc→source projection; output is source²-bounded. */
+  val qDedupCrossSource: Q = new Q {
+    val name = "q_dedup_cross_source"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val src = Tables.documents(spark, dir).select("doc_id", "source")
+      minhashPairs(spark, dir)
+        .select(col("id_l"), col("id_r"),
+          round(col("jac") * 10000).cast("long").as("jac_e4"))
+        .join(src.select(col("doc_id").as("id_l"), col("source").as("s_l")), Seq("id_l"))
+        .join(src.select(col("doc_id").as("id_r"), col("source").as("s_r")), Seq("id_r"))
+        .select(least(col("s_l"), col("s_r")).as("source_a"),
+          greatest(col("s_l"), col("s_r")).as("source_b"), col("jac_e4"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          max("jac_e4").as("max_jac_e4"),
+          expr("sum(jac_e4) div count(1)").as("mean_jac_e4"))
+        .orderBy("source_a", "source_b")
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |p AS (
+         |  SELECT id_l, id_r, CAST(round(jac * 10000) AS BIGINT) AS jac_e4
+         |  FROM j WHERE jac >= $JaccardThreshold),
+         |sp AS (
+         |  SELECT least(a.source, b.source) AS source_a,
+         |         greatest(a.source, b.source) AS source_b, jac_e4
+         |  FROM p JOIN documents a ON p.id_l = a.doc_id
+         |         JOIN documents b ON p.id_r = b.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  CAST(max(jac_e4) AS BIGINT) AS max_jac_e4,
+         |  CAST(sum(jac_e4) // count(*) AS BIGINT) AS mean_jac_e4
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Bag-of-words duplicate detection — the channel BOTH existing exact
+    * and near-dup passes miss: a doc whose tokens are a reordering of
+    * another's (shuffled bullet lists, re-sorted FAQ entries, template
+    * fields permuted or repeated) has a different md5 AND different
+    * positional 3-gram shingles, so `dedup_exact` and the Jaccard family
+    * can miss it. Signature = hash of the doc's SORTED DISTINCT token
+    * set (vocabulary identity — order- and repetition-insensitive, the
+    * coarsest useful channel; the token-multiset variant is vacuous on
+    * this corpus, measured: zero groups at sf0.01); rows are emitted
+    * only for docs in a multi-doc bag group, with the canonical (lowest
+    * id), the bag rank, and whether the text is also byte-identical
+    * (separating true shuffles from exact dups caught elsewhere).
+    *
+    * Scale shape: signature is an in-row expression; one window over the
+    * signature hash — the same shuffle dedup_exact already pays. */
+  val qShuffledDups: Q = new Q {
+    val name = "q_shuffled_dups"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val sig = HashOps.hash60(
+        array_join(array_sort(array_distinct(TextOps.tokens(col("text")))), " "))
+      val w = Window.partitionBy("sig")
+      val wr = w.orderBy("doc_id")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), sig.as("sig"), md5(col("text")).as("m"))
+        .withColumn("n_bag", count(lit(1)).over(w))
+        .where(col("n_bag") >= 2)
+        .withColumn("bag_rank", row_number().over(wr).cast("long"))
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("canon", min(struct(col("doc_id"), col("m"))).over(w))
+        .select(col("doc_id"), col("canonical_id"), col("bag_rank"),
+          col("n_bag"),
+          (col("m") === col("canon.m")).cast("long").as("same_text"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val sig = HashOps.sqlHash60(
+        "array_to_string(list_sort(list_distinct(" +
+          "regexp_extract_all(lower(text), '\\S+'))), ' ')")
+      Some(
+        s"""WITH b AS (
+           |  SELECT doc_id, $sig AS sig, md5(text) AS m FROM documents),
+           |g AS (
+           |  SELECT doc_id, m,
+           |    count(*) OVER (PARTITION BY sig) AS n_bag,
+           |    row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS bag_rank,
+           |    min(doc_id) OVER (PARTITION BY sig) AS canonical_id,
+           |    min(struct_pack(d := doc_id, m := m)) OVER (PARTITION BY sig) AS canon
+           |  FROM b)
+           |SELECT doc_id, canonical_id, CAST(bag_rank AS BIGINT) AS bag_rank,
+           |  CAST(n_bag AS BIGINT) AS n_bag,
+           |  CAST(m = canon.m AS BIGINT) AS same_text
+           |FROM g WHERE n_bag >= 2 ORDER BY doc_id""".stripMargin)
+    }
+  }
+
+  /** Jaccard-threshold calibration sweep over the LSH CANDIDATE pair set:
+    * for each candidate threshold (0.5 … 1.0 in e4), how many pairs and
+    * how many distinct documents would the dedup pass touch? This is the
+    * curve an operator reads before picking the production θ — run once,
+    * decide, instead of re-running the pipeline per guess. Candidates
+    * come from the banding tuned for θ=0.7, so counts BELOW 0.7 are
+    * lower bounds (banding recall falls off below its design point) —
+    * the honest framing for a sweep that costs one candidate pass.
+    *
+    * Scale shape: one banded candidate join + exact verify (the pass the
+    * pipeline runs anyway), then an IN-ROW threshold expansion (explode
+    * of a 6-literal array) and one partial-agg groupBy — the sweep adds
+    * no second pass over the corpus. */
+  val SweepThresholds: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L, 10000L)
+  val qJaccardThresholdSweep: Q = new Q {
+    val name = "q_jaccard_threshold_sweep"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      minhashPairs(spark, dir, minJac = 0.0)
+        .select(round(col("jac") * 10000).cast("long").as("jac_e4"),
+          col("id_l"), col("id_r"))
+        .withColumn("thr", explode(array(SweepThresholds.map(lit): _*)))
+        .where(col("jac_e4") >= col("thr"))
+        .select(col("thr"), explode(array(col("id_l"), col("id_r"))).as("doc_id"))
+        .groupBy("thr")
+        .agg(expr("count(1) div 2").as("n_pairs"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("thr")
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |p AS (SELECT id_l, id_r, CAST(round(jac * 10000) AS BIGINT) AS jac_e4 FROM j),
+         |x AS (
+         |  SELECT t.thr, p.id_l, p.id_r
+         |  FROM p CROSS JOIN (VALUES ${SweepThresholds.map(t => s"($t)").mkString(", ")}) t(thr)
+         |  WHERE p.jac_e4 >= t.thr),
+         |u AS (SELECT thr, unnest([id_l, id_r]) AS doc_id FROM x)
+         |SELECT CAST(thr AS BIGINT) AS thr,
+         |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM u GROUP BY thr ORDER BY thr""".stripMargin)
+  }
+
+  /** Token-weighted duplication cost per source — the number that turns a
+    * dedup rate into a COMPUTE decision: how many training tokens does
+    * each source contribute, how many survive near-dup canonicalization
+    * (cluster canonical = lowest doc id, attributed to the canonical's
+    * own source), and the inflation factor a trainer pays if it skips
+    * dedup. inflation_e4 = total/canonical tokens in e4; -1 when a source
+    * owns no canonicals (all its docs are dups of other sources' docs).
+    *
+    * Scale shape: connected components over the banded pair set (guarded
+    * union-find), token counts in-row, one source-grain aggregate. */
+  val qDupInflation: Q = new Q {
+    val name = "q_dup_inflation"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(lower(col("text"))).cast("long").as("tok_n"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, dir).select("id_l", "id_r")
+      val cc = DedupOps.connectedComponents(nodes, pairs)
+      docs
+        .join(cc.select(col("node").as("doc_id"), col("cluster_id")), Seq("doc_id"))
+        .withColumn("is_canon", (col("doc_id") === col("cluster_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("is_canon").as("n_canonical"),
+          sum("tok_n").as("tokens_total"),
+          sum(col("tok_n") * col("is_canon")).as("tokens_canonical"))
+        .select(col("source"), col("n_docs"), col("n_canonical"),
+          col("tokens_total"), col("tokens_canonical"),
+          expr("CASE WHEN tokens_canonical = 0 THEN -1 " +
+            "ELSE tokens_total * 10000 div tokens_canonical END").as("inflation_e4"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT) AS tok_n
+         |  FROM documents),
+         |dm AS (
+         |  SELECT d.source, d.tok_n,
+         |    CASE WHEN d.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS is_canon
+         |  FROM d JOIN cc USING (doc_id)),
+         |g AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(is_canon) AS BIGINT) AS n_canonical,
+         |    CAST(sum(tok_n) AS BIGINT) AS tokens_total,
+         |    CAST(sum(tok_n * is_canon) AS BIGINT) AS tokens_canonical
+         |  FROM dm GROUP BY source)
+         |SELECT source, n_docs, n_canonical, tokens_total, tokens_canonical,
+         |  CAST(CASE WHEN tokens_canonical = 0 THEN -1
+         |       ELSE tokens_total * 10000 // tokens_canonical END AS BIGINT)
+         |    AS inflation_e4
+         |FROM g ORDER BY source""".stripMargin)
+  }
+
   /** Exact set-similarity self-join via PREFIX FILTERING (the PPJoin /
     * AllPairs family — Xiao et al., WWW'08; Bayardo et al., WWW'07): unlike
     * `dedup_ngram_jaccard` (df-capped heuristic candidates) and
@@ -856,5 +1064,6 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
-    qContaminationReport)
+    qContaminationReport, qDedupCrossSource, qShuffledDups,
+    qJaccardThresholdSweep, qDupInflation)
 }

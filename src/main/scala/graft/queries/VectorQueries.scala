@@ -650,6 +650,99 @@ object VectorQueries {
          |FROM j GROUP BY q_id ORDER BY q_id""".stripMargin)
   }
 
+  /** IVF tuning curve — recall AND cost per probe width in one pass: for
+    * nprobe ∈ {1, 2, 4, 8}, corpus-level recall@k vs the brute truth plus
+    * the number of candidates actually scored (Σ probed-list sizes minus
+    * the query's own self-hit). This is the artifact an operator reads to
+    * pick nprobe — the recall/latency trade measured, not guessed
+    * (`ann_recall_at_k` reports per-query recall at the two FIXED widths;
+    * this is the sweep across widths at the corpus grain).
+    *
+    * Scale shape: ONE ranked assignment (persisted) serves all arms; each
+    * arm is a rank-threshold filter + the broadcast probe join; the cost
+    * column comes from the centroid-size dim (nlist rows), not from
+    * re-counting the candidate join. Eager cut + unpersist as in
+    * ann_recall_at_k. */
+  val ProbeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+  val qAnnNprobeSweep: Q = new Q {
+    val name = "q_ann_nprobe_sweep"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ranked = ivfRanked(spark, dir).persist()
+      val brute = annBruteTopk.run(spark, dir).select("q_id", "c_id").persist()
+      try {
+        val sizes = ranked.where(col("rn") === 1)
+          .groupBy("c_id").agg(count(lit(1)).as("sz"))
+          .withColumnRenamed("c_id", "centroid_id")
+        val arms = ProbeSweep.map { p =>
+          val top = ivfSearch(ranked, p).select("q_id", "c_id")
+          val probes = ranked.where(col("rn") <= p &&
+              col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+            .select(col("vec_id").as("q_id"), col("c_id").as("centroid_id"))
+          val scanned = probes.join(broadcast(sizes), Seq("centroid_id"))
+            .agg((sum("sz") - countDistinct("q_id")).as("cands_scored"))
+          val hits = brute.join(top, Seq("q_id", "c_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+          brute.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(hits).crossJoin(scanned)
+            .select(lit(p.toLong).as("nprobe"), col("n_truth"), col("n_hits"),
+              expr("CASE WHEN n_truth = 0 THEN -1 " +
+                "ELSE n_hits * 10000 div n_truth END").as("recall_e4"),
+              col("cands_scored"))
+        }
+        arms.reduce(_ unionByName _).orderBy("nprobe").localCheckpoint(true)
+      } finally { ranked.unpersist(); brute.unpersist(): Unit }
+    }
+    val oracle = {
+      val armSql = ProbeSweep.map { p =>
+        s"""SELECT $p AS nprobe,
+           |  (SELECT count(*) FROM brute) AS n_truth,
+           |  (SELECT count(*) FROM brute b JOIN top_$p t
+           |     ON b.q_id = t.q_id AND b.c_id = t.c_id2) AS n_hits,
+           |  CASE WHEN (SELECT count(*) FROM brute) = 0 THEN -1
+           |    ELSE (SELECT count(*) FROM brute b JOIN top_$p t
+           |            ON b.q_id = t.q_id AND b.c_id = t.c_id2) * 10000
+           |         // (SELECT count(*) FROM brute) END AS recall_e4,
+           |  (SELECT CAST(sum(sz) AS BIGINT) - count(DISTINCT q_id)
+           |     FROM probes_$p JOIN sizes USING (centroid_id)) AS cands_scored""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val armCtes = ProbeSweep.map { p =>
+        s"""probes_$p AS (
+           |  SELECT vec_id AS q_id, c_id AS centroid_id, embedding AS q_vec
+           |  FROM rk WHERE rn <= $p AND vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+           |sc_$p AS (
+           |  SELECT q_id, c_id2,
+           |    ${sqlDot("q_vec", "c_vec2")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec2")}) AS cosine_sim
+           |  FROM cd JOIN probes_$p USING (centroid_id) WHERE q_id != c_id2),
+           |top_$p AS (
+           |  SELECT q_id, c_id2 FROM (
+           |    SELECT q_id, c_id2,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+           |    FROM sc_$p) t WHERE rank <= $TopK)""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH c AS (
+           |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+           |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+           |s AS (
+           |  SELECT e.vec_id, e.embedding, c.c_id,
+           |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+           |  FROM embeddings e CROSS JOIN c),
+           |rk AS (
+           |  SELECT vec_id, embedding, c_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+           |  FROM s),
+           |assigned AS (SELECT vec_id, embedding, c_id AS centroid_id FROM rk WHERE rn = 1),
+           |sizes AS (SELECT centroid_id, count(*) AS sz FROM assigned GROUP BY 1),
+           |cd AS (SELECT vec_id AS c_id2, embedding AS c_vec2, centroid_id FROM assigned),
+           |brute AS (SELECT q_id, c_id FROM (${annBruteTopk.oracle.get}) bt),
+           |$armCtes
+           |SELECT CAST(nprobe AS BIGINT) AS nprobe, CAST(n_truth AS BIGINT) AS n_truth,
+           |  CAST(n_hits AS BIGINT) AS n_hits, CAST(recall_e4 AS BIGINT) AS recall_e4,
+           |  CAST(cands_scored AS BIGINT) AS cands_scored
+           |FROM ($armSql) sweep ORDER BY nprobe""".stripMargin)
+    }
+  }
+
   /** Shared PQ machinery — constants, subspace slicing, the exact dist²
     * algebra, and the per-(vector, subspace) codebook assignment — used
     * by BOTH the index-build side (`pq_codes`) and the search side
@@ -1170,7 +1263,8 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     dedupEmbeddingLsh, qEmbeddingLshRecall,
-    ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, kmeansClusters,
+    ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, qAnnNprobeSweep,
+    kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)
 }

@@ -32,7 +32,9 @@ class EmptyInputSpec extends SparkSpec {
   // a profiled-column list), not by the data: they legitimately return
   // that many zero-count rows from empty input
   private val constantRows = Map("q_cms_heavy_hitters" -> 9, "q_table_profile" -> 4,
-    "q_dq_checks" -> 6)
+    "q_dq_checks" -> 6,
+    // one row per swept nprobe width (deployment constant), zero counts
+    "q_ann_nprobe_sweep" -> graft.queries.VectorQueries.ProbeSweep.size)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"

@@ -277,6 +277,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("bkey"), s"band key missing from the candidate join:\n$plan")
   }
 
+  test("wave-21 dedup/sweep queries: no cartesian or nested-loop joins") {
+    // the provenance matrix, the threshold sweep, and the inflation report
+    // all derive their pair sets from the banded-LSH equi-join — a refactor
+    // reintroducing an all-pairs shape must fail here
+    for (q <- Seq(graft.queries.DedupQueries.qDedupCrossSource,
+        graft.queries.DedupQueries.qJaccardThresholdSweep,
+        graft.queries.DedupQueries.qDupInflation)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}: pairwise shape leaked into the plan:\n$plan")
+    }
+  }
+
+  test("q_jaccard_threshold_sweep: single candidate pass (in-row threshold expansion)") {
+    // the sweep must not re-run the candidate join per threshold: exactly
+    // one banded self-join (bucketPairs' bk equi-join) in the whole plan
+    val plan = graft.queries.DedupQueries.qJaccardThresholdSweep.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val bandJoins =
+      "(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[bk#".r
+        .findAllIn(plan).size
+    assert(plan.contains("explode") || plan.contains("Generate"),
+      s"threshold expansion missing from the plan:\n$plan")
+    assert(bandJoins <= 1, s"candidate join appears $bandJoins times:\n$plan")
+  }
+
   test("sketch windows keep partial top-k pushdown (r8 verdict 4)") {
     // the KMV sites run rn<=K / rn=K filters over window sorts; Spark 4
     // keeps them safe via InferWindowGroupLimit (per-group partial top-k
