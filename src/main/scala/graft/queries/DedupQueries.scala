@@ -809,6 +809,64 @@ object DedupQueries {
          |FROM g ORDER BY source""".stripMargin)
   }
 
+  /** MinHash estimator accuracy profile — the sketch-QA gate the dedup
+    * pipeline needs before trusting signature agreement as a Jaccard
+    * proxy: over the LSH candidate pairs, compare the 64-perm signature
+    * AGREEMENT estimate (agree·10⁴/64) against the exact set Jaccard,
+    * bucketed by exact-Jaccard decile. Mean/max absolute error per
+    * bucket tells an operator exactly where the estimator is sloppy
+    * (theory: σ ≈ √(j(1−j)/64) ≈ 6 e-2 at j=0.5 — this MEASURES it).
+    *
+    * Scale shape: the same banded candidate join the pair query runs;
+    * the agreement count is an in-row zip_with fold over the two 64-long
+    * signatures; output is decile-bounded (≤ 11 rows). */
+  val qMinhashAccuracy: Q = new Q {
+    val name = "q_minhash_accuracy"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+        .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
+        .withColumn("bands", DedupOps.lshBandKeys(col("sig"), NumBands, RowsPerBand))
+        .persist()
+      val banded = docs.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = DedupOps.bucketPairs(banded, "doc_id", "bk")
+      cand
+        .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l"),
+          col("sig").as("sig_l")), Seq("id_l"))
+        .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r"),
+          col("sig").as("sig_r")), Seq("id_r"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+        .withColumn("jac_e4", expr(
+          "cast(round(cast(inter as double) / (size(hs_l) + size(hs_r) - inter) * 10000) as long)"))
+        .withColumn("agree", expr(
+          "aggregate(zip_with(sig_l, sig_r, (a, b) -> if(a = b, 1L, 0L)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("est_e4", expr(s"agree * 10000 div $NumPerms"))
+        .withColumn("bucket", expr("jac_e4 div 1000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(est_e4 - jac_e4)) div count(1)").as("mean_abs_err_e4"),
+          max(abs(col("est_e4") - col("jac_e4"))).as("max_abs_err_e4"))
+        .orderBy("bucket")
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |ag AS (
+         |  SELECT c.id_l, c.id_r, count(*) FILTER (a.mh = b.mh) AS agree
+         |  FROM cand c JOIN m a ON c.id_l = a.doc_id JOIN m b
+         |    ON c.id_r = b.doc_id AND a.i = b.i
+         |  GROUP BY c.id_l, c.id_r),
+         |p AS (
+         |  SELECT j.id_l, j.id_r,
+         |    CAST(round(j.jac * 10000) AS BIGINT) AS jac_e4,
+         |    ag.agree * 10000 // $NumPerms AS est_e4
+         |  FROM j JOIN ag USING (id_l, id_r))
+         |SELECT jac_e4 // 1000 AS bucket, count(*) AS n_pairs,
+         |  CAST(sum(abs(est_e4 - jac_e4)) // count(*) AS BIGINT) AS mean_abs_err_e4,
+         |  CAST(max(abs(est_e4 - jac_e4)) AS BIGINT) AS max_abs_err_e4
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Exact set-similarity self-join via PREFIX FILTERING (the PPJoin /
     * AllPairs family — Xiao et al., WWW'08; Bayardo et al., WWW'07): unlike
     * `dedup_ngram_jaccard` (df-capped heuristic candidates) and
@@ -1065,5 +1123,5 @@ object DedupQueries {
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
-    qJaccardThresholdSweep, qDupInflation)
+    qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy)
 }

@@ -861,9 +861,60 @@ object EvalQueries {
         |FROM ab""".stripMargin)
   }
 
+  /** Smoothed target encoding — the leakage-prone ML feature done as a
+    * MART with explicit, integer-exact semantics: per customer segment,
+    * encode the mean order value shrunk toward the global mean with
+    * pseudo-count K (James-Stein / empirical-Bayes style):
+    * enc = (Σ_c + K·μ_g) / (n_c + K), with μ_g fixed as the FLOOR
+    * integer global mean (documented — the exactness contract beats the
+    * last fraction of a cent). shrink_e4 = n_c/(n_c+K) shows how much
+    * each segment trusts its own data. Low-n segments pull hard toward
+    * μ_g — exactly the behavior that prevents rare-category overfit.
+    *
+    * Scale shape: one fact-dim equi-join (orders⋈customer), one
+    * segment-grain aggregate, the global mean as a 1-row broadcast. */
+  val TargetEncodeK = 20L
+  val qTargetEncoding: Q = new Q {
+    val name = "q_target_encoding"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"), Q.cents(col("o_totalprice")).as("cents"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          Seq("o_custkey"))
+      val g = o.agg(sum("cents").as("g_sum"), count(lit(1)).as("g_n"))
+      o.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("n_orders"), col("sum_cents"),
+          expr("sum_cents div n_orders").as("raw_mean_cents"),
+          expr(s"(sum_cents + $TargetEncodeK * (g_sum div g_n)) " +
+            s"div (n_orders + $TargetEncodeK)").as("enc_cents"),
+          expr(s"n_orders * 10000 div (n_orders + $TargetEncodeK)").as("shrink_e4"))
+        .orderBy("c_mktsegment")
+    }
+    val oracle = Some(
+      s"""WITH o AS (
+         |  SELECT c.c_mktsegment,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+         |g AS (SELECT CAST(sum(cents) AS BIGINT) AS g_sum, count(*) AS g_n FROM o),
+         |s AS (
+         |  SELECT c_mktsegment, count(*) AS n_orders,
+         |    CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM o GROUP BY 1)
+         |SELECT c_mktsegment, n_orders, sum_cents,
+         |  CAST(sum_cents // n_orders AS BIGINT) AS raw_mean_cents,
+         |  CAST((sum_cents + $TargetEncodeK * (g.g_sum // g.g_n))
+         |    // (n_orders + $TargetEncodeK) AS BIGINT) AS enc_cents,
+         |  CAST(n_orders * 10000 // (n_orders + $TargetEncodeK) AS BIGINT) AS shrink_e4
+         |FROM s CROSS JOIN g ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
     qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
-    qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport, qAbTest)
+    qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport, qAbTest,
+    qTargetEncoding)
 }

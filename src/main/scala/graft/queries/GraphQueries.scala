@@ -530,61 +530,147 @@ object GraphQueries {
     * struct-max argmax — no window over the corpus, no driver state. At
     * web scale the label frame partitions by node id and the loop would
     * localCheckpoint every few rounds; at 3 rounds lineage stays compact. */
+  val LpaRounds = 3
+
+  /** The weighted undirected co-purchase edge list (both directions,
+    * lineage-cut once) — shared by LPA and the modularity gate. */
+  private def lpaEdges(spark: SparkSession, dir: String): DataFrame =
+    copurchase(spark, dir).select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("w")),
+        struct(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w"))))
+        .as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"), col("t.w").as("w"))
+      .cutLineage()
+
+  /** Three synchronous LPA rounds over `e` → (id, lbl). Shared by
+    * q_label_propagation and q_graph_modularity so the partition the
+    * quality gate scores is EXACTLY the partition the LPA query emits. */
+  private def lpaLabels(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val nodes = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("id"))
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val best = e.join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(sum("w").as("s"))
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("id"), (-col("b.nl")).as("new_lbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .cutLineage()
+    }
+    labels
+  }
+
   val labelPropagation: Q = new Q {
     val name = "q_label_propagation"
-    val Rounds = 3
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val cop = copurchase(spark, dir)
-      // materialize the undirected edge list once (3 iterations reference
-      // it; lineage would re-run the basket expansion per round)
-      val e = cop.select(explode(array(
-          struct(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("w")),
-          struct(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("w"))))
-          .as("t"))
-        .select(col("t.src").as("src"), col("t.dst").as("dst"), col("t.w").as("w"))
-        .cutLineage()
-      val nodes = Tables.part(spark, dir).select(col("p_partkey").cast("long").as("id"))
-      var labels = nodes.select(col("id"), col("id").as("lbl"))
-      for (_ <- 1 to Rounds) {
-        val best = e.join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
-          .groupBy(col("src"), col("lbl"))
-          .agg(sum("w").as("s"))
-          .groupBy(col("src").as("id"))
-          .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("b"))
-          .select(col("id"), (-col("b.nl")).as("new_lbl"))
-        labels = labels.join(best, Seq("id"), "left")
-          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-          .cutLineage()
-      }
+      val labels = lpaLabels(spark, dir, lpaEdges(spark, dir))
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
       labels.join(sizes, Seq("lbl"))
         .select(col("id").as("part_key"), col("lbl").as("community"), col("community_size"))
         .orderBy("part_key")
     }
-    val oracle = {
-      def round(i: Int) =
-        s"""s$i AS (
-           |  SELECT e.src AS id, l.lbl, sum(e.w) AS s
-           |  FROM e JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src, l.lbl),
-           |b$i AS (
-           |  SELECT id, lbl,
-           |    row_number() OVER (PARTITION BY id ORDER BY s DESC, lbl ASC) AS rn
-           |  FROM s$i),
-           |l$i AS (
-           |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
-           |  FROM l${i - 1} p LEFT JOIN b$i b ON p.id = b.id AND b.rn = 1)"""
-      Some(
-        s"""WITH cop AS ($CopurchaseSql),
-           |e AS (SELECT pa AS src, pb AS dst, n_orders AS w FROM cop
-           |      UNION ALL SELECT pb, pa, n_orders FROM cop),
-           |l0 AS (SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS lbl
-           |       FROM part),
-           |${(1 to 3).map(round).mkString(",\n")},
-           |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
-           |SELECT l3.id AS part_key, l3.lbl AS community, sz.community_size
-           |FROM l3 JOIN sz ON l3.lbl = sz.lbl
-           |ORDER BY part_key""".stripMargin)
+    val oracle = Some(
+      s"""WITH $SqlLpaCtes,
+         |sz AS (SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY lbl)
+         |SELECT l$LpaRounds.id AS part_key, l$LpaRounds.lbl AS community, sz.community_size
+         |FROM l$LpaRounds JOIN sz ON l$LpaRounds.lbl = sz.lbl
+         |ORDER BY part_key""".stripMargin)
+  }
+
+  /** The LPA CTE chain (weighted undirected edges `e` + labels `l0..lN`)
+    * shared by q_label_propagation and q_graph_modularity, so both
+    * oracles score the SAME partition by construction. */
+  private lazy val SqlLpaCtes: String = {
+    def round(i: Int) =
+      s"""s$i AS (
+         |  SELECT e.src AS id, l.lbl, sum(e.w) AS s
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.id GROUP BY e.src, l.lbl),
+         |b$i AS (
+         |  SELECT id, lbl,
+         |    row_number() OVER (PARTITION BY id ORDER BY s DESC, lbl ASC) AS rn
+         |  FROM s$i),
+         |l$i AS (
+         |  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON p.id = b.id AND b.rn = 1)"""
+    s"""cop AS ($CopurchaseSql),
+       |e AS (SELECT pa AS src, pb AS dst, n_orders AS w FROM cop
+       |      UNION ALL SELECT pb, pa, n_orders FROM cop),
+       |l0 AS (SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS lbl
+       |       FROM part),
+       |${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Weighted-modularity quality gate for the LPA partition — the number
+    * that tells an operator whether the communities are real structure or
+    * noise, reported EXACTLY: per community c over the undirected
+    * weighted co-purchase graph, modularity contribution
+    * num_c = W2·intra_w2_c − deg_w_c², where W2 = Σ directed weight
+    * (= 2W), intra_w2_c = directed intra-community weight (= 2e_c), and
+    * deg_w_c = Σ weighted degrees. Newman's Q = Σ_c num_c / W2² — every
+    * row carries w2_total, so Q is reproducible from the table without a
+    * second query; q_e6 per community = num_c·10⁶ div W2² (summable).
+    * All integers; the one division is the final e6 scaling.
+    *
+    * BIGINT headroom: deg_w_c ≤ W2, so num_c needs W2² < 2⁶³ — W2 up to
+    * ~3·10⁹ total co-purchase weight; beyond that, pre-scale w (divide by
+    * a power of ten) before the gate — Q is scale-invariant.
+    *
+    * Scale shape: the labels come from the shared LPA rounds; the intra
+    * aggregate is ONE edge join against the label frame (both endpoints)
+    * + a community groupBy; degrees are a node-grain groupBy. Singleton
+    * communities (no intra edges, maybe no edges at all) are kept via
+    * left joins with zero defaults. */
+  val qGraphModularity: Q = new Q {
+    val name = "q_graph_modularity"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val e = lpaEdges(spark, dir)
+      // labels consumed by three aggregates below — cut once (DIM-grain)
+      val labels = lpaLabels(spark, dir, e).cutLineage()
+      val lsrc = labels.select(col("id").as("src"), col("lbl"))
+      val ldst = labels.select(col("id").as("dst"), col("lbl").as("lbl_d"))
+      val withL = e.join(lsrc, Seq("src")).join(ldst, Seq("dst"))
+      val intra = withL.where(col("lbl") === col("lbl_d"))
+        .groupBy("lbl").agg(sum("w").as("intra_w2"))
+      val deg = withL.groupBy("lbl").agg(sum("w").as("deg_w"))
+      val w2 = withL.agg(sum("w").as("w2_total"))
+      labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+        .join(intra, Seq("lbl"), "left")
+        .join(deg, Seq("lbl"), "left")
+        .crossJoin(broadcast(w2))
+        .select(col("lbl").as("community"), col("n_nodes"),
+          coalesce(col("intra_w2"), lit(0L)).as("intra_w2"),
+          coalesce(col("deg_w"), lit(0L)).as("deg_w"), col("w2_total"))
+        .withColumn("contrib_num",
+          col("w2_total") * col("intra_w2") - col("deg_w") * col("deg_w"))
+        .withColumn("q_e6",
+          expr("contrib_num * 1000000 div (w2_total * w2_total)"))
+        .orderBy("community")
     }
+    val oracle = Some(
+      s"""WITH $SqlLpaCtes,
+         |wl AS (
+         |  SELECT e.src, e.dst, e.w, ls.lbl AS lbl, ld.lbl AS lbl_d
+         |  FROM e JOIN l$LpaRounds ls ON e.src = ls.id
+         |         JOIN l$LpaRounds ld ON e.dst = ld.id),
+         |intra AS (SELECT lbl, CAST(sum(w) AS BIGINT) AS intra_w2 FROM wl
+         |          WHERE lbl = lbl_d GROUP BY lbl),
+         |deg AS (SELECT lbl, CAST(sum(w) AS BIGINT) AS deg_w FROM wl GROUP BY lbl),
+         |w2 AS (SELECT CAST(sum(w) AS BIGINT) AS w2_total FROM wl),
+         |base AS (SELECT lbl, count(*) AS n_nodes FROM l$LpaRounds GROUP BY lbl)
+         |SELECT base.lbl AS community, base.n_nodes,
+         |  coalesce(intra.intra_w2, 0) AS intra_w2,
+         |  coalesce(deg.deg_w, 0) AS deg_w,
+         |  w2.w2_total,
+         |  w2.w2_total * coalesce(intra.intra_w2, 0)
+         |    - coalesce(deg.deg_w, 0) * coalesce(deg.deg_w, 0) AS contrib_num,
+         |  CAST((w2.w2_total * coalesce(intra.intra_w2, 0)
+         |    - coalesce(deg.deg_w, 0) * coalesce(deg.deg_w, 0)) * 1000000
+         |    // (w2.w2_total * w2.w2_total) AS BIGINT) AS q_e6
+         |FROM base LEFT JOIN intra USING (lbl) LEFT JOIN deg USING (lbl)
+         |CROSS JOIN w2
+         |ORDER BY community""".stripMargin)
   }
 
   /** DETERMINISTIC hash-seeded random walks — the node2vec/DeepWalk
@@ -862,5 +948,5 @@ object GraphQueries {
 
   def all: Seq[Q] = Seq(pagerank, triangles, bfsHops, copurchaseEdges, graphCc,
     linkPrediction, weightedSssp, labelPropagation, graphWalks, kcore,
-    hitsBipartite, degreeHistogram, graphAssortativity)
+    hitsBipartite, degreeHistogram, graphAssortativity, qGraphModularity)
 }

@@ -327,6 +327,57 @@ object VectorQueries {
          |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin)
   }
 
+  /** Per-dimension embedding drift between two corpus snapshots (parity
+    * split of vec_id stands in for re-embedding / corpus-refresh
+    * generations): n and the e6-integer mean per dimension per snapshot,
+    * plus the absolute mean shift. The monitor that catches a silently
+    * retrained encoder, a dtype change, or a normalization bug BEFORE the
+    * ANN index is rebuilt on mixed generations. Float values are widened
+    * to double then e6-rounded per element, so every sum is an exact
+    * BIGINT fold — no float accumulation order-dependence anywhere.
+    *
+    * Scale shape: one posexplode to (vector, dim) grain feeding a
+    * map-side partial aggregate; output is dim-bounded (1024 rows at
+    * production dims), never corpus-sized. */
+  val qEmbeddingDrift: Q = new Q {
+    val name = "q_embedding_drift"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.embeddings(spark, dir)
+        .select((col("vec_id") % 2 === 0).cast("int").as("snap"),
+          posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select(col("snap"), (col("dim0") + 1).cast("long").as("dim"),
+          expr("cast(round(cast(v as double) * 1000000) as long)").as("v_e6"))
+        .groupBy("dim")
+        .agg(count(when(col("snap") === 1, 1)).as("n_a"),
+          count(when(col("snap") === 0, 1)).as("n_b"),
+          sum(when(col("snap") === 1, col("v_e6"))).as("sum_a_e6"),
+          sum(when(col("snap") === 0, col("v_e6"))).as("sum_b_e6"))
+        .select(col("dim"), col("n_a"), col("n_b"),
+          expr("sum_a_e6 div n_a").as("mean_a_e6"),
+          expr("sum_b_e6 div n_b").as("mean_b_e6"),
+          expr("abs(sum_a_e6 div n_a - sum_b_e6 div n_b)").as("drift_e6"))
+        .orderBy("dim")
+    val oracle = Some(
+      """WITH x AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS snap,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS v_e6
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT CAST(dim AS BIGINT) AS dim,
+        |    count(*) FILTER (snap = 1) AS n_a,
+        |    count(*) FILTER (snap = 0) AS n_b,
+        |    CAST(sum(v_e6) FILTER (snap = 1) AS BIGINT) AS sum_a_e6,
+        |    CAST(sum(v_e6) FILTER (snap = 0) AS BIGINT) AS sum_b_e6
+        |  FROM x GROUP BY 1)
+        |SELECT dim, n_a, n_b,
+        |  CAST(sum_a_e6 // n_a AS BIGINT) AS mean_a_e6,
+        |  CAST(sum_b_e6 // n_b AS BIGINT) AS mean_b_e6,
+        |  CAST(abs(sum_a_e6 // n_a - sum_b_e6 // n_b) AS BIGINT) AS drift_e6
+        |FROM g ORDER BY dim""".stripMargin)
+  }
+
   val IvfStride = 41 // vec_id % stride == 0 → centroid set
 
   /** IVF assignment: nearest centroid (argmax cosine) per vector, with a
@@ -1262,7 +1313,7 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
-    dedupEmbeddingLsh, qEmbeddingLshRecall,
+    dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingDrift,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
