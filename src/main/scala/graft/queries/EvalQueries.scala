@@ -911,10 +911,161 @@ object EvalQueries {
          |FROM s CROSS JOIN g ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Weekly drift SERIES — q_ks_drift generalized from one fixed boundary
+    * to the rolling monitor a pipeline actually runs: for every
+    * consecutive week pair, the exact integer KS statistic between the
+    * event-value distributions of week P−7 (prev) and week P (cur).
+    * Each (week, value) count row feeds BOTH pairs it participates in by
+    * IN-ROW role expansion (explode of two structs) — no week self-join,
+    * no re-scan per pair. Boundary weeks (no predecessor / no successor)
+    * drop via the both-sides-present filter.
+    *
+    * Scale shape: one value-grain count aggregate, one ordered window
+    * per (pair, value domain) — cum state bounded by the value domain,
+    * the q_ks_drift discipline; pairs are calendar-bounded. */
+  val qDriftSeries: Q = new Q {
+    val name = "q_drift_series"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val c = Tables.events(spark, dir)
+        .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+          round(col("value") * 10000).cast("long").as("v4"))
+        .groupBy("wk", "v4").agg(count(lit(1)).as("n"))
+      val roles = c.select(explode(array(
+          struct(col("wk").as("pair"), col("v4"), lit(0L).as("ca"), col("n").as("cb")),
+          struct(date_add(col("wk"), 7).as("pair"), col("v4"), col("n").as("ca"),
+            lit(0L).as("cb")))).as("r"))
+        .select(col("r.pair"), col("r.v4"), col("r.ca"), col("r.cb"))
+        .groupBy("pair", "v4")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      val wCum = Window.partitionBy("pair").orderBy("v4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("pair")
+      roles
+        .withColumn("cuma", sum("ca").over(wCum))
+        .withColumn("cumb", sum("cb").over(wCum))
+        .withColumn("na", sum("ca").over(wTot))
+        .withColumn("nb", sum("cb").over(wTot))
+        .where(col("na") > 0 && col("nb") > 0)
+        .groupBy(col("pair").as("week"), col("na").as("n_prev"), col("nb").as("n_cur"))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dnum"))
+        .select(col("week"), col("n_prev"), col("n_cur"),
+          expr("dnum * 1000000 div (n_prev * n_cur)").cast("long").as("ks_e6"))
+        .orderBy("week")
+    }
+    val oracle = Some(
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |roles AS (
+        |  SELECT wk AS pair, v4, 0 AS ca, n AS cb FROM c
+        |  UNION ALL
+        |  SELECT CAST(wk + INTERVAL 7 DAY AS DATE), v4, n, 0 FROM c),
+        |g AS (SELECT pair, v4, sum(ca) AS ca, sum(cb) AS cb FROM roles GROUP BY 1, 2),
+        |m AS (
+        |  SELECT pair,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    sum(ca) OVER t AS na, sum(cb) OVER t AS nb
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY pair ORDER BY v4
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         t AS (PARTITION BY pair))
+        |SELECT pair AS week, CAST(na AS BIGINT) AS n_prev, CAST(nb AS BIGINT) AS n_cur,
+        |  CAST(max(abs(cuma*nb - cumb*na)) * 1000000 // (na*nb) AS BIGINT) AS ks_e6
+        |FROM m WHERE na > 0 AND nb > 0
+        |GROUP BY pair, na, nb ORDER BY week""".stripMargin)
+  }
+
+  /** t-closeness audit — the third leg of the privacy trio (k-anonymity
+    * bounds group SIZE, l-diversity bounds label variety, t-closeness
+    * bounds how much a quasi-identifier group's SENSITIVE-VALUE
+    * DISTRIBUTION reveals): per customer-nation QI group, the Earth
+    * Mover's Distance between the group's order-value distribution and
+    * the global one over $20k value bands, in exact cleared-denominator
+    * integers — for an ordered attribute EMD = (1/(m−1))·Σ_v
+    * |cumP_g − cumP|, so emd_e4 = 10⁴·Σ|cum_g·N − cum_all·n_g| div
+    * ((m−1)·n_g·N). Groups with emd_e4 > 2500 (t = 0.25) are flagged.
+    *
+    * Scale shape: one band-grain count aggregate; the dense
+    * (nation × band) grid is dims×domain-bounded and built by a
+    * broadcast cross join so cumulative sums stay aligned across groups
+    * with missing bands; windows run at the grid grain.
+    * BIGINT headroom: cum·N ≤ N² — exact to ~3·10⁹ orders. */
+  val qTCloseness: Q = new Q {
+    val name = "q_t_closeness"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey"), Q.cents(col("o_totalprice")).as("cents"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          Seq("o_custkey"))
+        .select(col("c_nationkey"), expr("cents div 2000000").as("band"))
+      val counts = o.groupBy("c_nationkey", "band").agg(count(lit(1)).as("n"))
+      val bands = counts.select("band").distinct()
+      val nations = counts.select("c_nationkey").distinct()
+      val grid = nations.crossJoin(broadcast(bands))
+        .join(counts, Seq("c_nationkey", "band"), "left")
+        .select(col("c_nationkey"), col("band"), coalesce(col("n"), lit(0L)).as("n"))
+      val gCum = Window.partitionBy("c_nationkey").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val global = counts.groupBy("band").agg(sum("n").as("gn"))
+        .withColumn("cum_all", sum("gn").over(Window.orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = counts.agg(sum("n").as("big_n"),
+        countDistinct("band").as("m"))
+      grid
+        .withColumn("cum_g", sum("n").over(gCum))
+        .withColumn("n_g", sum("n").over(Window.partitionBy("c_nationkey")))
+        .join(broadcast(global.select("band", "cum_all")), Seq("band"))
+        .crossJoin(broadcast(totals))
+        .groupBy(col("c_nationkey"), col("n_g"), col("big_n"), col("m"))
+        .agg(sum(abs(col("cum_g") * col("big_n") - col("cum_all") * col("n_g")))
+          .as("emd_num"))
+        .select(col("c_nationkey"), col("n_g").as("n_orders"),
+          expr("emd_num * 10000 div ((m - 1) * n_g * big_n)").as("emd_e4"))
+        .withColumn("t_violation",
+          (col("emd_e4") > 2500L).cast("long"))
+        .orderBy("c_nationkey")
+    }
+    val oracle = Some(
+      """WITH o AS (
+        |  SELECT c.c_nationkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 2000000 AS band
+        |  FROM orders JOIN customer c ON o_custkey = c_custkey),
+        |counts AS (SELECT c_nationkey, band, count(*) AS n FROM o GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT nk.c_nationkey, b.band, coalesce(counts.n, 0) AS n
+        |  FROM (SELECT DISTINCT c_nationkey FROM counts) nk
+        |  CROSS JOIN (SELECT DISTINCT band FROM counts) b
+        |  LEFT JOIN counts USING (c_nationkey, band)),
+        |gcum AS (
+        |  SELECT band, sum(sum(n)) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM grid GROUP BY band),
+        |tot AS (SELECT count(*) AS big_n,
+        |        count(DISTINCT band) AS m FROM o),
+        |cums AS (
+        |  SELECT c_nationkey,
+        |    sum(n) OVER (PARTITION BY c_nationkey ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+        |    sum(n) OVER (PARTITION BY c_nationkey) AS n_g,
+        |    band
+        |  FROM grid)
+        |SELECT c.c_nationkey, CAST(c.n_g AS BIGINT) AS n_orders,
+        |  CAST(sum(abs(c.cum_g * t.big_n - g.cum_all * c.n_g)) * 10000
+        |    // ((t.m - 1) * c.n_g * t.big_n) AS BIGINT) AS emd_e4,
+        |  CAST(CAST(sum(abs(c.cum_g * t.big_n - g.cum_all * c.n_g)) * 10000
+        |    // ((t.m - 1) * c.n_g * t.big_n) AS BIGINT) > 2500 AS BIGINT)
+        |    AS t_violation
+        |FROM cums c JOIN gcum g USING (band) CROSS JOIN tot t
+        |GROUP BY c.c_nationkey, c.n_g, t.big_n, t.m
+        |ORDER BY c.c_nationkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(qRecordLinkage, qSchemaEvolution,
     qApproxPercentileEnvelope, qHigherOrderFuncs,
     qScd2Asof, qDebounce, qKsDrift, qLabelGini,
     qKAnonymity, qDecileLift, qBenford, qAucScore, qLDiversity,
     qCohenKappa, qPrCurve, qCalibrationBins, qGdprExport, qAbTest,
-    qTargetEncoding)
+    qTargetEncoding, qDriftSeries, qTCloseness)
 }
