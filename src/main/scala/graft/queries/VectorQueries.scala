@@ -794,6 +794,132 @@ object VectorQueries {
     }
   }
 
+  /** FILTERED vector search — top-k restricted to candidates matching a
+    * per-query metadata predicate (here: same label as the query), the
+    * shape every production vector store has to serve ("nearest docs in
+    * MY tenant / language / date range"). Post-filter IVF: probe the
+    * NProbe nearest lists, drop candidates failing the predicate, rank
+    * the survivors. The companion recall gate measures what the filter
+    * does to probe coverage — filtered recall is structurally worse than
+    * unfiltered (a probed list may hold too few matching candidates),
+    * and that number should be MEASURED, not assumed.
+    *
+    * Scale shape: identical to ann_ivf_mp_topk (ranked assignment +
+    * broadcast probe join) with the label equality folded into the join
+    * filter — no extra pass, no new shuffle. */
+  val annFilteredTopk: Q = new Q {
+    val name = "ann_filtered_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ranked = ivfRanked(spark, dir)
+      val labels = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val assigned = ranked.where(col("rn") === 1)
+        .select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
+          col("c_id").as("centroid_id"))
+        .join(labels.select(col("vec_id").as("c_id2"), col("label").as("c_label")),
+          Seq("c_id2"))
+      val probes = ranked.where(col("rn") <= NProbe &&
+          col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("c_id").as("centroid_id"))
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+          Seq("q_id"))
+      val joined = assigned.join(broadcast(probes), Seq("centroid_id"))
+        .where(col("q_id") =!= col("c_id2") && col("c_label") === col("q_label"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
+      joined.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+        .select(col("q_id"), col("c_id2").as("c_id"), col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM embeddings e CROSS JOIN c),
+         |rk AS (
+         |  SELECT vec_id, embedding, label, c_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |  FROM s),
+         |assigned AS (SELECT vec_id, embedding, label, c_id AS centroid_id FROM rk WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label, c_id AS centroid_id
+         |      FROM rk WHERE rn <= $NProbe
+         |        AND vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+         |cd AS (SELECT vec_id AS c_id2, embedding AS c_vec2, label AS c_label, centroid_id
+         |       FROM assigned),
+         |sc AS (
+         |  SELECT q_id, c_id2,
+         |    ${sqlDot("q_vec", "c_vec2")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec2")}) AS cosine_sim
+         |  FROM cd JOIN q USING (centroid_id)
+         |  WHERE q_id != c_id2 AND c_label = q_label),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
+  /** Per-query recall of the FILTERED IVF search vs the filtered brute
+    * truth (same-label exact top-k). A sub-100 row here means the probe
+    * width, not the ranking, lost the candidates — the signal to raise
+    * nprobe for constrained queries (the standard filtered-search
+    * operational dial); the brute side is the deliberate ground-truth
+    * twin, bounded by the fixed query batch. */
+  val qAnnFilteredRecall: Q = new Q {
+    val name = "q_ann_filtered_recall"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      val queries = emb.where(col("vec_id") % QueryStride === 0 && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val brute = emb.select(col("vec_id").as("c_id2"), col("embedding").as("c_vec2"),
+          col("label").as("c_label"))
+        .join(broadcast(queries), col("q_id") =!= col("c_id2") &&
+          col("c_label") === col("q_label"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("c_vec2"), Dim))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("c_id2").asc)
+      val truth = brute.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK).select(col("q_id"), col("c_id2").as("c_id"))
+      val ivf = annFilteredTopk.run(spark, dir).select("q_id", "c_id")
+        .withColumn("hit", lit(1L))
+      truth
+        .join(ivf, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_truth"), col("n_hit"),
+          expr("n_hit * 100 div n_truth").as("recall_pct"))
+        .orderBy("q_id")
+    }
+    val oracle = Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings
+         |  WHERE vec_id % $QueryStride = 0 AND vec_id < $QueryCap),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id AS c_id,
+         |    ${sqlDot("q_vec", "e.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("e.embedding")}) AS cosine_sim
+         |  FROM embeddings e JOIN q ON e.vec_id != q.q_id AND e.label = q.q_label),
+         |truth AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS rank
+         |    FROM sc) t WHERE rank <= $TopK),
+         |ivf AS (SELECT q_id, c_id FROM (${annFilteredTopk.oracle.get}) f)
+         |SELECT t.q_id, count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN i.c_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN i.c_id IS NULL THEN 0 ELSE 1 END) * 100 // count(*) AS BIGINT)
+         |    AS recall_pct
+         |FROM truth t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin)
+  }
+
   /** Shared PQ machinery — constants, subspace slicing, the exact dist²
     * algebra, and the per-(vector, subspace) codebook assignment — used
     * by BOTH the index-build side (`pq_codes`) and the search side
@@ -1314,6 +1440,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingDrift,
+    annFilteredTopk, qAnnFilteredRecall,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
