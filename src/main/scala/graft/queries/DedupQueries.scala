@@ -809,6 +809,83 @@ object DedupQueries {
          |FROM g ORDER BY source""".stripMargin)
   }
 
+  /** Near-dup pair EDIT-TYPE classification — the provenance question
+    * after the pair set exists: WHAT KIND of edit produced each verified
+    * near-dup (an appended paragraph? a changed title? a scattered
+    * rewrite)? Computed from exact common-prefix / common-suffix token
+    * run lengths per pair, folded IN-ROW with a packed-state aggregate
+    * (state = 2·len + alive, so the fold stops extending at the first
+    * mismatch — an early-exit scan encoded in an associative-looking
+    * fold both engines run identically left-to-right). The suffix run is
+    * capped so prefix+suffix never double-count overlapping tokens.
+    * Classes (integer threshold rules, checked in order): identical
+    * token streams, prefix-anchored (≥½ of the longer doc is shared
+    * head), suffix-anchored, ends-anchored (head+tail together ≥½), else
+    * internal rewrite.
+    *
+    * Scale shape: the verified pair set from the banded join, two token
+    * lookups, all run math in-row — no new shuffle beyond the pair
+    * pipeline it rides. */
+  val qDedupPairClassify: Q = new Q {
+    val name = "q_dedup_pair_classify"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      def runLen(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> if(coalesce(x = y, false), 1L, 0L)), " +
+          "1L, (s, e) -> if(s % 2 = 1 and e = 1, s + 2, (s div 2) * 2)) div 2")
+      minhashPairs(spark, dir)
+        .select("id_l", "id_r")
+        .join(toks.select(col("doc_id").as("id_l"), col("tk").as("tk_l")), Seq("id_l"))
+        .join(toks.select(col("doc_id").as("id_r"), col("tk").as("tk_r")), Seq("id_r"))
+        .withColumn("len_l", size(col("tk_l")).cast("long"))
+        .withColumn("len_r", size(col("tk_r")).cast("long"))
+        .withColumn("pre", runLen("tk_l", "tk_r"))
+        .withColumn("suf0", runLen("reverse(tk_l)", "reverse(tk_r)"))
+        .withColumn("suf", least(col("suf0"), least(col("len_l"), col("len_r")) - col("pre")))
+        .withColumn("edit_class", expr(
+          """CASE WHEN pre = len_l AND pre = len_r THEN 'identical_tokens'
+            |     WHEN pre * 2 >= greatest(len_l, len_r) THEN 'prefix_anchored'
+            |     WHEN suf * 2 >= greatest(len_l, len_r) THEN 'suffix_anchored'
+            |     WHEN (pre + suf) * 2 >= greatest(len_l, len_r) THEN 'ends_anchored'
+            |     ELSE 'internal_rewrite' END""".stripMargin))
+        .select(col("id_l"), col("id_r"), col("len_l"), col("len_r"),
+          col("pre").as("common_prefix"), col("suf").as("common_suffix"),
+          col("edit_class"))
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = {
+      def runLen(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(1 AS BIGINT),
+           |    list_transform(list_zip($a, $b),
+           |      p -> CAST(coalesce(p[1] = p[2], false) AS BIGINT))),
+           |  (s, e) -> CASE WHEN s % 2 = 1 AND e = 1 THEN s + 2
+           |                 ELSE (s // 2) * 2 END) // 2""".stripMargin
+      Some(
+        s"""WITH $SqlMinhashPairCtes,
+           |p AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+           |tk AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+           |base AS (
+           |  SELECT id_l, id_r,
+           |    CAST(len(a.tk) AS BIGINT) AS len_l, CAST(len(b.tk) AS BIGINT) AS len_r,
+           |    ${runLen("a.tk", "b.tk")} AS pre,
+           |    ${runLen("list_reverse(a.tk)", "list_reverse(b.tk)")} AS suf0
+           |  FROM p JOIN tk a ON id_l = a.doc_id JOIN tk b ON id_r = b.doc_id),
+           |c AS (
+           |  SELECT id_l, id_r, len_l, len_r, pre,
+           |    least(suf0, least(len_l, len_r) - pre) AS suf
+           |  FROM base)
+           |SELECT id_l, id_r, len_l, len_r,
+           |  pre AS common_prefix, suf AS common_suffix,
+           |  CASE WHEN pre = len_l AND pre = len_r THEN 'identical_tokens'
+           |       WHEN pre * 2 >= greatest(len_l, len_r) THEN 'prefix_anchored'
+           |       WHEN suf * 2 >= greatest(len_l, len_r) THEN 'suffix_anchored'
+           |       WHEN (pre + suf) * 2 >= greatest(len_l, len_r) THEN 'ends_anchored'
+           |       ELSE 'internal_rewrite' END AS edit_class
+           |FROM c ORDER BY id_l, id_r""".stripMargin)
+    }
+  }
+
   /** MinHash estimator accuracy profile — the sketch-QA gate the dedup
     * pipeline needs before trusting signature agreement as a Jaccard
     * proxy: over the LSH candidate pairs, compare the 64-perm signature
@@ -1123,5 +1200,6 @@ object DedupQueries {
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
-    qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy)
+    qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
+    qDedupPairClassify)
 }
