@@ -16,6 +16,7 @@ object CurationQueries {
 
   val QualityKeep = 5000L // quality_e4 threshold for the keep flag
   val KeepLang = "en"
+  val PackBudget = 256L // q_token_packing context-window token budget
 
   /** quality_e4 (same formula as text_stats). */
   private[graft] def qualityE4(text: Column): Column = {
@@ -269,6 +270,262 @@ object CurationQueries {
          |FROM base CROSS JOIN qs CROSS JOIN dup""".stripMargin)
   }
 
+  /** Gopher-style per-document quality rule battery (MassiveText §A1.1
+    * family, re-expressed as exact rational-threshold integer
+    * comparisons so both engines agree bit-for-bit): word count in
+    * [10, 100 000]; mean token length in [3, 10] (as 3n ≤ Σ|t| ≤ 10n);
+    * ≥ 80 % of tokens contain a letter (5·alpha ≥ 4n); ≥ 2 stopword
+    * hits; symbol density ≤ 10 % (10·hits(# | ...) ≤ n); duplicate
+    * 2-gram mass ≤ 20 % (5·(total − distinct) ≤ total). Every rule is
+    * computed IN-ROW from one token array — the whole battery is one
+    * scan, zero shuffles, codegen-friendly; at 100 TB it is the
+    * map-side filter stage it would be in a production curation run.
+    * The 2-gram distinct runs on the in-row array (array_distinct), so
+    * no per-doc explode ever reaches a shuffle. */
+  val qGopherRules: Q = new Q {
+    val name = "q_gopher_rules"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val stopList = TextOps.Stopwords.head._2
+      Tables.documents(spark, dir)
+        .where(TextOps.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("tk"))
+        .withColumn("n_toks", size(col("tk")).cast("long"))
+        .withColumn("tok_chars",
+          expr("aggregate(tk, 0L, (s, t) -> s + length(t))"))
+        .withColumn("alpha_toks",
+          expr("size(filter(tk, t -> t rlike '[a-z]'))").cast("long"))
+        .withColumn("stop_hits",
+          TextOps.stopwordHits(col("tk"), stopList).cast("long"))
+        .withColumn("sym_hits",
+          regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+        .withColumn("bi_total", greatest(col("n_toks") - 1, lit(0L)))
+        .withColumn("bi_distinct", expr(
+          """if(size(tk) < 2, 0L, size(array_distinct(transform(
+            |  sequence(0, size(tk) - 2),
+            |  i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2))))))
+            |""".stripMargin).cast("long"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_toks") >= 10L && col("n_toks") <= 100000L).cast("int").as("r_wordcount"),
+          (col("tok_chars") >= col("n_toks") * 3L &&
+            col("tok_chars") <= col("n_toks") * 10L).cast("int").as("r_meanwordlen"),
+          (col("alpha_toks") * 5L >= col("n_toks") * 4L).cast("int").as("r_alpha"),
+          (col("stop_hits") >= 2L).cast("int").as("r_stopwords"),
+          (col("sym_hits") * 10L <= col("n_toks")).cast("int").as("r_symbols"),
+          ((col("bi_total") - col("bi_distinct")) * 5L <= col("bi_total"))
+            .cast("int").as("r_dupbigram"))
+        .withColumn("n_rules_passed",
+          expr("CAST(r_wordcount + r_meanwordlen + r_alpha + r_stopwords + r_symbols + r_dupbigram AS BIGINT)"))
+        .withColumn("pass", (col("n_rules_passed") === 6L).cast("int"))
+        .orderBy("doc_id")
+    }
+    val oracle = {
+      val stopList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS tk
+           |  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+           |m AS (
+           |  SELECT doc_id,
+           |    CAST(len(tk) AS BIGINT) AS n_toks,
+           |    CAST(coalesce(list_sum(list_transform(tk, x -> strlen(x))), 0) AS BIGINT) AS tok_chars,
+           |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_toks,
+           |    CAST(len(list_filter(tk, x -> x IN ($stopList))) AS BIGINT) AS stop_hits,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS sym_hits,
+           |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS bi_total,
+           |    CAST(CASE WHEN len(tk) < 2 THEN 0 ELSE len(list_distinct(
+           |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])))
+           |      END AS BIGINT) AS bi_distinct
+           |  FROM t),
+           |r AS (
+           |  SELECT doc_id, n_toks,
+           |    CAST(n_toks >= 10 AND n_toks <= 100000 AS INT) AS r_wordcount,
+           |    CAST(tok_chars >= n_toks * 3 AND tok_chars <= n_toks * 10 AS INT) AS r_meanwordlen,
+           |    CAST(alpha_toks * 5 >= n_toks * 4 AS INT) AS r_alpha,
+           |    CAST(stop_hits >= 2 AS INT) AS r_stopwords,
+           |    CAST(sym_hits * 10 <= n_toks AS INT) AS r_symbols,
+           |    CAST((bi_total - bi_distinct) * 5 <= bi_total AS INT) AS r_dupbigram
+           |  FROM m)
+           |SELECT doc_id, n_toks, r_wordcount, r_meanwordlen, r_alpha,
+           |  r_stopwords, r_symbols, r_dupbigram,
+           |  CAST(r_wordcount + r_meanwordlen + r_alpha + r_stopwords
+           |       + r_symbols + r_dupbigram AS BIGINT) AS n_rules_passed,
+           |  CAST(r_wordcount + r_meanwordlen + r_alpha + r_stopwords
+           |       + r_symbols + r_dupbigram = 6 AS INT) AS pass
+           |FROM r ORDER BY doc_id""".stripMargin)
+    }
+  }
+
+  /** Greedy sequence packing — the training-data step after curation:
+    * concatenate documents (per source, in doc_id order) into fixed
+    * token-budget context windows, starting a new pack when the next doc
+    * would overflow the budget (an oversized doc gets its own pack).
+    * Greedy packing is ORDER-DEFINED and therefore inherently sequential
+    * per source; the scale shape is the canonical secondary sort —
+    * repartition by source, sortWithinPartitions(source, doc_id), then a
+    * streaming mapPartitions fold with O(1) state (current source, pack
+    * index, tokens used) — no group is ever materialized in memory, so a
+    * source of any size streams. Parallelism is across sources; a corpus
+    * dominated by ONE giant source needs the fixed-boundary variant
+    * (pack = cum_tokens div B, docs may straddle) which this library
+    * would add as a twin — noted, not silently substituted, because the
+    * two packings differ. The DuckDB oracle replays the same fold as a
+    * recursive CTE, so the sequential semantics are cross-checked, not
+    * assumed. */
+  val qTokenPacking: Q = new Q {
+    val name = "q_token_packing"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      val budget = PackBudget
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .as[PackDoc]
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .mapPartitions { it =>
+          var src: String = null
+          var pack = 0L
+          var used = 0L
+          var pos = 0L
+          it.map { d =>
+            if (d.source != src) { src = d.source; pack = 0L; used = d.n_tokens; pos = 1L }
+            else if (used + d.n_tokens > budget) { pack += 1L; used = d.n_tokens; pos = 1L }
+            else { used += d.n_tokens; pos += 1L }
+            PackedDoc(d.source, d.doc_id, d.n_tokens, pack, pos, used)
+          }
+        }
+        .toDF()
+        .orderBy("source", "doc_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS pack_idx, n_tokens AS pack_used,
+         |    CAST(1 AS BIGINT) AS pack_pos
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         |    CASE WHEN r.pack_used + t.n_tokens > $PackBudget
+         |         THEN r.pack_idx + 1 ELSE r.pack_idx END,
+         |    CASE WHEN r.pack_used + t.n_tokens > $PackBudget
+         |         THEN t.n_tokens ELSE r.pack_used + t.n_tokens END,
+         |    CASE WHEN r.pack_used + t.n_tokens > $PackBudget
+         |         THEN CAST(1 AS BIGINT) ELSE r.pack_pos + 1 END
+         |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+         |SELECT source, doc_id, n_tokens, pack_idx, pack_pos, pack_used
+         |FROM r ORDER BY source, doc_id""".stripMargin)
+  }
+
+  /** Deterministic corpus mixture sampling — downsample every source to
+    * the SMALLEST source's document count ("balanced mixture") by
+    * md5-hash thresholding: keep doc iff hash60("mix:" || doc_id) mod
+    * 1e6 < rate_ppm, rate_ppm = min_docs·1e6 div n_docs(source). The
+    * decision is a pure function of the doc id — reproducible across
+    * runs, engines, and cluster sizes, which is what makes a mixture
+    * schedule auditable (re-running the pipeline cannot resample). The
+    * per-source keep counts concentrate at min_docs (hash-uniformity);
+    * the query emits the realized counts and token mass so the mixture
+    * report is exact, not expected-value.
+    * Scale shape: one count-by-source aggregate broadcast back, one
+    * in-row hash filter on the fact scan, one final aggregate — the
+    * sampled corpus itself never re-shuffles. */
+  val qCorpusMixture: Q = new Q {
+    val name = "q_corpus_mixture"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (graft.ops.HashOps.hash60(
+            concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L).as("h_ppm"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val minDocs = counts.agg(min("n_docs").as("min_docs"))
+      docs
+        .join(broadcast(counts), Seq("source"))
+        .crossJoin(broadcast(minDocs))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("min_docs * 1000000 div n_docs")))
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"), max("rate_ppm").as("rate_ppm"),
+          sum(when(col("h_ppm") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("h_ppm") < col("rate_ppm"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000000 AS h_ppm
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+        |m AS (SELECT min(n_docs) AS min_docs FROM c),
+        |j AS (
+        |  SELECT d.source, d.n_tokens, d.h_ppm, c.n_docs,
+        |    least(1000000, m.min_docs * 1000000 // c.n_docs) AS rate_ppm
+        |  FROM d JOIN c USING (source) CROSS JOIN m)
+        |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+        |  CAST(sum(CASE WHEN h_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN h_ppm < rate_ppm THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** Soft-dedup downweighting — the alternative to dropping duplicates:
+    * every document in an exact-dup group of size g contributes weight
+    * 1/g, so each distinct text carries total weight 1 regardless of how
+    * many times it was crawled. Emits per-source corpus mass before and
+    * after downweighting (eff_tokens_e6 = Σ n_tokens·(1e6 div g),
+    * floor-div — identical quantization in both engines). Int64 bound:
+    * eff_tokens_e6 ≤ 1e6·Σn_tokens, safe for per-source token mass up to
+    * ~9×10¹² (≈50 TB of text per source at 5 bytes/token); above that,
+    * drop the scale to e4.
+    * Scale shape: one content-hash shuffle (the same shuffle exact dedup
+    * already pays) for the group-size window, then a source-grain
+    * aggregate — no joins, no second fact pass. */
+  val qSoftDedupWeights: Q = new Q {
+    val name = "q_soft_dedup_weights"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select(col("source"), md5(col("text")).as("k"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("g", count(lit(1)).over(Window.partitionBy("k")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(expr("n_tokens * (1000000 div g)")).as("eff_tokens_e6"),
+          sum(when(col("g") > 1L, 1L).otherwise(0L)).as("n_in_dup_groups"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT source, md5(text) AS k,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    count(*) OVER (PARTITION BY k) AS g
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens * (1000000 // g)) AS BIGINT) AS eff_tokens_e6,
+        |  CAST(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups
+        |FROM w GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource,
-    boilerplateNgrams, datasetDatasheet)
+    boilerplateNgrams, datasetDatasheet, qGopherRules, qTokenPacking,
+    qCorpusMixture, qSoftDedupWeights)
 }
+
+/** Row shapes for [[CurationQueries.qTokenPacking]]'s streaming fold. */
+case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
+  pack_idx: Long, pack_pos: Long, pack_used: Long)

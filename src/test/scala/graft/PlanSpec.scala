@@ -387,4 +387,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"corpus × queries must broadcast the bounded side:\n$plan")
   }
+
+  test("q_gopher_rules: whole battery is one map-side scan (no join, no agg exchange)") {
+    val plan = planString(graft.queries.CurationQueries.qGopherRules.run(spark, sf))
+    assert(!plan.contains("Join"), s"rule battery must not join:\n$plan")
+    // the ONLY exchange allowed is the final presentation sort
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(plan).size
+    assert(shuffles == 0, s"rule battery must not shuffle before the sort:\n$plan")
+  }
+
+  test("q_token_packing: one source shuffle feeds the streaming fold; no join") {
+    val plan = planString(graft.queries.CurationQueries.qTokenPacking.run(spark, sf))
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"packing must co-locate sources via one hash exchange:\n$plan")
+  }
+
+  test("q_corpus_mixture: source counts and min broadcast back; fact scan never re-shuffles for the join") {
+    val plan = graft.queries.CurationQueries.qCorpusMixture.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = plan.sliding("Broadcast".length).count(_ == "Broadcast")
+    assert(nBroadcast >= 2, s"counts/min must broadcast, not shuffle the facts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side must not sort-merge against the tiny source counts:\n$plan")
+  }
 }
