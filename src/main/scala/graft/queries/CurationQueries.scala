@@ -520,12 +520,127 @@ object CurationQueries {
         |FROM w GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** Fixed-boundary packing — the PARALLEL twin of [[qTokenPacking]] for
+    * the corpus a greedy fold cannot shard: one giant source. Packs are
+    * fixed [k·B, (k+1)·B) token windows of the per-source concatenated
+    * stream; a document may straddle packs (pack_first ≠ pack_last →
+    * n_splits boundary crossings), which is exactly how production
+    * pretraining tokenizers pack. The running token offset comes from
+    * [[graft.ops.PrefixOps.cumBefore]] — a two-pass distributed prefix
+    * sum (per-partition subtotals → exclusive offsets → streaming
+    * in-partition scan), NOT a per-key window, so one source of any size
+    * spreads over every partition of its range. Zero-token docs occupy
+    * zero stream space and land whole in their boundary pack
+    * (greatest(n,1) in the last-pack formula keeps the div well-formed).
+    * The DuckDB oracle computes the same offsets with a window cumsum —
+    * the parallel scan is checked against the sequential definition. */
+  val qTokenPackingFixed: Q = new Q {
+    val name = "q_token_packing_fixed"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      val b = PackBudget
+      val docs = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .as[PackDoc]
+      graft.ops.PrefixOps
+        .cumBefore(docs, spark.sessionState.conf.numShufflePartitions)
+        .map { case (d, cum) =>
+          val first = cum / b
+          val last = (cum + math.max(d.n_tokens, 1L) - 1L) / b
+          PackSpan(d.source, d.doc_id, d.n_tokens, cum, first, last, last - first)
+        }
+        .toDF()
+        .orderBy("source", "doc_id")
+    }
+    val oracle = Some(
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_before,
+         |  cum_before // $PackBudget AS pack_first,
+         |  (cum_before + greatest(n_tokens, 1) - 1) // $PackBudget AS pack_last,
+         |  (cum_before + greatest(n_tokens, 1) - 1) // $PackBudget
+         |    - cum_before // $PackBudget AS n_splits
+         |FROM c ORDER BY source, doc_id""".stripMargin)
+  }
+
+  /** Temperature-scaled mixture weights (α = 1/2) — the up/down-weighting
+    * schedule multilingual/multi-source pretraining uses to keep small
+    * sources from vanishing (w_s ∝ T_s^α flattens the source
+    * distribution). T^(1/2) is computed as an EXACT integer sqrt: the
+    * float floor(sqrt(x)) seed is corrected by ±1 integer comparisons
+    * ((i+1)² ≤ x, i² > x), so both engines agree bit-for-bit wherever the
+    * double seed is within one of truth — guaranteed for x < 2⁵² (a
+    * 4-petabyte-of-text source at 1 byte/token; far above any real
+    * source). Weights ship as ppm via floor div of the isqrt mass.
+    * Scale shape: one source-grain aggregate, a 1-row broadcast total,
+    * in-row isqrt arithmetic — nothing fact-sized moves twice. */
+  /** Exact integer sqrt for x < 2⁵²: float seed ±1-corrected by integer
+    * comparisons (see [[qMixtureTemperature]]). */
+  private[graft] def isqrt(x: Column): Column = {
+    val seed = floor(sqrt(x.cast("double"))).cast("long")
+    seed + when((seed + 1L) * (seed + 1L) <= x, 1L).otherwise(0L) -
+      when(seed * seed > x, 1L).otherwise(0L)
+  }
+
+  val qMixtureTemperature: Q = new Q {
+    val name = "q_mixture_temperature"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val bySrc = Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("isqrt_tokens", isqrt(col("n_tokens")))
+      val totals = bySrc.agg(sum("n_tokens").as("tot_tokens"),
+        sum("isqrt_tokens").as("tot_isqrt"))
+      bySrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tot_tokens").as("share_ppm"),
+          col("isqrt_tokens"),
+          expr("isqrt_tokens * 1000000 div tot_isqrt").as("temp_weight_ppm"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |i AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |      + CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+        |                  * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+        |                  <= n_tokens THEN 1 ELSE 0 END
+        |      - CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |                  * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        |                  > n_tokens THEN 1 ELSE 0 END AS isqrt_tokens
+        |  FROM s),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        |             CAST(sum(isqrt_tokens) AS BIGINT) AS tot_isqrt FROM i)
+        |SELECT source, n_tokens,
+        |  n_tokens * 1000000 // tot_tokens AS share_ppm,
+        |  isqrt_tokens,
+        |  isqrt_tokens * 1000000 // tot_isqrt AS temp_weight_ppm
+        |FROM i CROSS JOIN t ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource,
     boilerplateNgrams, datasetDatasheet, qGopherRules, qTokenPacking,
-    qCorpusMixture, qSoftDedupWeights)
+    qCorpusMixture, qSoftDedupWeights, qTokenPackingFixed,
+    qMixtureTemperature)
 }
 
 /** Row shapes for [[CurationQueries.qTokenPacking]]'s streaming fold. */
 case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
 case class PackedDoc(source: String, doc_id: Long, n_tokens: Long,
   pack_idx: Long, pack_pos: Long, pack_used: Long)
+/** Row shape for [[CurationQueries.qTokenPackingFixed]]. */
+case class PackSpan(source: String, doc_id: Long, n_tokens: Long,
+  cum_before: Long, pack_first: Long, pack_last: Long, n_splits: Long)

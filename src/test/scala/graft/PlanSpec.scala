@@ -388,6 +388,13 @@ class PlanSpec extends SparkSpec {
       s"corpus × queries must broadcast the bounded side:\n$plan")
   }
 
+  test("q_token_packing_fixed: prefix sum never funnels a source through a Window") {
+    val plan = planString(graft.queries.CurationQueries.qTokenPackingFixed.run(spark, sf))
+    assert(!plan.contains("Window"),
+      s"fixed packing must use the two-pass prefix sum, not a per-key window:\n$plan")
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+  }
+
   test("q_gopher_rules: whole battery is one map-side scan (no join, no agg exchange)") {
     val plan = planString(graft.queries.CurationQueries.qGopherRules.run(spark, sf))
     assert(!plan.contains("Join"), s"rule battery must not join:\n$plan")
