@@ -525,7 +525,12 @@ object CurationQueries {
     * fixed [k·B, (k+1)·B) token windows of the per-source concatenated
     * stream; a document may straddle packs (pack_first ≠ pack_last →
     * n_splits boundary crossings), which is exactly how production
-    * pretraining tokenizers pack. The running token offset comes from
+    * pretraining tokenizers pack. Semantically this is
+    * [[MixQueries.packSequences]] (`pack_sequences`) — the SCALE TWIN
+    * relationship: pack_sequences states the definition with a per-source
+    * window cumsum (one reducer per source), this query computes the same
+    * assignment with the two-pass prefix sum, and `Wave27QueriesSpec`
+    * pins their parity row-for-row on the shared grain. The running token offset comes from
     * [[graft.ops.PrefixOps.cumBefore]] — a two-pass distributed prefix
     * sum (per-partition subtotals → exclusive offsets → streaming
     * in-partition scan), NOT a per-key window, so one source of any size
@@ -575,7 +580,11 @@ object CurationQueries {
   /** Temperature-scaled mixture weights (α = 1/2) — the up/down-weighting
     * schedule multilingual/multi-source pretraining uses to keep small
     * sources from vanishing (w_s ∝ T_s^α flattens the source
-    * distribution). T^(1/2) is computed as an EXACT integer sqrt: the
+    * distribution). The complement of [[MixQueries.mixTemperature]]
+    * (`mix_temperature`, T = 1/2 ⇒ p ∝ c² — SHARPENING via an integer
+    * square): α < 1 needs a fractional power, which is why the exact
+    * integer sqrt below exists — together the two queries cover both
+    * directions of the temperature dial in exact arithmetic. T^(1/2) is computed as an EXACT integer sqrt: the
     * float floor(sqrt(x)) seed is corrected by ±1 integer comparisons
     * ((i+1)² ≤ x, i² > x), so both engines agree bit-for-bit wherever the
     * double seed is within one of truth — guaranteed for x < 2⁵² (a

@@ -39,6 +39,22 @@ class Wave27QueriesSpec extends SparkSpec {
     assert(got.exists(_._7 > 0L), "no doc ever straddles a pack — budget never binds")
   }
 
+  test("q_token_packing_fixed is the scale twin of pack_sequences: identical assignment on the shared grain") {
+    // pack_sequences: per-source WINDOW cumsum over n_toks > 0 docs;
+    // q_token_packing_fixed: two-pass prefix sum over ALL docs. Zero-token
+    // docs add nothing to the stream, so on the n_toks > 0 grain the two
+    // must agree row-for-row (same budget constant).
+    assert(CurationQueries.PackBudget == graft.queries.MixQueries.PackBudget)
+    val win = graft.queries.MixQueries.packSequences.run(spark, dir)
+      .select("doc_id", "tok_start", "seq_first", "seq_last").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val par = CurationQueries.qTokenPackingFixed.run(spark, dir)
+      .where("n_tokens > 0")
+      .select("doc_id", "cum_before", "pack_first", "pack_last").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(par.toSeq == win.toSeq && win.nonEmpty)
+  }
+
   test("distributed prefix sum is exact when ONE source spans many partitions") {
     // 5000 docs, one source — the case a per-key window serializes on a
     // single reducer and PrefixOps must spread over all 16 slices.
