@@ -16,7 +16,8 @@ object SparkEntry {
       AnalyticQueries.all ++ AdvancedQueries.all ++ ParityQueries.all ++
       TpchQueries.all ++ PartsuppQueries.all ++ TpchFinalQueries.all ++
       TimeSeriesQueries.all ++ GraphQueries.all ++ SketchQueries.all ++
-      BehaviorQueries.all ++ FuzzQueries.all ++ EvalQueries.all
+      BehaviorQueries.all ++ FuzzQueries.all ++ EvalQueries.all ++
+      LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * zone_report is the widest end-to-end slice (scan → geo argmin →

@@ -34,7 +34,9 @@ class EmptyInputSpec extends SparkSpec {
   private val constantRows = Map("q_cms_heavy_hitters" -> 9, "q_table_profile" -> 4,
     "q_dq_checks" -> 6,
     // one row per swept nprobe width (deployment constant), zero counts
-    "q_ann_nprobe_sweep" -> graft.queries.VectorQueries.ProbeSweep.size)
+    "q_ann_nprobe_sweep" -> graft.queries.VectorQueries.ProbeSweep.size,
+    // one row per workload probe range (deployment constant), zero files/rows
+    "q_zorder_pruning_gain" -> 16)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"
