@@ -376,6 +376,104 @@ object SketchQueries {
     }
   }
 
+  /** Bloom-filter SIZING CURVE, measured not formula'd — the estimator-QA
+    * gate behind `q_bloom_prune_join`: for each candidate bit-array size
+    * m ∈ {256, 512, 1024, 2048} (k = 4 hashes), build the filter over one
+    * key population, probe it with a DISJOINT population, and report the
+    * realized false-positive rate plus bit load. Spark's built-in
+    * `stat.bloomFilter` is not cross-engine reproducible, so the filter
+    * here is the house md5 hash family (`HashOps.hash60("bf<j>:<key>")`
+    * mod m) — the SAME positions in both engines, making measured FPR an
+    * oracle-checkable integer. A false-negative column is computed too
+    * (must be 0 — the Bloom guarantee, gated rather than assumed).
+    *
+    * Scale shape: ONE hash pass per (key, seed); all four m values derive
+    * in-row from the same 60-bit hash (the in-row sweep idiom). The bit
+    * sets are ≤ Σm = 3.8k rows → broadcast to the probe side; nothing
+    * fact-sized shuffles twice. At a real 10⁹-key dim the same plan holds
+    * — the bit set stays ≤ m bits by construction.
+    *
+    * Bound: insert/probe populations are nation-sliced customers, so the
+    * two key sets are disjoint by construction (custkey is unique) and
+    * every probe hit at all k positions is a TRUE false positive. */
+  val bloomFprSweep: Q = new Q {
+    val name = "q_bloom_fpr_sweep"
+    private val Ms = Seq(256L, 512L, 1024L, 2048L)
+    private val Kh = 4
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      def hashed(df: DataFrame): DataFrame = df
+        .withColumn("j", explode(array((0 until Kh).map(lit): _*)))
+        .withColumn("h", HashOps.hash60(
+          concat(lit("bf"), col("j").cast("string"), lit(":"),
+            col("c_custkey").cast("string"))))
+        .withColumn("m", explode(array(Ms.map(lit): _*)))
+        .select(col("c_custkey").as("key"), col("m"), (col("h") % col("m")).as("p"))
+      val ins = cust.where(col("c_nationkey") === 1)
+      val probe = cust.where(col("c_nationkey") === 2)
+      val bits = hashed(ins).select("m", "p").distinct()
+      val setBits = bits.groupBy("m").agg(count(lit(1)).as("n_set_bits"))
+      def allKHit(df: DataFrame): DataFrame = df
+        .join(broadcast(bits), Seq("m", "p"))
+        .groupBy("m", "key").agg(count(lit(1)).as("nhit"))
+        .where(col("nhit") === Kh)
+        .groupBy("m").agg(count(lit(1)).as("n_hit_keys"))
+      val fp = allKHit(hashed(probe)).withColumnRenamed("n_hit_keys", "n_false_pos")
+      val insHit = allKHit(hashed(ins)).withColumnRenamed("n_hit_keys", "n_ins_hit")
+      val counts = ins.agg(count(lit(1)).as("n_inserted"))
+        .crossJoin(probe.agg(count(lit(1)).as("n_probes")))
+      Ms.toDF("m")
+        .join(setBits, Seq("m"), "left")
+        .join(fp, Seq("m"), "left")
+        .join(insHit, Seq("m"), "left")
+        .crossJoin(broadcast(counts))
+        .select(col("m"), lit(Kh.toLong).as("k"), col("n_inserted"),
+          coalesce(col("n_set_bits"), lit(0L)).as("n_set_bits"),
+          col("n_probes"),
+          coalesce(col("n_false_pos"), lit(0L)).as("n_false_pos"),
+          expr("CASE WHEN n_probes = 0 THEN -1 " +
+            "ELSE coalesce(n_false_pos, 0) * 1000000 div n_probes END").as("fpr_ppm"),
+          (col("n_inserted") - coalesce(col("n_ins_hit"), lit(0L))).as("n_false_neg"))
+        .orderBy("m")
+    }
+    val oracle = {
+      // NB: no line may START with || — the enclosing stripMargin would
+      // eat one pipe and leave a bitwise-| behind
+      def posSql(src: String) =
+        s"""SELECT key, m,
+           |  CAST('0x' || substr(md5(concat('bf', j, ':', key)), 1, 15)
+           |       AS BIGINT) % m AS p
+           |FROM $src CROSS JOIN seeds CROSS JOIN ms""".stripMargin
+      Some(
+        s"""WITH ins AS (SELECT c_custkey AS key FROM customer WHERE c_nationkey = 1),
+           |pr AS (SELECT c_custkey AS key FROM customer WHERE c_nationkey = 2),
+           |seeds AS (SELECT unnest(range($Kh)) AS j),
+           |ms AS (SELECT CAST(unnest([${Ms.mkString(", ")}]) AS BIGINT) AS m),
+           |bits AS (SELECT DISTINCT m, p FROM (${posSql("ins")})),
+           |sb AS (SELECT m, CAST(count(*) AS BIGINT) AS n_set_bits FROM bits GROUP BY m),
+           |fp AS (
+           |  SELECT m, CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+           |    SELECT m, key FROM (${posSql("pr")}) pp JOIN bits USING (m, p)
+           |    GROUP BY m, key HAVING count(*) = $Kh) GROUP BY m),
+           |ih AS (
+           |  SELECT m, CAST(count(*) AS BIGINT) AS n_ins_hit FROM (
+           |    SELECT m, key FROM (${posSql("ins")}) ip JOIN bits USING (m, p)
+           |    GROUP BY m, key HAVING count(*) = $Kh) GROUP BY m),
+           |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted,
+           |             (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probes)
+           |SELECT ms.m, CAST($Kh AS BIGINT) AS k, n_inserted,
+           |  coalesce(n_set_bits, 0) AS n_set_bits, n_probes,
+           |  coalesce(n_false_pos, 0) AS n_false_pos,
+           |  CASE WHEN n_probes = 0 THEN -1
+           |       ELSE coalesce(n_false_pos, 0) * 1000000 // n_probes END AS fpr_ppm,
+           |  n_inserted - coalesce(n_ins_hit, 0) AS n_false_neg
+           |FROM ms LEFT JOIN sb USING (m) LEFT JOIN fp USING (m)
+           |  LEFT JOIN ih USING (m) CROSS JOIN c
+           |ORDER BY ms.m""".stripMargin)
+    }
+  }
+
   def all: Seq[Q] = Seq(kmvDistinct, kmvUnion, cmsHeavyHitters, bottomkSample,
-    joinSizeEst, kmvIntersect)
+    joinSizeEst, kmvIntersect, bloomFprSweep)
 }

@@ -36,7 +36,9 @@ class EmptyInputSpec extends SparkSpec {
     // one row per swept nprobe width (deployment constant), zero counts
     "q_ann_nprobe_sweep" -> graft.queries.VectorQueries.ProbeSweep.size,
     // one row per workload probe range (deployment constant), zero files/rows
-    "q_zorder_pruning_gain" -> 16)
+    "q_zorder_pruning_gain" -> 16,
+    // one row per swept bit-array size (deployment constant), fpr_ppm = -1
+    "q_bloom_fpr_sweep" -> 4)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"
