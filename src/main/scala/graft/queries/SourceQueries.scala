@@ -514,7 +514,64 @@ object SourceQueries {
         |FROM r ORDER BY day""".stripMargin)
   }
 
+  /** Incremental view maintenance — the aggregate-mart refresh that does
+    * NOT rescan history: the pre-split mart is materialized to the lake
+    * (real parquet, read back — the fact scan of the base period happens
+    * once, at bootstrap), the delta period reduces to per-key PARTIALS,
+    * and the refresh is a key-grain merge of partials (counts/sums add;
+    * min/least and max/greatest fold; every aggregate here is chosen
+    * mergeable — the algebraic-aggregate contract that makes IVM sound).
+    * The DuckDB oracle computes the mart DIRECTLY over base+delta, so the
+    * merge's losslessness is cross-engine proven, not asserted.
+    *
+    * Scale shape: at 100 TB this is the difference between a weekly mart
+    * costing one week of scan vs the full history; the merge join runs at
+    * mart grain (|event types|), the delta aggregate at delta-fact grain.
+    * Non-mergeable aggregates (exact distinct, medians) are deliberately
+    * ABSENT — they need sketch partials (see q_kmv_union) or a rescan. */
+  val ivmMergeMart: Q = new Q {
+    val name = "q_ivm_merge_mart"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val split = lit("2024-01-21 00:00:00").cast("timestamp")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("ts"), cents(col("value")).as("cents"))
+      def partials(half: DataFrame): DataFrame = half.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"),
+          max("ts").as("last_ts"))
+      val martPath = graft.ops.Staging.dir("/tmp/graft_ivm", dir, "mart")
+      val base = partials(ev.where(col("ts") < split))
+      base.write.mode("overwrite").parquet(martPath)
+      val mart = spark.read.schema(base.schema).parquet(martPath)
+        .select(col("event_type"), col("n_events").as("n_b"),
+          col("sum_cents").as("s_b"), col("min_cents").as("mn_b"),
+          col("max_cents").as("mx_b"), col("last_ts").as("ts_b"))
+      val delta = partials(ev.where(col("ts") >= split))
+        .select(col("event_type"), col("n_events").as("n_d"),
+          col("sum_cents").as("s_d"), col("min_cents").as("mn_d"),
+          col("max_cents").as("mx_d"), col("last_ts").as("ts_d"))
+      mart.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_events"),
+          (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("sum_cents"),
+          least(coalesce(col("mn_b"), col("mn_d")),
+            coalesce(col("mn_d"), col("mn_b"))).as("min_cents"),
+          greatest(coalesce(col("mx_b"), col("mx_d")),
+            coalesce(col("mx_d"), col("mx_b"))).as("max_cents"),
+          greatest(coalesce(col("ts_b"), col("ts_d")),
+            coalesce(col("ts_d"), col("ts_b"))).as("last_ts"))
+        .orderBy("event_type")
+    }
+    val oracle = Some(
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+        |  max(ts) AS last_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(orcLineitem, csvOrders, jsonCustomer, lakeMergeUpsert,
     dppMonthRevenue, zorderLayout, tableDiff, compactionPlan, tableProfile,
-    dqChecks, dqFreshness)
+    dqChecks, dqFreshness, ivmMergeMart)
 }
