@@ -517,6 +517,73 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class SSEvent(user_id: Long, ts_us: Long, event_id: Long, item: String)
+  case class SSState(items: Array[String], counts: Array[Long],
+    errs: Array[Long], n_seen: Long)
+  case class SSOut(user_id: Long, n_seen: Long, item: String, est: Long,
+    max_err: Long)
+
+  /** Streaming SpaceSaving top-k (Metwally et al. 2005) — per-key heavy
+    * hitters in O(k) state on an unbounded stream: k counters; a known
+    * item increments, a new item takes over the MINIMUM counter and
+    * inherits its count as the error bound. Guarantees (spec-pinned on a
+    * crafted overflow stream): true ≤ est ≤ true + max_err for every
+    * tracked item, and any UNtracked item's true count ≤ the minimum
+    * tracked est — the bound that makes the sketch trustworthy for
+    * top-k extraction. When k ≥ |distinct items| the sketch degenerates
+    * to EXACT counting (max_err ≡ 0), which is what the parity battery
+    * pins against the batch groupBy on the real fixture. Victim
+    * selection tie-breaks (count, then item) so the fold is
+    * deterministic; rows fold in the repo-wide (ts_us, event_id) order.
+    * Emits the full tracked set (≤ k rows) stamped with n_seen per
+    * update — the final state is the max-n_seen emission per key. */
+  class SpaceSavingProcessor(k: Int, ttl: TTLConfig)
+    extends StatefulProcessor[Long, SSEvent, SSOut] {
+    @transient private var state: ValueState[SSState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SSState]("topk",
+        org.apache.spark.sql.Encoders.product[SSState], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[SSEvent],
+                                 timers: TimerValues): Iterator[SSOut] = {
+      val st = if (state.exists()) state.get()
+      else SSState(Array.empty, Array.empty, Array.empty, 0L)
+      val items = scala.collection.mutable.ArrayBuffer(st.items: _*)
+      val counts = scala.collection.mutable.ArrayBuffer(st.counts: _*)
+      val errs = scala.collection.mutable.ArrayBuffer(st.errs: _*)
+      var nSeen = st.n_seen
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        nSeen += 1
+        val i = items.indexOf(e.item)
+        if (i >= 0) counts(i) += 1
+        else if (items.length < k) { items += e.item; counts += 1L; errs += 0L }
+        else {
+          var j = 0
+          var t = 1
+          while (t < items.length) {
+            if (counts(t) < counts(j) ||
+              (counts(t) == counts(j) && items(t) < items(j))) j = t
+            t += 1
+          }
+          errs(j) = counts(j); items(j) = e.item; counts(j) += 1
+        }
+      }
+      state.update(SSState(items.toArray, counts.toArray, errs.toArray, nSeen))
+      items.indices.sortBy(items(_)).iterator
+        .map(i => SSOut(key, nSeen, items(i), counts(i), errs(i)))
+    }
+  }
+
+  /** Wire [[SpaceSavingProcessor]] over a keyed event stream (RocksDB
+    * state store, as all transformWithState operators). */
+  def spaceSavingTopK(events: Dataset[SSEvent], k: Int,
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[SSOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpaceSavingProcessor(k, ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Batch↔stream twin registry: every streaming operator above, mapped to
     * the batch computation it must reproduce on the shared fixture (a
     * catalog query name, or a description of the inline batch recompute).
@@ -541,5 +608,6 @@ object StreamingOps {
     "twapStream" -> "q_twap",
     "sessionize" -> "q_sessionize",
     "attributedSessions" -> "inline batch WindowOps.sessionize + first-touch/conversion agg",
-    "funnelStream" -> "q_window_funnel")
+    "funnelStream" -> "q_window_funnel",
+    "spaceSavingTopK" -> "inline batch (user, item) counts (k >= |items| => sketch exact)")
 }

@@ -281,6 +281,53 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("spaceSavingTopK under overflow keeps the SpaceSaving error guarantees") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // k = 2 counters, 4 distinct items with skewed frequencies across two
+    // micro-batches — evictions are forced, so the bounds are the test
+    val freq = Map("a" -> 9L, "b" -> 5L, "c" -> 2L, "d" -> 1L)
+    val rows = freq.toSeq.sortBy(_._1).flatMap { case (it, n) =>
+      (0L until n).map(i => (it, i))
+    }.zipWithIndex.map { case ((it, _), idx) =>
+      StreamingOps.SSEvent(1L, idx.toLong * 1000L, idx.toLong, it)
+    }
+    val input = MemoryStream[StreamingOps.SSEvent]
+    val q = StreamingOps.spaceSavingTopK(input.toDS(), 2)
+      .writeStream.format("memory").queryName("ss_overflow")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val all = spark.table("ss_overflow").as[StreamingOps.SSOut].collect()
+      val last = all.map(_.n_seen).max
+      assert(last == rows.size.toLong)
+      val tracked = all.filter(_.n_seen == last).map(r => r.item -> ((r.est, r.max_err))).toMap
+      assert(tracked.size == 2, s"sketch must hold exactly k items: $tracked")
+      // guarantee 1: true <= est <= true + max_err for tracked items
+      tracked.foreach { case (it, (est, err)) =>
+        val truth = freq(it)
+        assert(truth <= est && est <= truth + err, s"$it: est=$est err=$err true=$truth")
+      }
+      // guarantee 2: any untracked item's true count <= min tracked est
+      val minEst = tracked.values.map(_._1).min
+      freq.keys.filterNot(tracked.contains).foreach { it =>
+        assert(freq(it) <= minEst, s"untracked $it (n=${freq(it)}) exceeds min est $minEst")
+      }
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("ewmaStream: binary-decay fold matches the reference recurrence across micro-batches") {
     implicit val sc = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"

@@ -90,7 +90,8 @@ class StreamingParitySpec extends SparkSpec {
     "twapStream" -> (() => twapParity()),
     "sessionize" -> (() => sessionizeParity()),
     "attributedSessions" -> (() => attributedSessionsParity()),
-    "funnelStream" -> (() => funnelParity()))
+    "funnelStream" -> (() => funnelParity()),
+    "spaceSavingTopK" -> (() => spaceSavingParity()))
 
   test("registry is complete: every public streaming operator has a batch twin entry") {
     val ops = StreamingOps.getClass.getMethods
@@ -407,6 +408,26 @@ class StreamingParitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getLong(5) == 1L)).toSet
     assert(got == want && want.nonEmpty)
+  }
+
+  private def spaceSavingParity(): Unit = withRocksDB {
+    // k = 8 ≥ |event types| ⇒ the sketch is exact: est == batch count,
+    // max_err == 0 for every (user, type)
+    val rows = ev.map(e => SSEvent(e._3, e._2, e._4, e._5))
+    val sink = runStream(
+      Seq(rows.take(ev.length / 2), rows.drop(ev.length / 2)),
+      OutputMode.Update, "p_spacesaving")(in =>
+      spaceSavingTopK(in.toDS(), 8).toDF())
+      .as[SSOut].collect()
+    val got = sink.groupBy(_.user_id).toSeq.flatMap { case (u, rs) =>
+      val last = rs.map(_.n_seen).max
+      rs.filter(_.n_seen == last).map(r => ((u, r.item), (r.est, r.max_err)))
+    }.toMap
+    val batch = ev.groupBy(e => (e._3, e._5)).map { case (k, rs) => k -> rs.size.toLong }
+    assert(batch.nonEmpty && got.size == batch.size)
+    batch.foreach { case (k, n) =>
+      assert(got(k) == ((n, 0L)), s"$k: sketch ${got(k)} != exact $n")
+    }
   }
 
   private def funnelParity(): Unit = withRocksDB {
