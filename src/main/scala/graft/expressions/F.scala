@@ -38,6 +38,9 @@ object F {
   def intersectSizeSorted(a: Column, b: Column): Column =
     Shim.column(IntersectSizeSorted(Shim.expression(a), Shim.expression(b)))
 
+  def aHash64(s: Column): Column =
+    Shim.column(AHash64(Shim.expression(s)))
+
   /** Bounded top-k aggregate column: array<struct<ord,id>> of the k best
     * (ord DESC, id ASC) pairs per group with O(k) map-side state. */
   def boundedTopK(ord: Column, id: Column, k: Int): Column =

@@ -113,5 +113,156 @@ object MultimodalQueries {
         |ORDER BY media_id, frame_idx""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmFrames)
+  /** Perceptual (average-hash) image near-dup pairs — the image-side
+    * analogue of the text MinHash pipeline, at scale shape: each "image"
+    * downsamples to 64 evenly-spaced byte samples (the aHash grid; a real
+    * decoder would mean-pool pixels — same 64-sample contract), bit k of
+    * the 64-bit hash = sample k > integer mean, candidates come from a
+    * 4×16-bit BAND equi-join (two images agree on ≥1 band → compare),
+    * and the verify is exact Hamming ≤ 6 via xor + bit_count. Never
+    * all-pairs: the band join is the same LSH shape as
+    * `dedup_minhash_lsh` / `dedup_embedding_lsh` — at 10⁹ images the
+    * candidates are bucket-bounded. All arithmetic integer; the corpus
+    * is pure ASCII so DuckDB's ascii() sees the codec's byte values. */
+  val mmPhashDedup: Q = new Q {
+    val name = "mm_phash_dedup"
+    private val Tau = 6L
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      // codegen'd one-pass kernel (expressions/MediaHashExprs): the
+      // declarative transform→mean→zip_with spelling re-evaluates the mean
+      // sub-aggregate inside every per-bit lambda after projection
+      // collapse — O(64²·|text|) interpreted walks per row. The oracle
+      // keeps the declarative definition, proving the fused kernel.
+      val hashed = Tables.documents(spark, dir)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          graft.expressions.F.aHash64(col("text")).as("phash"))
+      val bands = hashed.select(col("media_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("band_val", expr("(phash >> (b * 16)) & 65535"))
+      val l = bands.select(col("b"), col("band_val"),
+        col("media_id").as("id_l"), col("phash").as("h_l"))
+      val r = bands.select(col("b"), col("band_val"),
+        col("media_id").as("id_r"), col("phash").as("h_r"))
+      l.join(r, Seq("b", "band_val"))
+        .where(col("id_l") < col("id_r"))
+        .select(col("id_l"), col("id_r"),
+          expr("bit_count(h_l ^ h_r)").cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= Tau)
+        .orderBy("id_l", "id_r")
+    }
+    val oracle = Some(
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+         |  FROM documents WHERE strlen(text) > 0),
+         |s AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 64),
+         |      k -> CAST(ascii(substr(text, CAST(k * n // 64 + 1 AS INT), 1)) AS BIGINT)) AS sm
+         |  FROM d),
+         |h AS (
+         |  SELECT media_id,
+         |    list_sum(list_transform(list_zip(sm, range(0, 64)),
+         |      p -> CASE WHEN p[1] <= list_sum(sm) // 64 THEN 0
+         |                WHEN p[2] = 63 THEN -9223372036854775807 - 1
+         |                ELSE (CAST(1 AS BIGINT) << CAST(p[2] AS INT)) END)) AS phash
+         |  FROM s),
+         |bands AS (
+         |  SELECT media_id, phash, b, (phash >> (b * 16)) & 65535 AS band_val
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.media_id AS id_l, r.media_id AS id_r,
+         |    CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+         |  FROM bands l JOIN bands r
+         |    ON l.b = r.b AND l.band_val = r.band_val AND l.media_id < r.media_id)
+         |SELECT id_l, id_r, hamming FROM cand
+         |WHERE hamming <= $Tau ORDER BY id_l, id_r""".stripMargin)
+  }
+
+  /** Nearest-neighbor resize to a fixed 4×4 grid — the resize stage's
+    * plumbing with the stub codec's (w, h) layout: out(r, c) reads the
+    * source pixel (r·h div 4, c·w div 4); the fake layout's byte index
+    * wraps mod n (w·h can exceed the payload — documented stub artifact,
+    * a real decoder's buffer is exactly w·h·channels). 1 row → 16 rows,
+    * map-only, no shuffle until the presentation sort — the same flatMap
+    * shape as real resize-to-thumbnail. */
+  val mmResizeNn: Q = new Q {
+    val name = "mm_resize_nn"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text"),
+          (length(col("text")) % 64 + 1).cast("long").as("w"),
+          ((length(col("text")) / 64).cast("long") % 64 + 1).as("h"),
+          length(col("text")).cast("long").as("n"))
+        .withColumn("out_r", explode(expr("sequence(0L, 3L)")))
+        .withColumn("out_c", explode(expr("sequence(0L, 3L)")))
+        .withColumn("src_idx",
+          expr("((out_r * h div 4) * w + (out_c * w div 4)) % n"))
+        .select(col("media_id"), col("out_r"), col("out_c"), col("src_idx"),
+          expr("CAST(ascii(substring(text, CAST(src_idx AS INT) + 1, 1)) AS BIGINT)").as("px"))
+        .orderBy("media_id", "out_r", "out_c")
+    val oracle = Some(
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) % 64 + 1 AS BIGINT) AS w,
+        |    CAST((strlen(text) // 64) % 64 + 1 AS BIGINT) AS h,
+        |    CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE strlen(text) > 0),
+        |g AS (SELECT unnest(range(0, 4)) AS out_r),
+        |g2 AS (SELECT unnest(range(0, 4)) AS out_c),
+        |px AS (
+        |  SELECT media_id, out_r, out_c,
+        |    ((out_r * h // 4) * w + (out_c * w // 4)) % n AS src_idx, text
+        |  FROM d CROSS JOIN g CROSS JOIN g2)
+        |SELECT media_id, out_r, out_c, src_idx,
+        |  CAST(ascii(substr(text, CAST(src_idx + 1 AS INT), 1)) AS BIGINT) AS px
+        |FROM px ORDER BY media_id, out_r, out_c""".stripMargin)
+  }
+
+  /** Windowed audio energy — the feature-extraction stage for "audio"
+    * payloads: 400-sample frames at 160-sample hop (25 ms / 10 ms at
+    * 16 kHz), per-frame energy = Σ sample² (exact integers; bytes stand
+    * in for PCM). Frames expand in-row from one sequence (1 row →
+    * n_frames rows, map-only); per-frame energy is an in-row fold over
+    * the frame's slice. The per-media argmax frame is how a real
+    * pipeline picks the loudest window for VAD/snippet extraction. */
+  val mmAudioEnergy: Q = new Q {
+    val name = "mm_audio_energy"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .where(col("doc_id") % 3 === 1 && length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text"),
+          length(col("text")).cast("long").as("n"))
+        .withColumn("frame_idx",
+          explode(expr("sequence(0L, (n - 1) div 160)")))
+        .where(col("frame_idx") * 160 < col("n"))
+        .withColumn("ft", expr("substring(text, CAST(frame_idx * 160 AS INT) + 1, 400)"))
+        .select(col("media_id"), col("frame_idx"),
+          length(col("ft")).cast("long").as("n_samples"),
+          expr("aggregate(transform(sequence(1, length(ft)), i -> CAST(ascii(substring(ft, CAST(i AS INT), 1)) AS BIGINT)), 0L, (s, x) -> s + x * x)").as("energy"))
+        .orderBy("media_id", "frame_idx")
+    val oracle = Some(
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) > 0),
+        |f AS (
+        |  SELECT media_id, text, n, unnest(range(0, (n - 1) // 160 + 1)) AS frame_idx
+        |  FROM a),
+        |ft AS (
+        |  SELECT media_id, frame_idx,
+        |    substr(text, CAST(frame_idx * 160 + 1 AS INT), 400) AS ft
+        |  FROM f WHERE frame_idx * 160 < n)
+        |SELECT media_id, frame_idx,
+        |  CAST(strlen(ft) AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(1, strlen(ft) + 1),
+        |    i -> CAST(ascii(substr(ft, CAST(i AS INT), 1)) AS BIGINT)
+        |         * CAST(ascii(substr(ft, CAST(i AS INT), 1)) AS BIGINT))) AS BIGINT)
+        |    AS energy
+        |FROM ft ORDER BY media_id, frame_idx""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(mmMeta, mmFeatures, mmFrames, mmPhashDedup,
+    mmResizeNn, mmAudioEnergy)
 }

@@ -388,6 +388,13 @@ class PlanSpec extends SparkSpec {
       s"corpus × queries must broadcast the bounded side:\n$plan")
   }
 
+  test("mm_phash_dedup: codegen aHash + band equi-join, never cartesian") {
+    val plan = planString(graft.queries.MultimodalQueries.mmPhashDedup.run(spark, sf))
+    assert(plan.toLowerCase.contains("ahash64"), s"fused kernel missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"image pair candidates must come from the band equi-join:\n$plan")
+  }
+
   test("q_token_packing_fixed: prefix sum never funnels a source through a Window") {
     val plan = planString(graft.queries.CurationQueries.qTokenPackingFixed.run(spark, sf))
     assert(!plan.contains("Window"),
