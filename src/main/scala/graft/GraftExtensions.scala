@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_intersect_size", "intersection size of two sorted distinct long arrays") {
       case Seq(a, b) => IntersectSizeSorted(a, b)
     }
+    reg("graft_ahash64", "64-bit average perceptual hash of a string payload") {
+      case Seq(s) => AHash64(s)
+    }
     reg("graft_topk", "graft_topk(ord, id, k): bounded top-k aggregate (ord DESC, id ASC)") {
       case Seq(o, i, kk) => BoundedTopK(o, i, intLit(kk, "k")).toAggregateExpression()
     }

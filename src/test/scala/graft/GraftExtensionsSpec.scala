@@ -39,6 +39,13 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_shingle_hash_seq(array('x', 'x', 'x', 'x'), 3)")
       .head().getSeq[Long](0)
     assert(seqDup.length === 2 && seqDup(0) === seqDup(1)) // multiset: dups kept
+
+    val ah = spark.sql("SELECT graft_ahash64('aaaaaaaaaaaaaaaa')")
+      .head().getLong(0)
+    assert(ah === 0L) // flat payload: no sample exceeds the mean
+    val ah2 = spark.sql("SELECT graft_ahash64(repeat('az', 64))").head().getLong(0)
+    assert(ah2 === graft.expressions.MediaHashExprs.aHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("az" * 64)))
   }
 
   test("BoundedTopK aggregate equals the ranking-window formulation") {
