@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-kernelization: user-written size(filter(arr, t -> t IN (...)))
     // becomes the codegen'd StopwordCount loop (HOFs are CodegenFallback)
     ext.injectOptimizerRule(_ => graft.plans.KernelizeStopwordCount)
+    // idiomatic aggregate∘zip_with dot products get the DotProduct kernel
+    ext.injectOptimizerRule(_ => graft.plans.KernelizeDotProduct)
 
     // whole-operator custom plan: broadcast as-of join (logical node built
     // by graft.plans.AsOfJoin, planned here into BroadcastAsOfJoinExec),

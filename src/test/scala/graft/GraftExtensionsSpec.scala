@@ -137,4 +137,48 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(!dyn.queryExecution.optimizedPlan.toString.toLowerCase.contains("stopwordcount"))
     spark.catalog.dropTempView("graft_kern_docs")
   }
+
+  test("KernelizeDotProduct rewrites aggregate∘zip_with double-mul to the kernel, exactly") {
+    // a real file-source float-array column — embeddings at sf0.001
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .selectExpr("vec_id", "embedding AS a",
+        "reverse(embedding) AS b").createOrReplaceTempView("graft_kern_vec")
+    val dotSql =
+      """aggregate(zip_with(a, b,
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D,
+        |  (s, x) -> s + x)""".stripMargin
+    val df = spark.sql(s"SELECT vec_id, $dotSql AS d FROM graft_kern_vec")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("dotproduct"),
+      s"rule did not fire:\n$optimized")
+    // value parity vs an interpreted formulation the rule never touches
+    // (explicit index fold — no zip_with in sight)
+    val kern = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ref = spark.sql(
+      """SELECT vec_id, aggregate(sequence(1, size(a)), 0D,
+        |  (s, i) -> s + CAST(element_at(a, i) AS DOUBLE)
+        |             * CAST(element_at(b, i) AS DOUBLE)) AS d
+        |FROM graft_kern_vec""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(kern == ref && kern.nonEmpty && kern.values.exists(_ != 0.0))
+
+    // ragged inputs: zip_with pads with null ⇒ null; the rewrite's size
+    // guard must preserve that (the raw kernel would truncate instead)
+    val ragged = spark.sql(
+      """SELECT aggregate(zip_with(a, slice(b, 1, 3),
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D,
+        |  (s, x) -> s + x) AS d
+        |FROM graft_kern_vec""".stripMargin)
+    assert(ragged.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproduct"))
+    assert(ragged.collect().forall(_.isNullAt(0)),
+      "ragged zip_with must stay null after the rewrite")
+
+    // float multiply (no double casts) rounds differently — NOT rewritten
+    val floatMul = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+        |  (s, x) -> s + x) AS d FROM graft_kern_vec""".stripMargin)
+    assert(!floatMul.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproduct"),
+      "float-multiply spelling must not be kernelized")
+    spark.catalog.dropTempView("graft_kern_vec")
+  }
 }
