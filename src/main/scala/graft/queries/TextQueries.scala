@@ -1218,9 +1218,70 @@ object TextQueries {
          |FROM x ORDER BY rank""".stripMargin)
   }
 
+  /** Vocabulary construction — the token→id dictionary a tokenizer ships:
+    * dense CONTIGUOUS ids in (frequency DESC, token ASC) order plus the
+    * cumulative-coverage curve (what share of the corpus token mass the
+    * first k vocab entries explain — the artifact that picks V).
+    *
+    * The scale problem is the id assignment: `row_number()` over a global
+    * ORDER BY funnels the whole vocabulary through ONE reducer. Here ids
+    * come from `rdd.zipWithIndex` over a range-partitioned, in-partition-
+    * sorted dictionary — Spark's two-pass prefix COUNT (per-partition
+    * sizes job → exclusive offsets in the closure), every partition
+    * indexing its slice independently; cumulative token mass rides
+    * [[graft.ops.PrefixOps.cumBefore]], the same two-pass scan at vocab
+    * grain. Both passes are deterministic: range boundaries may move
+    * between runs, the total (n_occ DESC, token) order cannot.
+    * The DuckDB oracle states the definition with the window row_number —
+    * the parallel assignment is checked against the sequential spec. */
+  val qVocabIndex: Q = new Q {
+    val name = "q_vocab_index"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import spark.implicits._
+      val counts = Tables.documents(spark, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      val ranked = counts
+        .repartitionByRange(nParts, col("n_occ").desc, col("token"))
+        .sortWithinPartitions(col("n_occ").desc, col("token"))
+      val withId = ranked.rdd.zipWithIndex.map { case (r, i) =>
+        (i, r.getString(0), r.getLong(1))
+      }.toDF("token_id", "token", "n_occ")
+      val cum = graft.ops.PrefixOps.cumBefore(
+        withId.select(lit("vocab").as("source"), col("token_id").as("doc_id"),
+          col("n_occ").as("n_tokens")).as[PackDoc],
+        nParts)
+        .map { case (d, c) => (d.doc_id, c) }.toDF("token_id", "cum_before")
+      val total = counts.agg(sum("n_occ").as("total"))
+      withId.join(cum, Seq("token_id"))
+        .crossJoin(broadcast(total))
+        .select(col("token_id"), col("token"), col("n_occ"), col("cum_before"),
+          expr("(cum_before + n_occ) * 1000000 div total").as("coverage_ppm"))
+        .orderBy("token_id")
+    }
+    val oracle = Some(
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM t GROUP BY token),
+        |r AS (
+        |  SELECT token, n_occ,
+        |    CAST(row_number() OVER (ORDER BY n_occ DESC, token) - 1 AS BIGINT)
+        |      AS token_id,
+        |    CAST(coalesce(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM v)
+        |SELECT token_id, token, n_occ, cum_before,
+        |  (cum_before + n_occ) * 1000000 // total AS coverage_ppm
+        |FROM r CROSS JOIN tot ORDER BY token_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, tokenCounts, docFingerprint, topTerms,
     textRepetition, piiRedact, docSalientTerm, docChunks, bm25Topk, bigramLm,
     rrfFusion, invertedIndex, bpeMerges, bpeEncode, mmrDiversify,
     qualityLinearScore, docNovelty, docClean, qTermLift, docLangMargin,
-    vocabOverlap, tokenFertility, lengthHistogram, qChi2Terms)
+    vocabOverlap, tokenFertility, lengthHistogram, qChi2Terms, qVocabIndex)
 }
