@@ -640,10 +640,96 @@ object CurationQueries {
         |FROM i CROSS JOIN t ORDER BY source""".stripMargin)
   }
 
+  /** Sampling-bias audit — the gate [[qCorpusMixture]] needs before its
+    * sample ships: hash-thresholded downsampling is UNIFORM per source by
+    * construction, but uniform-in-doc-id is not uniform-in-quality if ids
+    * correlate with content, so the audit MEASURES it: per source, mean
+    * quality (e4) and mean token count of the full population vs the
+    * sampled one (same deterministic keep rule as the mixture query but
+    * at a HALF-min budget — every source, including the smallest, is
+    * genuinely thinned, so the audit always exercises the sampling path —
+    * computed in-row, no join against a sample table), plus the absolute
+    * quality drift. Everything is one conditional-aggregate pass over the
+    * corpus; populations are the tokenized (n_toks > 0) grain, and the
+    * rate derives from that same grain so the audit is self-consistent.
+    * Empty samples report −1 means rather than dividing by zero. */
+  val qSampleRepresentativeness: Q = new Q {
+    val name = "q_sample_representativeness"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .where(TextOps.tokenCount(col("text")) > 0)
+        .select(col("source"),
+          qualityE4(col("text")).as("q_e4"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+          (graft.ops.HashOps.hash60(
+            concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L).as("h_ppm"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val minDocs = counts.agg(min("n_docs").as("min_docs"))
+      docs.join(broadcast(counts), Seq("source"))
+        .crossJoin(broadcast(minDocs))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("min_docs * 500000 div n_docs")))
+        .withColumn("kept", (col("h_ppm") < col("rate_ppm")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_full"), sum("kept").as("n_sampled"),
+          max("rate_ppm").as("rate_ppm"),
+          sum("q_e4").as("q_sum_full"),
+          sum(col("q_e4") * col("kept")).as("q_sum_samp"),
+          sum("n_toks").as("t_sum_full"),
+          sum(col("n_toks") * col("kept")).as("t_sum_samp"))
+        .select(col("source"), col("n_full"), col("n_sampled"), col("rate_ppm"),
+          expr("q_sum_full div n_full").as("q_mean_full_e4"),
+          expr("CASE WHEN n_sampled = 0 THEN -1 ELSE q_sum_samp div n_sampled END")
+            .as("q_mean_samp_e4"),
+          expr("CASE WHEN n_sampled = 0 THEN -1 ELSE " +
+            "abs(q_sum_full div n_full - q_sum_samp div n_sampled) END")
+            .as("q_drift_e4"),
+          expr("t_sum_full div n_full").as("tok_mean_full"),
+          expr("CASE WHEN n_sampled = 0 THEN -1 ELSE t_sum_samp div n_sampled END")
+            .as("tok_mean_samp"))
+        .orderBy("source")
+    }
+    val oracle = Some(
+      s"""WITH $SqlQuality,
+         |d AS (
+         |  SELECT dd.source, q.quality_e4 AS q_e4,
+         |    CAST(len(regexp_extract_all(dd.text, '\\S+')) AS BIGINT) AS n_toks,
+         |    CAST('0x' || substr(md5('mix:' || CAST(dd.doc_id AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % 1000000 AS h_ppm
+         |  FROM documents dd JOIN q ON dd.doc_id = q.doc_id),
+         |c AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+         |m AS (SELECT min(n_docs) AS min_docs FROM c),
+         |j AS (
+         |  SELECT d.*, least(1000000, m.min_docs * 500000 // c.n_docs) AS rate_ppm,
+         |    CAST(d.h_ppm < least(1000000, m.min_docs * 500000 // c.n_docs) AS BIGINT)
+         |      AS kept
+         |  FROM d JOIN c USING (source) CROSS JOIN m),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_full,
+         |    CAST(sum(kept) AS BIGINT) AS n_sampled,
+         |    CAST(max(rate_ppm) AS BIGINT) AS rate_ppm,
+         |    CAST(sum(q_e4) AS BIGINT) AS q_sum_full,
+         |    CAST(sum(q_e4 * kept) AS BIGINT) AS q_sum_samp,
+         |    CAST(sum(n_toks) AS BIGINT) AS t_sum_full,
+         |    CAST(sum(n_toks * kept) AS BIGINT) AS t_sum_samp
+         |  FROM j GROUP BY source)
+         |SELECT source, n_full, n_sampled, rate_ppm,
+         |  q_sum_full // n_full AS q_mean_full_e4,
+         |  CASE WHEN n_sampled = 0 THEN -1 ELSE q_sum_samp // n_sampled END
+         |    AS q_mean_samp_e4,
+         |  CASE WHEN n_sampled = 0 THEN -1
+         |       ELSE abs(q_sum_full // n_full - q_sum_samp // n_sampled) END
+         |    AS q_drift_e4,
+         |  t_sum_full // n_full AS tok_mean_full,
+         |  CASE WHEN n_sampled = 0 THEN -1 ELSE t_sum_samp // n_sampled END
+         |    AS tok_mean_samp
+         |FROM a ORDER BY source""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(corpusCuration, corpusStatsBySource, dedupRateBySource,
     boilerplateNgrams, datasetDatasheet, qGopherRules, qTokenPacking,
     qCorpusMixture, qSoftDedupWeights, qTokenPackingFixed,
-    qMixtureTemperature)
+    qMixtureTemperature, qSampleRepresentativeness)
 }
 
 /** Row shapes for [[CurationQueries.qTokenPacking]]'s streaming fold. */
