@@ -1196,10 +1196,78 @@ object DedupQueries {
          |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin)
   }
 
+  /** Signature-length sensitivity — the sketch-SIZING counterpart of
+    * [[qMinhashAccuracy]] (which profiles the fixed 64-perm estimator):
+    * for n_perm ∈ {16, 32, 64}, the per-pair |agreement/k − exact
+    * Jaccard| error profile over the verified near-dup pairs. The house
+    * permutations are seeded by index, so the k-perm signature is a
+    * PREFIX of the 64-perm one — all three arms read ONE signature
+    * computation, the arm expanding in-row (slice + zip_with agreement
+    * count, a single flat HOF chain — no nested aggregate, so no
+    * projection-collapse blowup). Signed error ships as a SUM (never a
+    * signed floor-div: Spark `div` truncates toward zero while DuckDB
+    * `//` floors — a real cross-engine trap for negative means).
+    * Scale shape: rides the banded candidate pipeline; arms add ×3 rows
+    * at PAIR grain only. */
+  val qMinhashPermSweep: Q = new Q {
+    val name = "q_minhash_perm_sweep"
+    def run(spark: SparkSession, dir: String): DataFrame =
+      minhashPairs(spark, dir)
+        .select(col("id_l"), col("id_r"), col("hs_l"), col("hs_r"), col("inter"))
+        .withColumn("sig_l", DedupOps.minhashSignature(col("hs_l"), NumPerms))
+        .withColumn("sig_r", DedupOps.minhashSignature(col("hs_r"), NumPerms))
+        .withColumn("jac_e6",
+          expr("inter * 1000000 div (size(hs_l) + size(hs_r) - inter)"))
+        .withColumn("n_perm", explode(array(lit(16L), lit(32L), lit(64L))))
+        .withColumn("agree", expr(
+          "size(filter(zip_with(slice(sig_l, 1, CAST(n_perm AS INT)), " +
+            "slice(sig_r, 1, CAST(n_perm AS INT)), (x, y) -> x = y), b -> b))")
+          .cast("long"))
+        .withColumn("est_e6", expr("agree * 1000000 div n_perm"))
+        .groupBy("n_perm")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("est_e6") - col("jac_e6"))).as("sum_abs_err_e6"),
+          max(abs(col("est_e6") - col("jac_e6"))).as("max_abs_err_e6"),
+          sum(col("est_e6") - col("jac_e6")).as("sum_signed_err_e6"))
+        .withColumn("mean_abs_err_e6", expr("sum_abs_err_e6 div n_pairs"))
+        .select("n_perm", "n_pairs", "mean_abs_err_e6", "max_abs_err_e6",
+          "sum_signed_err_e6")
+        .orderBy("n_perm")
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |p AS (
+         |  SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |ex AS (
+         |  SELECT p.id_l, p.id_r,
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) * 1000000 //
+         |      (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+         |      AS BIGINT) AS jac_e6
+         |  FROM p JOIN shn sa ON p.id_l = sa.doc_id
+         |         JOIN shn sb ON p.id_r = sb.doc_id),
+         |arms AS (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS n_perm),
+         |ag AS (
+         |  SELECT p.id_l, p.id_r, a.n_perm,
+         |    CAST(sum(CASE WHEN ml.mh = mr.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |  FROM p CROSS JOIN arms a
+         |  JOIN m ml ON ml.doc_id = p.id_l
+         |  JOIN m mr ON mr.doc_id = p.id_r AND ml.i = mr.i
+         |  WHERE ml.i < a.n_perm
+         |  GROUP BY 1, 2, 3),
+         |er AS (
+         |  SELECT ag.n_perm, agree * 1000000 // ag.n_perm - ex.jac_e6 AS serr,
+         |    abs(agree * 1000000 // ag.n_perm - ex.jac_e6) AS aerr
+         |  FROM ag JOIN ex ON ag.id_l = ex.id_l AND ag.id_r = ex.id_r)
+         |SELECT n_perm, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(aerr) // count(*) AS BIGINT) AS mean_abs_err_e6,
+         |  CAST(max(aerr) AS BIGINT) AS max_abs_err_e6,
+         |  CAST(sum(serr) AS BIGINT) AS sum_signed_err_e6
+         |FROM er GROUP BY n_perm ORDER BY n_perm""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
-    qDedupPairClassify)
+    qDedupPairClassify, qMinhashPermSweep)
 }
