@@ -830,6 +830,79 @@ object BehaviorQueries {
   /** The strict view→click→purchase chain behind `q_window_funnel` and
     * `q_time_to_convert`: per user, first view (t1), first click after it
     * (t2), first purchase after that (t3) — all within 7 days of t1. */
+  /** Window-length sensitivity of the strict funnel — the tuning curve
+    * behind [[qWindowFunnel]]'s fixed 7-day window: conversion counts at
+    * 1 hour / 1 day / 7 days, all derived from ONE uncapped chain. The
+    * min-structure makes this exact, not approximate: the capped
+    * first-click t2(w) = min{click ∈ (t1, t1+w]} EQUALS the uncapped
+    * c = min{click > t1} whenever c ≤ t1+w and is absent otherwise (if
+    * any click lands in the window, the global minimum after t1 is also
+    * in it), and likewise for the purchase step — so each arm is an
+    * in-row threshold on the per-user (t1, c, p) triple, never a re-run
+    * of the join rounds. The 7-day arm is definitionally identical to
+    * `q_window_funnel` (spec-pinned cross-query).
+    * Scale shape: the chain's user_id-keyed join rounds once, then a
+    * 3-arm in-row expansion over the user-grain triple and a ≤3-row
+    * aggregate. */
+  val qFunnelWindowSweep: Q = new Q {
+    val name = "q_funnel_window_sweep"
+    private val Windows = Seq(3600000000L, 86400000000L, 604800000000L)
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(t1, Seq("user_id")).where(col("us") > col("t1"))
+        .groupBy("user_id", "t1").agg(min("us").as("c"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("us") > col("c"))
+        .groupBy("user_id", "t1", "c").agg(min("us").as("p"))
+      t1.join(c.select("user_id", "c"), Seq("user_id"), "left")
+        .join(p.select("user_id", "p"), Seq("user_id"), "left")
+        .withColumn("window_us", explode(array(Windows.map(lit): _*)))
+        .groupBy("window_us")
+        .agg(count(lit(1)).as("n_view"),
+          sum(when(col("c") <= col("t1") + col("window_us"), 1L).otherwise(0L))
+            .as("n_then_click"),
+          sum(when(col("c") <= col("t1") + col("window_us") &&
+              col("p") <= col("t1") + col("window_us"), 1L).otherwise(0L))
+            .as("n_then_purchase"))
+        .withColumn("conv_e4", expr("n_then_purchase * 10000 div n_view"))
+        .orderBy("window_us")
+    }
+    val oracle = Some(
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |t1 AS (
+         |  SELECT user_id, min(us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (
+         |  SELECT ev.user_id, t1.t1, min(ev.us) AS c
+         |  FROM ev JOIN t1 ON ev.user_id = t1.user_id
+         |  WHERE ev.event_type = 'click' AND ev.us > t1.t1 GROUP BY 1, 2),
+         |p AS (
+         |  SELECT ev.user_id, min(ev.us) AS p
+         |  FROM ev JOIN c ON ev.user_id = c.user_id
+         |  WHERE ev.event_type = 'purchase' AND ev.us > c.c GROUP BY 1),
+         |f AS (
+         |  SELECT t1.user_id, t1.t1, c.c, p.p
+         |  FROM t1 LEFT JOIN c ON t1.user_id = c.user_id
+         |          LEFT JOIN p ON t1.user_id = p.user_id),
+         |arms AS (SELECT CAST(unnest([${Windows.mkString(", ")}]) AS BIGINT)
+         |         AS window_us),
+         |a AS (
+         |  SELECT window_us, CAST(count(*) AS BIGINT) AS n_view,
+         |    CAST(sum(CASE WHEN c <= t1 + window_us THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_then_click,
+         |    CAST(sum(CASE WHEN c <= t1 + window_us AND p <= t1 + window_us
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchase
+         |  FROM f CROSS JOIN arms GROUP BY window_us)
+         |SELECT window_us, n_view, n_then_click, n_then_purchase,
+         |  n_then_purchase * 10000 // n_view AS conv_e4
+         |FROM a ORDER BY window_us""".stripMargin)
+  }
+
   private def funnelChain(spark: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
     val ev = Tables.events(spark, dir)
@@ -1421,5 +1494,5 @@ object BehaviorQueries {
     qItemCf, qUserPathTopk, qConcurrencyPeak, qWindowFunnel, qTimeToConvert,
     qColdStartRecs, qInterarrivalProfile, qAudienceOverlap, qNewVsReturning,
     qRetentionCurve, qConversionHazard, qSeqPatternPairs, qAttributionLinear,
-    qUserLifecycle)
+    qUserLifecycle, qFunnelWindowSweep)
 }
