@@ -281,6 +281,35 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("state data source reads a checkpoint's live aggregation state as a batch DataFrame") {
+    implicit val sc = spark.sqlContext
+    // the operational surface for debugging a stuck streaming job at
+    // 100 TB: inspect the state store OFFLINE, without touching the query
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-src").toString
+    val input = MemoryStream[StreamingOps.KeyedValue]
+    val q = input.toDS().groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("v").as("total"))
+      .writeStream.format("memory").queryName("state_src_agg")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(StreamingOps.KeyedValue(1L, 10), StreamingOps.KeyedValue(2L, 7))
+      q.processAllAvailable()
+      input.addData(StreamingOps.KeyedValue(1L, 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    // metadata: one stateful operator, its name and id
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    assert(meta.count() == 1 && meta.select("operatorName").head().getString(0)
+      .contains("stateStoreSave"))
+    // values: the live per-key running totals, read as plain batch rows
+    val state = spark.read.format("statestore").load(ckpt)
+      .selectExpr("key.user_id", "value.sum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == Map(1L -> 15L, 2L -> 7L))
+  }
+
   test("spaceSavingTopK under overflow keeps the SpaceSaving error guarantees") {
     implicit val sc = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
