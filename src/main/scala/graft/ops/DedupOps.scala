@@ -159,6 +159,78 @@ object DedupOps {
     labels.select(col("node"), col("label").as("cluster_id")).union(singletons)
   }
 
+  /** One row of the persisted dedup SIGNATURE INDEX per document with a
+    * non-empty shingle set: (doc_id, hs sorted-distinct shingle hashes,
+    * sig MinHash signature, bands LSH band keys). This is the structure
+    * "dedup a new batch against 100 TB already ingested" persists once and
+    * probes per batch: signatures and band keys are per-document (corpus-
+    * independent), so index rows never need recomputation when new data
+    * arrives, and the stored `hs` lets exact-Jaccard verification run
+    * WITHOUT rescanning the ingested corpus's text. */
+  def signatureIndex(docs: DataFrame, shingleK: Int, nPerm: Int,
+                     nBands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.shingleHashes(col("text"), shingleK).as("hs"))
+      .where(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), nPerm))
+      .withColumn("bands", lshBandKeys(col("sig"), nBands, rowsPerBand))
+
+  /** Incremental near-dup verdicts for a NEW BATCH against a persisted
+    * corpus signature index — the delta-dedup step that never recomputes
+    * the ingested corpus: candidates are (batch × index) plus
+    * (batch × earlier-batch-row) band-key equi-joins, verification is
+    * exact Jaccard over the stored shingle sets, and the per-document
+    * decision is "drop iff it near-dups any indexed doc or any
+    * SMALLER-id doc of the same batch" (arrival order within the batch).
+    *
+    * Returns one row per `batchIds` doc: (doc_id, verdict keep|drop,
+    * matched_id, matched_jac_e4, matched_in corpus|batch|none), where
+    * matched_id is the SMALLEST qualifying partner id (deterministic).
+    *
+    * Scale shape: the index is probed by band-key equi-join only — cost ∝
+    * batch size + collided-bucket membership, never corpus size; the only
+    * index rows read are those sharing a band with the batch (at 100 TB:
+    * a broadcast of the batch's band keys semi-prunes the index scan).
+    * `batchSigs` is persisted here: it feeds both candidate arms and both
+    * verification joins. */
+  def dedupDeltaBatch(batchIds: DataFrame, batchSigs: DataFrame,
+                      indexSigs: DataFrame, minJac: Double): DataFrame = {
+    val bs = batchSigs.persist()
+    val bBand = bs.select(col("doc_id"), explode(col("bands")).as("bk"))
+    val iBand = indexSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
+    // batch-vs-corpus: unordered (the corpus partner qualifies regardless
+    // of id order); batch-vs-batch: earlier (smaller id) doc wins
+    val candCorpus = bBand.select(col("doc_id").as("id_d"), col("bk"))
+      .join(iBand.select(col("doc_id").as("id_p"), col("bk")), Seq("bk"))
+      .select("id_d", "id_p").distinct()
+      .withColumn("src", lit("corpus"))
+    val candBatch = bucketPairs(bBand, "doc_id", "bk")
+      .select(col("id_r").as("id_d"), col("id_l").as("id_p"))
+      .withColumn("src", lit("batch"))
+    val partnerHs = bs.select(col("doc_id").as("id_p"), col("hs").as("hs_p"))
+      .unionByName(indexSigs.select(col("doc_id").as("id_p"), col("hs").as("hs_p")))
+    val verified = candCorpus.unionByName(candBatch)
+      .join(bs.select(col("doc_id").as("id_d"), col("hs").as("hs_d")), Seq("id_d"))
+      .join(partnerHs, Seq("id_p"))
+      .withColumn("inter", intersectSizeSorted(col("hs_d"), col("hs_p")))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("hs_d")) + size(col("hs_p")) - col("inter")))
+      .where(col("jac") >= minJac)
+      .withColumn("jac_e4", round(col("jac") * 10000).cast("long"))
+    // smallest qualifying partner = min over the (id_p-first) struct;
+    // (id_d, id_p) is unique across both arms (corpus and batch partner
+    // id spaces are disjoint), so the struct min is total
+    val best = verified.groupBy("id_d")
+      .agg(min(struct(col("id_p"), col("jac_e4"), col("src"))).as("b"))
+    batchIds.select(col("doc_id").cast("long").as("doc_id"))
+      .join(best.withColumnRenamed("id_d", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("b").isNull, "keep").otherwise("drop").as("verdict"),
+        coalesce(col("b.id_p"), lit(-1L)).as("matched_id"),
+        coalesce(col("b.jac_e4"), lit(-1L)).as("matched_jac_e4"),
+        coalesce(col("b.src"), lit("none")).as("matched_in"))
+  }
+
   /** Small-graph path: min-root union-find on the driver. The root of each
     * tree is always its component's minimum id (union attaches the larger
     * root under the smaller), so labels equal min-reachable-id exactly. */

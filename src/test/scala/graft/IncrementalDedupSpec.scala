@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.DedupOps
+import graft.queries.DedupQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the incremental-dedup protocol (dedup_delta_batch): the delta pass
+  * against a persisted signature index must produce EXACTLY the verdicts a
+  * full-corpus recompute yields, and the index must evolve across batches
+  * (append kept docs, dedup the next batch against the grown index) without
+  * ever rescanning indexed documents.
+  *
+  * The independent recompute collects per-doc signature rows (built with
+  * the same oracle-proven kernels) and redoes candidate generation, exact
+  * Jaccard, and the verdict rule in plain Scala on the driver — no Spark
+  * joins/aggregations shared with the code under test.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import DedupQueries.{JaccardThreshold, NumBands, NumPerms, RowsPerBand, ShingleK}
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private case class SigRow(id: Long, hs: Set[Long], bands: Seq[String])
+
+  private def collectSigs(docs: DataFrame): Map[Long, SigRow] =
+    DedupOps.signatureIndex(docs, ShingleK, NumPerms, NumBands, RowsPerBand)
+      .collect()
+      .map { r =>
+        SigRow(r.getAs[Long]("doc_id"),
+          r.getSeq[Long](r.fieldIndex("hs")).toSet,
+          r.getSeq[String](r.fieldIndex("bands")))
+      }
+      .map(s => s.id -> s).toMap
+
+  private def jac(a: Set[Long], b: Set[Long]): Double =
+    a.intersect(b).size.toDouble / (a.size + b.size - a.intersect(b).size)
+
+  /** Driver-side reference implementation of the verdict rule: for each
+    * batch doc, qualifying partners are indexed docs (any) and smaller-id
+    * batch docs, restricted to band-colliding candidates with exact
+    * Jaccard ≥ θ; the match is the smallest qualifying partner. */
+  private def expectedVerdicts(batchIds: Seq[Long], batch: Map[Long, SigRow],
+                               index: Map[Long, SigRow])
+      : Map[Long, (String, Long, Long, String)] = {
+    val byBand = (batch.values ++ index.values)
+      .flatMap(s => s.bands.map(b => b -> s.id))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    batchIds.map { d =>
+      batch.get(d) match {
+        case None => d -> (("keep", -1L, -1L, "none"))
+        case Some(sd) =>
+          val collided = sd.bands.flatMap(byBand.getOrElse(_, Set.empty)).toSet - d
+          val partners = collided.filter { p =>
+            val qualifies = index.contains(p) || (batch.contains(p) && p < d)
+            qualifies && {
+              val sp = index.getOrElse(p, batch(p))
+              jac(sd.hs, sp.hs) >= JaccardThreshold
+            }
+          }
+          if (partners.isEmpty) d -> (("keep", -1L, -1L, "none"))
+          else {
+            val m = partners.min
+            val sp = index.getOrElse(m, batch(m))
+            val je4 = math.round(jac(sd.hs, sp.hs) * 10000)
+            d -> (("drop", m, je4, if (index.contains(m)) "corpus" else "batch"))
+          }
+      }
+    }.toMap
+  }
+
+  private def verdictMap(df: DataFrame): Map[Long, (String, Long, Long, String)] =
+    df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[String]("verdict"),
+        r.getAs[Long]("matched_id"), r.getAs[Long]("matched_jac_e4"),
+        r.getAs[String]("matched_in")))
+    }.toMap
+
+  test("dedup_delta_batch equals the driver-side full recompute") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val batchIds = docs.where(col("doc_id") % 5 === 0)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = collectSigs(docs.where(col("doc_id") % 5 === 0))
+    val index = collectSigs(docs.where(col("doc_id") % 5 =!= 0))
+    val got = verdictMap(DedupQueries.dedupDeltaBatch.run(spark, dir))
+    val want = expectedVerdicts(batchIds, batch, index)
+    assert(got.keySet == batchIds.toSet)
+    assert(got == want)
+    // the fixture must exercise all three outcomes or the test is vacuous
+    assert(got.values.exists(_._4 == "corpus"), "no corpus-matched drop in fixture")
+    assert(got.values.exists(_._1 == "keep"), "no kept doc in fixture")
+  }
+
+  test("multi-batch evolution: kept docs append to the index; batch 2 dedups against the grown index") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "idx")
+
+    val base = DedupOps.signatureIndex(part(0), ShingleK, NumPerms, NumBands, RowsPerBand)
+    base.write.mode("overwrite").parquet(indexPath)
+    val baseN = spark.read.parquet(indexPath).count()
+
+    // batch 1: dedup, then append ONLY the kept docs' signatures
+    val b1Sigs = DedupOps.signatureIndex(part(1), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val v1 = DedupOps.dedupDeltaBatch(part(1).select("doc_id"), b1Sigs,
+      spark.read.schema(base.schema).parquet(indexPath), JaccardThreshold)
+    val kept1 = v1.where(col("verdict") === "keep").select("doc_id")
+    b1Sigs.join(kept1, Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(indexPath)
+    val keptWithSigs = b1Sigs.join(kept1, Seq("doc_id"), "left_semi").count()
+    assert(spark.read.parquet(indexPath).count() == baseN + keptWithSigs)
+
+    // batch 2 against the grown index, vs an independent recompute whose
+    // partner set is base ∪ kept(batch 1) ∪ smaller batch-2 ids
+    val b2Sigs = DedupOps.signatureIndex(part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val v2 = DedupOps.dedupDeltaBatch(part(2).select("doc_id"), b2Sigs,
+      spark.read.schema(base.schema).parquet(indexPath), JaccardThreshold)
+    val got = verdictMap(v2)
+
+    val kept1Ids = kept1.collect().map(_.getLong(0)).toSet
+    val indexRef = collectSigs(part(0)) ++
+      collectSigs(part(1)).view.filterKeys(kept1Ids).toMap
+    val batch2 = collectSigs(part(2))
+    val b2Ids = part(2).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expectedVerdicts(b2Ids, batch2, indexRef))
+  }
+
+  test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {
+    val plan = DedupQueries.dedupDeltaBatch.run(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in delta-dedup plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast-NL in delta-dedup plan")
+  }
+}
