@@ -1196,6 +1196,90 @@ object DedupQueries {
          |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin)
   }
 
+  /** SAMPLED-truth recall gate for the MinHash-LSH candidate generator —
+    * the variant of [[qLshRecall]] that stays runnable at 100 TB: exact
+    * truth is computed only for a FIXED deterministic document sample
+    * (doc_id % [[RecallSampleMod]] == 0), brute-forced against the FULL
+    * corpus — cost O(|S|·n) with |S| a workload constant (the sample side
+    * broadcasts; candidates stream map-side), never the O(n²) all-pairs
+    * join the full gate embeds. Recall over sample-touching truth pairs is
+    * an unbiased estimate of pair recall (every truth pair is sampled with
+    * equal probability ≈ 2/mod), so the gate's verdict scales: same
+    * semantics, corpus-size-independent denominator. One audit row:
+    * sample size, truth/lsh/hit/missed counts restricted to
+    * sample-touching pairs, recall_e4, worst-missed Jaccard.
+    *
+    * The full-truth [[qLshRecall]] stays in the catalog as the gate-scale
+    * twin (exact, lossless-prefix-filter truth); this is the shape a
+    * production pipeline actually schedules. */
+  val RecallSampleMod = 20
+  val qLshRecallSampled: Q = new Q {
+    val name = "q_lsh_recall_sampled"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+        .persist()
+      val sample = docs.where(col("doc_id") % RecallSampleMod === 0)
+        .select(col("doc_id").as("s_id"), col("hs").as("s_hs"))
+      // deliberate broadcast nested-loop: |S| is fixed, the corpus streams
+      val truth = docs.select(col("doc_id").as("o_id"), col("hs").as("o_hs"))
+        .join(broadcast(sample), col("s_id") =!= col("o_id"))
+        .withColumn("inter", DedupOps.intersectSizeSorted(col("s_hs"), col("o_hs")))
+        .withColumn("uni",
+          (size(col("s_hs")) + size(col("o_hs"))).cast("long") - col("inter"))
+        .where(col("inter").cast("double") / col("uni") >= JaccardThreshold)
+        .select(least(col("s_id"), col("o_id")).as("id_l"),
+          greatest(col("s_id"), col("o_id")).as("id_r"), col("inter"), col("uni"))
+        .distinct() // both-sampled pairs arrive once per direction
+        .persist()
+      val lsh = minhashPairs(spark, dir).select("id_l", "id_r")
+        .where(col("id_l") % RecallSampleMod === 0 ||
+          col("id_r") % RecallSampleMod === 0)
+      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
+      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+      sample.agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(missed.agg(
+          count(lit(1)).as("n_missed"),
+          coalesce(max(expr("inter * 10000 div uni")), lit(-1L)).as("worst_miss_jac_e4")))
+        .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
+          col("n_missed"),
+          expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+            .as("recall_e4"),
+          col("worst_miss_jac_e4"))
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |lshr AS (
+         |  SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold
+         |    AND (id_l % $RecallSampleMod = 0 OR id_r % $RecallSampleMod = 0)),
+         |truth AS (
+         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+         |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS BIGINT) AS uni
+         |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+         |  WHERE (a.doc_id % $RecallSampleMod = 0 OR b.doc_id % $RecallSampleMod = 0)
+         |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+         |        >= $JaccardThreshold),
+         |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
+         |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r))
+         |SELECT
+         |  (SELECT count(*) FROM shn WHERE doc_id % $RecallSampleMod = 0) AS n_sampled,
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM lshr) AS n_lsh,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  (SELECT count(*) FROM mis) AS n_missed,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+         |       END AS BIGINT) AS recall_e4,
+         |  CAST(coalesce((SELECT max(inter * 10000 // uni) FROM mis), -1)
+         |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin)
+  }
+
   /** Signature-length sensitivity — the sketch-SIZING counterpart of
     * [[qMinhashAccuracy]] (which profiles the fixed 64-perm estimator):
     * for n_perm ∈ {16, 32, 64}, the per-pair |agreement/k − exact
@@ -1341,5 +1425,5 @@ object DedupQueries {
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
-    qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch)
+    qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled)
 }
