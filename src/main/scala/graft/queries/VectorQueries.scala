@@ -234,28 +234,46 @@ object VectorQueries {
     * companion `q_embedding_lsh_recall` measures exactly how many
     * θ-pairs the banding missed. At 10⁹ vectors this is the only
     * runnable shape: candidates ∝ Σ_bucket n_b², never n². */
+  /** Banded-LSH candidate pairs exact-verified with the cosine fold
+    * (id_l, id_r, cosine_sim ≥ θ) — shared by the pair, cluster, and
+    * keep-canonical queries (the vector mirror of
+    * DedupQueries.minhashPairs). */
+  private[graft] def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val keys = lshBandedKeys(spark, dir)
+    val cand = keys.select(col("vec_id").as("id_l"), col("bkey"))
+      .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+    cand
+      .join(emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
+        col("nrm").as("n_l")), Seq("id_l"))
+      .join(emb.select(col("vec_id").as("id_r"), col("embedding").as("v_r"),
+        col("nrm").as("n_r")), Seq("id_r"))
+      .withColumn("cosine_sim",
+        VectorOps.dot(col("v_l"), col("v_r"), Dim) / (col("n_l") * col("n_r")))
+      .where(col("cosine_sim") >= NearDupCos)
+  }
+
+  /** SQL mirror of [[embeddingLshPairs]]: extends [[SqlLshBandCtes]] with
+    * the verified-pair CTE `vp` (id_l, id_r, cosine_sim). */
+  private val SqlLshPairCtes: String =
+    s"""$SqlLshBandCtes,
+       |ee AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |vp AS (
+       |  SELECT id_l, id_r,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine_sim
+       |  FROM lsh_cand JOIN ee a ON id_l = a.vec_id JOIN ee b ON id_r = b.vec_id
+       |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupCos)""".stripMargin
+
   val dedupEmbeddingLsh: Q = new Q {
     val name = "dedup_embedding_lsh"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val keys = lshBandedKeys(spark, dir)
-      val cand = keys.select(col("vec_id").as("id_l"), col("bkey"))
-        .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
-        .where(col("id_l") < col("id_r"))
-        .select("id_l", "id_r").distinct()
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
-      cand
-        .join(emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
-          col("nrm").as("n_l")), Seq("id_l"))
-        .join(emb.select(col("vec_id").as("id_r"), col("embedding").as("v_r"),
-          col("nrm").as("n_r")), Seq("id_r"))
-        .withColumn("cosine_sim",
-          VectorOps.dot(col("v_l"), col("v_r"), Dim) / (col("n_l") * col("n_r")))
-        .where(col("cosine_sim") >= NearDupCos)
+    def run(spark: SparkSession, dir: String): DataFrame =
+      embeddingLshPairs(spark, dir)
         .select(col("id_l"), col("id_r"),
           round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
         .orderBy("id_l", "id_r")
-    }
     val oracle = Some(
       s"""WITH $SqlLshBandCtes,
          |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
@@ -405,6 +423,123 @@ object VectorQueries {
          |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
          |       END AS BIGINT) AS recall_e4,
          |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin)
+  }
+
+  /** Embedding near-dup CLUSTERS: connected components over the verified
+    * banded-LSH pair graph (min-reachable-id labels) with cluster sizes —
+    * completes the vector dedup chain to parity with the text path
+    * (dedup_clusters): pairs → clusters → keep-one. Oracle: recursive-CTE
+    * transitive closure over the same verified pairs.
+    *
+    * Scale shape: the pair graph exists only where near-dups exist
+    * (corpus-sized singleton majority short-circuits in
+    * connectedComponents with zero rounds); labels converge in
+    * O(log diameter) pointer-doubling rounds. */
+  val dedupEmbeddingClusters: Q = new Q {
+    val name = "dedup_embedding_clusters"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val nodes = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long").as("id"))
+      val pairs = embeddingLshPairs(spark, dir).select("id_l", "id_r")
+      val cc = graft.ops.DedupOps.connectedComponents(nodes, pairs)
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("cluster_id"))
+        .select(col("node").as("vec_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("vec_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlLshPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM vp),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT vec_id, vec_id FROM embeddings),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.vec_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
+         |ORDER BY cc.vec_id""".stripMargin)
+  }
+
+  /** The keep-one step of the vector dedup chain (the embedding mirror of
+    * dedup_keep_canonical): per near-dup cluster, keep the member CLOSEST
+    * TO THE CLUSTER CENTROID — the medoid-style representative that
+    * minimizes information loss when the rest of the cluster is dropped
+    * (this corpus is unit-normalized, so a norm-based rule would
+    * degenerate to "lowest id"; centroid proximity is meaningful for any
+    * encoder). Ties break to the smallest vec_id.
+    *
+    * Exactness: elements are e6-quantized to BIGINTs, the centroid is the
+    * per-dimension INTEGER sum over members (no float accumulation —
+    * distributed sum order cannot change the result), and the member
+    * score is the exact integer dot ⟨v_e6, Σ members⟩. For unit-norm
+    * members, arg-max of that dot IS arg-max centroid cosine. Bounded:
+    * |dot| ≤ 64·10¹²·|cluster| — exact in int64 for clusters below ~10⁵
+    * members (a near-dup cluster that size should be exact-deduped first).
+    *
+    * Scale shape: one (member × dim) explode feeding two partial-agg
+    * shuffles at cluster/dim then member grain; canonical selection is a
+    * per-cluster window at CLUSTER grain. Nothing all-pairs. */
+  val dedupEmbeddingKeepCanonical: Q = new Q {
+    val name = "dedup_embedding_keep_canonical"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000000).cast("long")).as("ve6"))
+      val nodes = emb.select(col("vec_id").as("id"))
+      val pairs = embeddingLshPairs(spark, dir).select("id_l", "id_r")
+      val cc = graft.ops.DedupOps.connectedComponents(nodes, pairs)
+      val ex = cc.join(emb, cc("node") === emb("vec_id"))
+        .select(col("vec_id"), col("cluster_id"),
+          posexplode(col("ve6")).as(Seq("dim0", "v")))
+      val cent = ex.groupBy("cluster_id", "dim0").agg(sum("v").as("c"))
+      val dots = ex.join(cent, Seq("cluster_id", "dim0"))
+        .groupBy("vec_id", "cluster_id")
+        .agg(sum(col("v") * col("c")).as("centroid_dot"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("centroid_dot").desc, col("vec_id").asc)
+      dots.withColumn("canonical_id", first("vec_id").over(w))
+        .select(col("vec_id"), col("cluster_id"), col("centroid_dot"),
+          col("canonical_id"), (col("vec_id") === col("canonical_id")).as("keep"))
+        .orderBy("vec_id")
+    }
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlLshPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM vp),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT vec_id, vec_id FROM embeddings),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT cc.vec_id, cc.cluster_id,
+         |    unnest(range(1, $Dim + 1)) AS dim, unnest(q.ve6) AS v
+         |  FROM cc JOIN q USING (vec_id)),
+         |cent AS (SELECT cluster_id, dim, sum(v) AS c FROM ex GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT ex.vec_id, ex.cluster_id,
+         |    CAST(sum(ex.v * cent.c) AS BIGINT) AS centroid_dot
+         |  FROM ex JOIN cent ON ex.cluster_id = cent.cluster_id AND ex.dim = cent.dim
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, cluster_id, centroid_dot,
+         |  first_value(vec_id) OVER
+         |    (PARTITION BY cluster_id ORDER BY centroid_dot DESC, vec_id) AS canonical_id,
+         |  vec_id = first_value(vec_id) OVER
+         |    (PARTITION BY cluster_id ORDER BY centroid_dot DESC, vec_id) AS keep
+         |FROM dots ORDER BY vec_id""".stripMargin)
   }
 
   /** Per-dimension embedding drift between two corpus snapshots (parity
@@ -1546,7 +1681,7 @@ object VectorQueries {
 
   val all: Seq[Q] = Seq(annBruteTopk, annLshBuckets, annLshTopk, dedupEmbedding,
     dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingLshRecallSampled,
-    qEmbeddingDrift,
+    dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
     ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
