@@ -133,8 +133,13 @@ object DedupQueries {
     * jac) — Spark side of SqlMinhashPairCtes, shared by the pair and
     * cluster queries. */
   private[graft] def minhashPairs(spark: SparkSession, dir: String,
-                                  minJac: Double = JaccardThreshold): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                                  minJac: Double = JaccardThreshold): DataFrame =
+    minhashPairsFor(Tables.documents(spark, dir), minJac)
+
+  /** Same pipeline over an arbitrary (doc_id, text) frame — lets the skew
+    * stress suite drive the banded path with adversarial fixtures. */
+  private[graft] def minhashPairsFor(docsRaw: DataFrame, minJac: Double): DataFrame = {
+    val docs = docsRaw
       .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
       .where(size(col("hs")) > 0)
       .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
