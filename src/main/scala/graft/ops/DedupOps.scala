@@ -202,6 +202,10 @@ object DedupOps {
     // of id order); batch-vs-batch: earlier (smaller id) doc wins
     val candCorpus = bBand.select(col("doc_id").as("id_d"), col("bk"))
       .join(iBand.select(col("doc_id").as("id_p"), col("bk")), Seq("bk"))
+      // self-match guard: a retried batch whose kept signatures were
+      // already appended to the index would otherwise match itself at
+      // Jaccard 1.0 and be wrongly dropped against its own index row
+      .where(col("id_d") =!= col("id_p"))
       .select("id_d", "id_p").distinct()
       .withColumn("src", lit("corpus"))
     val candBatch = bucketPairs(bBand, "doc_id", "bk")

@@ -1021,7 +1021,9 @@ object DedupQueries {
           (size(col("hs_l")) + size(col("hs_r"))).cast("long") - col("inter"))
         .where(col("inter") * 10 >= col("uni") * 9)
         .select(col("id_l"), col("id_r"), col("inter"), col("uni"),
-          expr("inter * 10000 div uni").as("jac_e4"))
+          // inter is IntegerType (IntersectSizeSorted): widen BEFORE the
+          // multiply — int `inter * 10000` wraps past ~214k shingles
+          expr("CAST(inter AS BIGINT) * 10000 div uni").as("jac_e4"))
         .persist()
         .orderBy("id_l", "id_r")
     }
@@ -1086,8 +1088,8 @@ object DedupQueries {
         .select(col("t.id_sub").as("id_sub"), col("t.id_sup").as("id_sup"),
           col("t.inter").as("inter"), col("t.sz_sub").as("sz_sub"))
         .where(col("sz_sub") > 0 &&
-          col("inter") * 10000 >= col("sz_sub") * ContainE4Min)
-        .withColumn("cont_e4", expr("inter * 10000 div sz_sub"))
+          col("inter").cast("long") * 10000 >= col("sz_sub") * ContainE4Min)
+        .withColumn("cont_e4", expr("CAST(inter AS BIGINT) * 10000 div sz_sub"))
         .orderBy("id_sub", "id_sup")
     }
     val oracle = Some(
@@ -1170,7 +1172,8 @@ object DedupQueries {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .crossJoin(missed.agg(
           count(lit(1)).as("n_missed"),
-          coalesce(max(expr("inter * 10000 div uni")), lit(-1L)).as("worst_miss_jac_e4")))
+          coalesce(max(expr("CAST(inter AS BIGINT) * 10000 div uni")),
+            lit(-1L)).as("worst_miss_jac_e4")))
         .select(col("n_truth"), col("n_lsh"), col("n_hit"), col("n_missed"),
           expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
             .as("recall_e4"),
@@ -1306,7 +1309,8 @@ object DedupQueries {
         .withColumn("sig_l", DedupOps.minhashSignature(col("hs_l"), NumPerms))
         .withColumn("sig_r", DedupOps.minhashSignature(col("hs_r"), NumPerms))
         .withColumn("jac_e6",
-          expr("inter * 1000000 div (size(hs_l) + size(hs_r) - inter)"))
+          // widen first: int `inter * 1000000` wraps past ~2147 shingles
+          expr("CAST(inter AS BIGINT) * 1000000 div (size(hs_l) + size(hs_r) - inter)"))
         .withColumn("n_perm", explode(array(lit(16L), lit(32L), lit(64L))))
         .withColumn("agree", expr(
           "size(filter(zip_with(slice(sig_l, 1, CAST(n_perm AS INT)), " +

@@ -32,12 +32,33 @@ object CheckpointBench {
     spark.sparkContext.setLogLevel("WARN")
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_bench").toString
 
+    // Between-rep cleanup happens OUTSIDE the measured region: timing
+    // clearCache(), and letting reliable-mode checkpoint files pile up
+    // across reps, both inflate exactly the reliable/local ratio this
+    // tool exists to measure.
+    def wipeCheckpoints(): Unit = {
+      val root = java.nio.file.Paths.get(ckptDir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .filter(p => p != root)
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      // re-point the context at a fresh per-run subdir (setCheckpointDir
+      // appoints a new UUID dir under ckptDir) so later reps never write
+      // into a path the wipe just removed
+      if (spark.sparkContext.getCheckpointDir.nonEmpty)
+        spark.sparkContext.setCheckpointDir(ckptDir)
+    }
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      wipeCheckpoints()
+      dt
     }
     def measure(mode: String): Map[String, Double] = {
       if (mode == "reliable") {

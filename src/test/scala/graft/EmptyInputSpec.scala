@@ -25,6 +25,7 @@ class EmptyInputSpec extends SparkSpec {
     "q_join_size_est", "q_skew_stats", "q_seq_match",
     "q_kmv_intersect", "q_auc_score", "q_cohen_kappa", "q_lsh_recall",
     "q_embedding_lsh_recall",
+    "q_lsh_recall_sampled", "q_embedding_lsh_recall_sampled",
     "q_dataset_datasheet", "q_window_funnel", "q_graph_assortativity",
     "q_gini_concentration")
 

@@ -44,11 +44,19 @@ def sh(cmd, **kw):
 
 def step_work():
     log = subprocess.run(
-        ["git", "log", "--oneline", "-200"], cwd=REPO,
+        ["git", "log", "--oneline"], cwd=REPO,
         capture_output=True, text=True).stdout.splitlines()
+    pat = r"\bround \d+: (verdict|advice)"
     base = None
-    for line in log[1:]:  # skip HEAD itself: the round commit being gated
-        if re.search(r"\bround \d+: (verdict|advice)", line):
+    # The base is the MOST RECENT round-artifact commit, INCLUDING HEAD:
+    # when the gate runs while HEAD is still the previous round's
+    # "round N: verdict" commit (a zero-work round), base = HEAD gives an
+    # empty diff and a correct FAIL. The old code skipped log[0]
+    # unconditionally, so that case found round N-1 as base and counted
+    # round N's commits as fresh work — a false PASS on exactly the
+    # zero-work case this step exists to catch.
+    for line in log:
+        if re.search(pat, line):
             base = line.split()[0]
             break
     if base is None:
