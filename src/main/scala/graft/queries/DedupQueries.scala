@@ -1205,87 +1205,156 @@ object DedupQueries {
   }
 
   /** SAMPLED-truth recall gate for the MinHash-LSH candidate generator —
-    * the variant of [[qLshRecall]] that stays runnable at 100 TB: exact
-    * truth is computed only for a FIXED deterministic document sample
-    * (doc_id % [[RecallSampleMod]] == 0), brute-forced against the FULL
-    * corpus — cost O(|S|·n) with |S| a workload constant (the sample side
-    * broadcasts; candidates stream map-side), never the O(n²) all-pairs
-    * join the full gate embeds. Recall over sample-touching truth pairs is
-    * an unbiased estimate of pair recall (every truth pair is sampled with
-    * equal probability ≈ 2/mod), so the gate's verdict scales: same
-    * semantics, corpus-size-independent denominator. One audit row:
-    * sample size, truth/lsh/hit/missed counts restricted to
-    * sample-touching pairs, recall_e4, worst-missed Jaccard.
+    * the variant of [[qLshRecall]] that stays runnable at 100 TB.
     *
-    * The full-truth [[qLshRecall]] stays in the catalog as the gate-scale
-    * twin (exact, lossless-prefix-filter truth); this is the shape a
-    * production pipeline actually schedules. */
-  val RecallSampleMod = 20
+    * Sample: a FIXED expected-SIZE deterministic sample — keep doc iff
+    * hash60(salt:doc_id) ppm < [[RecallSampleTarget]]·10⁶ div n + 1 (the
+    * q_corpus_mixture thresholding idiom). |S| ≈ Target whatever the
+    * corpus size, so every broadcast below is a bounded workload
+    * constant. (The r12 version sampled doc_id % 20 — a fixed FRACTION:
+    * |S| ∝ n made the broadcast corpus-proportional and the truth cost
+    * O(n²/20), slower than the full gate it was built to retire.)
+    *
+    * Truth: prefix-filter candidates with the probe side pinned to the
+    * SAMPLE's prefixes and the corpus side exposing ALL its tokens —
+    * lossless twice over: the PPJoin property gives pref(s) ∩ pref(o) ≠ ∅
+    * for every θ-pair, and pref(s) ∩ pref(o) ⊆ pref(s) ∩ all(o), so no
+    * sample-touching truth pair can escape the join. Only the SAMPLE's
+    * prefixes are ever computed — the corpus-wide df-join + double
+    * window the full gate pays for its prefix build (its dominant cost)
+    * is replaced by one vocab-bounded df aggregate plus a window over
+    * |S| docs. Corpus-scale work left: the shingle explode and the
+    * prefix(S)-keyed probe join, both linear single passes.
+    *
+    * Recall over sample-touching truth pairs estimates pair recall
+    * unbiasedly (each θ-pair is sampled w.p. ≈ 2·Target/n). One audit
+    * row: sample size, truth/lsh/hit/missed counts restricted to
+    * sample-touching pairs, recall_e4, worst-missed Jaccard. Estimator
+    * spread across disjoint salts is measured by
+    * [[graft.tools.SampledGateVariance]].
+    *
+    * The full-truth [[qLshRecall]] stays in the catalog as the
+    * gate-scale twin (exact, all-pairs-denominator truth); this is the
+    * shape a production pipeline actually schedules. */
+  val RecallSampleTarget = 150L
+  val RecallSampleSalt = "rcl"
+
+  private[graft] def lshRecallSampledFor(spark: SparkSession, dir: String,
+                                         salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+      .where(size(col("hs")) > 0)
+      .persist()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val sample = docs
+      .withColumn("h_ppm", HashOps.hash60(
+        concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000000L)
+      .crossJoin(broadcast(nDocs))
+      .where(col("h_ppm") < least(lit(1000000L),
+        expr(s"$RecallSampleTarget * 1000000 div n_docs + 1")))
+      .select(col("doc_id").as("s_id"))
+      .persist()
+    // sz rides the explode (sz ≡ the full gate's count-over-doc window)
+    val ex = docs.select(col("doc_id"), size(col("hs")).cast("long").as("sz"),
+      explode(col("hs")).as("h"))
+    val dfq = ex.groupBy("h").agg(count(lit(1)).as("tok_df"))
+    // prefix length for θ = 0.7: s − ⌈0.7s⌉ + 1 — computed for the SAMPLE
+    // docs only (window over |S| docs, not the corpus)
+    val prefixS = ex.join(broadcast(sample), col("doc_id") === col("s_id"))
+      .join(dfq, Seq("h"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("tok_df").asc, col("h").asc)))
+      .where(col("rnk") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("id_s"), col("h"), col("sz").as("sz_s"))
+    val cand = prefixS
+      .join(ex.select(col("doc_id").as("id_o"), col("h"), col("sz").as("sz_o")),
+        Seq("h"))
+      // PPJoin length filter, lossless for θ = 0.7: 10·min ≥ 7·max
+      .where(col("id_s") =!= col("id_o") &&
+        col("sz_s") * 10 >= col("sz_o") * 7 && col("sz_o") * 10 >= col("sz_s") * 7)
+      .select(least(col("id_s"), col("id_o")).as("id_l"),
+        greatest(col("id_s"), col("id_o")).as("id_r"))
+      .distinct()
+    val truth = cand
+      .join(docs.select(col("doc_id").as("id_l"), col("hs").as("hs_l")), Seq("id_l"))
+      .join(docs.select(col("doc_id").as("id_r"), col("hs").as("hs_r")), Seq("id_r"))
+      .withColumn("inter", DedupOps.intersectSizeSorted(col("hs_l"), col("hs_r")))
+      .withColumn("uni",
+        (size(col("hs_l")) + size(col("hs_r"))).cast("long") - col("inter"))
+      .where(col("inter").cast("double") / col("uni") >= JaccardThreshold)
+      .select("id_l", "id_r", "inter", "uni")
+      .persist()
+    // sample-touching LSH pairs: two broadcast-HASH left probes against
+    // the BOUNDED sample + null filter — one map-side pass, no shuffle.
+    // (An OR-condition broadcast-NL semi compares every pair against all
+    // |S| sample rows — measured dominant on the banded pair set; and
+    // sample ids are unique, so the left joins preserve cardinality.)
+    val lsh = minhashPairs(spark, dir).select("id_l", "id_r")
+      .join(broadcast(sample.select(col("s_id").as("sid_l"))),
+        col("id_l") === col("sid_l"), "left")
+      .join(broadcast(sample.select(col("s_id").as("sid_r"))),
+        col("id_r") === col("sid_r"), "left")
+      .where(col("sid_l").isNotNull || col("sid_r").isNotNull)
+      .select("id_l", "id_r")
+    val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
+    val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+    sample.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(missed.agg(
+        count(lit(1)).as("n_missed"),
+        coalesce(max(expr("CAST(inter AS BIGINT) * 10000 div uni")),
+          lit(-1L)).as("worst_miss_jac_e4")))
+      .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
+        col("n_missed"),
+        expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+          .as("recall_e4"),
+        col("worst_miss_jac_e4"))
+  }
+
+  private[graft] def lshRecallSampledOracle(salt: String): String =
+    s"""WITH $SqlMinhashPairCtes,
+       |n AS (SELECT count(*) AS n_docs FROM shn),
+       |smp AS (
+       |  SELECT doc_id FROM shn CROSS JOIN n
+       |  WHERE CAST('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % 1000000
+       |        < least(1000000, $RecallSampleTarget * 1000000 // n_docs + 1)),
+       |lshr AS (
+       |  SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold
+       |    AND (id_l IN (SELECT doc_id FROM smp)
+       |         OR id_r IN (SELECT doc_id FROM smp))),
+       |truth AS (
+       |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS BIGINT) AS uni
+       |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+       |  WHERE (a.doc_id IN (SELECT doc_id FROM smp)
+       |         OR b.doc_id IN (SELECT doc_id FROM smp))
+       |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+       |        >= $JaccardThreshold),
+       |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
+       |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r))
+       |SELECT
+       |  (SELECT count(*) FROM smp) AS n_sampled,
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM lshr) AS n_lsh,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  (SELECT count(*) FROM mis) AS n_missed,
+       |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+       |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+       |       END AS BIGINT) AS recall_e4,
+       |  CAST(coalesce((SELECT max(inter * 10000 // uni) FROM mis), -1)
+       |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin
+
   val qLshRecallSampled: Q = new Q {
     val name = "q_lsh_recall_sampled"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
-        .where(size(col("hs")) > 0)
-        .persist()
-      val sample = docs.where(col("doc_id") % RecallSampleMod === 0)
-        .select(col("doc_id").as("s_id"), col("hs").as("s_hs"))
-      // deliberate broadcast nested-loop: |S| is fixed, the corpus streams
-      val truth = docs.select(col("doc_id").as("o_id"), col("hs").as("o_hs"))
-        .join(broadcast(sample), col("s_id") =!= col("o_id"))
-        .withColumn("inter", DedupOps.intersectSizeSorted(col("s_hs"), col("o_hs")))
-        .withColumn("uni",
-          (size(col("s_hs")) + size(col("o_hs"))).cast("long") - col("inter"))
-        .where(col("inter").cast("double") / col("uni") >= JaccardThreshold)
-        .select(least(col("s_id"), col("o_id")).as("id_l"),
-          greatest(col("s_id"), col("o_id")).as("id_r"), col("inter"), col("uni"))
-        .distinct() // both-sampled pairs arrive once per direction
-        .persist()
-      val lsh = minhashPairs(spark, dir).select("id_l", "id_r")
-        .where(col("id_l") % RecallSampleMod === 0 ||
-          col("id_r") % RecallSampleMod === 0)
-      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
-      sample.agg(count(lit(1)).as("n_sampled"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(missed.agg(
-          count(lit(1)).as("n_missed"),
-          coalesce(max(expr("inter * 10000 div uni")), lit(-1L)).as("worst_miss_jac_e4")))
-        .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
-          col("n_missed"),
-          expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
-            .as("recall_e4"),
-          col("worst_miss_jac_e4"))
-    }
-    val oracle = Some(
-      s"""WITH $SqlMinhashPairCtes,
-         |lshr AS (
-         |  SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold
-         |    AND (id_l % $RecallSampleMod = 0 OR id_r % $RecallSampleMod = 0)),
-         |truth AS (
-         |  SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
-         |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS BIGINT) AS uni
-         |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
-         |  WHERE (a.doc_id % $RecallSampleMod = 0 OR b.doc_id % $RecallSampleMod = 0)
-         |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-         |        (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
-         |        >= $JaccardThreshold),
-         |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
-         |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r))
-         |SELECT
-         |  (SELECT count(*) FROM shn WHERE doc_id % $RecallSampleMod = 0) AS n_sampled,
-         |  (SELECT count(*) FROM truth) AS n_truth,
-         |  (SELECT count(*) FROM lshr) AS n_lsh,
-         |  (SELECT count(*) FROM hit) AS n_hit,
-         |  (SELECT count(*) FROM mis) AS n_missed,
-         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
-         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
-         |       END AS BIGINT) AS recall_e4,
-         |  CAST(coalesce((SELECT max(inter * 10000 // uni) FROM mis), -1)
-         |       AS BIGINT) AS worst_miss_jac_e4""".stripMargin)
+    def run(spark: SparkSession, dir: String): DataFrame =
+      lshRecallSampledFor(spark, dir, RecallSampleSalt)
+    val oracle = Some(lshRecallSampledOracle(RecallSampleSalt))
   }
 
   /** Signature-length sensitivity — the sketch-SIZING counterpart of

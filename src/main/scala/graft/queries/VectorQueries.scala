@@ -347,82 +347,123 @@ object VectorQueries {
 
   /** SAMPLED-truth recall gate for the banded embedding-LSH pair path —
     * the variant of [[qEmbeddingLshRecall]] that stays runnable at 10⁹
-    * vectors: exact cosine truth is computed only for a FIXED
-    * deterministic vector sample (vec_id % [[RecallSampleMod]] == 0)
-    * against the FULL corpus — O(|S|·n) with the sample broadcast and the
-    * corpus streaming map-side, never the all-pairs O(n²) the full gate
-    * embeds. Recall over sample-touching θ-pairs estimates pair recall
-    * unbiasedly (each θ-pair is sampled w.p. ≈ 2/mod). One audit row:
-    * sample size, truth/lsh/hit/missed counts restricted to
-    * sample-touching pairs, recall_e4, worst-missed cosine. */
-  val RecallSampleMod = 20
+    * vectors.
+    *
+    * Sample: FIXED expected SIZE — keep vec iff hash60(salt:vec_id) ppm
+    * < [[RecallSampleTarget]]·10⁶ div n + 1 (the q_corpus_mixture
+    * thresholding idiom), so |S| ≈ Target whatever the corpus size and
+    * the broadcast is a bounded workload constant. (The r12 version
+    * sampled vec_id % 20 — a fixed FRACTION whose broadcast grew with the
+    * corpus: an outright OOM at 10⁹ vectors.)
+    *
+    * Truth: deliberate broadcast nested-loop sample × corpus — with |S|
+    * a true constant this is O(|S|·n), the corpus streams map-side, and
+    * exact cosine has no prefix-filter analogue worth the complexity at
+    * this truth size. Recall over sample-touching θ-pairs estimates pair
+    * recall unbiasedly (each θ-pair sampled w.p. ≈ 2·Target/n). One
+    * audit row: sample size, truth/lsh/hit/missed counts restricted to
+    * sample-touching pairs, recall_e4, worst-missed cosine. Estimator
+    * spread across disjoint salts: [[graft.tools.SampledGateVariance]]. */
+  val RecallSampleTarget = 150L
+  val RecallSampleSalt = "rcl"
+
+  private[graft] def embeddingLshRecallSampledFor(
+      spark: SparkSession, dir: String, salt: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+      .persist()
+    val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+    val sample = emb
+      .withColumn("h_ppm", graft.ops.HashOps.hash60(
+        concat(lit(s"$salt:"), col("vec_id").cast("string"))) % 1000000L)
+      .crossJoin(broadcast(nVecs))
+      .where(col("h_ppm") < least(lit(1000000L),
+        expr(s"$RecallSampleTarget * 1000000 div n_vecs + 1")))
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"),
+        col("nrm").as("s_nrm"))
+      .persist()
+    val truth = emb.select(col("vec_id").as("o_id"), col("embedding").as("o_vec"),
+        col("nrm").as("o_nrm"))
+      .join(broadcast(sample), col("s_id") =!= col("o_id"))
+      .withColumn("cosine_sim",
+        VectorOps.dot(col("s_vec"), col("o_vec"), Dim) / (col("s_nrm") * col("o_nrm")))
+      .where(col("cosine_sim") >= NearDupCos)
+      .select(least(col("s_id"), col("o_id")).as("id_l"),
+        greatest(col("s_id"), col("o_id")).as("id_r"),
+        round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+      .distinct() // both-sampled pairs arrive once per direction
+      .persist()
+    val keys = lshBandedKeys(spark, dir)
+    val lsh = keys.select(col("vec_id").as("id_l"), col("bkey"))
+      .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+      // two broadcast-HASH left probes against the BOUNDED sample + null
+      // filter — one map-side pass, no shuffle. (An OR-condition
+      // broadcast-NL semi compares every candidate pair against all |S|
+      // sample rows — measured dominant on the multi-million-pair banded
+      // candidate set; sample ids are unique, so cardinality holds.)
+      .join(broadcast(sample.select(col("s_id").as("sid_l"))),
+        col("id_l") === col("sid_l"), "left")
+      .join(broadcast(sample.select(col("s_id").as("sid_r"))),
+        col("id_r") === col("sid_r"), "left")
+      .where(col("sid_l").isNotNull || col("sid_r").isNotNull)
+      .select("id_l", "id_r")
+    val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
+    val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+    sample.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(missed.agg(
+        count(lit(1)).as("n_missed"),
+        coalesce(max(col("cos_e6")), lit(-1L)).as("worst_miss_cos_e6")))
+      .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
+        col("n_missed"),
+        expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+          .as("recall_e4"),
+        col("worst_miss_cos_e6"))
+  }
+
+  private[graft] def embeddingLshRecallSampledOracle(salt: String): String =
+    s"""WITH $SqlLshBandCtes,
+       |n AS (SELECT count(*) AS n_vecs FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN n
+       |  WHERE CAST('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)), 1, 15)
+       |          AS BIGINT) % 1000000
+       |        < least(1000000, $RecallSampleTarget * 1000000 // n_vecs + 1)),
+       |lshr AS (
+       |  SELECT id_l, id_r FROM lsh_cand
+       |  WHERE id_l IN (SELECT vec_id FROM smp)
+       |     OR id_r IN (SELECT vec_id FROM smp)),
+       |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |truth AS (
+       |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+       |    CAST(round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000)
+       |      AS BIGINT) AS cos_e6
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE (a.vec_id IN (SELECT vec_id FROM smp)
+       |         OR b.vec_id IN (SELECT vec_id FROM smp))
+       |    AND ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupCos),
+       |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
+       |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r))
+       |SELECT
+       |  (SELECT count(*) FROM smp) AS n_sampled,
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM lshr) AS n_lsh,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  (SELECT count(*) FROM mis) AS n_missed,
+       |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+       |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+       |       END AS BIGINT) AS recall_e4,
+       |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin
+
   val qEmbeddingLshRecallSampled: Q = new Q {
     val name = "q_embedding_lsh_recall_sampled"
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
-        .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
-        .persist()
-      val sample = emb.where(col("vec_id") % RecallSampleMod === 0)
-        .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"),
-          col("nrm").as("s_nrm"))
-      val truth = emb.select(col("vec_id").as("o_id"), col("embedding").as("o_vec"),
-          col("nrm").as("o_nrm"))
-        .join(broadcast(sample), col("s_id") =!= col("o_id"))
-        .withColumn("cosine_sim",
-          VectorOps.dot(col("s_vec"), col("o_vec"), Dim) / (col("s_nrm") * col("o_nrm")))
-        .where(col("cosine_sim") >= NearDupCos)
-        .select(least(col("s_id"), col("o_id")).as("id_l"),
-          greatest(col("s_id"), col("o_id")).as("id_r"),
-          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
-        .distinct() // both-sampled pairs arrive once per direction
-        .persist()
-      val keys = lshBandedKeys(spark, dir)
-      val lsh = keys.select(col("vec_id").as("id_l"), col("bkey"))
-        .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
-        .where(col("id_l") < col("id_r"))
-        .select("id_l", "id_r").distinct()
-        .where(col("id_l") % RecallSampleMod === 0 ||
-          col("id_r") % RecallSampleMod === 0)
-      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
-      sample.agg(count(lit(1)).as("n_sampled"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(missed.agg(
-          count(lit(1)).as("n_missed"),
-          coalesce(max(col("cos_e6")), lit(-1L)).as("worst_miss_cos_e6")))
-        .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
-          col("n_missed"),
-          expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
-            .as("recall_e4"),
-          col("worst_miss_cos_e6"))
-    }
-    val oracle = Some(
-      s"""WITH $SqlLshBandCtes,
-         |lshr AS (
-         |  SELECT id_l, id_r FROM lsh_cand
-         |  WHERE id_l % $RecallSampleMod = 0 OR id_r % $RecallSampleMod = 0),
-         |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
-         |truth AS (
-         |  SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-         |    CAST(round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000)
-         |      AS BIGINT) AS cos_e6
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |  WHERE (a.vec_id % $RecallSampleMod = 0 OR b.vec_id % $RecallSampleMod = 0)
-         |    AND ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupCos),
-         |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
-         |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r))
-         |SELECT
-         |  (SELECT count(*) FROM embeddings WHERE vec_id % $RecallSampleMod = 0) AS n_sampled,
-         |  (SELECT count(*) FROM truth) AS n_truth,
-         |  (SELECT count(*) FROM lshr) AS n_lsh,
-         |  (SELECT count(*) FROM hit) AS n_hit,
-         |  (SELECT count(*) FROM mis) AS n_missed,
-         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
-         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
-         |       END AS BIGINT) AS recall_e4,
-         |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin)
+    def run(spark: SparkSession, dir: String): DataFrame =
+      embeddingLshRecallSampledFor(spark, dir, RecallSampleSalt)
+    val oracle = Some(embeddingLshRecallSampledOracle(RecallSampleSalt))
   }
 
   /** Embedding near-dup CLUSTERS: connected components over the verified
