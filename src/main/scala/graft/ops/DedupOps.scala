@@ -175,6 +175,83 @@ object DedupOps {
       .withColumn("sig", minhashSignature(col("hs"), nPerm))
       .withColumn("bands", lshBandKeys(col("sig"), nBands, rowsPerBand))
 
+  /** Partition count for the persisted signature index's shard
+    * directories ([[writeSignatureIndex]] / [[dedupDeltaBatchPruned]]). */
+  val IndexParts = 32
+
+  private val bandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, bk STRING, band_pt INT")
+  private val sigsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, hs ARRAY<BIGINT>, sig ARRAY<BIGINT>, bands ARRAY<STRING>, doc_pt INT")
+
+  /** Writes [[signatureIndex]] rows as the PARTITIONED two-table layout
+    * [[dedupDeltaBatchPruned]] probes:
+    *
+    *  - `bands/band_pt=K/` — one (doc_id, bk) row per (doc, band key),
+    *    hash-partitioned by band key: the PROBE side. A batch touches only
+    *    the shards its own band keys hash into, so partition pruning skips
+    *    every other shard's files before any I/O happens.
+    *  - `sigs/doc_pt=K/` — one (doc_id, hs, sig, bands) row per doc,
+    *    hash-partitioned by doc id: the VERIFICATION payload, fetched only
+    *    for band-collided docs (and pruned to their doc_pt shards).
+    *
+    * `mode = "append"` supports index evolution: signatures are
+    * per-document, so ingesting a new batch appends rows into existing
+    * shard directories and never rewrites old ones. */
+  def writeSignatureIndex(index: DataFrame, path: String,
+                          mode: String = "overwrite",
+                          nParts: Int = IndexParts): Unit = {
+    index.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .withColumn("band_pt", pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("band_pt").parquet(s"$path/bands")
+    index.withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("doc_pt").parquet(s"$path/sigs")
+  }
+
+  /** [[dedupDeltaBatch]] against a PARTITIONED on-disk index
+    * ([[writeSignatureIndex]] layout) with the index scan PRUNED to what
+    * the batch can possibly collide with — the piece that makes the
+    * per-batch cost stop being corpus-sized I/O:
+    *
+    *  1. the batch's distinct band keys (a bounded, batch-sized set) are
+    *     hashed to their shard ids; the `bands/` scan carries a
+    *     `band_pt IN (...)` partition filter (≤ nParts values, collected
+    *     driver-side — never data-sized), so only collided shards' FILES
+    *     are opened;
+    *  2. within those shards, a BROADCAST left-semi join on the batch's
+    *     band keys keeps only genuinely collided index rows — no shuffle
+    *     of the index, ever;
+    *  3. the `sigs/` verification fetch is restricted the same way:
+    *     `doc_pt IN (...)` partition filter from the collided ids' shards
+    *     plus a left-semi on the collided ids themselves.
+    *
+    * Verdicts are exactly [[dedupDeltaBatch]]'s: docs whose bands miss
+    * every batch band key can never form a candidate pair, so dropping
+    * them from the probe is lossless (equality vs the flat-index pass is
+    * pinned by IncrementalDedupSpec). */
+  def dedupDeltaBatchPruned(batchIds: DataFrame, batchSigs: DataFrame,
+                            indexPath: String, minJac: Double,
+                            nParts: Int = IndexParts): DataFrame = {
+    val spark = batchIds.sparkSession
+    val bs = batchSigs.persist()
+    val batchBands = bs.select(explode(col("bands")).as("bk")).distinct().persist()
+    val pts = batchBands
+      .select(pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int").as("band_pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val collided = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
+      .where(col("band_pt").isin(pts: _*))
+      .join(broadcast(batchBands), Seq("bk"), "left_semi")
+      .select("doc_id").distinct().persist()
+    val dpts = collided
+      .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("doc_pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedIndex = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+      .where(col("doc_pt").isin(dpts: _*))
+      .join(collided, Seq("doc_id"), "left_semi")
+      .select("doc_id", "hs", "sig", "bands")
+    dedupDeltaBatch(batchIds, bs, prunedIndex, minJac)
+  }
+
   /** Incremental near-dup verdicts for a NEW BATCH against a persisted
     * corpus signature index — the delta-dedup step that never recomputes
     * the ingested corpus: candidates are (batch × index) plus
@@ -188,9 +265,9 @@ object DedupOps {
     * matched_id is the SMALLEST qualifying partner id (deterministic).
     *
     * Scale shape: the index is probed by band-key equi-join only — cost ∝
-    * batch size + collided-bucket membership, never corpus size; the only
-    * index rows read are those sharing a band with the batch (at 100 TB:
-    * a broadcast of the batch's band keys semi-prunes the index scan).
+    * batch size + collided-bucket membership, never corpus size; with the
+    * [[writeSignatureIndex]] layout, [[dedupDeltaBatchPruned]] additionally
+    * prunes the index SCAN itself to collided shards.
     * `batchSigs` is persisted here: it feeds both candidate arms and both
     * verification joins. */
   def dedupDeltaBatch(batchIds: DataFrame, batchSigs: DataFrame,

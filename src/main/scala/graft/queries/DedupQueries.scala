@@ -1436,16 +1436,20 @@ object DedupQueries {
     * Protocol (batch = doc_id % 5 == 0, corpus = the rest):
     *  1. BOOTSTRAP (once per corpus, not per batch): MinHash signatures,
     *     band keys, and shingle-hash sets for the ingested corpus are
-    *     materialized to a parquet signature index (real files, read
-    *     back — [[graft.ops.DedupOps.signatureIndex]]). Signatures are
-    *     per-document, so ingesting more data APPENDS index rows and never
-    *     invalidates existing ones.
+    *     materialized to the PARTITIONED two-table parquet index
+    *     ([[graft.ops.DedupOps.writeSignatureIndex]]: band rows sharded by
+    *     band-key hash, verification payloads sharded by doc-id hash —
+    *     real files, read back). Signatures are per-document, so ingesting
+    *     more data APPENDS index rows and never invalidates existing ones.
     *  2. DELTA PASS (per batch): signatures for the batch only; candidates
-    *     from band-key equi-joins (batch×index, batch×batch); exact-Jaccard
-    *     verification against the index's STORED shingle sets — the corpus
-    *     text is never re-read. Verdict per batch doc: drop iff it
-    *     near-dups an indexed doc or a smaller-id batch doc; the smallest
-    *     qualifying partner is reported as the match.
+    *     from band-key equi-joins (batch×index, batch×batch) with the
+    *     index scan PRUNED to collided shards — a `band_pt IN` partition
+    *     filter from the batch's own band keys plus a broadcast left-semi
+    *     on those keys ([[graft.ops.DedupOps.dedupDeltaBatchPruned]]);
+    *     exact-Jaccard verification against the index's STORED shingle
+    *     sets — the corpus text is never re-read. Verdict per batch doc:
+    *     drop iff it near-dups an indexed doc or a smaller-id batch doc;
+    *     the smallest qualifying partner is reported as the match.
     *
     * The DuckDB oracle computes the same verdicts from the FULL-corpus
     * pair set (band keys are corpus-independent, so incremental candidate
@@ -1457,8 +1461,9 @@ object DedupQueries {
     *
     * Scale shape: bootstrap is one corpus scan (amortized over every
     * future batch); each batch costs batch-size signature work plus
-    * band-collided index probes — at 100 TB the per-batch cost is
-    * ∝ |batch| + Σ collided-bucket membership, never corpus size. */
+    * band-collided index probes over collided SHARDS only — at 100 TB the
+    * per-batch cost is ∝ |batch| + Σ collided-bucket membership, never
+    * corpus-sized I/O. */
   val dedupDeltaBatch: Q = new Q {
     val name = "dedup_delta_batch"
     def run(spark: SparkSession, dir: String): DataFrame = {
@@ -1468,12 +1473,11 @@ object DedupQueries {
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index")
       val base = DedupOps.signatureIndex(
         docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
-      base.write.mode("overwrite").parquet(indexPath)
-      val index = spark.read.schema(base.schema).parquet(indexPath)
+      DedupOps.writeSignatureIndex(base, indexPath)
       val batchSigs = DedupOps.signatureIndex(
         docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
-      DedupOps.dedupDeltaBatch(
-          docs.where(isBatch).select("doc_id"), batchSigs, index, JaccardThreshold)
+      DedupOps.dedupDeltaBatchPruned(
+          docs.where(isBatch).select("doc_id"), batchSigs, indexPath, JaccardThreshold)
         .orderBy("doc_id")
     }
     val oracle = Some(
@@ -1498,10 +1502,88 @@ object DedupQueries {
          |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin)
   }
 
+  /** MULTI-BATCH index evolution, end-to-end: the append-then-dedup-next-
+    * batch protocol [[dedupDeltaBatch]] bootstraps, exercised across TWO
+    * batches with a DuckDB oracle (IncrementalDedupSpec pins the same
+    * protocol against a driver-side recompute; this makes it a
+    * cross-engine-checked catalog entry).
+    *
+    * Protocol (corpus = doc_id % 3 == 0, batch 1 = % 3 == 1,
+    * batch 2 = % 3 == 2):
+    *  1. bootstrap the partitioned index from the corpus;
+    *  2. delta-dedup batch 1 against it, then APPEND only the KEPT docs'
+    *     signatures (dropped near-dups must not poison future batches);
+    *  3. delta-dedup batch 2 against the GROWN index — its verdicts are
+    *     the result.
+    *
+    * The oracle recomputes from the full band-verified pair set: batch-1
+    * survivors are docs with no qualifying partner (corpus or smaller
+    * batch-1 id); batch-2 partners are corpus docs, SURVIVING batch-1
+    * docs, and smaller batch-2 ids. Appended kept-batch-1 partners
+    * report matched_in = 'corpus' — they are index rows by then.
+    *
+    * Scale shape: identical to [[dedupDeltaBatch]] per batch (pruned
+    * shard probes); the append writes batch-sized files into existing
+    * shard dirs and rewrites nothing. */
+  val dedupDeltaBatch2: Q = new Q {
+    val name = "dedup_delta_batch2"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+      val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index_evo")
+      DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+        part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+      val b1 = DedupOps.signatureIndex(
+        part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+      val kept1 = DedupOps.dedupDeltaBatchPruned(
+          part(1).select("doc_id"), b1, indexPath, JaccardThreshold)
+        .where(col("verdict") === "keep").select("doc_id")
+      DedupOps.writeSignatureIndex(
+        b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath, mode = "append")
+      val b2 = DedupOps.signatureIndex(
+        part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
+      DedupOps.dedupDeltaBatchPruned(
+          part(2).select("doc_id"), b2, indexPath, JaccardThreshold)
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |sym AS (
+         |  SELECT id_l AS a, id_r AS b, jac FROM j WHERE jac >= $JaccardThreshold
+         |  UNION ALL
+         |  SELECT id_r AS a, id_l AS b, jac FROM j WHERE jac >= $JaccardThreshold),
+         |drop1 AS (
+         |  SELECT DISTINCT a AS d FROM sym
+         |  WHERE a % 3 = 1 AND (b % 3 = 0 OR (b % 3 = 1 AND b < a))),
+         |kept1 AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT d FROM drop1)),
+         |matches AS (
+         |  SELECT a AS d, b AS p, jac FROM sym
+         |  WHERE a % 3 = 2
+         |    AND (b % 3 = 0
+         |         OR (b % 3 = 1 AND b IN (SELECT doc_id FROM kept1))
+         |         OR (b % 3 = 2 AND b < a))),
+         |best AS (SELECT d, min(p) AS matched_id FROM matches GROUP BY d),
+         |bj AS (
+         |  SELECT best.d, best.matched_id, m.jac FROM best
+         |  JOIN matches m ON m.d = best.d AND m.p = best.matched_id)
+         |SELECT doc_id,
+         |  CASE WHEN bj.matched_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+         |  CAST(coalesce(bj.matched_id, -1) AS BIGINT) AS matched_id,
+         |  CAST(coalesce(round(bj.jac * 10000), -1) AS BIGINT) AS matched_jac_e4,
+         |  CASE WHEN bj.matched_id IS NULL THEN 'none'
+         |       WHEN bj.matched_id % 3 = 2 THEN 'batch' ELSE 'corpus' END AS matched_in
+         |FROM documents LEFT JOIN bj ON documents.doc_id = bj.d
+         |WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
-    qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled)
+    qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
+    dedupDeltaBatch2)
 }

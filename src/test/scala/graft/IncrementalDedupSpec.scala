@@ -127,6 +127,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == expectedVerdicts(b2Ids, batch2, indexRef))
   }
 
+  test("pruned partitioned-index probe equals the flat-index delta pass") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    val flat = DedupOps.signatureIndex(
+      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "pruned")
+    DedupOps.writeSignatureIndex(flat, indexPath)
+    val bs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val viaFlat = verdictMap(DedupOps.dedupDeltaBatch(
+      docs.where(isBatch).select("doc_id"), bs, flat, JaccardThreshold))
+    val viaPruned = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      docs.where(isBatch).select("doc_id"), bs, indexPath, JaccardThreshold))
+    assert(viaPruned == viaFlat)
+    assert(viaPruned.values.exists(_._1 == "drop"), "no dropped doc in fixture")
+  }
+
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {
     val plan = DedupQueries.dedupDeltaBatch.run(spark, dir)
       .queryExecution.executedPlan.toString

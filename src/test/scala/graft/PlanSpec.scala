@@ -339,6 +339,26 @@ class PlanSpec extends SparkSpec {
       s"date predicate not in PartitionFilters: $pf\n$plan")
   }
 
+  test("dedup_delta_batch: index probe prunes band shards and broadcast-semi-joins the batch's band keys") {
+    val df = graft.queries.DedupQueries.dedupDeltaBatch.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bands/ scan must carry a band_pt partition filter (shard pruning
+    // from the batch's own band keys) — never an unfiltered index scan
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    val bandPf = pf.filter(_.contains("band_pt"))
+    assert(bandPf.nonEmpty && !bandPf.exists(_.replaceAll("\\s", "").contains("PartitionFilters:[]")),
+      s"bands scan lost its band_pt partition filter:\n${pf.mkString("\n")}\n$plan")
+    // the sigs/ verification fetch prunes by doc_pt the same way
+    val sigPf = pf.filter(_.contains("doc_pt"))
+    assert(sigPf.nonEmpty && !sigPf.exists(_.replaceAll("\\s", "").contains("PartitionFilters:[]")),
+      s"sigs scan lost its doc_pt partition filter:\n${pf.mkString("\n")}\n$plan")
+    // collided-row selection is a broadcast left-semi — the index is never
+    // shuffled to meet the batch
+    assert(plan.contains("LeftSemi"), s"no left-semi prune against the index:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in delta-dedup plan:\n$plan")
+  }
+
   test("q_item_cf: per-item top-5 keeps WindowGroupLimit; pair space never goes cartesian") {
     val plan = graft.queries.BehaviorQueries.qItemCf.run(spark, sf)
       .queryExecution.executedPlan.toString
