@@ -857,6 +857,74 @@ object FuzzQueries {
     }
   }
 
+  /** NESTED higher-order-function grammar — randomized coverage of the
+    * CollapseProject hazard surface (PLANS.md round 10: an aliased HOF
+    * chain referenced inside ANOTHER HOF's lambda gets inlined by the
+    * optimizer and re-evaluated once per element — the `mm_phash_dedup`
+    * O(64²·|text|) blow-up class). Each instance builds a per-row array,
+    * binds a scalar REDUCTION of it (fold / max / min) to an alias, and
+    * pipes the array through a second HOF whose lambda references that
+    * alias (center / threshold), finished by a scalar terminal and a
+    * group aggregate. The flat-HOF arm ([[genHof]]) never references one
+    * HOF's result inside another's lambda, so this inlining path had no
+    * randomized coverage. Arrays are ≤ 8 elements: the collapsed
+    * recompute stays cheap at test scale — what the arm fuzzes is
+    * CORRECTNESS of the collapsed interpreted evaluation against DuckDB's
+    * textual-expansion equivalent, across random (reduction, lambda,
+    * terminal) triples. All element math BIGINT; empty arrays exercise
+    * the fold-seed / NULL-max edge inside a captured lambda. */
+  private def genHofNested(r: Random, idx: Int): Q = {
+    val tableName = pick(r, Seq("lineitem", "orders"))
+    val (arrSpark, arrSql) =
+      if (tableName == "lineitem") pick(r, Seq(
+        ("sequence(1L, l_orderkey % 7 + 2)", "range(1, l_orderkey % 7 + 3)"),
+        ("array(l_orderkey % 97, l_partkey % 89, l_suppkey % 83)",
+          "[l_orderkey % 97, l_partkey % 89, l_suppkey % 83]")))
+      else pick(r, Seq(
+        ("sequence(1L, o_orderkey % 6 + 2)", "range(1, o_orderkey % 6 + 3)"),
+        ("array(o_orderkey % 97, o_custkey % 89, CAST(length(o_orderpriority) AS BIGINT))",
+          "[o_orderkey % 97, o_custkey % 89, CAST(length(o_orderpriority) AS BIGINT)]")))
+    val (ctrSpark, ctrSql) = pick(r, Seq(
+      ("aggregate(@A@, 0L, (a, x) -> a + x)",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), @A@), (a, x) -> a + x)"),
+      ("coalesce(array_max(@A@), 0L)", "COALESCE(list_max(@A@), 0)"),
+      ("coalesce(array_min(@A@), 0L)", "COALESCE(list_min(@A@), 0)")))
+    val (nestSpark, nestSql) = pick(r, Seq(
+      ("transform(@A@, x -> x * 2 - @C@)", "list_transform(@A@, x -> x * 2 - @C@)"),
+      ("transform(@A@, x -> x + @C@ % 7)", "list_transform(@A@, x -> x + @C@ % 7)"),
+      ("filter(@A@, x -> x * 3 >= @C@)", "list_filter(@A@, x -> x * 3 >= @C@)")))
+    val (termSpark, termSql) = pick(r, Seq(
+      ("aggregate(@A@, 0L, (a, x) -> a + x)",
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), @A@), (a, x) -> a + x)"),
+      ("coalesce(array_max(@A@), 0L)", "COALESCE(list_max(@A@), 0)"),
+      ("CAST(size(@A@) AS BIGINT)", "CAST(len(@A@) AS BIGINT)")))
+    val key = if (tableName == "lineitem") "l_returnflag" else "o_orderstatus"
+    // Spark side keeps the reduction as a NAMED ALIAS referenced from the
+    // nested lambda — the spelling CollapseProject inlines; DuckDB gets
+    // the textual expansion (same semantics, no alias to collapse).
+    val exprSpark = termSpark.replace("@A@",
+      nestSpark.replace("@A@", "__arr").replace("@C@", "__ctr"))
+    val exprSql = termSql.replace("@A@",
+      nestSql.replace("@C@", "(" + ctrSql.replace("@A@", arrSql) + ")")
+        .replace("@A@", arrSql))
+
+    new Q {
+      val name = f"q_fuzzhof_$idx%02d"
+      def run(spark: SparkSession, dir: String): DataFrame =
+        Tables.table(spark, dir, tableName)
+          .withColumn("__arr", expr(arrSpark))
+          .withColumn("__ctr", expr(ctrSpark.replace("@A@", "__arr")))
+          .withColumn("hv", expr(exprSpark))
+          .groupBy(col(key))
+          .agg(count(lit(1)).as("n"), sum("hv").as("agg_val"))
+          .orderBy(col(key))
+      val oracle = Some(
+        s"""SELECT $key, count(*) AS n,
+           |  CAST(sum($exprSql) AS BIGINT) AS agg_val
+           |FROM $tableName GROUP BY $key ORDER BY $key""".stripMargin)
+    }
+  }
+
   val all: Seq[Q] = {
     val r = new Random(20260813L)
     val scans = (0 until 15).map(gen(r, _))
@@ -877,8 +945,10 @@ object FuzzQueries {
     // round-10 arms (r9 verdict item 7), appended after all prior draws
     val outerJoins = (0 until 6).map(genOuterJoin(r, _))
     val windowRanks = (0 until 6).map(genWindowRank(r, _))
+    // round-13 arm (r12 verdict item 5), appended after all prior draws
+    val hofNested = (0 until 6).map(genHofNested(r, _))
     scans ++ joins ++ windows ++ topks ++ groupings ++ exists ++ scalars ++
       frames ++ hofs ++ texts ++ sessions ++ setops ++ calendars ++
-      outerJoins ++ windowRanks
+      outerJoins ++ windowRanks ++ hofNested
   }
 }
