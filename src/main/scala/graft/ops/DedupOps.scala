@@ -182,7 +182,7 @@ object DedupOps {
   private val bandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, bk STRING, band_pt INT")
   private val sigsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT, hs ARRAY<BIGINT>, sig ARRAY<BIGINT>, bands ARRAY<STRING>, doc_pt INT")
+    "doc_id BIGINT, hs ARRAY<BIGINT>, doc_pt INT")
 
   /** Writes [[signatureIndex]] rows as the PARTITIONED two-table layout
     * [[dedupDeltaBatchPruned]] probes:
@@ -191,21 +191,40 @@ object DedupOps {
     *    hash-partitioned by band key: the PROBE side. A batch touches only
     *    the shards its own band keys hash into, so partition pruning skips
     *    every other shard's files before any I/O happens.
-    *  - `sigs/doc_pt=K/` — one (doc_id, hs, sig, bands) row per doc,
-    *    hash-partitioned by doc id: the VERIFICATION payload, fetched only
-    *    for band-collided docs (and pruned to their doc_pt shards).
+    *  - `sigs/doc_pt=K/` — one (doc_id, hs) row per doc, hash-partitioned
+    *    by doc id: the VERIFICATION payload, fetched only for
+    *    band-collided docs (and pruned to their doc_pt shards). `hs` is
+    *    the complete per-doc state — signature and band keys are
+    *    deterministic functions of it ([[minhashSignature]] /
+    *    [[lshBandKeys]]), so storing them again here would only widen
+    *    every write and every verification fetch.
     *
     * `mode = "append"` supports index evolution: signatures are
     * per-document, so ingesting a new batch appends rows into existing
-    * shard directories and never rewrites old ones. */
+    * shard directories and never rewrites old ones.
+    *
+    * The input is persisted across the two writes (signature computation
+    * is the expensive part — shingling + nPerm MinHash over every doc —
+    * and must run once, not once per table), and each table is
+    * repartitioned BY ITS SHARD KEY first so every shard directory
+    * receives one file per write instead of one per upstream task —
+    * without it a P-partition input sprays up to P files into each of
+    * the nParts directories, and the small-file metadata cost dominates
+    * both the write and every later probe. */
   def writeSignatureIndex(index: DataFrame, path: String,
                           mode: String = "overwrite",
                           nParts: Int = IndexParts): Unit = {
-    index.select(col("doc_id"), explode(col("bands")).as("bk"))
-      .withColumn("band_pt", pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("band_pt").parquet(s"$path/bands")
-    index.withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("doc_pt").parquet(s"$path/sigs")
+    val ix = index.persist()
+    try {
+      ix.select(col("doc_id"), explode(col("bands")).as("bk"))
+        .withColumn("band_pt", pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("band_pt"))
+        .write.mode(mode).partitionBy("band_pt").parquet(s"$path/bands")
+      ix.select(col("doc_id"), col("hs"))
+        .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("doc_pt"))
+        .write.mode(mode).partitionBy("doc_pt").parquet(s"$path/sigs")
+    } finally ix.unpersist()
   }
 
   /** [[dedupDeltaBatch]] against a PARTITIONED on-disk index
@@ -220,7 +239,10 @@ object DedupOps {
     *     are opened;
     *  2. within those shards, a BROADCAST left-semi join on the batch's
     *     band keys keeps only genuinely collided index rows — no shuffle
-    *     of the index, ever;
+    *     of the index, ever; those surviving (doc_id, bk) rows ARE the
+    *     corpus-side candidate bands (an index band absent from the batch
+    *     can never pair), so the candidate join reuses them directly
+    *     instead of re-deriving bands from the payload table;
     *  3. the `sigs/` verification fetch is restricted the same way:
     *     `doc_pt IN (...)` partition filter from the collided ids' shards
     *     plus a left-semi on the collided ids themselves.
@@ -238,18 +260,22 @@ object DedupOps {
     val pts = batchBands
       .select(pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int").as("band_pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val collided = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
+    // persisted: feeds both the doc_pt prune below and the candidate
+    // join; collided-rows-sized — batch-proportional, never corpus-
+    // proportional
+    val bandsMatched = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("band_pt").isin(pts: _*))
       .join(broadcast(batchBands), Seq("bk"), "left_semi")
-      .select("doc_id").distinct().persist()
+      .select("doc_id", "bk").persist()
+    val collided = bandsMatched.select("doc_id").distinct()
     val dpts = collided
       .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("doc_pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val prunedIndex = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+    val prunedHs = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
       .where(col("doc_pt").isin(dpts: _*))
       .join(collided, Seq("doc_id"), "left_semi")
-      .select("doc_id", "hs", "sig", "bands")
-    dedupDeltaBatch(batchIds, bs, prunedIndex, minJac)
+      .select("doc_id", "hs")
+    dedupDeltaCore(batchIds, bs, bandsMatched, prunedHs, minJac)
   }
 
   /** Incremental near-dup verdicts for a NEW BATCH against a persisted
@@ -273,8 +299,22 @@ object DedupOps {
   def dedupDeltaBatch(batchIds: DataFrame, batchSigs: DataFrame,
                       indexSigs: DataFrame, minJac: Double): DataFrame = {
     val bs = batchSigs.persist()
+    dedupDeltaCore(batchIds, bs,
+      indexSigs.select(col("doc_id"), explode(col("bands")).as("bk")),
+      indexSigs.select("doc_id", "hs"), minJac)
+  }
+
+  /** Shared delta-dedup core: `iBand` is the corpus-side candidate band
+    * rows (doc_id, bk) — the full index exploded for the flat path, or
+    * just the batch-collided rows for the pruned path (equivalent: an
+    * index band with no batch match joins nothing) — and `idxHs` the
+    * (doc_id, hs) verification payloads covering at least every `iBand`
+    * doc. `bs` must already be persisted: it feeds both candidate arms
+    * and the batch-side verification join. */
+  private def dedupDeltaCore(batchIds: DataFrame, bs: DataFrame,
+                             iBand: DataFrame, idxHs: DataFrame,
+                             minJac: Double): DataFrame = {
     val bBand = bs.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val iBand = indexSigs.select(col("doc_id"), explode(col("bands")).as("bk"))
     // batch-vs-corpus: unordered (the corpus partner qualifies regardless
     // of id order); batch-vs-batch: earlier (smaller id) doc wins
     val candCorpus = bBand.select(col("doc_id").as("id_d"), col("bk"))
@@ -289,7 +329,7 @@ object DedupOps {
       .select(col("id_r").as("id_d"), col("id_l").as("id_p"))
       .withColumn("src", lit("batch"))
     val partnerHs = bs.select(col("doc_id").as("id_p"), col("hs").as("hs_p"))
-      .unionByName(indexSigs.select(col("doc_id").as("id_p"), col("hs").as("hs_p")))
+      .unionByName(idxHs.select(col("doc_id").as("id_p"), col("hs").as("hs_p")))
     val verified = candCorpus.unionByName(candBatch)
       .join(bs.select(col("doc_id").as("id_d"), col("hs").as("hs_d")), Seq("id_d"))
       .join(partnerHs, Seq("id_p"))

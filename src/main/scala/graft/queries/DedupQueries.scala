@@ -20,6 +20,13 @@ object DedupQueries {
   val NumPerms = 64
   val NumBands = 16
   val RowsPerBand = 4 // NumPerms / NumBands
+  /** Signature-index shard count for the delta-dedup catalog entries:
+    * sized to the TEST corpus (5k docs at sf0.1), where the per-shard
+    * fixed cost (one file + one write task + one listing entry per shard
+    * per write) dominates the data; a production corpus sizes this up
+    * with the data (DedupOps.IndexParts default, or thousands at 100 TB)
+    * so that a shard stays around a parquet row group. */
+  val TestIndexParts = 8
 
   private val SqlToks = "regexp_extract_all(lower(text), '\\S+')"
 
@@ -1473,11 +1480,12 @@ object DedupQueries {
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index")
       val base = DedupOps.signatureIndex(
         docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
-      DedupOps.writeSignatureIndex(base, indexPath)
+      DedupOps.writeSignatureIndex(base, indexPath, nParts = TestIndexParts)
       val batchSigs = DedupOps.signatureIndex(
         docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
       DedupOps.dedupDeltaBatchPruned(
-          docs.where(isBatch).select("doc_id"), batchSigs, indexPath, JaccardThreshold)
+          docs.where(isBatch).select("doc_id"), batchSigs, indexPath,
+          JaccardThreshold, nParts = TestIndexParts)
         .orderBy("doc_id")
     }
     val oracle = Some(
@@ -1533,18 +1541,22 @@ object DedupQueries {
       def part(m: Int) = docs.where(col("doc_id") % 3 === m)
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index_evo")
       DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
-        part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+        part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath,
+        nParts = TestIndexParts)
       val b1 = DedupOps.signatureIndex(
         part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
       val kept1 = DedupOps.dedupDeltaBatchPruned(
-          part(1).select("doc_id"), b1, indexPath, JaccardThreshold)
+          part(1).select("doc_id"), b1, indexPath, JaccardThreshold,
+          nParts = TestIndexParts)
         .where(col("verdict") === "keep").select("doc_id")
       DedupOps.writeSignatureIndex(
-        b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath, mode = "append")
+        b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath, mode = "append",
+        nParts = TestIndexParts)
       val b2 = DedupOps.signatureIndex(
         part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
       DedupOps.dedupDeltaBatchPruned(
-          part(2).select("doc_id"), b2, indexPath, JaccardThreshold)
+          part(2).select("doc_id"), b2, indexPath, JaccardThreshold,
+          nParts = TestIndexParts)
         .orderBy("doc_id")
     }
     val oracle = Some(
