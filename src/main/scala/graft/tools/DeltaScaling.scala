@@ -1,0 +1,161 @@
+package graft.tools
+
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.DedupOps
+import graft.queries.DedupQueries.{ShingleK, NumPerms, NumBands, RowsPerBand, JaccardThreshold}
+
+/** Measured evidence for the delta-dedup scale claim (r12 verdict item 3):
+  * with the partitioned signature index, the per-batch PAYLOAD fetch is
+  * batch-proportional, not corpus-proportional — the piece that makes
+  * "dedup a daily batch against 100 TB already ingested" affordable.
+  *
+  * Protocol: replicate the sf0.1 documents corpus 1×/4×/16× with shifted
+  * ids and per-replica word salting (every word gets a replica suffix, so
+  * replicas are NOT near-dups of each other and the banded collision
+  * structure per replica matches the base corpus). A FIXED 10-doc batch
+  * (replica-0 salt, fresh ids — each batch doc exact-dups its replica-0
+  * original, so the collided set is batch-sized at every corpus size) is
+  * delta-deduped against each corpus twice:
+  *
+  *  - FLAT: [[DedupOps.dedupDeltaBatch]] over the single-table index —
+  *    the pre-r13 shape; every probe re-reads the full index including
+  *    the wide `hs` payloads.
+  *  - PRUNED: [[DedupOps.dedupDeltaBatchPruned]] over the partitioned
+  *    two-table layout; the payload fetch is pruned to collided docs.
+  *
+  * Measured per (corpus, mode): verdict-identical results, min-of-3
+  * cache-cleared probe seconds, and bytes READ by the probe
+  * (/proc/self/io rchar — see the in-code note; the index is written
+  * once per corpus, outside the measured region). The expected shape:
+  * flat bytes grow ∝ corpus (the probe re-reads the whole index,
+  * payloads included); pruned bytes are the narrow bands table's touched
+  * shards — fraction ≈ 1-(1-1/nParts)^|batch keys|, emitted alongside —
+  * plus a batch-sized payload tail, so growth comes only from the bands
+  * arm and shrinks further as nParts scales with the corpus.
+  *
+  * Usage: runMain graft.tools.DeltaScaling [outJson] — writes one JSON
+  * line per (corpus, mode) plus a summary to outJson (default
+  * delta_probe_scaling.json).
+  */
+object DeltaScaling {
+  private val IdStride = 100000000L
+  private val BatchIdBase = 9000000000L
+  private val NParts = 256
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("delta_probe_scaling.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config(graft.Sessions.defaults)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Spark 4's local-file parquet path bypasses both task inputMetrics
+    // and Hadoop FileSystem statistics (verified here: a full multi-MB
+    // scan reports ~0 on both), so I/O is measured at the PROCESS level:
+    // /proc/self/io rchar aggregates every read syscall of the single
+    // local-mode JVM. It includes incidental reads (shuffle locals, the
+    // docs parquet behind a cache refill), which are batch-sized
+    // constants identical across modes — the corpus-growth comparison is
+    // unaffected.
+    def rchar(): Long = {
+      val io = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/io")), "UTF-8")
+      io.linesIterator.find(_.startsWith("rchar:"))
+        .map(_.split(" ")(1).trim.toLong).getOrElse(0L)
+    }
+    def measured[A](f: => A): (A, Long, Double) = {
+      val b0 = rchar()
+      val t0 = System.nanoTime(); val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      (r, rchar() - b0, sec)
+    }
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    def replica(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i * IdStride)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "$1§" + i).as("text"))
+
+    // fixed batch: 10 replica-0-salted docs under fresh ids — collides
+    // with exactly its 10 replica-0 originals at every corpus size
+    val batch = base.orderBy("doc_id").limit(10).select(
+      (col("doc_id") + lit(BatchIdBase)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "$1§0").as("text"))
+    val batchSigs = DedupOps.signatureIndex(
+      batch, ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    val nBatchKeys = batchSigs.select(explode(col("bands"))).distinct().count()
+    val expectedShardFrac = 1.0 - math.pow(1.0 - 1.0 / NParts, nBatchKeys.toDouble)
+
+    val out = new StringBuilder
+    out.append("{\n  \"batch_docs\": 10, \"batch_band_keys\": " + nBatchKeys +
+      f", \"n_parts\": $NParts, \"expected_shard_frac\": $expectedShardFrac%.3f,\n")
+    out.append("  \"runs\": [\n")
+    val rows = for (replicas <- Seq(1, 4, 16)) yield {
+      val corpus = (0 until replicas).map(replica).reduce(_ unionByName _)
+      val sigs = DedupOps.signatureIndex(
+        corpus, ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+      val nDocs = sigs.count()
+      val root = graft.ops.Staging.dir(
+        "/tmp/graft_delta_scaling", "/root/testdata/sf0.1", s"x$replicas")
+      // written once per corpus, OUTSIDE the measured probes
+      sigs.write.mode("overwrite").parquet(s"$root/flat")
+      DedupOps.writeSignatureIndex(sigs, s"$root/part", nParts = NParts)
+      sigs.unpersist()
+      val flatBytes = dirBytes(s"$root/flat")
+      val partBytes = dirBytes(s"$root/part")
+      val bandsBytes = dirBytes(s"$root/part/bands")
+
+      def probeFlat(): Array[org.apache.spark.sql.Row] = {
+        val idx = spark.read.parquet(s"$root/flat")
+        DedupOps.dedupDeltaBatch(batch.select("doc_id"), batchSigs, idx,
+          JaccardThreshold).orderBy("doc_id").collect()
+      }
+      def probePruned(): Array[org.apache.spark.sql.Row] = {
+        DedupOps.dedupDeltaBatchPruned(batch.select("doc_id"), batchSigs,
+          s"$root/part", JaccardThreshold, nParts = NParts)
+          .orderBy("doc_id").collect()
+      }
+      def best(f: () => Array[org.apache.spark.sql.Row]) = {
+        // cache is CLEARED before every rep: the pruned path persists its
+        // collided-bands frame, and Spark's CacheManager matches by
+        // canonicalized plan — without the clear, reps 2-3 would silently
+        // reuse rep 1's cache and report cache-warm bytes (observed:
+        // 3 MB instead of the true ~21 MB at 16×). batchSigs is then
+        // re-materialized OUTSIDE the measured region so the docs-parquet
+        // read behind it stays excluded from every rep.
+        val reps = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          batchSigs.persist().count()
+          measured(f())
+        }
+        (reps.head._1, reps.map(_._2).min, reps.map(_._3).min)
+      }
+      val (flatRes, fB, fS) = best(() => probeFlat())
+      val (prunedRes, pB, pS) = best(() => probePruned())
+      require(flatRes.map(_.toString).toSeq == prunedRes.map(_.toString).toSeq,
+        s"verdict mismatch at x$replicas")
+      val drops = flatRes.count(_.getString(1) == "drop")
+      println(f"[scaling] x$replicas%-3d docs=$nDocs%7d flat ${fS}%.2fs ${fB / 1e6}%8.1fMB | " +
+        f"pruned ${pS}%.2fs ${pB / 1e6}%8.1fMB | drops=$drops")
+      f"""    {"replicas": $replicas, "corpus_docs": $nDocs, "index_flat_mb": ${flatBytes / 1e6}%.1f, "index_part_mb": ${partBytes / 1e6}%.1f, "index_bands_mb": ${bandsBytes / 1e6}%.1f, "flat_probe_sec": $fS%.3f, "flat_probe_read_mb": ${fB / 1e6}%.2f, "pruned_probe_sec": $pS%.3f, "pruned_probe_read_mb": ${pB / 1e6}%.2f, "batch_drops": $drops}"""
+    }
+    out.append(rows.mkString(",\n")).append("\n  ]\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      out.toString.getBytes("UTF-8"))
+    println(s"[scaling] wrote $outPath")
+    spark.stop()
+  }
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+}
