@@ -115,6 +115,55 @@ object StreamingOps {
     kept
   }
 
+  /** Streaming VERIFIED near-dup dedup via foreachBatch against the
+    * partitioned signature index — the streaming twin of the
+    * dedup_delta_batch2 protocol, and the full-fidelity sibling of
+    * [[nearDupDedupBatch]]: band collisions are candidates only, and every
+    * verdict is confirmed by exact Jaccard over STORED shingle sets
+    * ([[graft.ops.DedupOps.dedupDeltaBatchPruned]]), so recall/precision
+    * match the batch pipeline instead of trading refinement away.
+    *
+    * Per micro-batch: (1) signatures for the batch only; (2) first batch
+    * bootstraps the index, later batches probe it with shard-pruned
+    * band-key equi-joins; (3) verdicts per doc (drop iff it near-dups an
+    * indexed doc or a smaller-id doc of the same batch); (4) KEPT docs'
+    * signatures are appended to the index so dropped near-dups never
+    * poison future batches. State lives in the lake (parquet, joinable,
+    * compactable, restart-safe), never in executor memory — the only
+    * shape that survives a 100 TB corpus. Returns the batch's verdict
+    * rows (doc_id, verdict, matched_id, matched_jac_e4, matched_in).
+    *
+    * Wire into `docs.writeStream.foreachBatch { (b, _) =>
+    * deltaDedupVerifiedBatch(b, indexPath, 0.7) … }`; `batch` needs
+    * `doc_id` (long) and `text` (string). */
+  def deltaDedupVerifiedBatch(batch: DataFrame, indexPath: String, minJac: Double,
+                              shingleK: Int = 3, nPerm: Int = 64,
+                              nBands: Int = 16, nParts: Int = 8): DataFrame = {
+    import graft.ops.DedupOps
+    val spark = batch.sparkSession
+    val sigs = DedupOps.signatureIndex(
+      batch, shingleK, nPerm, nBands, nPerm / nBands).persist()
+    // explicit existence probe, NOT try/catch on the read (see
+    // nearDupDedupBatch): a corrupted store must fail loudly, not be
+    // mistaken for a first batch and silently re-admit duplicates
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    val verdicts = (if (storeExists)
+      DedupOps.dedupDeltaBatchPruned(
+        batch.select("doc_id"), sigs, indexPath, minJac, nParts)
+    else // bootstrap: within-batch arm only, against an empty index
+      DedupOps.dedupDeltaBatch(
+        batch.select("doc_id"), sigs, sigs.where(lit(false)), minJac)
+    ).persist()
+    verdicts.count() // settle verdicts BEFORE the index mutates below
+    val kept = verdicts.where(col("verdict") === "keep").select("doc_id")
+    DedupOps.writeSignatureIndex(sigs.join(kept, Seq("doc_id"), "left_semi"),
+      indexPath, mode = if (storeExists) "append" else "overwrite", nParts = nParts)
+    sigs.unpersist()
+    verdicts
+  }
+
   /** Streaming snapshot maintenance via foreachBatch: fold each micro-batch
     * of (key, version, …) rows into a hive-partitioned lake snapshot with
     * [[graft.ops.Sinks.mergeUpsert]] — the incremental twin of the batch
@@ -597,6 +646,7 @@ object StreamingOps {
     "zoneActivityStream" -> "inline batch window x zone conditional counts",
     "dedupStream" -> "inline batch distinct on the dedup keys",
     "nearDupDedupBatch" -> "driver replay of the two-batch LSH band-store fold",
+    "deltaDedupVerifiedBatch" -> "flat-index batch replay of the bootstrap/probe/append protocol",
     "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
     "streamIntervalJoin" -> "inline batch join with the same interval predicate",
     "sessionWindowCounts" -> "q_session_window_sql",

@@ -79,6 +79,7 @@ class StreamingParitySpec extends SparkSpec {
     "zoneActivityStream" -> (() => zoneActivityParity()),
     "dedupStream" -> (() => dedupStreamParity()),
     "nearDupDedupBatch" -> (() => nearDupParity()),
+    "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
     "sessionWindowCounts" -> (() => sessionWindowParity()),
@@ -190,6 +191,42 @@ class StreamingParitySpec extends SparkSpec {
     assert(kept1 == w1 && kept2 == w2)
     assert((w1 ++ w2).nonEmpty && (w1 ++ w2).size < docs.length,
       "fixture produced no near-dups — parity vacuous")
+  }
+
+  private def deltaDedupVerifiedParity(): Unit = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("p_deltadedup").toString + "/index"
+    val jac = 0.7
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))
+    val v1 = deltaDedupVerifiedBatch(d1.toSeq.toDF("doc_id", "text"), indexPath, jac)
+      .collect().map(row).toSet
+    val v2 = deltaDedupVerifiedBatch(d2.toSeq.toDF("doc_id", "text"), indexPath, jac)
+      .collect().map(row).toSet
+    // flat-index batch replay: same protocol through dedupDeltaBatch over
+    // IN-MEMORY frames — exercises pruned-vs-flat, the on-disk index
+    // round-trip, and the append step in one equality
+    def sig(xs: Seq[(Long, String)]) = DedupOps.signatureIndex(
+      xs.toDF("doc_id", "text"), 3, 64, 16, 4)
+    val s1 = sig(d1.toSeq).persist()
+    val w1 = DedupOps.dedupDeltaBatch(
+      d1.map(_._1).toSeq.toDF("doc_id"), s1, s1.where(lit(false)), jac)
+      .collect().map(row).toSet
+    val kept1 = w1.collect { case (id, "keep", _, _, _) => id }.toSeq
+    val idx = s1.join(kept1.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val w2 = DedupOps.dedupDeltaBatch(
+      d2.map(_._1).toSeq.toDF("doc_id"), sig(d2.toSeq), idx, jac)
+      .collect().map(row).toSet
+    s1.unpersist()
+    assert(v1 == w1, "batch-1 (bootstrap) verdicts diverge from flat replay")
+    assert(v2 == w2, "batch-2 (probe) verdicts diverge from flat replay")
+    assert(v2.exists(_._5 == "corpus"),
+      "fixture produced no cross-batch near-dup — parity vacuous")
+    assert((v1 ++ v2).exists(_._2 == "keep"), "everything dropped — fixture degenerate")
   }
 
   private def snapshotParity(): Unit = {
