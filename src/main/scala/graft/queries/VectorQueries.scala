@@ -459,11 +459,154 @@ object VectorQueries {
        |       END AS BIGINT) AS recall_e4,
        |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin
 
+  /** Salts pooled by [[qEmbeddingLshRecallSampled]] — the same three
+    * disjoint draws [[graft.tools.SampledGateVariance]] measured
+    * (single-salt recall_e4 spread was [5271, 6083] at sf0.1: ±4 pp from
+    * ~40-pair truth sets). Pooling triples the truth set at the SAME scan
+    * cost — the corpus-side pass is one broadcast join against the union
+    * sample — and surfaces the per-salt spread in-query instead of in a
+    * side tool. */
+  val RecallSampleSalts = Seq("rcl", "rclB", "rclC")
+
+  /** Pooled multi-salt variant of [[embeddingLshRecallSampledFor]]: one
+    * (vec, salt) sample row per hash-threshold draw, ONE corpus-streaming
+    * broadcast truth join against the union sample, per-salt recalls via
+    * a salt-tagged truth/hit split, and a single audit row reporting the
+    * pooled estimate plus the min/max per-salt recall (the in-query
+    * variance band). A pair sampled under two salts counts once per salt
+    * — the pooled figure is the truth-set-weighted mean of the per-salt
+    * estimators, mirrored exactly by the oracle.
+    *
+    * Local-scale honesty: at sf0.1 this runs ~3.2 s vs the full gate's
+    * ~2.2 s — n² exact truth is only 12.5M codegen dots there, so the
+    * sampled machinery (sample build, broadcast truth, candidate
+    * restriction) can't win locally. The crossover is where n² truth
+    * stops being runnable (≳10⁶ vectors); this twin's cost is
+    * O(|salts|·Target·n) dots with bounded broadcasts at any n. */
+  private[graft] def embeddingLshRecallSampledPooled(
+      spark: SparkSession, dir: String, salts: Seq[String]): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
+      .persist()
+    val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+    val sample = emb
+      .crossJoin(broadcast(nVecs))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("n_vecs"),
+        explode(array(salts.map(lit): _*)).as("salt"))
+      .withColumn("h_ppm", graft.ops.HashOps.hash60(
+        concat(col("salt"), lit(":"), col("vec_id").cast("string"))) % 1000000L)
+      .where(col("h_ppm") < least(lit(1000000L),
+        expr(s"$RecallSampleTarget * 1000000 div n_vecs + 1")))
+      .select(col("salt"), col("vec_id").as("s_id"),
+        col("embedding").as("s_vec"), col("nrm").as("s_nrm"))
+      .persist()
+    val truth = emb.select(col("vec_id").as("o_id"), col("embedding").as("o_vec"),
+        col("nrm").as("o_nrm"))
+      .join(broadcast(sample), col("s_id") =!= col("o_id"))
+      .withColumn("cosine_sim",
+        VectorOps.dot(col("s_vec"), col("o_vec"), Dim) / (col("s_nrm") * col("o_nrm")))
+      .where(col("cosine_sim") >= NearDupCos)
+      .select(col("salt"), least(col("s_id"), col("o_id")).as("id_l"),
+        greatest(col("s_id"), col("o_id")).as("id_r"),
+        round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+      .distinct() // both-sampled pairs (same salt) arrive once per direction
+    val sids = sample.select(col("s_id")).distinct()
+    val keys = lshBandedKeys(spark, dir)
+    val lsh = keys.select(col("vec_id").as("id_l"), col("bkey"))
+      .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+      // two broadcast-HASH left probes against the BOUNDED union sample +
+      // null filter — one map-side pass, no shuffle (see the single-salt
+      // twin for the measured rationale)
+      .join(broadcast(sids.select(col("s_id").as("sid_l"))),
+        col("id_l") === col("sid_l"), "left")
+      .join(broadcast(sids.select(col("s_id").as("sid_r"))),
+        col("id_r") === col("sid_r"), "left")
+      .where(col("sid_l").isNotNull || col("sid_r").isNotNull)
+      .select("id_l", "id_r")
+      // persisted: feeds the tagged join and the n_lsh audit count —
+      // without it the banded self-join runs twice. Sample-restricted, so
+      // the cached set is sample-proportional (~|S| × bucket-mates),
+      // never corpus-pairs-sized.
+      .persist()
+    // ONE pass computes hit/missed/worst-miss/per-salt: tag each truth
+    // pair with banded membership (lsh pairs are distinct, so the left
+    // join cannot multiply rows), aggregate per salt, then fold the ≤
+    // |salts| rows. The earlier shape — separate semi/anti frames and six
+    // crossJoined aggregates — re-walked the cached inputs nine times and
+    // its fixed overhead alone exceeded the whole truth-join cost.
+    val tagged = truth
+      .join(lsh.withColumn("__hit", lit(1L)), Seq("id_l", "id_r"), "left")
+      .select(col("salt"), col("cos_e6"),
+        coalesce(col("__hit"), lit(0L)).as("hit"))
+    val perSalt = tagged.groupBy("salt").agg(
+      count(lit(1)).as("t"), sum(col("hit")).as("h"),
+      max(when(col("hit") === 0L, col("cos_e6"))).as("wm"))
+    val totals = perSalt.agg(
+      coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+      coalesce(sum(col("h")), lit(0L)).as("n_hit"),
+      coalesce(sum(col("t") - col("h")), lit(0L)).as("n_missed"),
+      coalesce(max(col("wm")), lit(-1L)).as("worst_miss_cos_e6"),
+      coalesce(min(expr("h * 10000 div t")), lit(-1L)).as("recall_min_e4"),
+      coalesce(max(expr("h * 10000 div t")), lit(-1L)).as("recall_max_e4"))
+    sample.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(totals)
+      .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
+        col("n_missed"),
+        expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
+          .as("recall_e4"),
+        col("recall_min_e4"), col("recall_max_e4"),
+        col("worst_miss_cos_e6"))
+  }
+
   val qEmbeddingLshRecallSampled: Q = new Q {
     val name = "q_embedding_lsh_recall_sampled"
     def run(spark: SparkSession, dir: String): DataFrame =
-      embeddingLshRecallSampledFor(spark, dir, RecallSampleSalt)
-    val oracle = Some(embeddingLshRecallSampledOracle(RecallSampleSalt))
+      embeddingLshRecallSampledPooled(spark, dir, RecallSampleSalts)
+    val oracle = Some {
+      val saltsSql = RecallSampleSalts.map(s => s"('$s')").mkString(", ")
+      s"""WITH $SqlLshBandCtes,
+         |n AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |salts(salt) AS (VALUES $saltsSql),
+         |smp AS (
+         |  SELECT s.salt, e.vec_id FROM embeddings e CROSS JOIN n CROSS JOIN salts s
+         |  WHERE ${graft.ops.HashOps.sqlHash60("s.salt || ':' || CAST(e.vec_id AS VARCHAR)")} % 1000000
+         |        < least(1000000, $RecallSampleTarget * 1000000 // n_vecs + 1)),
+         |sids AS (SELECT DISTINCT vec_id FROM smp),
+         |lshr AS (
+         |  SELECT id_l, id_r FROM lsh_cand
+         |  WHERE id_l IN (SELECT vec_id FROM sids)
+         |     OR id_r IN (SELECT vec_id FROM sids)),
+         |e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+         |truth AS (
+         |  SELECT DISTINCT sm.salt,
+         |    least(a.vec_id, b.vec_id) AS id_l, greatest(a.vec_id, b.vec_id) AS id_r,
+         |    CAST(round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000)
+         |      AS BIGINT) AS cos_e6
+         |  FROM smp sm JOIN e a ON a.vec_id = sm.vec_id
+         |  JOIN e b ON b.vec_id <> sm.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $NearDupCos),
+         |hit AS (SELECT t.* FROM truth t SEMI JOIN lshr USING (id_l, id_r)),
+         |mis AS (SELECT t.* FROM truth t ANTI JOIN lshr USING (id_l, id_r)),
+         |pr AS (
+         |  SELECT p.salt, coalesce(h.h, 0) * 10000 // p.t AS r
+         |  FROM (SELECT salt, count(*) AS t FROM truth GROUP BY salt) p
+         |  LEFT JOIN (SELECT salt, count(*) AS h FROM hit GROUP BY salt) h USING (salt))
+         |SELECT
+         |  (SELECT count(*) FROM smp) AS n_sampled,
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM lshr) AS n_lsh,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  (SELECT count(*) FROM mis) AS n_missed,
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+         |       ELSE (SELECT count(*) FROM hit) * 10000 // (SELECT count(*) FROM truth)
+         |       END AS BIGINT) AS recall_e4,
+         |  CAST(coalesce((SELECT min(r) FROM pr), -1) AS BIGINT) AS recall_min_e4,
+         |  CAST(coalesce((SELECT max(r) FROM pr), -1) AS BIGINT) AS recall_max_e4,
+         |  CAST(coalesce((SELECT max(cos_e6) FROM mis), -1) AS BIGINT) AS worst_miss_cos_e6""".stripMargin
+    }
   }
 
   /** Embedding near-dup CLUSTERS: connected components over the verified
