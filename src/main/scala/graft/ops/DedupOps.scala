@@ -227,6 +227,65 @@ object DedupOps {
     } finally ix.unpersist()
   }
 
+  /** Removes documents from a persisted [[writeSignatureIndex]] layout —
+    * the right-to-be-forgotten / retraction path of the incremental-dedup
+    * story: after removal, no future batch can match a forgotten doc, so
+    * a near-dup of only-forgotten content is admitted again.
+    *
+    * Only AFFECTED SHARDS are touched, in both tables:
+    *  1. the forgotten ids' `doc_pt` shards are known from the ids alone
+    *     (pure pmod — no scan); those sigs shards are read, the forgotten
+    *     payloads are captured, and their band keys are RECOMPUTED from
+    *     the stored `hs` (signature/bands are deterministic functions of
+    *     it — the reason the payload table can stay slim);
+    *  2. those band keys' `band_pt` shards are the only bands shards
+    *     containing forgotten rows; both shard sets are rewritten as
+    *     filtered anti-joins.
+    * Cost ∝ shards hit by the forget set, never index size, for forget
+    * sets small against nParts.
+    *
+    * Shard rewrite = FS-delete the affected partition dirs, then append
+    * the filtered rows back (dynamic partition overwrite cannot express
+    * "this shard is now empty"). The two steps are not atomic — a
+    * production deployment wraps them in a transactional table format's
+    * replace; the shape (prune → filter → rewrite only affected shards)
+    * is the part that carries to 100 TB. */
+  def removeFromSignatureIndex(removeIds: DataFrame, indexPath: String,
+                               nPerm: Int, nBands: Int, rowsPerBand: Int,
+                               nParts: Int = IndexParts): Unit = {
+    val spark = removeIds.sparkSession
+    val ids = removeIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().persist()
+    val dpts = ids.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (dpts.isEmpty) { ids.unpersist(); return }
+    val sigShards = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+      .where(col("doc_pt").isin(dpts: _*)).persist()
+    sigShards.count() // settle BEFORE the dirs below are deleted
+    val removedBandPts = sigShards
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(explode(lshBandKeys(
+        minhashSignature(col("hs"), nPerm), nBands, rowsPerBand)).as("bk"))
+      .select(pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val bandShards = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
+      .where(col("band_pt").isin(removedBandPts: _*)).persist()
+    bandShards.count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def rewrite(table: String, kept: DataFrame, ptCol: String, pts: Seq[Int]): Unit = {
+      pts.foreach(pt => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$indexPath/$table/$ptCol=$pt"), true): Unit)
+      kept.repartition(math.min(nParts, pts.size.max(1)), col(ptCol))
+        .write.mode("append").partitionBy(ptCol).parquet(s"$indexPath/$table")
+    }
+    rewrite("sigs", sigShards.join(ids, Seq("doc_id"), "left_anti"), "doc_pt", dpts)
+    if (removedBandPts.nonEmpty)
+      rewrite("bands", bandShards.join(ids, Seq("doc_id"), "left_anti"),
+        "band_pt", removedBandPts)
+    sigShards.unpersist(); bandShards.unpersist(); ids.unpersist(): Unit
+  }
+
   /** [[dedupDeltaBatch]] against a PARTITIONED on-disk index
     * ([[writeSignatureIndex]] layout) with the index scan PRUNED to what
     * the batch can possibly collide with — the piece that makes the

@@ -1591,11 +1591,68 @@ object DedupQueries {
          |WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin)
   }
 
+  /** Right-to-be-forgotten in the incremental-dedup protocol: bootstrap
+    * the partitioned index from the corpus, REMOVE a forget set from it
+    * ([[graft.ops.DedupOps.removeFromSignatureIndex]] — affected shards
+    * only, band keys recomputed from the stored shingle sets), then
+    * delta-dedup the batch against the shrunken index. A batch doc whose
+    * only qualifying partner was forgotten must now KEEP (or report its
+    * next-smallest surviving partner) — the oracle recomputes verdicts
+    * from the full pair set with forgotten corpus partners excluded, so
+    * an incomplete removal (a stale sigs payload OR a stale bands row)
+    * hash-fails the round.
+    *
+    * Protocol: batch = doc_id % 5 == 0 (as dedup_delta_batch), corpus =
+    * the rest, forget = corpus docs with doc_id % 7 == 1. */
+  val dedupDeltaForget: Q = new Q {
+    val name = "dedup_delta_forget"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val isBatch = col("doc_id") % 5 === 0
+      val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index_forget")
+      DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+        docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+        indexPath, nParts = TestIndexParts)
+      DedupOps.removeFromSignatureIndex(
+        docs.where(!isBatch && col("doc_id") % 7 === 1).select("doc_id"),
+        indexPath, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
+      val batchSigs = DedupOps.signatureIndex(
+        docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
+      DedupOps.dedupDeltaBatchPruned(
+          docs.where(isBatch).select("doc_id"), batchSigs, indexPath,
+          JaccardThreshold, nParts = TestIndexParts)
+        .orderBy("doc_id")
+    }
+    val oracle = Some(
+      s"""WITH $SqlMinhashPairCtes,
+         |matches AS (
+         |  SELECT id_r AS d, id_l AS p, jac FROM j
+         |  WHERE jac >= $JaccardThreshold AND id_r % 5 = 0
+         |    AND NOT (id_l % 5 <> 0 AND id_l % 7 = 1)
+         |  UNION ALL
+         |  SELECT id_l, id_r, jac FROM j
+         |  WHERE jac >= $JaccardThreshold AND id_l % 5 = 0 AND id_r % 5 <> 0
+         |    AND id_r % 7 <> 1),
+         |best AS (SELECT d, min(p) AS matched_id FROM matches GROUP BY d),
+         |bj AS (
+         |  SELECT b.d, b.matched_id, m.jac FROM best b
+         |  JOIN matches m ON m.d = b.d AND m.p = b.matched_id)
+         |SELECT doc_id,
+         |  CASE WHEN bj.matched_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+         |  CAST(coalesce(bj.matched_id, -1) AS BIGINT) AS matched_id,
+         |  CAST(coalesce(round(bj.jac * 10000), -1) AS BIGINT) AS matched_jac_e4,
+         |  CASE WHEN bj.matched_id IS NULL THEN 'none'
+         |       WHEN bj.matched_id % 5 = 0 THEN 'batch' ELSE 'corpus' END AS matched_in
+         |FROM documents LEFT JOIN bj ON documents.doc_id = bj.d
+         |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
-    dedupDeltaBatch2)
+    dedupDeltaBatch2, dedupDeltaForget)
 }

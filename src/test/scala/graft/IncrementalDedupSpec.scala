@@ -145,6 +145,41 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaPruned.values.exists(_._1 == "drop"), "no dropped doc in fixture")
   }
 
+  test("forget: removal rewrites only affected shards and verdicts match a corpus-minus-forgotten recompute") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    val forgetPred = !isBatch && col("doc_id") % 7 === 1
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "forget")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+    DedupOps.removeFromSignatureIndex(docs.where(forgetPred).select("doc_id"),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    // the index must contain EXACTLY the surviving corpus: no stale
+    // payloads, no stale band rows, and nothing else removed
+    val survivors = docs.where(!isBatch && !(col("doc_id") % 7 === 1))
+    val sigsLeft = spark.read.parquet(s"$indexPath/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigsLeft == collectSigs(survivors).keySet)
+    val bandsLeft = spark.read.parquet(s"$indexPath/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandsLeft == sigsLeft)
+    // verdicts against the shrunken index == driver recompute over the
+    // surviving corpus, and ≠ the unforgotten verdicts (non-vacuous)
+    val bs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val got = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      docs.where(isBatch).select("doc_id"), bs, indexPath, JaccardThreshold))
+    val batchIds = docs.where(isBatch).collect().map(_.getLong(0)).toSeq
+    val want = expectedVerdicts(batchIds, collectSigs(docs.where(isBatch)),
+      collectSigs(survivors))
+    assert(got == want)
+    val unforgotten = expectedVerdicts(batchIds, collectSigs(docs.where(isBatch)),
+      collectSigs(docs.where(!isBatch)))
+    assert(got != unforgotten,
+      "forget set removed no effective partner — fixture makes the test vacuous")
+  }
+
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {
     val plan = DedupQueries.dedupDeltaBatch.run(spark, dir)
       .queryExecution.executedPlan.toString
