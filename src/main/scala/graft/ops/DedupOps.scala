@@ -286,6 +286,45 @@ object DedupOps {
     sigShards.unpersist(); bandShards.unpersist(); ids.unpersist(): Unit
   }
 
+  /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
+    * ([[dedupDeltaBatch]] evolution, [[removeFromSignatureIndex]]
+    * rewrites) adds batch-sized files to shard directories, and probe
+    * cost degrades with per-shard file count. Only shards holding at
+    * least `minFiles` files are rewritten (read → one file per shard);
+    * cost ∝ compacted shards' data, never index size, when appends are
+    * localized. Content-preserving by construction — the spec pins row
+    * equality and post-state file counts.
+    *
+    * Same non-atomicity caveat as [[removeFromSignatureIndex]]: the
+    * delete + append-back pair is transactional only under a table
+    * format; the prune-and-rewrite SHAPE is the 100 TB-relevant part. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, minFiles: Int = 2): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    for ((table, schema, ptCol) <- Seq(
+        ("bands", bandsSchema, "band_pt"), ("sigs", sigsSchema, "doc_pt"))) {
+      val tablePath = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+      if (fs.exists(tablePath)) {
+        val crowded = fs.listStatus(tablePath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$ptCol="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles)
+          .map(_.getPath.getName.stripPrefix(s"$ptCol=").toInt)
+        if (crowded.nonEmpty) {
+          val rows = spark.read.schema(schema).parquet(s"$indexPath/$table")
+            .where(col(ptCol).isin(crowded: _*)).persist()
+          rows.count() // settle BEFORE the dirs below are deleted
+          crowded.foreach(pt => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$indexPath/$table/$ptCol=$pt"), true): Unit)
+          rows.repartition(crowded.size, col(ptCol))
+            .write.mode("append").partitionBy(ptCol).parquet(s"$indexPath/$table")
+          rows.unpersist(): Unit
+        }
+      }
+    }
+  }
+
   /** [[dedupDeltaBatch]] against a PARTITIONED on-disk index
     * ([[writeSignatureIndex]] layout) with the index scan PRUNED to what
     * the batch can possibly collide with — the piece that makes the

@@ -180,6 +180,38 @@ class IncrementalDedupSpec extends SparkSpec {
       "forget set removed no effective partner — fixture makes the test vacuous")
   }
 
+  test("compact: crowded shards collapse to one file each; content and verdicts unchanged") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "compact")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      part(1), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath, mode = "append")
+    def snapshot(table: String) = spark.read.parquet(s"$indexPath/$table")
+      .collect().map(_.toString).sorted.toSeq
+    def maxFilesPerShard(table: String) = {
+      val root = new java.io.File(s"$indexPath/$table")
+      root.listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    val (sigsBefore, bandsBefore) = (snapshot("sigs"), snapshot("bands"))
+    assert(maxFilesPerShard("sigs") >= 2, "append produced no crowded shard — vacuous")
+    DedupOps.compactSignatureIndex(spark, indexPath)
+    assert(maxFilesPerShard("sigs") == 1 && maxFilesPerShard("bands") == 1)
+    assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore)
+    // probes against the compacted index are verdict-identical
+    val bs = DedupOps.signatureIndex(
+      part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val got = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      part(2).select("doc_id"), bs, indexPath, JaccardThreshold))
+    val want = expectedVerdicts(
+      part(2).select("doc_id").collect().map(_.getLong(0)).toSeq,
+      collectSigs(part(2)), collectSigs(docs.where(col("doc_id") % 3 =!= 2)))
+    assert(got == want)
+  }
+
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {
     val plan = DedupQueries.dedupDeltaBatch.run(spark, dir)
       .queryExecution.executedPlan.toString
