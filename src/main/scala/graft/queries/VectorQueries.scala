@@ -928,6 +928,105 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** Incremental ANN over a PERSISTED, cell-partitioned IVF index — the
+    * vector-search mirror of the delta-dedup protocol (same layout idea
+    * as [[graft.ops.DedupOps.writeSignatureIndex]]): "search new arrivals
+    * against an already-indexed corpus without scanning it".
+    *
+    * Protocol (corpus = vec_id % 5 != 0, batch = the rest, capped):
+    *  1. BOOTSTRAP (once per corpus, amortized over every future batch):
+    *     corpus vectors are assigned to their nearest centroid and the
+    *     postings are written as parquet PARTITIONED BY centroid_id —
+    *     one directory per inverted list (≤32 cells here; thousands at
+    *     100 TB, sized so a cell ≈ a row group).
+    *  2. PROBE (per batch): each query ranks the broadcast centroid set,
+    *     takes its NProbe nearest cells, and the probed cell ids — a
+    *     driver-side set bounded by |batch|·NProbe, never data-sized —
+    *     become a `centroid_id IN (...)` partition filter on the postings
+    *     scan: only probed cells' FILES are opened (PlanSpec pins the
+    *     filter). Exact cosine + per-query top-k over the probed lists.
+    *
+    * Scale shape: per-batch I/O = (nprobe/nlist) of the corpus at file
+    * granularity, queries broadcast, no corpus shuffle. Batch ids are
+    * disjoint from corpus ids, so no self-match guard is needed. */
+  val annDeltaTopk: Q = new Q {
+    val name = "ann_delta_topk"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val emb = Tables.embeddings(spark, dir)
+      val isBatch = col("vec_id") % 5 === 0
+      val corpus = emb.where(!isBatch)
+      val cents = corpus
+        .where(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val postingsPath = graft.ops.Staging.dir("/tmp/graft_ann_index", dir, "ivf_postings")
+      val wA = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("embedding"), col("c_vec"), Dim))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("c_id").as("centroid_id"), col("vec_id"), col("embedding"))
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(postingsPath)
+      val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+      val probes = emb.where(isBatch && col("vec_id") < QueryCap)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("q_vec"), col("c_vec"), Dim))
+        .withColumn("rn", row_number().over(wQ)).where(col("rn") <= NProbe)
+        .select(col("q_id"), col("q_vec"), col("c_id").as("centroid_id"))
+        .persist()
+      val cells = probes.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val postings = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT"))
+        .parquet(postingsPath)
+        .where(col("centroid_id").isin(cells: _*))
+      val wR = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
+      postings.join(broadcast(probes), Seq("centroid_id"))
+        .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), Dim))
+        .withColumn("rank", row_number().over(wR)).where(col("rank") <= TopK)
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH cor AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM cor
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM cor e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM s) t WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id < $QueryCap),
+         |qs AS (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM q CROSS JOIN c),
+         |probes AS (
+         |  SELECT q_id, q_vec, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM qs) t WHERE rn <= $NProbe),
+         |sc AS (
+         |  SELECT q_id, a.vec_id AS c_id2,
+         |    ${sqlDot("q_vec", "a.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("a.embedding")}) AS cosine_sim
+         |  FROM assigned a JOIN probes USING (centroid_id)),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
   /** k-means cluster assignment (Lloyd's, deterministic init) on the
     * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
     * assignments by integer squared distance (ties → lowest index),
@@ -1867,7 +1966,7 @@ object VectorQueries {
     dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingLshRecallSampled,
     dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
-    ivfAssign, annIvfTopk, annIvfMpTopk, annRecallAtK, qAnnNprobeSweep,
+    ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)

@@ -359,6 +359,19 @@ class PlanSpec extends SparkSpec {
       s"non-equi join in delta-dedup plan:\n$plan")
   }
 
+  test("ann_delta_topk: postings probe prunes to the batch's probed cells; queries broadcast") {
+    val df = graft.queries.VectorQueries.annDeltaTopk.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    val cellPf = pf.filter(_.contains("centroid_id"))
+    assert(cellPf.nonEmpty && !cellPf.exists(_.replaceAll("\\s", "").contains("PartitionFilters:[]")),
+      s"postings scan lost its centroid_id partition filter:\n${pf.mkString("\n")}\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side not broadcast against the postings scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the probe path:\n$plan")
+  }
+
   test("q_item_cf: per-item top-5 keeps WindowGroupLimit; pair space never goes cartesian") {
     val plan = graft.queries.BehaviorQueries.qItemCf.run(spark, sf)
       .queryExecution.executedPlan.toString
