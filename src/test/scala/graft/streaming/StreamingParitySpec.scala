@@ -80,6 +80,7 @@ class StreamingParitySpec extends SparkSpec {
     "dedupStream" -> (() => dedupStreamParity()),
     "nearDupDedupBatch" -> (() => nearDupParity()),
     "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
+    "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
     "sessionWindowCounts" -> (() => sessionWindowParity()),
@@ -227,6 +228,49 @@ class StreamingParitySpec extends SparkSpec {
     assert(v2.exists(_._5 == "corpus"),
       "fixture produced no cross-batch near-dup — parity vacuous")
     assert((v1 ++ v2).exists(_._2 == "keep"), "everything dropped — fixture degenerate")
+  }
+
+  private def ivfSearchInsertParity(): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.VectorOps
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("p_ivfsi").toString + "/index"
+    def df(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    def hitSet(h: org.apache.spark.sql.DataFrame) = h.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val h1 = hitSet(ivfSearchInsertBatch(df(b1.toSeq), indexPath))
+    val h2 = hitSet(ivfSearchInsertBatch(df(b2.toSeq), indexPath))
+    assert(h1.isEmpty, "bootstrap batch must search an empty index")
+    // in-memory replay: centroids = stride rule over batch 1; postings
+    // after batch 1 = its rn=1 assignments; batch 2 probes its 2 nearest
+    // cells and ranks exact cosine over those cells' postings
+    val cents = b1.filter(t => t._1 % 41L == 0 && t._1 < 1312L)
+      .map(t => (t._1, t._2)).toSeq.toDF("c_id", "c_vec")
+    def ranked(xs: Seq[(Long, Seq[Float])], upTo: Int) = {
+      val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+      df(xs).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("q_vec"), col("c_vec"), 64))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= upTo)
+    }
+    val postings1 = ranked(b1.toSeq, 1)
+      .select(col("c_id").as("centroid_id"), col("q_id").as("vec_id"),
+        col("q_vec").as("embedding"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    val want2 = hitSet(ranked(b2.toSeq, 2)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("centroid_id"))
+      .join(postings1, Seq("centroid_id"))
+      .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), 64))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cosine_sim") * 1000000).cast("long").as("cos_e6")))
+    assert(h2 == want2)
+    assert(h2.nonEmpty, "fixture produced no cross-batch hits — parity vacuous")
   }
 
   private def snapshotParity(): Unit = {
