@@ -1545,10 +1545,14 @@ object DedupQueries {
         nParts = TestIndexParts)
       val b1 = DedupOps.signatureIndex(
         part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+      // eager localCheckpoint: kept1's lineage READS the index the next
+      // line appends to — a recomputation mid-append would probe a
+      // half-mutated index (see PLANS.md round-13 settle-before-mutate)
       val kept1 = DedupOps.dedupDeltaBatchPruned(
           part(1).select("doc_id"), b1, indexPath, JaccardThreshold,
           nParts = TestIndexParts)
         .where(col("verdict") === "keep").select("doc_id")
+        .localCheckpoint(true)
       DedupOps.writeSignatureIndex(
         b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath, mode = "append",
         nParts = TestIndexParts)
