@@ -1304,18 +1304,29 @@ object DedupQueries {
         col("id_r") === col("sid_r"), "left")
       .where(col("sid_l").isNotNull || col("sid_r").isNotNull)
       .select("id_l", "id_r")
-    val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-    val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+      // persisted: feeds the tagged join and the n_lsh audit count —
+      // unpersisted, the whole banded minhashPairs pipeline ran once per
+      // consumer. Sample-restricted, so the cached set is
+      // sample-proportional, never corpus-pairs-sized.
+      .persist()
+    // ONE pass computes hit/missed/worst-miss: tag each truth pair with
+    // banded membership (lsh pairs are distinct, so the left join cannot
+    // multiply rows) and fold — the separate semi/anti frames plus
+    // per-column crossJoined aggregates re-walked the inputs per column
+    // (same rework as the embedding gate).
+    val totals = truth
+      .join(lsh.withColumn("__hit", lit(1L)), Seq("id_l", "id_r"), "left")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"),
+        coalesce(max(when(col("__hit").isNull,
+          expr("CAST(inter AS BIGINT) * 10000 div uni"))), lit(-1L))
+          .as("worst_miss_jac_e4"))
     sample.agg(count(lit(1)).as("n_sampled"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .crossJoin(missed.agg(
-        count(lit(1)).as("n_missed"),
-        coalesce(max(expr("CAST(inter AS BIGINT) * 10000 div uni")),
-          lit(-1L)).as("worst_miss_jac_e4")))
+      .crossJoin(totals)
       .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
-        col("n_missed"),
+        (col("n_truth") - col("n_hit")).as("n_missed"),
         expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
           .as("recall_e4"),
         col("worst_miss_jac_e4"))
