@@ -1171,17 +1171,23 @@ object DedupQueries {
         .where(col("inter").cast("double") / col("uni") >= JaccardThreshold)
         .select("id_l", "id_r", "inter", "uni")
         .persist()
-      val lsh = minhashPairs(spark, dir).select("id_l", "id_r")
-      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
-      truth.agg(count(lit(1)).as("n_truth"))
+      // persisted: feeds the tagged join and the n_lsh audit count —
+      // unpersisted, the whole banded minhashPairs pipeline ran once per
+      // consumer (verified near-dup pairs only, far smaller than the
+      // candidate set)
+      val lsh = minhashPairs(spark, dir).select("id_l", "id_r").persist()
+      val totals = truth
+        .join(lsh.withColumn("__hit", lit(1L)), Seq("id_l", "id_r"), "left")
+        .agg(
+          count(lit(1)).as("n_truth"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"),
+          coalesce(max(when(col("__hit").isNull,
+            expr("CAST(inter AS BIGINT) * 10000 div uni"))), lit(-1L))
+            .as("worst_miss_jac_e4"))
+      totals
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(missed.agg(
-          count(lit(1)).as("n_missed"),
-          coalesce(max(expr("CAST(inter AS BIGINT) * 10000 div uni")),
-            lit(-1L)).as("worst_miss_jac_e4")))
-        .select(col("n_truth"), col("n_lsh"), col("n_hit"), col("n_missed"),
+        .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+          (col("n_truth") - col("n_hit")).as("n_missed"),
           expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
             .as("recall_e4"),
           col("worst_miss_jac_e4"))

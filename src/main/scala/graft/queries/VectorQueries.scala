@@ -312,14 +312,17 @@ object VectorQueries {
         .join(keys.select(col("vec_id").as("id_r"), col("bkey")), Seq("bkey"))
         .where(col("id_l") < col("id_r"))
         .select("id_l", "id_r").distinct()
-      val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-      val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(missed.agg(
-          count(lit(1)).as("n_missed"),
-          coalesce(max(col("cos_e6")), lit(-1L)).as("worst_miss_cos_e6")))
-        .select(col("n_truth"), col("n_hit"), col("n_missed"),
+      // one tagged left join + one aggregate (lsh pairs are distinct, so
+      // the join cannot multiply rows) — the semi/anti + per-column
+      // crossJoin shape ran the banded self-join once per consumer
+      truth.join(lsh.withColumn("__hit", lit(1L)), Seq("id_l", "id_r"), "left")
+        .agg(
+          count(lit(1)).as("n_truth"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"),
+          coalesce(max(when(col("__hit").isNull, col("cos_e6"))), lit(-1L))
+            .as("worst_miss_cos_e6"))
+        .select(col("n_truth"), col("n_hit"),
+          (col("n_truth") - col("n_hit")).as("n_missed"),
           expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")
             .as("recall_e4"),
           col("worst_miss_cos_e6"))
