@@ -351,7 +351,8 @@ object DedupOps {
     * pinned by IncrementalDedupSpec). */
   def dedupDeltaBatchPruned(batchIds: DataFrame, batchSigs: DataFrame,
                             indexPath: String, minJac: Double,
-                            nParts: Int = IndexParts): DataFrame = {
+                            nParts: Int = IndexParts,
+                            excludeOwnIds: Boolean = false): DataFrame = {
     val spark = batchIds.sparkSession
     val bs = batchSigs.persist()
     val batchBands = bs.select(explode(col("bands")).as("bk")).distinct().persist()
@@ -361,10 +362,21 @@ object DedupOps {
     // persisted: feeds both the doc_pt prune below and the candidate
     // join; collided-rows-sized — batch-proportional, never corpus-
     // proportional
-    val bandsMatched = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
+    val bandsMatchedRaw = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("band_pt").isin(pts: _*))
       .join(broadcast(batchBands), Seq("bk"), "left_semi")
-      .select("doc_id", "bk").persist()
+      .select("doc_id", "bk")
+    // excludeOwnIds: a RETRIED batch whose kept signatures were already
+    // appended must not see its own attempt's index rows — beyond the
+    // self-pair guard, a larger-id batch doc indexed by the failed
+    // attempt would qualify as an unordered "corpus" partner and flip a
+    // keep to a drop on replay (streaming twin contract). Broadcast
+    // anti on the batch's own ids — batch-sized, never corpus-sized.
+    val bandsMatched = (if (excludeOwnIds)
+      bandsMatchedRaw.join(broadcast(batchIds
+          .select(col("doc_id").cast("long").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else bandsMatchedRaw).persist()
     val collided = bandsMatched.select("doc_id").distinct()
     val dpts = collided
       .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("doc_pt"))

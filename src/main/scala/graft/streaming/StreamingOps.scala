@@ -156,7 +156,9 @@ object StreamingOps {
     // checkpoint truncates lineage so re-evaluation is impossible
     val verdicts = (if (storeExists)
       DedupOps.dedupDeltaBatchPruned(
-        batch.select("doc_id"), sigs, indexPath, minJac, nParts)
+        batch.select("doc_id"), sigs, indexPath, minJac, nParts,
+        excludeOwnIds = true) // replay-safe: a retried batch never sees
+                              // its own failed attempt's index rows
     else // bootstrap: within-batch arm only, against an empty index
       DedupOps.dedupDeltaBatch(
         batch.select("doc_id"), sigs, sigs.where(lit(false)), minJac)
@@ -186,9 +188,17 @@ object StreamingOps {
     * once; postings start from its assignments. State lives in the lake
     * (centroids + postings parquet), never in executor memory.
     *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract when the
+    * caller passes the micro-batch id: the search excludes the batch's
+    * own `batch_id` partition (a failed attempt's rows are invisible to
+    * its retry) and the insert dynamically overwrites exactly its own
+    * (cell, batch) directories — the parity spec replays a batch and
+    * pins identical hits and an unchanged postings row count.
+    *
     * Returns this batch's hits: (q_id, c_id, rank, cos_e6), empty for
     * the bootstrap batch. */
   def ivfSearchInsertBatch(batch: DataFrame, indexPath: String,
+                           batchId: Long = 0L,
                            nProbe: Int = 2, topK: Int = 5,
                            centStride: Long = 41L, centCap: Long = 1312L): DataFrame = {
     import graft.ops.VectorOps
@@ -213,15 +223,18 @@ object StreamingOps {
       .persist()
     val postingsExist = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/postings"))
     val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT")
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
     val hits = if (postingsExist) {
       val cells = ranked.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
       val wR = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
       spark.read.schema(postingsSchema).parquet(s"$indexPath/postings")
-        .where(col("centroid_id").isin(cells: _*))
+        // a REPLAYED batch must not see its own failed attempt's rows —
+        // without this partition filter, batch-internal pairs would leak
+        // into the replayed hits (self-pairs alone are not the issue)
+        .where(col("batch_id") =!= batchId && col("centroid_id").isin(cells: _*))
         .join(broadcast(ranked), Seq("centroid_id"))
-        .where(col("q_id") =!= col("vec_id")) // replayed batches never self-match
+        .where(col("q_id") =!= col("vec_id")) // belt-and-braces vs own rows
         .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), dim))
         .withColumn("rank", row_number().over(wR)).where(col("rank") <= topK)
         .select(col("q_id"), col("vec_id").as("c_id"),
@@ -237,10 +250,17 @@ object StreamingOps {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "q_id BIGINT, c_id BIGINT, rank BIGINT, cos_e6 BIGINT"))
+    // exactly-once insert: postings carry a batch_id partition column and
+    // the write is a DYNAMIC overwrite, so a replayed batch replaces
+    // exactly its own (cell, batch) directories instead of appending
+    // duplicates — idempotent under foreachBatch's replay contract
     ranked.where(col("rn") === 1)
-      .select(col("centroid_id"), col("q_id").as("vec_id"), col("q_vec").as("embedding"))
+      .select(col("centroid_id"), col("q_id").as("vec_id"),
+        col("q_vec").as("embedding"), lit(batchId).as("batch_id"))
       .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$indexPath/postings")
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("centroid_id", "batch_id")
+      .parquet(s"$indexPath/postings")
     ranked.unpersist()
     hits
   }

@@ -208,6 +208,13 @@ class StreamingParitySpec extends SparkSpec {
       .collect().map(row).toSet
     val v2 = deltaDedupVerifiedBatch(d2.toSeq.toDF("doc_id", "text"), indexPath, jac)
       .collect().map(row).toSet
+    // foreachBatch replay contract: a retried batch 2 (its kept sigs
+    // already appended) must reproduce its verdicts exactly — the probe
+    // excludes the batch's own index rows, so neither self-pairs nor
+    // larger-id same-batch docs indexed by the failed attempt qualify
+    val v2r = deltaDedupVerifiedBatch(d2.toSeq.toDF("doc_id", "text"), indexPath, jac)
+      .collect().map(row).toSet
+    assert(v2r == v2, "replayed batch 2 verdicts diverged")
     // flat-index batch replay: same protocol through dedupDeltaBatch over
     // IN-MEMORY frames — exercises pruned-vs-flat, the on-disk index
     // round-trip, and the append step in one equality
@@ -242,9 +249,17 @@ class StreamingParitySpec extends SparkSpec {
     def df(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
     def hitSet(h: org.apache.spark.sql.DataFrame) = h.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    val h1 = hitSet(ivfSearchInsertBatch(df(b1.toSeq), indexPath))
-    val h2 = hitSet(ivfSearchInsertBatch(df(b2.toSeq), indexPath))
+    val h1 = hitSet(ivfSearchInsertBatch(df(b1.toSeq), indexPath, batchId = 1L))
+    val h2 = hitSet(ivfSearchInsertBatch(df(b2.toSeq), indexPath, batchId = 2L))
     assert(h1.isEmpty, "bootstrap batch must search an empty index")
+    // foreachBatch replay contract: re-running batch 2 under the same id
+    // returns identical hits (its own failed-attempt rows are invisible)
+    // and the dynamic overwrite leaves the postings row count unchanged
+    val postingsN = spark.read.parquet(s"$indexPath/postings").count()
+    val h2r = hitSet(ivfSearchInsertBatch(df(b2.toSeq), indexPath, batchId = 2L))
+    assert(h2r == h2, "replayed batch 2 diverged")
+    assert(spark.read.parquet(s"$indexPath/postings").count() == postingsN,
+      "replay appended duplicate postings")
     // in-memory replay: centroids = stride rule over batch 1; postings
     // after batch 1 = its rn=1 assignments; batch 2 probes its 2 nearest
     // cells and ranks exact cosine over those cells' postings
