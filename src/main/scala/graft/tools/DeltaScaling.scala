@@ -145,7 +145,36 @@ object DeltaScaling {
         f"pruned ${pS}%.2fs ${pB / 1e6}%8.1fMB | drops=$drops")
       f"""    {"replicas": $replicas, "corpus_docs": $nDocs, "index_flat_mb": ${flatBytes / 1e6}%.1f, "index_part_mb": ${partBytes / 1e6}%.1f, "index_bands_mb": ${bandsBytes / 1e6}%.1f, "flat_probe_sec": $fS%.3f, "flat_probe_read_mb": ${fB / 1e6}%.2f, "pruned_probe_sec": $pS%.3f, "pruned_probe_read_mb": ${pB / 1e6}%.2f, "batch_drops": $drops}"""
     }
-    out.append(rows.mkString(",\n")).append("\n  ]\n}\n")
+    out.append(rows.mkString(",\n")).append("\n  ],\n")
+
+    // second axis: FIXED largest corpus (16×), GROWING batch — the other
+    // half of the "cost ∝ batch + collided membership" claim. Batches are
+    // the first k docs with the replica-0 salt under fresh ids; the 16×
+    // index written by the last loop iteration above is reused.
+    val root16 = graft.ops.Staging.dir(
+      "/tmp/graft_delta_scaling", "/root/testdata/sf0.1", "x16")
+    out.append("  \"batch_sweep_x16\": [\n")
+    val sweep = for (k <- Seq(10, 50, 250)) yield {
+      val b = base.orderBy("doc_id").limit(k).select(
+        (col("doc_id") + lit(BatchIdBase)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1§0").as("text"))
+      val bSigs = DedupOps.signatureIndex(
+        b, ShingleK, NumPerms, NumBands, RowsPerBand)
+      def probe(): Array[org.apache.spark.sql.Row] =
+        DedupOps.dedupDeltaBatchPruned(b.select("doc_id"), bSigs,
+          s"$root16/part", JaccardThreshold, nParts = NParts)
+          .orderBy("doc_id").collect()
+      val reps = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        bSigs.persist().count()
+        measured(probe())
+      }
+      val (res, bB, bS) = (reps.head._1, reps.map(_._2).min, reps.map(_._3).min)
+      val drops = res.count(_.getString(1) == "drop")
+      println(f"[scaling] batch=$k%-4d pruned ${bS}%.2fs ${bB / 1e6}%8.1fMB drops=$drops")
+      f"""    {"batch_docs": $k, "pruned_probe_sec": $bS%.3f, "pruned_probe_read_mb": ${bB / 1e6}%.2f, "batch_drops": $drops}"""
+    }
+    out.append(sweep.mkString(",\n")).append("\n  ]\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       out.toString.getBytes("UTF-8"))
     println(s"[scaling] wrote $outPath")
