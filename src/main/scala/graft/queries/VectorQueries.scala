@@ -1030,6 +1030,79 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** Multi-batch IVF index EVOLUTION, end-to-end through the exact
+    * streaming operator
+    * ([[graft.streaming.StreamingOps.ivfSearchInsertBatch]]): the corpus
+    * bootstraps centroids + postings (batch 0), batch 1 searches then
+    * inserts, batch 2's hits — computed against corpus ∪ batch 1 — are
+    * the result. The DuckDB oracle recomputes bootstrap, both inserts,
+    * and the final probe from scratch, so the protocol (including
+    * search-before-insert ordering and the batch_id layout) is
+    * cross-engine hash-checked per run, not just spec-pinned.
+    *
+    * Protocol: corpus = vec_id % 5 != 0; batch 1 = % 5 == 0 ∧ < 500;
+    * batch 2 = % 5 == 0 ∧ [500, 1000). */
+  val annDeltaEvolve: Q = new Q {
+    val name = "ann_delta_evolve"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.streaming.StreamingOps.ivfSearchInsertBatch
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val indexPath = graft.ops.Staging.dir("/tmp/graft_ann_index", dir, "ivf_evolve")
+      // fresh run each time: the op's layout is append-evolving by design
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      ivfSearchInsertBatch(emb.where(col("vec_id") % 5 =!= 0), indexPath, batchId = 0L)
+      ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 500),
+        indexPath, batchId = 1L)
+      ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 &&
+          col("vec_id") >= 500 && col("vec_id") < 1000),
+        indexPath, batchId = 2L)
+        .orderBy("q_id", "rank")
+    }
+    val oracle = Some(
+      s"""WITH cor AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM cor
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+         |indexed AS (
+         |  SELECT vec_id, embedding FROM cor
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id < 500),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM indexed e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM s) t WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id >= 500 AND vec_id < 1000),
+         |qs AS (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM q CROSS JOIN c),
+         |probes AS (
+         |  SELECT q_id, q_vec, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM qs) t WHERE rn <= $NProbe),
+         |sc AS (
+         |  SELECT q_id, a.vec_id AS c_id2,
+         |    ${sqlDot("q_vec", "a.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("a.embedding")}) AS cosine_sim
+         |  FROM assigned a JOIN probes USING (centroid_id)
+         |  WHERE q_id <> a.vec_id),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
   /** k-means cluster assignment (Lloyd's, deterministic init) on the
     * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
     * assignments by integer squared distance (ties → lowest index),
@@ -1969,7 +2042,7 @@ object VectorQueries {
     dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingLshRecallSampled,
     dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
-    ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annRecallAtK, qAnnNprobeSweep,
+    ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annDeltaEvolve, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)
