@@ -265,6 +265,44 @@ object StreamingOps {
     hits
   }
 
+  /** Compacts the [[ivfSearchInsertBatch]] postings layout: every
+    * micro-batch adds one file per touched (cell, batch) directory, and
+    * probe cost degrades with file count. All batch partitions at or
+    * below `upToBatchId` are merged into a single `batch_id=upToBatchId`
+    * partition per cell — SAFE only for batches at or below the
+    * streaming checkpoint's replay horizon (a replay of a compacted
+    * batch would double its rows; batches above the horizon keep their
+    * own partitions precisely so replays stay idempotent).
+    *
+    * Settle-before-mutate applies here too: the surviving rows are
+    * localCheckpoint-ed before their source directories are deleted. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, upToBatchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    if (!fs.exists(postingsPath)) return
+    val batchDirs = fs.listStatus(postingsPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .flatMap(c => fs.listStatus(c.getPath).toSeq
+        .filter(b => b.isDirectory && b.getPath.getName.startsWith("batch_id=") &&
+          b.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatchId)
+        .map(_.getPath))
+    // one batch dir per cell at the horizon is already compact
+    if (batchDirs.size <= batchDirs.map(_.getParent.getName).distinct.size) return
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
+    val compacted = spark.read.schema(schema).parquet(s"$indexPath/postings")
+      .where(col("batch_id") <= upToBatchId)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"),
+        lit(upToBatchId).as("batch_id"))
+      .repartition(col("centroid_id"))
+      .localCheckpoint(true)
+    batchDirs.foreach(p => fs.delete(p, true): Unit)
+    compacted.write.mode("append").partitionBy("centroid_id", "batch_id")
+      .parquet(s"$indexPath/postings")
+  }
+
   /** Streaming snapshot maintenance via foreachBatch: fold each micro-batch
     * of (key, version, …) rows into a hive-partitioned lake snapshot with
     * [[graft.ops.Sinks.mergeUpsert]] — the incremental twin of the batch

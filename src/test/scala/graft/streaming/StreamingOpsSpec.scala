@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{lit, pmod}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 
@@ -727,4 +727,36 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got2.map(_.first_type).toSet === Set("click", "view"))
     } finally q.stop()
   }
+  test("compactPostings merges horizon batches per cell; search results and content unchanged") {
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val thirds = vecs.grouped(math.max(1, vecs.length / 3)).toSeq
+    def df(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    val rootA = java.nio.file.Files.createTempDirectory("p_cpost").toString + "/a"
+    val rootB = java.nio.file.Files.createTempDirectory("p_cpost").toString + "/b"
+    for (root <- Seq(rootA, rootB); (b, i) <- thirds.take(3).zipWithIndex)
+      StreamingOps.ivfSearchInsertBatch(df(b.toSeq), root, batchId = i.toLong)
+    def content(root: String) = spark.read.parquet(s"$root/postings")
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def parquetFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$root/postings"))
+    }
+    val filesBefore = parquetFiles(rootA)
+    StreamingOps.compactPostings(spark, rootA, upToBatchId = 2L)
+    assert(parquetFiles(rootA) < filesBefore, "compaction reduced nothing")
+    assert(content(rootA) == content(rootB), "compaction changed postings content")
+    // a later batch sees identical search results on both layouts
+    val probe = vecs.takeRight(10).map { case (id, v) => (id + 1000000L, v) }
+    def hits(root: String) = StreamingOps
+      .ivfSearchInsertBatch(df(probe.toSeq), root, batchId = 9L)
+      .collect().map(_.toSeq.toList).toSet
+    assert(hits(rootA) == hits(rootB))
+    assert(hits(rootA).nonEmpty || vecs.isEmpty)
+  }
+
 }
