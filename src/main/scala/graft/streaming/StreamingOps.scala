@@ -208,10 +208,21 @@ object StreamingOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     val centPath = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
-    if (!fs.exists(centPath))
-      batch.where(col("vec_id") % centStride === 0 && col("vec_id") < centCap)
+    if (!fs.exists(centPath)) {
+      val strided = batch
+        .where(col("vec_id") % centStride === 0 && col("vec_id") < centCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-        .write.mode("overwrite").parquet(s"$indexPath/centroids")
+        .localCheckpoint(true)
+      // a NON-EMPTY bootstrap batch that misses the stride rule entirely
+      // would otherwise write an empty centroid set and permanently dead
+      // index (every later search and insert silently empty) — fall back
+      // to the batch's lowest-id vector as the single seed centroid
+      val cents0 = if (strided.isEmpty)
+        batch.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      else strided
+      cents0.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    }
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val ranked = batch.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -759,4 +759,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(hits(rootA).nonEmpty || vecs.isEmpty)
   }
 
+  test("ivfSearchInsertBatch bootstrap falls back to a seed centroid when the stride rule selects nothing") {
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    // shift every id above centCap: no id satisfies the stride rule, so a
+    // naive bootstrap would write an empty centroid set and a dead index
+    val shifted = vecs.map { case (id, v) => (id + 2000L, v) }
+    val (b1, b2) = shifted.splitAt(shifted.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("p_seed").toString + "/idx"
+    StreamingOps.ivfSearchInsertBatch(b1.toSeq.toDF("vec_id", "embedding"), root, batchId = 1L)
+    assert(spark.read.parquet(s"$root/centroids").count() == 1,
+      "fallback must seed exactly one centroid")
+    val h2 = StreamingOps.ivfSearchInsertBatch(
+      b2.toSeq.toDF("vec_id", "embedding"), root, batchId = 2L)
+    assert(h2.count() > 0, "index is dead: batch 2 found nothing")
+  }
+
 }
