@@ -107,7 +107,12 @@ object StreamingOps {
       .select("doc_id")
       .union(banded.join(seen, Seq("__band")).select("doc_id"))
       .distinct()
+    // eager localCheckpoint before the store append (settle-before-mutate,
+    // see the verified twins): the returned frame's lineage reads `seen`,
+    // and a re-evaluation after the append would find the kept docs' own
+    // bands in the store and drop them against themselves
     val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val newBands = banded.join(kept.select("doc_id"), Seq("doc_id"))
       .select("__band").distinct()
     newBands.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storePath)
