@@ -184,6 +184,160 @@ object DedupOps {
   private val sigsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, hs ARRAY<BIGINT>, doc_pt INT")
 
+  /** Index-level parameters, stamped once at bootstrap
+    * ([[writeSignatureIndex]] overwrite) and validated by every later
+    * append, forget, and pruned probe: band keys and shard assignments
+    * are deterministic functions of these four values, so an op run with
+    * DIFFERENT values computes a wrong band_pt/doc_pt set and silently
+    * misses rows — e.g. a forget whose recomputed band keys don't match
+    * the stored ones leaves the forgotten doc matchable, defeating the
+    * right-to-be-forgotten guarantee with no error. */
+  final case class IndexManifest(nPerm: Int, nBands: Int,
+                                 rowsPerBand: Int, nParts: Int)
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def manifestFile(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_manifest.json")
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, m: IndexManifest): Unit = {
+    val out = hadoopFs(spark, indexPath).create(manifestFile(indexPath), true)
+    try out.write((s"""{"nPerm":${m.nPerm},"nBands":${m.nBands},""" +
+      s""""rowsPerBand":${m.rowsPerBand},"nParts":${m.nParts}}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Reads the parameter manifest of a [[writeSignatureIndex]] layout;
+    * throws if absent (an index without one predates the bootstrap or is
+    * not a signature index at all — proceeding would guess parameters). */
+  def readManifest(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): IndexManifest = {
+    val fs = hadoopFs(spark, indexPath)
+    require(fs.exists(manifestFile(indexPath)),
+      s"signature index at $indexPath has no parameter manifest — " +
+        "not a writeSignatureIndex layout (or an incomplete bootstrap)")
+    val in = fs.open(manifestFile(indexPath))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def f(k: String): Int = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"manifest at $indexPath missing '$k': $s"))
+    IndexManifest(f("nPerm"), f("nBands"), f("rowsPerBand"), f("nParts"))
+  }
+
+  private def validateManifest(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, want: IndexManifest): Unit = {
+    val got = readManifest(spark, indexPath)
+    require(got == want,
+      s"signature-index parameter mismatch at $indexPath: written with $got, " +
+        s"caller supplied $want — band/shard assignments would silently diverge")
+  }
+
+  // ----- crash-safe shard rewrite ------------------------------------------
+  //
+  // Forget and compaction replace whole shard directories. A naive
+  // delete-then-write loses a shard if the process dies between the two
+  // (multi-second window — the write recomputes from upstream). The rewrite
+  // here is two phases with a recovery routine, so the live table is never
+  // observably partial:
+  //
+  //  phase 1 (stage)  — the complete replacement content lands under
+  //                     `<table>/.staging/<ptCol>=K` (dot-prefixed: parquet
+  //                     partition discovery ignores it). All reads feeding it
+  //                     run against the UNTOUCHED live dirs, and the write
+  //                     materializes everything to disk, so no lineage into
+  //                     live data survives into phase 2 — the round-13
+  //                     settle-before-mutate hazard is structural here, not
+  //                     a persist/checkpoint convention.
+  //  phase 2 (swap)   — per shard: live → `.old.<ptCol>=K`, staged → live,
+  //                     drop `.old.`. The only non-atomic window is between
+  //                     two renames of ONE shard, and the old content is
+  //                     still on disk then, so [[recoverSignatureIndex]] can
+  //                     always roll forward to the staged state (or back, if
+  //                     staging never completed).
+
+  /** Phase 1: write `kept` (the full replacement content for the shards
+    * being rewritten) under the table's staging dir. `maxParts` bounds the
+    * shuffle width; rows are repartitioned BY THE SHARD KEY so each shard
+    * dir receives one file (see [[writeSignatureIndex]]). */
+  private[graft] def stageShards(kept: DataFrame, tableDir: String,
+                                 ptCol: String, maxParts: Int): Unit =
+    kept.repartition(math.max(maxParts, 1), col(ptCol))
+      .write.mode("overwrite").partitionBy(ptCol).parquet(s"$tableDir/.staging")
+
+  /** Idempotent single-shard swap (phase 2 step). Entry states it must
+    * handle: fresh swap (staged+live), fresh swap onto a missing shard
+    * (staged only), emptied shard (live only, no `.old.` — the staged
+    * content for it is empty), and every crash point of a previous attempt
+    * (`.old.` present in any combination). An `.old.` dir present WITHOUT a
+    * staged dir means a prior attempt already renamed staged→live, so live
+    * is final and only the backup is dropped. */
+  private def swapOne(fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+                      ptCol: String, pt: Int): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$tableDir/$ptCol=$pt")
+    val old = new org.apache.hadoop.fs.Path(s"$tableDir/.old.$ptCol=$pt")
+    val staged = new org.apache.hadoop.fs.Path(s"$tableDir/.staging/$ptCol=$pt")
+    if (fs.exists(staged)) {
+      if (fs.exists(live)) { fs.delete(old, true); fs.rename(live, old): Unit }
+      fs.rename(staged, live): Unit
+    } else if (fs.exists(live) && !fs.exists(old)) {
+      // replacement is empty and no swap has started: retire live (backup
+      // kept until the delete below so the window stays recoverable)
+      fs.rename(live, old): Unit
+    }
+    fs.delete(old, true): Unit
+  }
+
+  /** Phase 2: swap every rewritten shard, then drop the staging dir. */
+  private[graft] def swapShards(spark: org.apache.spark.sql.SparkSession,
+                                tableDir: String, ptCol: String,
+                                pts: Seq[Int]): Unit = {
+    val fs = hadoopFs(spark, tableDir)
+    pts.foreach(swapOne(fs, tableDir, ptCol, _))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/.staging"), true): Unit
+  }
+
+  /** Rolls both index tables to a consistent rewrite boundary after a
+    * crash mid-[[removeFromSignatureIndex]]/[[compactSignatureIndex]].
+    * If a table's staging completed (parquet `_SUCCESS` marker), the
+    * rewrite rolls FORWARD — phase 2 re-runs for every staged and
+    * half-swapped shard ([[swapOne]] is idempotent across all its crash
+    * states); otherwise it rolls BACK — half-swapped shards are restored
+    * from their `.old.` backups and the incomplete staging is discarded.
+    * Run this at index open when a prior writer may have died. */
+  def recoverSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String): Unit =
+    for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt")))
+      recoverTable(spark, s"$indexPath/$table", ptCol)
+
+  private def recoverTable(spark: org.apache.spark.sql.SparkSession,
+                           tableDir: String, ptCol: String): Unit = {
+    val fs = hadoopFs(spark, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(dir)) return
+    val staging = new org.apache.hadoop.fs.Path(s"$tableDir/.staging")
+    val oldPts = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s".old.$ptCol="))
+      .map(_.stripPrefix(s".old.$ptCol=").toInt)
+    val stagedComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_SUCCESS"))
+    if (stagedComplete) {
+      val stagedPts = fs.listStatus(staging).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$ptCol=")).map(_.stripPrefix(s"$ptCol=").toInt)
+      swapShards(spark, tableDir, ptCol, (stagedPts ++ oldPts).distinct)
+    } else {
+      oldPts.foreach { pt =>
+        val live = new org.apache.hadoop.fs.Path(s"$tableDir/$ptCol=$pt")
+        val old = new org.apache.hadoop.fs.Path(s"$tableDir/.old.$ptCol=$pt")
+        if (!fs.exists(live)) fs.rename(old, live) else fs.delete(old, true): Unit
+      }
+      if (fs.exists(staging)) fs.delete(staging, true): Unit
+    }
+  }
+
   /** Writes [[signatureIndex]] rows as the PARTITIONED two-table layout
     * [[dedupDeltaBatchPruned]] probes:
     *
@@ -201,7 +355,13 @@ object DedupOps {
     *
     * `mode = "append"` supports index evolution: signatures are
     * per-document, so ingesting a new batch appends rows into existing
-    * shard directories and never rewrites old ones.
+    * shard directories and never rewrites old ones. For appends that must
+    * be idempotent under at-least-once replay, use
+    * [[appendNewToSignatureIndex]].
+    *
+    * The signature parameters are stamped into `_manifest.json` at
+    * bootstrap (written LAST, so a readable manifest implies a complete
+    * bootstrap) and validated on every append — see [[IndexManifest]].
     *
     * The input is persisted across the two writes (signature computation
     * is the expensive part — shingling + nPerm MinHash over every doc —
@@ -212,8 +372,12 @@ object DedupOps {
     * the nParts directories, and the small-file metadata cost dominates
     * both the write and every later probe. */
   def writeSignatureIndex(index: DataFrame, path: String,
+                          nPerm: Int, nBands: Int, rowsPerBand: Int,
                           mode: String = "overwrite",
                           nParts: Int = IndexParts): Unit = {
+    val spark = index.sparkSession
+    val m = IndexManifest(nPerm, nBands, rowsPerBand, nParts)
+    if (mode == "append") validateManifest(spark, path, m)
     val ix = index.persist()
     try {
       ix.select(col("doc_id"), explode(col("bands")).as("bk"))
@@ -225,6 +389,36 @@ object DedupOps {
         .repartition(nParts, col("doc_pt"))
         .write.mode(mode).partitionBy("doc_pt").parquet(s"$path/sigs")
     } finally ix.unpersist()
+    if (mode != "append") writeManifest(spark, path, m)
+  }
+
+  /** Appends `sigs` rows ([[signatureIndex]] schema) to a persisted index,
+    * SKIPPING docs already present — the idempotence guard an
+    * at-least-once replayed micro-batch needs: a plain append would add
+    * duplicate sig/band rows per retry that nothing downstream dedups
+    * (verdicts survive only via min-aggregation; compaction preserves
+    * content). Presence is probed on the ids' own doc_pt shards (partition
+    * filter + broadcast semi — batch-sized, never corpus-sized), and the
+    * surviving rows are settled to disk BEFORE the append, whose target
+    * their lineage otherwise reads (settle-before-mutate). */
+  def appendNewToSignatureIndex(sigs: DataFrame, indexPath: String,
+                                nPerm: Int, nBands: Int, rowsPerBand: Int,
+                                nParts: Int = IndexParts): Unit = {
+    val spark = sigs.sparkSession
+    validateManifest(spark, indexPath,
+      IndexManifest(nPerm, nBands, rowsPerBand, nParts))
+    val ids = sigs.select(col("doc_id")).localCheckpoint(true)
+    val dpts = ids.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (dpts.isEmpty) return
+    val present = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+      .where(col("doc_pt").isin(dpts: _*))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("doc_id")
+    val fresh = sigs.join(present, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    if (!fresh.isEmpty)
+      writeSignatureIndex(fresh, indexPath, nPerm, nBands, rowsPerBand,
+        mode = "append", nParts = nParts)
   }
 
   /** Removes documents from a persisted [[writeSignatureIndex]] layout —
@@ -244,24 +438,32 @@ object DedupOps {
     * Cost ∝ shards hit by the forget set, never index size, for forget
     * sets small against nParts.
     *
-    * Shard rewrite = FS-delete the affected partition dirs, then append
-    * the filtered rows back (dynamic partition overwrite cannot express
-    * "this shard is now empty"). The two steps are not atomic — a
-    * production deployment wraps them in a transactional table format's
-    * replace; the shape (prune → filter → rewrite only affected shards)
-    * is the part that carries to 100 TB. */
+    * Shard rewrite is the CRASH-SAFE two-phase stage-then-swap (see the
+    * block comment above [[stageShards]]): surviving rows are fully on
+    * disk under a reader-invisible staging dir before any live dir is
+    * touched, and [[recoverSignatureIndex]] rolls a mid-swap crash to a
+    * rewrite boundary. Both tables stage first, then sigs swaps BEFORE
+    * bands: in the cross-table window a forgotten doc has lost its
+    * verification payload while its band rows linger, and a band row
+    * without a payload can never produce a verdict (the verification
+    * join is inner on the payload) — so no intermediate state readmits
+    * forgotten content. */
   def removeFromSignatureIndex(removeIds: DataFrame, indexPath: String,
                                nPerm: Int, nBands: Int, rowsPerBand: Int,
                                nParts: Int = IndexParts): Unit = {
     val spark = removeIds.sparkSession
+    validateManifest(spark, indexPath,
+      IndexManifest(nPerm, nBands, rowsPerBand, nParts))
     val ids = removeIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().persist()
     val dpts = ids.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (dpts.isEmpty) { ids.unpersist(); return }
+    // persisted across its two consumers (band-key recompute + staged
+    // write) for CPU only — the live dirs stay untouched until both
+    // staging writes complete, so crash safety never depends on the cache
     val sigShards = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
       .where(col("doc_pt").isin(dpts: _*)).persist()
-    sigShards.count() // settle BEFORE the dirs below are deleted
     val removedBandPts = sigShards
       .join(ids, Seq("doc_id"), "left_semi")
       .select(explode(lshBandKeys(
@@ -269,21 +471,16 @@ object DedupOps {
       .select(pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val bandShards = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
-      .where(col("band_pt").isin(removedBandPts: _*)).persist()
-    bandShards.count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    def rewrite(table: String, kept: DataFrame, ptCol: String, pts: Seq[Int]): Unit = {
-      pts.foreach(pt => fs.delete(
-        new org.apache.hadoop.fs.Path(s"$indexPath/$table/$ptCol=$pt"), true): Unit)
-      kept.repartition(math.min(nParts, pts.size.max(1)), col(ptCol))
-        .write.mode("append").partitionBy(ptCol).parquet(s"$indexPath/$table")
-    }
-    rewrite("sigs", sigShards.join(ids, Seq("doc_id"), "left_anti"), "doc_pt", dpts)
+      .where(col("band_pt").isin(removedBandPts: _*))
+    stageShards(sigShards.join(ids, Seq("doc_id"), "left_anti"),
+      s"$indexPath/sigs", "doc_pt", math.min(nParts, dpts.size))
     if (removedBandPts.nonEmpty)
-      rewrite("bands", bandShards.join(ids, Seq("doc_id"), "left_anti"),
-        "band_pt", removedBandPts)
-    sigShards.unpersist(); bandShards.unpersist(); ids.unpersist(): Unit
+      stageShards(bandShards.join(ids, Seq("doc_id"), "left_anti"),
+        s"$indexPath/bands", "band_pt", math.min(nParts, removedBandPts.size))
+    sigShards.unpersist(); ids.unpersist(): Unit
+    swapShards(spark, s"$indexPath/sigs", "doc_pt", dpts)
+    if (removedBandPts.nonEmpty)
+      swapShards(spark, s"$indexPath/bands", "band_pt", removedBandPts)
   }
 
   /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
@@ -295,13 +492,13 @@ object DedupOps {
     * localized. Content-preserving by construction — the spec pins row
     * equality and post-state file counts.
     *
-    * Same non-atomicity caveat as [[removeFromSignatureIndex]]: the
-    * delete + append-back pair is transactional only under a table
-    * format; the prune-and-rewrite SHAPE is the 100 TB-relevant part. */
+    * Shard rewrite is the same crash-safe stage-then-swap as
+    * [[removeFromSignatureIndex]] — the staged single-file-per-shard
+    * content is fully on disk before any live dir is touched, and
+    * [[recoverSignatureIndex]] covers a mid-swap crash. */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, minFiles: Int = 2): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(spark, indexPath)
     for ((table, schema, ptCol) <- Seq(
         ("bands", bandsSchema, "band_pt"), ("sigs", sigsSchema, "doc_pt"))) {
       val tablePath = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
@@ -313,13 +510,9 @@ object DedupOps {
           .map(_.getPath.getName.stripPrefix(s"$ptCol=").toInt)
         if (crowded.nonEmpty) {
           val rows = spark.read.schema(schema).parquet(s"$indexPath/$table")
-            .where(col(ptCol).isin(crowded: _*)).persist()
-          rows.count() // settle BEFORE the dirs below are deleted
-          crowded.foreach(pt => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$indexPath/$table/$ptCol=$pt"), true): Unit)
-          rows.repartition(crowded.size, col(ptCol))
-            .write.mode("append").partitionBy(ptCol).parquet(s"$indexPath/$table")
-          rows.unpersist(): Unit
+            .where(col(ptCol).isin(crowded: _*))
+          stageShards(rows, s"$indexPath/$table", ptCol, crowded.size)
+          swapShards(spark, s"$indexPath/$table", ptCol, crowded)
         }
       }
     }
@@ -348,13 +541,24 @@ object DedupOps {
     * Verdicts are exactly [[dedupDeltaBatch]]'s: docs whose bands miss
     * every batch band key can never form a candidate pair, so dropping
     * them from the probe is lossless (equality vs the flat-index pass is
-    * pinned by IncrementalDedupSpec). */
+    * pinned by IncrementalDedupSpec).
+    *
+    * The returned frame is SETTLED (eager localCheckpoint) and the
+    * intermediates this function persists are released before it returns
+    * — per-micro-batch callers accumulate no CacheManager entries.
+    * `batchSigs` feeds two candidate arms and a verification join; the
+    * CALLER should persist it (and owns its release) if it also uses the
+    * signatures afterwards, as the index-append path does. */
   def dedupDeltaBatchPruned(batchIds: DataFrame, batchSigs: DataFrame,
                             indexPath: String, minJac: Double,
                             nParts: Int = IndexParts,
                             excludeOwnIds: Boolean = false): DataFrame = {
     val spark = batchIds.sparkSession
-    val bs = batchSigs.persist()
+    val mParts = readManifest(spark, indexPath).nParts
+    require(mParts == nParts,
+      s"signature index at $indexPath has nParts=$mParts, probe supplied " +
+        s"$nParts — the band_pt/doc_pt partition filters would miss shards")
+    val bs = batchSigs
     val batchBands = bs.select(explode(col("bands")).as("bk")).distinct().persist()
     val pts = batchBands
       .select(pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int").as("band_pt"))
@@ -385,7 +589,10 @@ object DedupOps {
       .where(col("doc_pt").isin(dpts: _*))
       .join(collided, Seq("doc_id"), "left_semi")
       .select("doc_id", "hs")
-    dedupDeltaCore(batchIds, bs, bandsMatched, prunedHs, minJac)
+    val verdicts = dedupDeltaCore(batchIds, bs, bandsMatched, prunedHs, minJac)
+      .localCheckpoint(true)
+    batchBands.unpersist(); bandsMatched.unpersist(): Unit
+    verdicts
   }
 
   /** Incremental near-dup verdicts for a NEW BATCH against a persisted

@@ -1497,7 +1497,8 @@ object DedupQueries {
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index")
       val base = DedupOps.signatureIndex(
         docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
-      DedupOps.writeSignatureIndex(base, indexPath, nParts = TestIndexParts)
+      DedupOps.writeSignatureIndex(base, indexPath,
+        NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
       val batchSigs = DedupOps.signatureIndex(
         docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
       DedupOps.dedupDeltaBatchPruned(
@@ -1559,7 +1560,7 @@ object DedupQueries {
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index_evo")
       DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
         part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath,
-        nParts = TestIndexParts)
+        NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
       val b1 = DedupOps.signatureIndex(
         part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
       // eager localCheckpoint: kept1's lineage READS the index the next
@@ -1571,8 +1572,8 @@ object DedupQueries {
         .where(col("verdict") === "keep").select("doc_id")
         .localCheckpoint(true)
       DedupOps.writeSignatureIndex(
-        b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath, mode = "append",
-        nParts = TestIndexParts)
+        b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath,
+        NumPerms, NumBands, RowsPerBand, mode = "append", nParts = TestIndexParts)
       val b2 = DedupOps.signatureIndex(
         part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
       DedupOps.dedupDeltaBatchPruned(
@@ -1634,7 +1635,7 @@ object DedupQueries {
       val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index", dir, "sig_index_forget")
       DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
         docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
-        indexPath, nParts = TestIndexParts)
+        indexPath, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
       DedupOps.removeFromSignatureIndex(
         docs.where(!isBatch && col("doc_id") % 7 === 1).select("doc_id"),
         indexPath, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)

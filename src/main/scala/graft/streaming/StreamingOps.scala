@@ -169,8 +169,18 @@ object StreamingOps {
         batch.select("doc_id"), sigs, sigs.where(lit(false)), minJac)
     ).localCheckpoint(true)
     val kept = verdicts.where(col("verdict") === "keep").select("doc_id")
-    DedupOps.writeSignatureIndex(sigs.join(kept, Seq("doc_id"), "left_semi"),
-      indexPath, mode = if (storeExists) "append" else "overwrite", nParts = nParts)
+    val keptSigs = sigs.join(kept, Seq("doc_id"), "left_semi")
+    // replay-safe append: a RETRIED batch's kept signatures are already in
+    // the index — appendNewToSignatureIndex anti-joins them away on their
+    // own doc_pt shards, so at-least-once retries never duplicate index
+    // rows (plain append would, unboundedly, and nothing downstream dedups
+    // them — the parity battery pins index row counts across a replay)
+    if (storeExists)
+      DedupOps.appendNewToSignatureIndex(keptSigs, indexPath,
+        nPerm, nBands, nPerm / nBands, nParts = nParts)
+    else
+      DedupOps.writeSignatureIndex(keptSigs, indexPath,
+        nPerm, nBands, nPerm / nBands, nParts = nParts)
     sigs.unpersist()
     verdicts
   }

@@ -34,7 +34,8 @@ object DeltaProbe {
       val corpusSigs = t("corpus sigs (lazy)") {
         DedupOps.signatureIndex(part(0), ShingleK, NumPerms, NumBands, RowsPerBand)
       }
-      t("bootstrap write")(DedupOps.writeSignatureIndex(corpusSigs, indexPath, nParts = np))
+      t("bootstrap write")(DedupOps.writeSignatureIndex(
+        corpusSigs, indexPath, NumPerms, NumBands, RowsPerBand, nParts = np))
       val b1 = t("b1 sigs (lazy+persist)") {
         DedupOps.signatureIndex(part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
       }
@@ -47,7 +48,7 @@ object DeltaProbe {
       t("append kept1") {
         DedupOps.writeSignatureIndex(
           b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath,
-          mode = "append", nParts = np)
+          NumPerms, NumBands, RowsPerBand, mode = "append", nParts = np)
       }
       val b2 = t("b2 sigs (lazy)") {
         DedupOps.signatureIndex(part(2), ShingleK, NumPerms, NumBands, RowsPerBand)

@@ -105,7 +105,8 @@ object DeltaScaling {
         "/tmp/graft_delta_scaling", "/root/testdata/sf0.1", s"x$replicas")
       // written once per corpus, OUTSIDE the measured probes
       sigs.write.mode("overwrite").parquet(s"$root/flat")
-      DedupOps.writeSignatureIndex(sigs, s"$root/part", nParts = NParts)
+      DedupOps.writeSignatureIndex(sigs, s"$root/part",
+        NumPerms, NumBands, RowsPerBand, nParts = NParts)
       sigs.unpersist()
       val flatBytes = dirBytes(s"$root/flat")
       val partBytes = dirBytes(s"$root/part")

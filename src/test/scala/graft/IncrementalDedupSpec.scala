@@ -134,7 +134,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val flat = DedupOps.signatureIndex(
       docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
     val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "pruned")
-    DedupOps.writeSignatureIndex(flat, indexPath)
+    DedupOps.writeSignatureIndex(flat, indexPath, NumPerms, NumBands, RowsPerBand)
     val bs = DedupOps.signatureIndex(
       docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
     val viaFlat = verdictMap(DedupOps.dedupDeltaBatch(
@@ -152,7 +152,8 @@ class IncrementalDedupSpec extends SparkSpec {
     val forgetPred = !isBatch && col("doc_id") % 7 === 1
     val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "forget")
     DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
-      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
     DedupOps.removeFromSignatureIndex(docs.where(forgetPred).select("doc_id"),
       indexPath, NumPerms, NumBands, RowsPerBand)
     // the index must contain EXACTLY the surviving corpus: no stale
@@ -186,9 +187,11 @@ class IncrementalDedupSpec extends SparkSpec {
     def part(m: Int) = docs.where(col("doc_id") % 3 === m)
     val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "compact")
     DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
-      part(0), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath)
+      part(0), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
     DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
-      part(1), ShingleK, NumPerms, NumBands, RowsPerBand), indexPath, mode = "append")
+      part(1), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand, mode = "append")
     def snapshot(table: String) = spark.read.parquet(s"$indexPath/$table")
       .collect().map(_.toString).sorted.toSeq
     def maxFilesPerShard(table: String) = {
@@ -210,6 +213,133 @@ class IncrementalDedupSpec extends SparkSpec {
       part(2).select("doc_id").collect().map(_.getLong(0)).toSeq,
       collectSigs(part(2)), collectSigs(docs.where(col("doc_id") % 3 =!= 2)))
     assert(got == want)
+  }
+
+  test("manifest: mismatched parameters are rejected before any mutation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "manifest")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs, ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    assert(DedupOps.readManifest(spark, indexPath) ==
+      DedupOps.IndexManifest(NumPerms, NumBands, RowsPerBand, DedupOps.IndexParts))
+    val snapshot = spark.read.parquet(s"$indexPath/sigs")
+      .collect().map(_.toString).sorted.toSeq
+    // wrong nPerm: the forget's recomputed band keys would all be wrong —
+    // must throw, and must not have touched the index
+    intercept[IllegalArgumentException] {
+      DedupOps.removeFromSignatureIndex(docs.limit(3).select("doc_id"),
+        indexPath, NumPerms / 2, NumBands, RowsPerBand)
+    }
+    // wrong nParts on the probe: partition filters would miss shards
+    val bs = DedupOps.signatureIndex(
+      docs.limit(5), ShingleK, NumPerms, NumBands, RowsPerBand)
+    intercept[IllegalArgumentException] {
+      DedupOps.dedupDeltaBatchPruned(docs.limit(5).select("doc_id"), bs,
+        indexPath, JaccardThreshold, nParts = DedupOps.IndexParts * 2)
+    }
+    // wrong params on append: would shard new rows inconsistently
+    intercept[IllegalArgumentException] {
+      DedupOps.writeSignatureIndex(bs, indexPath,
+        NumPerms, NumBands + 1, RowsPerBand, mode = "append")
+    }
+    assert(spark.read.parquet(s"$indexPath/sigs")
+      .collect().map(_.toString).sorted.toSeq == snapshot)
+  }
+
+  test("crash-safe rewrite: staging is invisible to readers; recovery rolls a completed staging forward") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "crash_fwd")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      part(0), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      part(1), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand, mode = "append")
+    def snapshot(table: String) = spark.read.parquet(s"$indexPath/$table")
+      .collect().map(_.toString).sorted.toSeq
+    def maxFilesPerShard(table: String) = {
+      val root = new java.io.File(s"$indexPath/$table")
+      root.listFiles().filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    }
+    val (sigsBefore, bandsBefore) = (snapshot("sigs"), snapshot("bands"))
+    assert(maxFilesPerShard("sigs") >= 2, "no crowded shard — vacuous")
+    // phase 1 of a compaction, then CRASH before any swap: the staged
+    // content sits in dot-prefixed dirs parquet discovery ignores, so the
+    // live index reads byte-identical — never observably partial
+    for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt"))) {
+      val pts = new java.io.File(s"$indexPath/$table").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith(s"$ptCol="))
+        .map(_.getName.stripPrefix(s"$ptCol=").toInt).toSeq
+      val rows = spark.read.parquet(s"$indexPath/$table").where(col(ptCol).isin(pts: _*))
+      DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, pts.size)
+    }
+    assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore,
+      "pre-swap staging leaked into reads")
+    assert(maxFilesPerShard("sigs") >= 2, "staging mutated live dirs")
+    // recovery rolls FORWARD (staging completed): content preserved, one
+    // file per shard, no staging/backup litter left behind
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore)
+    assert(maxFilesPerShard("sigs") == 1 && maxFilesPerShard("bands") == 1)
+    for (t <- Seq("sigs", "bands")) {
+      val litter = new java.io.File(s"$indexPath/$t").listFiles()
+        .map(_.getName).filter(n => n == ".staging" || n.startsWith(".old."))
+      assert(litter.isEmpty, s"$t left ${litter.mkString(",")}")
+    }
+    // probes against the recovered index are verdict-identical
+    val bs = DedupOps.signatureIndex(
+      part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val got = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      part(2).select("doc_id"), bs, indexPath, JaccardThreshold))
+    val want = expectedVerdicts(
+      part(2).select("doc_id").collect().map(_.getLong(0)).toSeq,
+      collectSigs(part(2)), collectSigs(docs.where(col("doc_id") % 3 =!= 2)))
+    assert(got == want)
+  }
+
+  test("crash-safe rewrite: mid-swap crash states recover; incomplete staging rolls back") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "crash_mid")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs, ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    def snapshot() = spark.read.parquet(s"$indexPath/sigs")
+      .collect().map(_.toString).sorted.toSeq
+    val before = snapshot()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val shards = new java.io.File(s"$indexPath/sigs").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("doc_pt="))
+      .map(_.getName.stripPrefix("doc_pt=").toInt).sorted.toSeq
+    assert(shards.size >= 2, "need >=2 shards for distinct crash states")
+    // stage a full self-rewrite, then simulate the WORST mid-swap crash:
+    // shard A renamed aside (live missing, staged+old present) and shard
+    // B fully swapped except the backup delete (live new, old present)
+    val rows = spark.read.parquet(s"$indexPath/sigs")
+    DedupOps.stageShards(rows, s"$indexPath/sigs", "doc_pt", shards.size)
+    val (a, b) = (shards.head, shards(1))
+    fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
+    fs.rename(p(s"$indexPath/sigs/doc_pt=$b"), p(s"$indexPath/sigs/.old.doc_pt=$b"))
+    fs.rename(p(s"$indexPath/sigs/.staging/doc_pt=$b"), p(s"$indexPath/sigs/doc_pt=$b"))
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(snapshot() == before, "forward recovery lost or duplicated rows")
+    assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
+    // incomplete staging (no _SUCCESS) + one half-swapped shard → ROLLBACK
+    // (fresh read: recovery replaced the files behind the earlier plan)
+    val rows2 = spark.read.parquet(s"$indexPath/sigs")
+    DedupOps.stageShards(rows2.limit(1), s"$indexPath/sigs", "doc_pt", 1)
+    fs.delete(p(s"$indexPath/sigs/.staging/_SUCCESS"), false)
+    fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(snapshot() == before, "rollback did not restore the pre-rewrite state")
+    assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
   }
 
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {

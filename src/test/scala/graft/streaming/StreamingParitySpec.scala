@@ -211,10 +211,18 @@ class StreamingParitySpec extends SparkSpec {
     // foreachBatch replay contract: a retried batch 2 (its kept sigs
     // already appended) must reproduce its verdicts exactly — the probe
     // excludes the batch's own index rows, so neither self-pairs nor
-    // larger-id same-batch docs indexed by the failed attempt qualify
+    // larger-id same-batch docs indexed by the failed attempt qualify —
+    // AND must not grow the index: a plain append would duplicate every
+    // kept sig/band row per retry, unboundedly
+    val sigsN = spark.read.parquet(s"$indexPath/sigs").count()
+    val bandsN = spark.read.parquet(s"$indexPath/bands").count()
     val v2r = deltaDedupVerifiedBatch(d2.toSeq.toDF("doc_id", "text"), indexPath, jac)
       .collect().map(row).toSet
     assert(v2r == v2, "replayed batch 2 verdicts diverged")
+    assert(spark.read.parquet(s"$indexPath/sigs").count() == sigsN,
+      "replayed batch duplicated sigs rows")
+    assert(spark.read.parquet(s"$indexPath/bands").count() == bandsN,
+      "replayed batch duplicated bands rows")
     // flat-index batch replay: same protocol through dedupDeltaBatch over
     // IN-MEMORY frames — exercises pruned-vs-flat, the on-disk index
     // round-trip, and the append step in one equality
