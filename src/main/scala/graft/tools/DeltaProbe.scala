@@ -50,8 +50,8 @@ object DeltaProbe {
           b1.join(kept1, Seq("doc_id"), "left_semi"), indexPath,
           NumPerms, NumBands, RowsPerBand, mode = "append", nParts = np)
       }
-      val b2 = t("b2 sigs (lazy)") {
-        DedupOps.signatureIndex(part(2), ShingleK, NumPerms, NumBands, RowsPerBand)
+      val b2 = t("b2 sigs (lazy+persist)") {
+        DedupOps.signatureIndex(part(2), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
       }
       t("delta2 full") {
         DedupOps.dedupDeltaBatchPruned(
