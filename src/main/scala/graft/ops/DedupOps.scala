@@ -483,6 +483,22 @@ object DedupOps {
       swapShards(spark, s"$indexPath/bands", "band_pt", removedBandPts)
   }
 
+  /** Doc ids from `ids` currently present in the index's payload table —
+    * probed on their own doc_pt shards only (partition filter + broadcast
+    * semi), so the I/O is id-set-shard-sized, never index-sized. */
+  def presentInSignatureIndex(ids: DataFrame, indexPath: String,
+                              nParts: Int = IndexParts): DataFrame = {
+    val spark = ids.sparkSession
+    val d = ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val dpts = d.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (dpts.isEmpty) d.where(lit(false))
+    else spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+      .where(col("doc_pt").isin(dpts: _*))
+      .join(broadcast(d), Seq("doc_id"), "left_semi")
+      .select("doc_id")
+  }
+
   /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
     * ([[dedupDeltaBatch]] evolution, [[removeFromSignatureIndex]]
     * rewrites) adds batch-sized files to shard directories, and probe

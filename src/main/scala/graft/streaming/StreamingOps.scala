@@ -185,6 +185,41 @@ object StreamingOps {
     verdicts
   }
 
+  /** Streaming right-to-be-forgotten via foreachBatch against the
+    * partitioned signature index — the RETRACTION twin of
+    * [[deltaDedupVerifiedBatch]] (a deletion-request stream is exactly
+    * how forget runs in production). Each micro-batch of `doc_id` rows is
+    * removed from the persisted index
+    * ([[graft.ops.DedupOps.removeFromSignatureIndex]]: affected shards
+    * only, crash-safe staged rewrite), so no LATER batch can match the
+    * forgotten docs — a near-dup of only-forgotten content is admitted
+    * again. Returns one SETTLED row per distinct batch id:
+    * (doc_id, was_indexed) — whether the doc was present before this
+    * removal; the receipt a deletion-request pipeline audits. The
+    * receipt is checkpointed BEFORE the removal mutates the index
+    * (settle-before-mutate), so it can never observe post-removal state.
+    *
+    * REPLAY-SAFE under foreachBatch's at-least-once contract: removal of
+    * an absent id is a no-op (the shard anti-join keeps everything), so
+    * a retried batch converges to the identical index state; its receipt
+    * reports was_indexed=false for ids the first attempt already removed
+    * — monotone in the safe direction (the doc is certainly gone). */
+  def forgetBatch(batch: DataFrame, indexPath: String,
+                  nPerm: Int = 64, nBands: Int = 16,
+                  nParts: Int = 8): DataFrame = {
+    import graft.ops.DedupOps
+    val ids = batch.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val present = DedupOps.presentInSignatureIndex(ids, indexPath, nParts)
+      .withColumn("was_indexed", lit(true))
+    val receipt = ids.join(present, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("was_indexed"), lit(false)).as("was_indexed"))
+      .localCheckpoint(true)
+    DedupOps.removeFromSignatureIndex(ids, indexPath,
+      nPerm, nBands, nPerm / nBands, nParts = nParts)
+    receipt
+  }
+
   /** Streaming IVF search-then-insert via foreachBatch against a
     * persisted, cell-partitioned vector index — the search-side sibling
     * of [[deltaDedupVerifiedBatch]] and the streaming twin of
@@ -812,6 +847,7 @@ object StreamingOps {
     "dedupStream" -> "inline batch distinct on the dedup keys",
     "nearDupDedupBatch" -> "driver replay of the two-batch LSH band-store fold",
     "deltaDedupVerifiedBatch" -> "flat-index batch replay of the bootstrap/probe/append protocol",
+    "forgetBatch" -> "driver presence check + post-removal index content vs a batch-side recompute",
     "ivfSearchInsertBatch" -> "in-memory batch replay of the search-then-insert protocol",
     "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
     "streamIntervalJoin" -> "inline batch join with the same interval predicate",

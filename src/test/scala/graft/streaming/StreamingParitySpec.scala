@@ -80,6 +80,7 @@ class StreamingParitySpec extends SparkSpec {
     "dedupStream" -> (() => dedupStreamParity()),
     "nearDupDedupBatch" -> (() => nearDupParity()),
     "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
+    "forgetBatch" -> (() => forgetBatchParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
@@ -243,6 +244,49 @@ class StreamingParitySpec extends SparkSpec {
     assert(v2.exists(_._5 == "corpus"),
       "fixture produced no cross-batch near-dup — parity vacuous")
     assert((v1 ++ v2).exists(_._2 == "keep"), "everything dropped — fixture degenerate")
+  }
+
+  private def forgetBatchParity(): Unit = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("p_forget").toString + "/index"
+    // bootstrap the index from batch 1 through the ingest twin
+    deltaDedupVerifiedBatch(d1.toSeq.toDF("doc_id", "text"), indexPath, 0.7)
+      .count()
+    val indexedBefore = spark.read.parquet(s"$indexPath/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    // forget set: every 3rd indexed doc PLUS ids that were never indexed
+    // (batch-2 ids) — the receipt must distinguish them
+    val toForget = indexedBefore.toSeq.sorted.grouped(3).map(_.head).toSeq ++
+      d2.take(5).map(_._1)
+    val receipt = forgetBatch(toForget.toDF("doc_id"), indexPath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(receipt.keySet == toForget.toSet)
+    assert(receipt.forall { case (id, was) => was == indexedBefore.contains(id) },
+      "receipt presence diverged from the pre-removal index content")
+    assert(receipt.values.exists(identity) && receipt.values.exists(!_),
+      "fixture exercised only one receipt outcome — vacuous")
+    // batch-side recompute: the index must now contain exactly the
+    // surviving ids, in BOTH tables
+    val wantLeft = indexedBefore -- toForget
+    val sigsLeft = spark.read.parquet(s"$indexPath/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    val bandsLeft = spark.read.parquet(s"$indexPath/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(sigsLeft == wantLeft && bandsLeft == wantLeft)
+    // at-least-once replay: identical final index, receipt flips to
+    // was_indexed=false (the docs are certainly gone)
+    val sigsRows = spark.read.parquet(s"$indexPath/sigs").count()
+    val bandsRows = spark.read.parquet(s"$indexPath/bands").count()
+    val replay = forgetBatch(toForget.toDF("doc_id"), indexPath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(replay.keySet == toForget.toSet && replay.values.forall(!_))
+    assert(spark.read.parquet(s"$indexPath/sigs").count() == sigsRows &&
+      spark.read.parquet(s"$indexPath/bands").count() == bandsRows,
+      "replayed forget changed the index")
   }
 
   private def ivfSearchInsertParity(): Unit = {
