@@ -1114,6 +1114,150 @@ object VectorQueries {
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** RECALL-UNDER-EVOLUTION gate for the persisted IVF index — the one
+    * claim the incremental-ANN lifecycle left unmeasured: centroids are a
+    * strided bootstrap draw frozen for the index's lifetime
+    * ([[graft.streaming.StreamingOps.ivfSearchInsertBatch]]), so as
+    * inserted batches accrete, cell balance and recall at fixed nProbe
+    * can decay SILENTLY. This entry inserts two batches through the real
+    * streaming op and reports, PER EPOCH (0 = bootstrap corpus, 1, 2 =
+    * after each insert), recall@k of the frozen-centroid IVF probe
+    * against brute-force truth over everything indexed at that epoch,
+    * for a fixed query sample — the number an operator watches to decide
+    * when [[graft.streaming.StreamingOps.refreshCentroids]] is due.
+    *
+    * Scale shape: the brute arm is deliberate ground truth (bounded
+    * query sample broadcast, postings stream map-side — the ann_brute
+    * twin pattern); candidates are scored ONCE and each arm/epoch is an
+    * in-row expansion over that single pass (explode(sequence(batch_id,
+    * 2)) — a candidate inserted at epoch b participates in epochs ≥ b),
+    * so adding epochs adds no postings rescans. */
+  val annRecallEvolution: Q = new Q {
+    val name = "q_ann_recall_evolution"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.streaming.StreamingOps.ivfSearchInsertBatch
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      // bootstrap + both insert epochs ONCE per JVM (Staging.once; own
+      // leaf — ann_delta_evolve's index has a different batch split)
+      val indexPath = graft.ops.Staging.once(
+          "/tmp/graft_ann_index", dir, "ivf_recall_evo") { p =>
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 =!= 0), p, batchId = 0L)
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 250),
+          p, batchId = 1L)
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 &&
+            col("vec_id") >= 250 && col("vec_id") < 500),
+          p, batchId = 2L): Unit
+      }
+      val cents = spark.read.parquet(s"$indexPath/centroids")
+      val postings = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT"))
+        .parquet(s"$indexPath/postings")
+      // fixed query sample (corpus members, never % 5 == 0; self-matches
+      // excluded in both arms) — recall comparable across epochs
+      val queries = emb.where(col("vec_id") % 50 === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("cs", VectorOps.cosine(col("q_vec"), col("c_vec"), Dim))
+        .withColumn("rn", row_number().over(wQ)).where(col("rn") <= NProbe)
+        .select(col("q_id"), col("c_id").as("centroid_id"), lit(1).as("in_probe"))
+      val scored = postings.crossJoin(broadcast(queries))
+        .where(col("q_id") =!= col("vec_id"))
+        .withColumn("cs", VectorOps.cosine(col("q_vec"), col("embedding"), Dim))
+        .join(broadcast(probes), Seq("q_id", "centroid_id"), "left")
+        .withColumn("epoch", explode(sequence(col("batch_id"), lit(2L))))
+        .select("epoch", "q_id", "vec_id", "cs", "in_probe")
+      val wR = Window.partitionBy("epoch", "q_id")
+        .orderBy(col("cs").desc, col("vec_id").asc)
+      val truth = scored.withColumn("rn", row_number().over(wR))
+        .where(col("rn") <= TopK).select("epoch", "q_id", "vec_id")
+      val hits = scored.where(col("in_probe") === 1)
+        .withColumn("rn", row_number().over(wR))
+        .where(col("rn") <= TopK).select("epoch", "q_id", "vec_id")
+      val matched = hits.join(truth, Seq("epoch", "q_id", "vec_id"))
+        .groupBy("epoch", "q_id").agg(count(lit(1)).as("matched"))
+      // zero-match queries must count in the mean: left join from the grid
+      val grid = spark.range(3).select(col("id").as("epoch"))
+        .crossJoin(queries.select("q_id"))
+      val per = grid.join(matched, Seq("epoch", "q_id"), "left")
+        .select(col("epoch"), col("q_id"),
+          coalesce(col("matched"), lit(0L)).as("matched"))
+      val nIdx = postings
+        .withColumn("epoch", explode(sequence(col("batch_id"), lit(2L))))
+        .groupBy("epoch").agg(count(lit(1)).as("n_indexed"))
+      per.groupBy("epoch")
+        .agg(count(lit(1)).as("nq"), sum("matched").as("m"),
+          min("matched").as("mn"))
+        .join(nIdx, Seq("epoch"))
+        .select(col("epoch"), col("n_indexed"),
+          col("nq").as("n_queries"),
+          expr(s"CAST((m * 10000) DIV ($TopK * nq) AS BIGINT)")
+            .as("mean_recall_e4"),
+          (col("mn") * lit(10000 / TopK)).cast("long").as("min_recall_e4"))
+        .orderBy("epoch")
+    }
+    val oracle = Some(
+      s"""WITH cor AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM cor
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+         |idx AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN vec_id % 5 <> 0 THEN 0 WHEN vec_id < 250 THEN 1 ELSE 2 END AS bepoch
+         |  FROM embeddings WHERE vec_id % 5 <> 0 OR vec_id < 500),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, e.bepoch, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM idx e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, bepoch, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM s) t WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 50 = 1),
+         |qs AS (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM q CROSS JOIN c),
+         |probes AS (
+         |  SELECT q_id, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM qs) t WHERE rn <= $NProbe),
+         |sc AS (
+         |  SELECT q.q_id, a.vec_id, a.bepoch,
+         |    CASE WHEN p.q_id IS NOT NULL THEN 1 ELSE 0 END AS in_probe,
+         |    ${sqlDot("q_vec", "a.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("a.embedding")}) AS cs
+         |  FROM assigned a CROSS JOIN q
+         |  LEFT JOIN probes p ON p.q_id = q.q_id AND p.centroid_id = a.centroid_id
+         |  WHERE q.q_id <> a.vec_id),
+         |ex AS (SELECT sc.*, ep.e FROM sc JOIN range(3) ep(e) ON sc.bepoch <= ep.e),
+         |truth AS (SELECT e, q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY e, q_id ORDER BY cs DESC, vec_id) AS rn
+         |  FROM ex) t WHERE rn <= $TopK),
+         |hits AS (SELECT e, q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY e, q_id ORDER BY cs DESC, vec_id) AS rn
+         |  FROM ex WHERE in_probe = 1) t WHERE rn <= $TopK),
+         |m AS (
+         |  SELECT t.e, t.q_id, count(*) AS matched FROM hits h
+         |  JOIN truth t ON h.e = t.e AND h.q_id = t.q_id AND h.vec_id = t.vec_id
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT ep.e, q.q_id FROM range(3) ep(e) CROSS JOIN q),
+         |per AS (
+         |  SELECT g.e, g.q_id, coalesce(m.matched, 0) AS matched
+         |  FROM grid g LEFT JOIN m ON m.e = g.e AND m.q_id = g.q_id),
+         |ni AS (
+         |  SELECT ep.e, CAST(count(*) AS BIGINT) AS n_indexed
+         |  FROM idx JOIN range(3) ep(e) ON idx.bepoch <= ep.e GROUP BY 1)
+         |SELECT per.e AS epoch, ni.n_indexed,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(matched) * 10000 // ($TopK * count(*)) AS BIGINT) AS mean_recall_e4,
+         |  CAST(min(matched) * ${10000 / TopK} AS BIGINT) AS min_recall_e4
+         |FROM per JOIN ni ON ni.e = per.e
+         |GROUP BY 1, 2 ORDER BY epoch""".stripMargin)
+  }
+
   /** k-means cluster assignment (Lloyd's, deterministic init) on the
     * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
     * assignments by integer squared distance (ties → lowest index),
@@ -2053,7 +2197,8 @@ object VectorQueries {
     dedupEmbeddingLsh, qEmbeddingLshRecall, qEmbeddingLshRecallSampled,
     dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
-    ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annDeltaEvolve, annRecallAtK, qAnnNprobeSweep,
+    ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annDeltaEvolve,
+    annRecallEvolution, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)

@@ -364,6 +364,82 @@ object StreamingOps {
       .parquet(s"$indexPath/postings")
   }
 
+  /** Re-clusters a persisted [[ivfSearchInsertBatch]] index's centroids
+    * from its CURRENT postings and rewrites every posting into its new
+    * cell — the maintenance op that closes the frozen-bootstrap gap: the
+    * bootstrap centroids are a strided draw over the FIRST batch, frozen
+    * for the index's lifetime, so as inserted batches drift, cells grow
+    * unbalanced and recall at fixed nProbe decays
+    * (q_ann_recall_evolution is the gate that measures it; this op is
+    * what an operator runs when that gate dips).
+    *
+    * Clustering is KMeansOps.fitExact — integer Lloyd's, deterministic
+    * run-to-run — with k = the current centroid count, over L2-NORMALIZED
+    * vectors, and the stored centroids are normalized too: the probe
+    * ranks cells by COSINE, and for unit vectors L2-argmin ≡
+    * cosine-argmax, so assignment and probe agree on what "nearest cell"
+    * means (clustering raw vectors measurably REGRESSED recall on the
+    * fixture — metric mismatch put true neighbors in cells the probe
+    * doesn't visit). New centroid ids are 0..k-1. `batch_id` partitions
+    * are PRESERVED so the streaming replay horizon survives a refresh (a
+    * replayed batch still dynamically overwrites exactly its own
+    * (cell, batch) dirs).
+    *
+    * Maintenance-window op, like [[compactPostings]]: centroid ids
+    * change, so a search concurrent with the swap could probe old ids
+    * against new cells — run it between batches (the foreachBatch serial
+    * contract gives exactly that window). Both tables are staged
+    * completely next to the live dirs and swapped by rename, old content
+    * retained until the new is live (the crash-safety idiom of
+    * DedupOps.swapShards). */
+  def refreshCentroids(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, iters: Int = 3): Unit = {
+    import graft.ops.KMeansOps
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(s"$indexPath/postings"))) return
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
+    val posts = spark.read.schema(schema).parquet(s"$indexPath/postings")
+    val k = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    val unit = { // L2-normalize in-row (codegen dot; no shuffle)
+      val nrm = sqrt(graft.expressions.F.dot(col("embedding"), col("embedding")))
+      transform(col("embedding"), x => (x / nrm).cast("float"))
+    }
+    val cq = KMeansOps.fitExact(
+      posts.select(col("vec_id"), unit.as("embedding")), k, iters)
+    if (cq.isEmpty) return
+    // normalize the fitted centroids too (a mean of unit vectors is not
+    // unit), then re-quantize so the assignment below is L2-argmin over
+    // unit vectors on both sides ≡ cosine-argmax
+    val cUnit = cq.map { c =>
+      val n = math.sqrt(c.map(x => (x / 1e6) * (x / 1e6)).sum).max(1e-12)
+      c.map(x => x / 1e6 / n)
+    }
+    val cqUnit = cUnit.map(_.map(x => math.round(x * 1e6)))
+    import spark.implicits._
+    val newCents = cUnit.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toDF("c_id", "c_vec")
+    posts
+      .withColumn("centroid_id", KMeansOps.assignmentExact(
+        KMeansOps.quantize(unit, 1000000L), cqUnit).cast("long"))
+      .select("centroid_id", "vec_id", "embedding", "batch_id")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id", "batch_id")
+      .parquet(s"$indexPath/.refresh_postings")
+    newCents.write.mode("overwrite").parquet(s"$indexPath/.refresh_centroids")
+    for (name <- Seq("postings", "centroids")) {
+      val live = p(s"$indexPath/$name")
+      val old = p(s"$indexPath/.old_$name")
+      fs.delete(old, true)
+      if (fs.exists(live)) { fs.rename(live, old): Unit }
+      fs.rename(p(s"$indexPath/.refresh_$name"), live)
+      fs.delete(old, true): Unit
+    }
+  }
+
   /** Streaming snapshot maintenance via foreachBatch: fold each micro-batch
     * of (key, version, …) rows into a hive-partitioned lake snapshot with
     * [[graft.ops.Sinks.mergeUpsert]] — the incremental twin of the batch
