@@ -412,15 +412,22 @@ object VectorQueries {
         col("id_r") === col("sid_r"), "left")
       .where(col("sid_l").isNotNull || col("sid_r").isNotNull)
       .select("id_l", "id_r")
-    val hit = truth.join(lsh, Seq("id_l", "id_r"), "left_semi")
-    val missed = truth.join(lsh, Seq("id_l", "id_r"), "left_anti")
+    // ONE tagged pass (the pooled gate's shape): truth pairs tagged with
+    // banded membership, one aggregate, fold with the bounded counts.
+    // The earlier semi/anti + five crossJoined aggregates re-ran the
+    // banded self-join three times per salt.
+    val lshP = lsh.persist()
+    val totals = truth
+      .join(lshP.withColumn("__hit", lit(1L)), Seq("id_l", "id_r"), "left")
+      .select(col("cos_e6"), coalesce(col("__hit"), lit(0L)).as("hit"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"),
+        coalesce(sum(lit(1L) - col("hit")), lit(0L)).as("n_missed"),
+        coalesce(max(when(col("hit") === 0L, col("cos_e6"))), lit(-1L))
+          .as("worst_miss_cos_e6"))
     sample.agg(count(lit(1)).as("n_sampled"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .crossJoin(missed.agg(
-        count(lit(1)).as("n_missed"),
-        coalesce(max(col("cos_e6")), lit(-1L)).as("worst_miss_cos_e6")))
+      .crossJoin(lshP.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(totals)
       .select(col("n_sampled"), col("n_truth"), col("n_lsh"), col("n_hit"),
         col("n_missed"),
         expr("CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 10000 div n_truth END")

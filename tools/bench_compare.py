@@ -37,6 +37,18 @@ def main(prev_path, *cur_paths):
     new = [k for k in cur if k not in prev]
     if new:
         print(f"new queries: {len(new)}, min-total {sum(cur[k] for k in new):.1f} s")
+    # Per-query A/B variance (r13 verdict item 5): how repeatable is each
+    # query WITHIN this round's two uncontended runs? A query whose two
+    # samples disagree widely is contention/jitter-bound — cross-round
+    # drift on it (e.g. q_hits_bipartite, 2.7->3.9 s across rounds on
+    # untouched code) should be adjudicated as host noise, not code.
+    if len(curs) >= 2:
+        unstable = sorted(
+            ((max(c[k] for c in curs) / max(min(c[k] for c in curs), 1e-9), k)
+             for k in cur if cur[k] > 0.05),
+            reverse=True)[:8]
+        print("least repeatable (A/B max/min):",
+              [(k, round(r, 2)) for r, k in unstable])
     if not 0.8 <= med <= 1.1:
         print(f"REGRESSION: shared median {med:.3f} outside [0.8, 1.1]")
         sys.exit(1)

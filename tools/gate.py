@@ -5,6 +5,11 @@ zero-work round sailed through with nothing but a LEAKCHECK bump).
 
 Steps, each recorded in GATE.json and ALL required to pass:
 
+ 0. clean_tree / head / head_stable — the gate records the HEAD sha it
+               tested, refuses a dirty src/tools tree, and fails if HEAD
+               moves mid-run: a GATE.json stamp is only meaningful if the
+               recorded sha IS the round's final source commit (round 13's
+               last source commit landed after the stamp, uncovered).
  1. work     — at least one commit touching src/ or tools/ since the last
                driver round-artifact commit ("round N: ..."); catches a
                zero-work round.
@@ -146,6 +151,23 @@ def main():
         gate["pass"] = gate["pass"] and bool(ok)
         print(f"[gate] {name}: {'PASS' if ok else 'FAIL'}", flush=True)
 
+    def head_sha():
+        return subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+
+    # The stamp is only meaningful if it names the exact tree it tested
+    # (r13's last source commit landed AFTER the gate stamp and was never
+    # covered): record the HEAD sha, refuse a dirty src/tools tree (the
+    # gate would be testing uncommitted code the sha doesn't name), and
+    # fail if HEAD moves while the gate runs. Round close = this sha must
+    # be the round's final source commit, checkable from GATE.json alone.
+    gate["head"] = head_sha()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", "src", "tools"],
+        cwd=REPO, capture_output=True, text=True).stdout.strip()
+    record("clean_tree", not dirty,
+           dirty.splitlines()[:10] if dirty else f"src/ and tools/ committed at {gate['head'][:12]}")
+
     ok, d = step_work()
     record("work", ok, d)
 
@@ -164,6 +186,11 @@ def main():
         prev = args.prev_bench or latest_bench_snapshot()
         ok, d = step_bench(args.bench_sf_dir, prev)
         record("bench", ok, d)
+
+    final = head_sha()
+    record("head_stable", final == gate["head"],
+           f"HEAD {gate['head'][:12]} -> {final[:12]}"
+           if final != gate["head"] else f"HEAD {gate['head'][:12]} unchanged")
 
     with open(os.path.join(REPO, "GATE.json"), "w") as f:
         json.dump(gate, f, indent=2, default=str)
