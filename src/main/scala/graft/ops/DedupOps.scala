@@ -569,6 +569,24 @@ object DedupOps {
                             indexPath: String, minJac: Double,
                             nParts: Int = IndexParts,
                             excludeOwnIds: Boolean = false): DataFrame = {
+    val (verdicts, cached) = dedupDeltaBatchPrunedPlan(
+      batchIds, batchSigs, indexPath, minJac, nParts, excludeOwnIds)
+    val out = verdicts.localCheckpoint(true)
+    cached.foreach(_.unpersist(): Unit)
+    out
+  }
+
+  /** The LAZY probe plan behind [[dedupDeltaBatchPruned]], plus the
+    * intermediates it persisted (released by the settled wrapper; a
+    * direct caller owns them). Exists so the plan pins (PlanSpec,
+    * IncrementalDedupSpec) can inspect the exact frame the settled path
+    * materializes — after the checkpoint, the executed plan is just an
+    * RDD scan and the partition-filter/broadcast-semi shape is invisible. */
+  private[graft] def dedupDeltaBatchPrunedPlan(
+      batchIds: DataFrame, batchSigs: DataFrame,
+      indexPath: String, minJac: Double,
+      nParts: Int = IndexParts,
+      excludeOwnIds: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val spark = batchIds.sparkSession
     val mParts = readManifest(spark, indexPath).nParts
     require(mParts == nParts,
@@ -605,10 +623,8 @@ object DedupOps {
       .where(col("doc_pt").isin(dpts: _*))
       .join(collided, Seq("doc_id"), "left_semi")
       .select("doc_id", "hs")
-    val verdicts = dedupDeltaCore(batchIds, bs, bandsMatched, prunedHs, minJac)
-      .localCheckpoint(true)
-    batchBands.unpersist(); bandsMatched.unpersist(): Unit
-    verdicts
+    (dedupDeltaCore(batchIds, bs, bandsMatched, prunedHs, minJac),
+      Seq(batchBands, bandsMatched))
   }
 
   /** Incremental near-dup verdicts for a NEW BATCH against a persisted

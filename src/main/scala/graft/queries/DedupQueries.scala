@@ -1488,22 +1488,29 @@ object DedupQueries {
     * band-collided index probes over collided SHARDS only — at 100 TB the
     * per-batch cost is ∝ |batch| + Σ collided-bucket membership, never
     * corpus-sized I/O. */
+  /** The dedup_delta_batch corpus index (docs with doc_id % 5 != 0),
+    * bootstrapped ONCE per JVM (Staging.once): production builds the
+    * corpus index once and amortizes it over every future batch, so a
+    * probe entry's per-invocation cost — batch signatures + pruned probe
+    * — IS the steady-state per-batch cost. Probes never mutate it, so
+    * sharing the staged copy (entry + plan pins) is safe. */
+  private[graft] def stagedDeltaIndex(spark: SparkSession, dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    graft.ops.Staging.once("/tmp/graft_dedup_index", dir, "sig_index") { p =>
+      DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+        docs.where(col("doc_id") % 5 =!= 0), ShingleK, NumPerms, NumBands, RowsPerBand),
+        p, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
+    }
+  }
+
   val dedupDeltaBatch: Q = new Q {
     val name = "dedup_delta_batch"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val isBatch = col("doc_id") % 5 === 0
-      // bootstrap ONCE per JVM (Staging.once): production builds the
-      // corpus index once and amortizes it over every future batch, so
-      // the per-invocation cost here — batch signatures + pruned probe —
-      // IS the steady-state per-batch cost. The probe never mutates the
-      // index, so sharing the staged copy is safe.
-      val indexPath = graft.ops.Staging.once("/tmp/graft_dedup_index", dir, "sig_index") { p =>
-        DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
-          docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
-          p, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
-      }
+      val indexPath = stagedDeltaIndex(spark, dir)
       // persisted: feeds both candidate arms and both verification joins;
       // safe to release immediately — the probe returns a SETTLED frame
       val batchSigs = DedupOps.signatureIndex(

@@ -343,8 +343,19 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {
-    val plan = DedupQueries.dedupDeltaBatch.run(spark, dir)
-      .queryExecution.executedPlan.toString
+    // the catalog entry settles its frame (plan becomes an RDD scan), so
+    // the shape pin inspects the lazy probe plan it materializes
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    val indexPath = DedupQueries.stagedDeltaIndex(spark, dir)
+    val bs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand)
+    val (lazyVerdicts, cached) = DedupOps.dedupDeltaBatchPrunedPlan(
+      docs.where(isBatch).select("doc_id"), bs, indexPath, JaccardThreshold,
+      nParts = DedupQueries.TestIndexParts)
+    val plan = lazyVerdicts.queryExecution.executedPlan.toString
+    cached.foreach(_.unpersist(): Unit)
     assert(!plan.contains("CartesianProduct"), "cartesian in delta-dedup plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast-NL in delta-dedup plan")
   }

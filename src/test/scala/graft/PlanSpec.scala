@@ -340,8 +340,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_delta_batch: index probe prunes band shards and broadcast-semi-joins the batch's band keys") {
-    val df = graft.queries.DedupQueries.dedupDeltaBatch.run(spark, sf)
+    // the catalog entry returns a SETTLED frame (its executed plan is an
+    // RDD scan), so the pin inspects the LAZY probe plan the settled path
+    // materializes — same inputs, same staged index
+    import graft.queries.DedupQueries._
+    import graft.ops.DedupOps
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long").as("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val isBatch = org.apache.spark.sql.functions.col("doc_id") % 5 === 0
+    val indexPath = stagedDeltaIndex(spark, sf)
+    val bs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    val (df, cached) = DedupOps.dedupDeltaBatchPrunedPlan(
+      docs.where(isBatch).select("doc_id"), bs, indexPath,
+      JaccardThreshold, nParts = TestIndexParts)
     val plan = df.queryExecution.executedPlan.toString
+    (cached :+ bs).foreach(_.unpersist(): Unit)
     // the bands/ scan must carry a band_pt partition filter (shard pruning
     // from the batch's own band keys) — never an unfiltered index scan
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
