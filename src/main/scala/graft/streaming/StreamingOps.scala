@@ -335,14 +335,28 @@ object StreamingOps {
     * batch would double its rows; batches above the horizon keep their
     * own partitions precisely so replays stay idempotent).
     *
-    * Settle-before-mutate applies here too: the surviving rows are
-    * localCheckpoint-ed before their source directories are deleted. */
+    * CRASH-SAFE two-phase rewrite (the DedupOps.stageShards idiom; the
+    * earlier delete-then-append lost the horizon if the process died
+    * between the two): phase 1 stages the full compacted content under a
+    * dot-prefixed dir readers ignore — reads run against untouched live
+    * dirs, so nothing depends on cache or lineage; phase 2 swaps per
+    * cell, and [[recoverPostings]] rolls a mid-swap crash forward (or
+    * discards an incomplete staging). */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String, upToBatchId: Long): Unit = {
+                      indexPath: String, upToBatchId: Long): Unit =
+    if (stageCompactedPostings(spark, indexPath, upToBatchId))
+      swapCompactedPostings(spark, indexPath, upToBatchId)
+
+  /** Phase 1 of [[compactPostings]]: stage the merged horizon content.
+    * Returns false (staging nothing) when the horizon is already one
+    * batch dir per cell. */
+  private[graft] def stageCompactedPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, upToBatchId: Long): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     val postingsPath = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
-    if (!fs.exists(postingsPath)) return
+    if (!fs.exists(postingsPath)) return false
     val batchDirs = fs.listStatus(postingsPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
       .flatMap(c => fs.listStatus(c.getPath).toSeq
@@ -350,18 +364,64 @@ object StreamingOps {
           b.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatchId)
         .map(_.getPath))
     // one batch dir per cell at the horizon is already compact
-    if (batchDirs.size <= batchDirs.map(_.getParent.getName).distinct.size) return
+    if (batchDirs.size <= batchDirs.map(_.getParent.getName).distinct.size) return false
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
-    val compacted = spark.read.schema(schema).parquet(s"$indexPath/postings")
+    spark.read.schema(schema).parquet(s"$indexPath/postings")
       .where(col("batch_id") <= upToBatchId)
-      .select(col("centroid_id"), col("vec_id"), col("embedding"),
-        lit(upToBatchId).as("batch_id"))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
       .repartition(col("centroid_id"))
-      .localCheckpoint(true)
-    batchDirs.foreach(p => fs.delete(p, true): Unit)
-    compacted.write.mode("append").partitionBy("centroid_id", "batch_id")
-      .parquet(s"$indexPath/postings")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexPath/postings/.compact_upto_$upToBatchId")
+    true
+  }
+
+  /** Phase 2 / recovery arm of [[compactPostings]]: for every staged
+    * cell, drop its merged batch dirs and rename the staged content in
+    * as `batch_id=upToBatchId`. Idempotent across every crash point —
+    * a cell whose staged dir is gone was fully swapped (the rename is
+    * that cell's last step), so re-running rolls the compaction forward;
+    * an INCOMPLETE staging (no parquet `_SUCCESS`) is discarded with the
+    * live dirs untouched. */
+  private[graft] def swapCompactedPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, upToBatchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staging = p(s"$indexPath/postings/.compact_upto_$upToBatchId")
+    if (!fs.exists(staging)) return
+    if (!fs.exists(p(s"$staging/_SUCCESS"))) { fs.delete(staging, true); return }
+    fs.listStatus(staging).toSeq
+      .filter(_.getPath.getName.startsWith("centroid_id="))
+      .foreach { cellDir =>
+        val liveCell = p(s"$indexPath/postings/${cellDir.getPath.getName}")
+        if (fs.exists(liveCell))
+          fs.listStatus(liveCell).toSeq
+            .filter(b => b.isDirectory && b.getPath.getName.startsWith("batch_id=") &&
+              b.getPath.getName.stripPrefix("batch_id=").toLong <= upToBatchId)
+            .foreach(b => fs.delete(b.getPath, true): Unit)
+        else fs.mkdirs(liveCell): Unit
+        fs.rename(cellDir.getPath, p(s"$liveCell/batch_id=$upToBatchId")): Unit
+      }
+    fs.delete(staging, true): Unit
+  }
+
+  /** Rolls the postings layout to a consistent state after a crash
+    * mid-[[compactPostings]]: completed stagings roll forward,
+    * incomplete ones are discarded. Run at index open when a prior
+    * maintenance run may have died (the sibling of
+    * [[graft.ops.DedupOps.recoverSignatureIndex]]). */
+  def recoverPostings(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    if (!fs.exists(postingsPath)) return
+    fs.listStatus(postingsPath).toSeq
+      .filter(_.getPath.getName.startsWith(".compact_upto_"))
+      .foreach(d => swapCompactedPostings(spark, indexPath,
+        d.getPath.getName.stripPrefix(".compact_upto_").toLong))
   }
 
   /** Re-clusters a persisted [[ivfSearchInsertBatch]] index's centroids

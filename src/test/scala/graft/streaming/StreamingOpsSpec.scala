@@ -759,6 +759,62 @@ class StreamingOpsSpec extends SparkSpec {
     assert(hits(rootA).nonEmpty || vecs.isEmpty)
   }
 
+  test("compactPostings crash windows: staging invisible pre-swap; forward and rollback recovery") {
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val thirds = vecs.grouped(math.max(1, vecs.length / 3)).toSeq
+    def df(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    def build(): String = {
+      val root = java.nio.file.Files.createTempDirectory("p_cprec").toString + "/idx"
+      for ((b, i) <- thirds.take(3).zipWithIndex)
+        StreamingOps.ivfSearchInsertBatch(df(b.toSeq), root, batchId = i.toLong)
+      root
+    }
+    def content(root: String) = spark.read.parquet(s"$root/postings")
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fsOf = (root: String) => org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // crash after phase 1 (staging complete, no swap): reads see the
+    // original layout byte-identically; recovery rolls FORWARD
+    val a = build(); val before = content(a)
+    assert(StreamingOps.stageCompactedPostings(spark, a, upToBatchId = 2L))
+    assert(content(a) == before, "pre-swap staging leaked into reads")
+    StreamingOps.recoverPostings(spark, a)
+    assert(content(a) == before, "forward recovery changed postings content")
+    assert(!fsOf(a).exists(pth(s"$a/postings/.compact_upto_2")), "staging litter")
+    val horizonDirs = new java.io.File(s"$a/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(b => b.isDirectory &&
+        b.getName.stripPrefix("batch_id=").toLong <= 2L))
+    assert(horizonDirs.forall(_ == 1), "recovery did not complete the compaction")
+
+    // crash mid-swap (a cell's merged dirs deleted, staged rename pending):
+    // recovery completes that cell from the staging — nothing lost
+    val b = build(); val beforeB = content(b)
+    assert(StreamingOps.stageCompactedPostings(spark, b, upToBatchId = 2L))
+    val cellB = new java.io.File(s"$b/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).head.getName
+    new java.io.File(s"$b/postings/$cellB").listFiles()
+      .filter(d => d.isDirectory && d.getName.stripPrefix("batch_id=").toLong <= 2L)
+      .foreach(d => fsOf(b).delete(pth(d.getPath), true): Unit)
+    StreamingOps.recoverPostings(spark, b)
+    assert(content(b) == beforeB, "mid-swap recovery lost the deleted cell's rows")
+
+    // incomplete staging (no _SUCCESS): ROLLBACK — live dirs untouched,
+    // staging discarded
+    val c = build(); val beforeC = content(c)
+    assert(StreamingOps.stageCompactedPostings(spark, c, upToBatchId = 2L))
+    fsOf(c).delete(pth(s"$c/postings/.compact_upto_2/_SUCCESS"), false)
+    StreamingOps.recoverPostings(spark, c)
+    assert(content(c) == beforeC)
+    assert(!fsOf(c).exists(pth(s"$c/postings/.compact_upto_2")),
+      "incomplete staging not discarded")
+  }
+
   test("ivfSearchInsertBatch bootstrap falls back to a seed centroid when the stride rule selects nothing") {
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
