@@ -461,7 +461,9 @@ object StreamingOps {
     if (!fs.exists(p(s"$indexPath/postings"))) return
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
-    val posts = spark.read.schema(schema).parquet(s"$indexPath/postings")
+    // persisted: every Lloyd iteration scans the postings (plus the final
+    // reassignment write) — one parquet read instead of iters + 1
+    val posts = spark.read.schema(schema).parquet(s"$indexPath/postings").persist()
     val k = spark.read.parquet(s"$indexPath/centroids").count().toInt
     val unit = { // L2-normalize in-row (codegen dot; no shuffle)
       val nrm = sqrt(graft.expressions.F.dot(col("embedding"), col("embedding")))
@@ -469,7 +471,7 @@ object StreamingOps {
     }
     val cq = KMeansOps.fitExact(
       posts.select(col("vec_id"), unit.as("embedding")), k, iters)
-    if (cq.isEmpty) return
+    if (cq.isEmpty) { posts.unpersist(); return }
     // normalize the fitted centroids too (a mean of unit vectors is not
     // unit), then re-quantize so the assignment below is L2-argmin over
     // unit vectors on both sides ≡ cosine-argmax
@@ -489,6 +491,7 @@ object StreamingOps {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id", "batch_id")
       .parquet(s"$indexPath/.refresh_postings")
+    posts.unpersist()
     newCents.write.mode("overwrite").parquet(s"$indexPath/.refresh_centroids")
     for (name <- Seq("postings", "centroids")) {
       val live = p(s"$indexPath/$name")
