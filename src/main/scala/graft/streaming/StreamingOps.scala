@@ -154,6 +154,11 @@ object StreamingOps {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     val storeExists = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    // self-heal at open: a forget/compaction that died mid-rewrite leaves
+    // staging/backup dirs behind; rolling them to a rewrite boundary here
+    // (no-op when clean — one listStatus per table) means at-least-once
+    // batch processing never probes a half-swapped index
+    if (storeExists) DedupOps.recoverSignatureIndex(spark, indexPath)
     // eager localCheckpoint, not persist+count: verdicts must be SETTLED
     // before the index mutates below — a cache entry can be recomputed
     // later against the grown index (observed on the IVF sibling:
@@ -208,6 +213,10 @@ object StreamingOps {
                   nPerm: Int = 64, nBands: Int = 16,
                   nParts: Int = 8): DataFrame = {
     import graft.ops.DedupOps
+    // self-heal at open (see deltaDedupVerifiedBatch): a prior forget
+    // that died mid-rewrite must not leave this one reading a
+    // half-swapped shard set
+    DedupOps.recoverSignatureIndex(batch.sparkSession, indexPath)
     val ids = batch.select(col("doc_id").cast("long").as("doc_id")).distinct()
     val present = DedupOps.presentInSignatureIndex(ids, indexPath, nParts)
       .withColumn("was_indexed", lit(true))
@@ -257,6 +266,10 @@ object StreamingOps {
     val dim = 64
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    // self-heal at open: a compaction that died mid-swap leaves a staging
+    // dir behind; roll it to a boundary before searching (no-op when
+    // clean — one listStatus)
+    recoverPostings(spark, indexPath)
     val centPath = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
     if (!fs.exists(centPath)) {
       val strided = batch

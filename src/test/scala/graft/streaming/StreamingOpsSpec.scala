@@ -815,6 +815,70 @@ class StreamingOpsSpec extends SparkSpec {
       "incomplete staging not discarded")
   }
 
+  test("twins self-heal at open: a crashed index rewrite is recovered before the batch runs") {
+    import graft.ops.DedupOps
+    def pth(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fsOf = (root: String) => org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    // dedup twin: identical two-index setup; index A gets a simulated
+    // mid-forget crash (complete staging + one half-swapped shard); the
+    // next micro-batch through the REAL op must produce the same verdicts
+    // as the untouched index B, and leave no rewrite litter behind
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val rootA = java.nio.file.Files.createTempDirectory("p_heal").toString + "/a"
+    val rootB = java.nio.file.Files.createTempDirectory("p_heal").toString + "/b"
+    for (root <- Seq(rootA, rootB))
+      StreamingOps.deltaDedupVerifiedBatch(d1.toDF("doc_id", "text"), root, 0.7)
+        .count()
+    val shards = new java.io.File(s"$rootA/sigs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("doc_pt="))
+      .map(_.getName.stripPrefix("doc_pt=").toInt).sorted.toSeq
+    DedupOps.stageShards(spark.read.parquet(s"$rootA/sigs"),
+      s"$rootA/sigs", "doc_pt", shards.size)
+    fsOf(rootA).rename(pth(s"$rootA/sigs/doc_pt=${shards.head}"),
+      pth(s"$rootA/sigs/.old.doc_pt=${shards.head}"))
+    def verdicts(root: String) = StreamingOps
+      .deltaDedupVerifiedBatch(d2.toDF("doc_id", "text"), root, 0.7)
+      .collect().map(_.toSeq.toList).toSet
+    assert(verdicts(rootA) == verdicts(rootB),
+      "batch on the crashed index diverged from the clean index")
+    val litter = new java.io.File(s"$rootA/sigs").listFiles().map(_.getName)
+      .filter(n => n == ".staging" || n.startsWith(".old."))
+    assert(litter.isEmpty, s"open did not heal: ${litter.mkString(",")}")
+
+    // IVF twin: simulated mid-compaction crash (staging complete, one
+    // cell's merged dirs already deleted); the next search-insert batch
+    // must see the full content and clear the staging
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val thirds = vecs.grouped(math.max(1, vecs.length / 3)).toSeq
+    def dfv(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    val ivfA = java.nio.file.Files.createTempDirectory("p_heal").toString + "/ia"
+    val ivfB = java.nio.file.Files.createTempDirectory("p_heal").toString + "/ib"
+    for (root <- Seq(ivfA, ivfB); (b, i) <- thirds.take(3).zipWithIndex)
+      StreamingOps.ivfSearchInsertBatch(dfv(b.toSeq), root, batchId = i.toLong)
+    assert(StreamingOps.stageCompactedPostings(spark, ivfA, upToBatchId = 2L))
+    val cell = new java.io.File(s"$ivfA/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).head
+    cell.listFiles()
+      .filter(d => d.isDirectory && d.getName.stripPrefix("batch_id=").toLong <= 2L)
+      .foreach(d => fsOf(ivfA).delete(pth(d.getPath), true): Unit)
+    val probe = vecs.takeRight(10).map { case (id, v) => (id + 1000000L, v) }
+    def hits(root: String) = StreamingOps
+      .ivfSearchInsertBatch(dfv(probe.toSeq), root, batchId = 9L)
+      .collect().map(_.toSeq.toList).toSet
+    assert(hits(ivfA) == hits(ivfB),
+      "search on the crashed postings diverged from the clean index")
+    assert(hits(ivfA).nonEmpty)
+    assert(!new java.io.File(s"$ivfA/postings").listFiles()
+      .exists(_.getName.startsWith(".compact_upto_")), "compaction staging not healed")
+  }
+
   test("ivfSearchInsertBatch bootstrap falls back to a seed centroid when the stride rule selects nothing") {
     val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
