@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the [[Staging]] mutation contract: `once` memoizes a shared
+  * artifact (safe only for read-only or idempotently-mutating consumers —
+  * the documented contract), and `onceCopied` isolates a NON-idempotent
+  * consumer: the pristine master is built exactly once, every invocation
+  * gets its own copy, and one invocation's mutation can never leak into
+  * the master or a later invocation. */
+class StagingSpec extends SparkSpec {
+
+  private def mkInput(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_staging_in").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def write(f: java.io.File, s: String): Unit = {
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, s.getBytes("UTF-8")): Unit
+  }
+
+  private def read(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+
+  test("once memoizes: build runs exactly once, same path returned") {
+    val in = mkInput()
+    var builds = 0
+    def call() = Staging.once("/tmp/graft_staging_spec", in.getPath, "memo") { p =>
+      builds += 1
+      write(new java.io.File(p, "state.txt"), "pristine")
+    }
+    val a = call()
+    val b = call()
+    assert(a === b)
+    assert(builds === 1)
+    assert(read(new java.io.File(a, "state.txt")) === "pristine")
+  }
+
+  test("onceCopied isolates a non-idempotent consumer from the master and later invocations") {
+    val in = mkInput()
+    var builds = 0
+    def call() = Staging.onceCopied("/tmp/graft_staging_spec", in.getPath, "mut") { p =>
+      builds += 1
+      write(new java.io.File(p, "state.txt"), "pristine")
+      write(new java.io.File(p, "sub/nested.txt"), "deep")
+    }
+    val first = call()
+    // a NON-IDEMPOTENT mutation: destructively rewrites the artifact state
+    write(new java.io.File(first, "state.txt"), "mutated-by-invocation-1")
+    assert(new java.io.File(first, "sub/nested.txt").exists())
+
+    val second = call()
+    assert(second !== first, "each invocation must own a distinct copy")
+    assert(builds === 1, "master build must be memoized across invocations")
+    assert(read(new java.io.File(second, "state.txt")) === "pristine",
+      "a later invocation must never observe an earlier invocation's mutation")
+    assert(read(new java.io.File(second, "sub/nested.txt")) === "deep",
+      "copies must be recursive")
+    // the first invocation's copy keeps its own mutation (no sharing either way)
+    assert(read(new java.io.File(first, "state.txt")) === "mutated-by-invocation-1")
+  }
+
+  test("once vs onceCopied: a mutation through `once` IS shared (why the contract exists)") {
+    val in = mkInput()
+    val shared = Staging.once("/tmp/graft_staging_spec", in.getPath, "shared") { p =>
+      write(new java.io.File(p, "state.txt"), "pristine")
+    }
+    write(new java.io.File(shared, "state.txt"), "mutated")
+    val again = Staging.once("/tmp/graft_staging_spec", in.getPath, "shared")(_ => fail("rebuilt"))
+    assert(read(new java.io.File(again, "state.txt")) === "mutated",
+      "`once` consumers share one artifact — exactly the hazard onceCopied removes")
+  }
+}
