@@ -262,11 +262,25 @@ object DedupOps {
   /** Phase 1: write `kept` (the full replacement content for the shards
     * being rewritten) under the table's staging dir. `maxParts` bounds the
     * shuffle width; rows are repartitioned BY THE SHARD KEY so each shard
-    * dir receives one file (see [[writeSignatureIndex]]). */
+    * dir receives one file (see [[writeSignatureIndex]]).
+    *
+    * `pts` — the FULL affected-shard list — is persisted with the staging
+    * as a `_pts` manifest, written AFTER the parquet `_SUCCESS` and before
+    * any swap begins: a shard whose replacement is EMPTY has no staged
+    * dir (and, before its swap runs, no `.old.` backup), so without this
+    * list a roll-forward could not know to retire it and a forget's
+    * emptied shard would stay matchable until the batch replayed.
+    * [[recoverSignatureIndex]] treats a staging without `_pts` as
+    * incomplete (no swap can have started) and rolls back. */
   private[graft] def stageShards(kept: DataFrame, tableDir: String,
-                                 ptCol: String, maxParts: Int): Unit =
+                                 ptCol: String, maxParts: Int,
+                                 pts: Seq[Int]): Unit = {
     kept.repartition(math.max(maxParts, 1), col(ptCol))
       .write.mode("overwrite").partitionBy(ptCol).parquet(s"$tableDir/.staging")
+    val out = hadoopFs(kept.sparkSession, tableDir).create(
+      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_pts"), true)
+    try out.write(pts.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
 
   /** Idempotent single-shard swap (phase 2 step). Entry states it must
     * handle: fresh swap (staged+live), fresh swap onto a missing shard
@@ -302,12 +316,17 @@ object DedupOps {
 
   /** Rolls both index tables to a consistent rewrite boundary after a
     * crash mid-[[removeFromSignatureIndex]]/[[compactSignatureIndex]].
-    * If a table's staging completed (parquet `_SUCCESS` marker), the
-    * rewrite rolls FORWARD — phase 2 re-runs for every staged and
-    * half-swapped shard ([[swapOne]] is idempotent across all its crash
-    * states); otherwise it rolls BACK — half-swapped shards are restored
-    * from their `.old.` backups and the incomplete staging is discarded.
-    * Run this at index open when a prior writer may have died. */
+    * If a table's staging completed (parquet `_SUCCESS` marker AND the
+    * `_pts` affected-shard manifest — `_pts` is written last in phase 1
+    * and phase 2 only starts after it, so its presence implies a complete
+    * staging), the rewrite rolls FORWARD — phase 2 re-runs for every
+    * shard in the manifest plus every staged and half-swapped one
+    * ([[swapOne]] is idempotent across all its crash states, and the
+    * manifest covers EMPTIED shards, which leave neither a staged dir nor
+    * — before their swap — an `.old.` backup); otherwise it rolls BACK —
+    * half-swapped shards are restored from their `.old.` backups and the
+    * incomplete staging is discarded. Run this at index open when a
+    * prior writer may have died. */
   def recoverSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Unit =
     for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt")))
@@ -319,15 +338,20 @@ object DedupOps {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     if (!fs.exists(dir)) return
     val staging = new org.apache.hadoop.fs.Path(s"$tableDir/.staging")
+    val ptsFile = new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_pts")
     val oldPts = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(s".old.$ptCol="))
       .map(_.stripPrefix(s".old.$ptCol=").toInt)
     val stagedComplete = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_SUCCESS"))
+      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_SUCCESS")) &&
+      fs.exists(ptsFile)
     if (stagedComplete) {
+      val in = fs.open(ptsFile)
+      val manifestPts = (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
       val stagedPts = fs.listStatus(staging).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(s"$ptCol=")).map(_.stripPrefix(s"$ptCol=").toInt)
-      swapShards(spark, tableDir, ptCol, (stagedPts ++ oldPts).distinct)
+      swapShards(spark, tableDir, ptCol, (manifestPts ++ stagedPts ++ oldPts).distinct)
     } else {
       oldPts.foreach { pt =>
         val live = new org.apache.hadoop.fs.Path(s"$tableDir/$ptCol=$pt")
@@ -400,7 +424,20 @@ object DedupOps {
     * content). Presence is probed on the ids' own doc_pt shards (partition
     * filter + broadcast semi — batch-sized, never corpus-sized), and the
     * surviving rows are settled to disk BEFORE the append, whose target
-    * their lineage otherwise reads (settle-before-mutate). */
+    * their lineage otherwise reads (settle-before-mutate).
+    *
+    * KNOWN WINDOW: the underlying append writes bands BEFORE sigs, and
+    * this probe keys on sigs — a crash BETWEEN the two table writes makes
+    * the retried batch look absent and re-append its band rows, leaving
+    * exact-duplicate bands entries. Every verdict survives (candidate
+    * generation consumes bands via semi-joins and distinct pairs), and
+    * [[compactSignatureIndex]] collapses the duplicates at the next
+    * maintenance pass, so the "index row counts pinned across a replay"
+    * invariant holds for crash-free replays and converges after a
+    * crashed one once compaction runs (spec-pinned). Probing sigs is the
+    * safe choice of the two: keying on bands would skip the SIGS write
+    * on such a retry, leaving band rows with no verification payload —
+    * those docs would be silently unmatchable forever, not just wider. */
   def appendNewToSignatureIndex(sigs: DataFrame, indexPath: String,
                                 nPerm: Int, nBands: Int, rowsPerBand: Int,
                                 nParts: Int = IndexParts): Unit = {
@@ -473,10 +510,11 @@ object DedupOps {
     val bandShards = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("band_pt").isin(removedBandPts: _*))
     stageShards(sigShards.join(ids, Seq("doc_id"), "left_anti"),
-      s"$indexPath/sigs", "doc_pt", math.min(nParts, dpts.size))
+      s"$indexPath/sigs", "doc_pt", math.min(nParts, dpts.size), dpts)
     if (removedBandPts.nonEmpty)
       stageShards(bandShards.join(ids, Seq("doc_id"), "left_anti"),
-        s"$indexPath/bands", "band_pt", math.min(nParts, removedBandPts.size))
+        s"$indexPath/bands", "band_pt", math.min(nParts, removedBandPts.size),
+        removedBandPts)
     sigShards.unpersist(); ids.unpersist(): Unit
     swapShards(spark, s"$indexPath/sigs", "doc_pt", dpts)
     if (removedBandPts.nonEmpty)
@@ -506,7 +544,13 @@ object DedupOps {
     * least `minFiles` files are rewritten (read → one file per shard);
     * cost ∝ compacted shards' data, never index size, when appends are
     * localized. Content-preserving by construction — the spec pins row
-    * equality and post-state file counts.
+    * equality and post-state file counts — EXCEPT that exact-duplicate
+    * bands rows are collapsed: a crash between the two table writes of an
+    * append leaves a retried batch's band rows duplicated (see
+    * [[appendNewToSignatureIndex]]), and compaction is where that debt is
+    * settled. Bands rows are (doc_id, bk) facts with no multiplicity
+    * meaning, so the collapse is semantics-preserving; sigs rows are
+    * never duplicated by that window and are preserved verbatim.
     *
     * Shard rewrite is the same crash-safe stage-then-swap as
     * [[removeFromSignatureIndex]] — the staged single-file-per-shard
@@ -525,9 +569,12 @@ object DedupOps {
             .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles)
           .map(_.getPath.getName.stripPrefix(s"$ptCol=").toInt)
         if (crowded.nonEmpty) {
-          val rows = spark.read.schema(schema).parquet(s"$indexPath/$table")
+          val raw = spark.read.schema(schema).parquet(s"$indexPath/$table")
             .where(col(ptCol).isin(crowded: _*))
-          stageShards(rows, s"$indexPath/$table", ptCol, crowded.size)
+          // bands: collapse the exact duplicates a mid-append crash can
+          // leave behind (see the doc comment above)
+          val rows = if (table == "bands") raw.distinct() else raw
+          stageShards(rows, s"$indexPath/$table", ptCol, crowded.size, crowded)
           swapShards(spark, s"$indexPath/$table", ptCol, crowded)
         }
       }
