@@ -315,7 +315,7 @@ class IncrementalDedupSpec extends SparkSpec {
         .filter(d => d.isDirectory && d.getName.startsWith(s"$ptCol="))
         .map(_.getName.stripPrefix(s"$ptCol=").toInt).toSeq
       val rows = spark.read.parquet(s"$indexPath/$table").where(col(ptCol).isin(pts: _*))
-      DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, pts.size)
+      DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, pts.size, pts)
     }
     assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore,
       "pre-swap staging leaked into reads")
@@ -362,7 +362,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // shard A renamed aside (live missing, staged+old present) and shard
     // B fully swapped except the backup delete (live new, old present)
     val rows = spark.read.parquet(s"$indexPath/sigs")
-    DedupOps.stageShards(rows, s"$indexPath/sigs", "doc_pt", shards.size)
+    DedupOps.stageShards(rows, s"$indexPath/sigs", "doc_pt", shards.size, shards)
     val (a, b) = (shards.head, shards(1))
     fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
     fs.rename(p(s"$indexPath/sigs/doc_pt=$b"), p(s"$indexPath/sigs/.old.doc_pt=$b"))
@@ -373,12 +373,144 @@ class IncrementalDedupSpec extends SparkSpec {
     // incomplete staging (no _SUCCESS) + one half-swapped shard → ROLLBACK
     // (fresh read: recovery replaced the files behind the earlier plan)
     val rows2 = spark.read.parquet(s"$indexPath/sigs")
-    DedupOps.stageShards(rows2.limit(1), s"$indexPath/sigs", "doc_pt", 1)
+    DedupOps.stageShards(rows2.limit(1), s"$indexPath/sigs", "doc_pt", 1, Seq(a))
     fs.delete(p(s"$indexPath/sigs/.staging/_SUCCESS"), false)
     fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
     DedupOps.recoverSignatureIndex(spark, indexPath)
     assert(snapshot() == before, "rollback did not restore the pre-rewrite state")
     assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
+  }
+
+  test("mid-append crash: duplicated bands rows are verdict-harmless and compaction collapses them") {
+    // appendNewToSignatureIndex keys its idempotence probe on sigs, but
+    // the append writes bands FIRST: a crash between the two table writes
+    // makes the retry re-append the batch's band rows. Pin the documented
+    // contract: verdicts are unaffected (candidate joins are semi-joins +
+    // distinct pairs), and compaction collapses the duplicates so the
+    // index converges back to the crash-free state.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+    val crashed = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "append_crash")
+    val clean = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "append_clean")
+    for (p <- Seq(crashed, clean))
+      DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+        part(0), ShingleK, NumPerms, NumBands, RowsPerBand),
+        p, NumPerms, NumBands, RowsPerBand)
+    val b1 = DedupOps.signatureIndex(
+      part(1), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    DedupOps.appendNewToSignatureIndex(b1, clean, NumPerms, NumBands, RowsPerBand)
+    // crashed path: bands land, sigs never do (the exact window), retry
+    val nParts = DedupOps.IndexParts
+    b1.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .withColumn("band_pt", pmod(xxhash64(col("bk")), lit(nParts.toLong)).cast("int"))
+      .repartition(nParts, col("band_pt"))
+      .write.mode("append").partitionBy("band_pt").parquet(s"$crashed/bands")
+    DedupOps.appendNewToSignatureIndex(b1, crashed, NumPerms, NumBands, RowsPerBand)
+    val b1Bands = b1.select(col("doc_id"), explode(col("bands"))).count()
+    assert(b1Bands > 0, "batch produced no band rows — vacuous")
+    def cnt(p: String, t: String) = spark.read.parquet(s"$p/$t").count()
+    assert(cnt(crashed, "sigs") == cnt(clean, "sigs"),
+      "sigs must not duplicate — the probe keys on them")
+    assert(cnt(crashed, "bands") == cnt(clean, "bands") + b1Bands,
+      "expected exactly one duplicated copy of the batch's band rows")
+    // verdicts are identical against the duplicated index
+    val b2 = DedupOps.signatureIndex(
+      part(2), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    val viaCrashed = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      part(2).select("doc_id"), b2, crashed, JaccardThreshold))
+    val viaClean = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      part(2).select("doc_id"), b2, clean, JaccardThreshold))
+    assert(viaCrashed == viaClean, "bands duplication changed verdicts")
+    assert(viaCrashed.values.exists(_._1 == "drop"), "no drop in fixture — weak")
+    // compaction settles the debt: content equals the crash-free index
+    DedupOps.compactSignatureIndex(spark, crashed)
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select("doc_id", "bk").collect().map(_.toString).sorted.toSeq
+    assert(bandRows(crashed) == bandRows(clean),
+      "compaction did not collapse the duplicated band rows")
+    b1.unpersist(); b2.unpersist(): Unit
+  }
+
+  test("roll-forward retires EMPTIED shards via the _pts staging manifest") {
+    // A forget that removes EVERY doc of one shard stages no dir for it
+    // (the replacement is empty) and — before its swap runs — leaves no
+    // .old. backup either, so a crash early in phase 2 used to leave the
+    // shard's pre-forget content live while recovery reported a clean
+    // boundary (r14 advice). The _pts manifest closes it: recovery swaps
+    // every listed shard, retiring the emptied one.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "empty_shard")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs, ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val shard = new java.io.File(s"$indexPath/sigs").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("doc_pt="))
+      .map(_.getName.stripPrefix("doc_pt=").toInt).min
+    val forgotten = spark.read.parquet(s"$indexPath/sigs")
+      .where(col("doc_pt") === shard).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(forgotten.nonEmpty, "chosen shard empty — vacuous")
+    // phase 1 exactly as removeFromSignatureIndex stages it: the kept
+    // rows for this shard set are EMPTY, so no staged dir appears — only
+    // the _pts manifest records the shard. Then CRASH before any swap.
+    val kept = spark.read.parquet(s"$indexPath/sigs")
+      .where(col("doc_pt") === shard && lit(false))
+    DedupOps.stageShards(kept, s"$indexPath/sigs", "doc_pt", 1, Seq(shard))
+    assert(fs.exists(p(s"$indexPath/sigs/doc_pt=$shard")), "live shard gone pre-swap")
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(!fs.exists(p(s"$indexPath/sigs/doc_pt=$shard")),
+      "emptied shard not retired on roll-forward — forgotten docs stay matchable")
+    assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
+    val left = spark.read.parquet(s"$indexPath/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left.intersect(forgotten).isEmpty)
+  }
+
+  test("crash after swap before backup delete: recovery sweeps .old. dirs on both tables") {
+    // The last unexercised crash state (r14 verdict #7): a shard fully
+    // swapped (staged → live renamed) whose .old. backup delete never
+    // ran. Recovery must keep the NEW live content and sweep the backup,
+    // on BOTH index tables.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "old_sweep")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs, ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def snapshot(table: String) = spark.read.parquet(s"$indexPath/$table")
+      .collect().map(_.toString).sorted.toSeq
+    val (sigsBefore, bandsBefore) = (snapshot("sigs"), snapshot("bands"))
+    for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt"))) {
+      val shard = new java.io.File(s"$indexPath/$table").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith(s"$ptCol="))
+        .map(_.getName.stripPrefix(s"$ptCol=").toInt).min
+      // stage a self-rewrite of this one shard, then run the swap by hand
+      // up to (but not including) the backup delete — the exact window
+      val rows = spark.read.parquet(s"$indexPath/$table")
+        .where(col(ptCol) === shard)
+      DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, 1, Seq(shard))
+      fs.rename(p(s"$indexPath/$table/$ptCol=$shard"),
+        p(s"$indexPath/$table/.old.$ptCol=$shard"))
+      fs.rename(p(s"$indexPath/$table/.staging/$ptCol=$shard"),
+        p(s"$indexPath/$table/$ptCol=$shard"))
+      // CRASH: .old. present, staging dir (with _SUCCESS + _pts) present
+    }
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore,
+      "recovery changed content while sweeping backups")
+    for (t <- Seq("sigs", "bands")) {
+      val litter = new java.io.File(s"$indexPath/$t").listFiles()
+        .map(_.getName).filter(n => n == ".staging" || n.startsWith(".old."))
+      assert(litter.isEmpty, s"$t left ${litter.mkString(",")}")
+    }
   }
 
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {

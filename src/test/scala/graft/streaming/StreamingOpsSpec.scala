@@ -838,7 +838,7 @@ class StreamingOpsSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("doc_pt="))
       .map(_.getName.stripPrefix("doc_pt=").toInt).sorted.toSeq
     DedupOps.stageShards(spark.read.parquet(s"$rootA/sigs"),
-      s"$rootA/sigs", "doc_pt", shards.size)
+      s"$rootA/sigs", "doc_pt", shards.size, shards)
     fsOf(rootA).rename(pth(s"$rootA/sigs/doc_pt=${shards.head}"),
       pth(s"$rootA/sigs/.old.doc_pt=${shards.head}"))
     def verdicts(root: String) = StreamingOps
