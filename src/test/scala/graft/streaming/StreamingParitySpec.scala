@@ -287,6 +287,35 @@ class StreamingParitySpec extends SparkSpec {
     assert(spark.read.parquet(s"$indexPath/sigs").count() == sigsRows &&
       spark.read.parquet(s"$indexPath/bands").count() == bandsRows,
       "replayed forget changed the index")
+    // the production shape: ONE batch mixing still-indexed, never-indexed,
+    // and ALREADY-FORGOTTEN ids — the single pass must report each class
+    // correctly (true / false / false) and remove only the indexed ones
+    val stillIndexed = wantLeft.toSeq.sorted.take(3)
+    val neverIndexed = d2.map(_._1).filterNot(indexedBefore).take(3)
+    val alreadyForgotten = toForget.filter(indexedBefore).take(3)
+    assert(stillIndexed.nonEmpty && neverIndexed.nonEmpty && alreadyForgotten.nonEmpty,
+      "mixed-batch fixture missing a class — vacuous")
+    val mixed = stillIndexed ++ neverIndexed ++ alreadyForgotten
+    val mixedReceipt = forgetBatch(mixed.toDF("doc_id"), indexPath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(stillIndexed.forall(mixedReceipt(_) == true) &&
+      neverIndexed.forall(mixedReceipt(_) == false) &&
+      alreadyForgotten.forall(mixedReceipt(_) == false),
+      s"mixed-batch receipt misclassified: $mixedReceipt")
+    val afterMixed = spark.read.parquet(s"$indexPath/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterMixed == wantLeft -- stillIndexed,
+      "mixed batch removed something outside its indexed class")
+    // and the mixed batch replays idempotently: all-false receipt,
+    // index row counts pinned
+    val (sr, br) = (spark.read.parquet(s"$indexPath/sigs").count(),
+      spark.read.parquet(s"$indexPath/bands").count())
+    val mixedReplay = forgetBatch(mixed.toDF("doc_id"), indexPath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(mixedReplay.keySet == mixed.toSet && mixedReplay.values.forall(!_))
+    assert(spark.read.parquet(s"$indexPath/sigs").count() == sr &&
+      spark.read.parquet(s"$indexPath/bands").count() == br,
+      "replayed mixed forget changed the index")
   }
 
   private def ivfSearchInsertParity(): Unit = {
