@@ -1155,11 +1155,14 @@ object VectorQueries {
             col("vec_id") >= 250 && col("vec_id") < 500),
           p, batchId = 2L): Unit
       }
-      val cents = spark.read.parquet(s"$indexPath/centroids")
+      // readers resolve the index to its CURRENT generation dir once at
+      // open and read only that pair — the zero-downtime contract
+      val genDir = graft.streaming.StreamingOps.resolveIndex(spark, indexPath)
+      val cents = spark.read.parquet(s"$genDir/centroids")
       val postings = spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT"))
-        .parquet(s"$indexPath/postings")
+        .parquet(s"$genDir/postings")
       // fixed query sample (corpus members, never % 5 == 0; self-matches
       // excluded in both arms) — recall comparable across epochs
       val queries = emb.where(col("vec_id") % 50 === 1)

@@ -229,6 +229,143 @@ object StreamingOps {
     receipt
   }
 
+  // ----- generation-versioned IVF index layout ----------------------------
+  //
+  // All IVF index state lives under `<index>/g=<N>/{centroids,postings}`
+  // with a single `_gen` pointer file naming the CURRENT generation.
+  // Ordinary batches and compaction mutate the current generation in
+  // place (their own crash protocols cover that); [[refreshCentroids]] —
+  // which must replace BOTH tables consistently — writes a complete NEW
+  // generation beside the live one and atomically repoints, so a reader
+  // never observes postings partitioned by one centroid set while the
+  // centroids table holds another, and a reader that resolved the old
+  // generation keeps reading it untouched (zero-downtime refresh: the
+  // previous generation survives until the NEXT refresh prunes it).
+  //
+  // Crash states and recovery ([[recoverIndex]], run at every open):
+  //  - gen dir above the pointer WITHOUT its `_GEN_OK` sentinel → an
+  //    unfinished refresh: deleted; the live generation is untouched.
+  //  - gen dir above the pointer WITH `_GEN_OK` → a refresh that died
+  //    between sentinel and repoint: rolled FORWARD (pointer advanced).
+  //  - pointer missing but complete generations exist (a crash inside
+  //    the pointer's delete+rename rewrite) → repoint the max complete.
+  //  - pointer missing, `g=0` holds a complete centroids table → a
+  //    bootstrap that died before its pointer write: finished.
+  //  - a LEGACY flat layout (top-level centroids/postings, no pointer)
+  //    is adopted into g=0, idempotently per table.
+  //  - anything else partial is deleted; the index bootstraps fresh.
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def generationDir(indexPath: String, gen: Long) = s"$indexPath/g=$gen"
+
+  /** The current generation number, or None when the index has never
+    * completed a bootstrap (reads the `_gen` pointer only — run
+    * [[recoverIndex]] first if a prior writer may have died). */
+  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Option[Long] = {
+    val fs = fsOf(spark, indexPath)
+    val ptr = hPath(s"$indexPath/_gen")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.toLong)
+    }
+  }
+
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val out = fs.create(hPath(path), true)
+    out.close()
+  }
+
+  /** Pointer rewrite: staged to a temp file, then delete+rename. The
+    * window between delete and rename leaves NO pointer — recoverable,
+    * because [[recoverIndex]] repoints the max complete generation when
+    * the pointer is missing (HDFS rename cannot overwrite, so a truly
+    * atomic in-place rewrite is not available; missing-pointer recovery
+    * makes the two-step rewrite safe). */
+  private def writeGenPointer(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, gen: Long): Unit = {
+    val fs = fsOf(spark, indexPath)
+    val tmp = hPath(s"$indexPath/._gen_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(hPath(s"$indexPath/_gen"), false)
+    fs.rename(tmp, hPath(s"$indexPath/_gen")): Unit
+  }
+
+  /** Resolves the index to its current generation directory, running
+    * recovery first — the one call every reader makes at open. The
+    * returned directory holds `centroids/` and `postings/` and is NEVER
+    * mutated by a later [[refreshCentroids]] (refresh writes a new
+    * generation and repoints), so a probe that resolved before a
+    * concurrent refresh keeps reading exactly one consistent
+    * (centroids, postings) pair. Throws if the index was never
+    * bootstrapped. */
+  def resolveIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): String = {
+    recoverIndex(spark, indexPath)
+    val g = currentGeneration(spark, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $indexPath has no generation pointer — never bootstrapped"))
+    generationDir(indexPath, g)
+  }
+
+  /** Rolls the generation layout to a consistent boundary (see the crash
+    * matrix in the section comment), adopts legacy flat layouts, and
+    * then recovers any in-generation compaction staging. Idempotent;
+    * no-op on a clean index. */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Unit = {
+    val fs = fsOf(spark, indexPath)
+    if (!fs.exists(hPath(indexPath))) return
+    val g0 = generationDir(indexPath, 0L)
+    if (currentGeneration(spark, indexPath).isEmpty) {
+      // legacy flat layout → g=0, idempotent per table (a crash between
+      // the two renames resumes here)
+      for (t <- Seq("centroids", "postings"))
+        if (fs.exists(hPath(s"$indexPath/$t")) && !fs.exists(hPath(s"$g0/$t"))) {
+          fs.mkdirs(hPath(g0))
+          fs.rename(hPath(s"$indexPath/$t"), hPath(s"$g0/$t")): Unit
+        }
+    }
+    def gens: Seq[Long] = fs.listStatus(hPath(indexPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("g="))
+      .map(_.stripPrefix("g=").toLong)
+    def isComplete(g: Long): Boolean = {
+      val gd = generationDir(indexPath, g)
+      fs.exists(hPath(s"$gd/_GEN_OK")) ||
+        // bootstrap/adoption completeness: the centroids table finished
+        // (its parquet _SUCCESS exists) — finish the sentinel here
+        (g == 0L && fs.exists(hPath(s"$gd/centroids/_SUCCESS")) &&
+          { touch(fs, s"$gd/_GEN_OK"); true })
+    }
+    currentGeneration(spark, indexPath) match {
+      case None =>
+        val complete = gens.filter(isComplete)
+        if (complete.nonEmpty) writeGenPointer(spark, indexPath, complete.max)
+        // only incomplete gens are deleted here — pruning complete older
+        // generations (the zero-downtime lookback) stays refresh's job
+        gens.filterNot(complete.contains)
+          .foreach(g => fs.delete(hPath(generationDir(indexPath, g)), true): Unit)
+      case Some(cur) =>
+        val above = gens.filter(_ > cur)
+        val complete = above.filter(isComplete)
+        if (complete.nonEmpty) writeGenPointer(spark, indexPath, complete.max)
+        above.filterNot(complete.maxOption.contains)
+          .foreach(g => fs.delete(hPath(generationDir(indexPath, g)), true): Unit)
+    }
+    fs.delete(hPath(s"$indexPath/._gen_tmp"), false)
+    currentGeneration(spark, indexPath).foreach(g =>
+      recoverCompactions(spark, generationDir(indexPath, g)))
+  }
+
   /** Streaming IVF search-then-insert via foreachBatch against a
     * persisted, cell-partitioned vector index — the search-side sibling
     * of [[deltaDedupVerifiedBatch]] and the streaming twin of
@@ -242,17 +379,21 @@ object StreamingOps {
     * surface on the NEXT batch — the standard streaming-ANN trade,
     * documented rather than hidden.
     *
-    * First batch bootstraps the index: centroids are the stride rule
-    * over that batch (deterministic, mirrors the batch queries), written
-    * once; postings start from its assignments. State lives in the lake
-    * (centroids + postings parquet), never in executor memory.
+    * First batch bootstraps the index: generation 0 is created with
+    * centroids from the stride rule over that batch (deterministic,
+    * mirrors the batch queries); postings start from its assignments.
+    * All mutations land in the CURRENT generation (see the generation
+    * section comment); state lives in the lake (centroids + postings
+    * parquet), never in executor memory.
     *
     * REPLAY-SAFE under foreachBatch's at-least-once contract when the
     * caller passes the micro-batch id: the search excludes the batch's
     * own `batch_id` partition (a failed attempt's rows are invisible to
     * its retry) and the insert dynamically overwrites exactly its own
     * (cell, batch) directories — the parity spec replays a batch and
-    * pins identical hits and an unchanged postings row count.
+    * pins identical hits and an unchanged postings row count. A
+    * [[refreshCentroids]] between attempts preserves `batch_id`
+    * partitions, so the contract survives a refresh.
     *
     * Returns this batch's hits: (q_id, c_id, rank, cos_e6), empty for
     * the bootstrap batch. */
@@ -264,14 +405,12 @@ object StreamingOps {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val dim = 64
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    // self-heal at open: a compaction that died mid-swap leaves a staging
-    // dir behind; roll it to a boundary before searching (no-op when
-    // clean — one listStatus)
-    recoverPostings(spark, indexPath)
-    val centPath = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
-    if (!fs.exists(centPath)) {
+    val fs = fsOf(spark, indexPath)
+    // self-heal at open: a refresh or compaction that died mid-protocol
+    // leaves staging/generation litter; roll to a boundary before
+    // searching (no-op when clean — one listStatus)
+    recoverIndex(spark, indexPath)
+    if (currentGeneration(spark, indexPath).isEmpty) {
       val strided = batch
         .where(col("vec_id") % centStride === 0 && col("vec_id") < centCap)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
@@ -284,9 +423,14 @@ object StreamingOps {
         batch.orderBy("vec_id").limit(1)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       else strided
-      cents0.write.mode("overwrite").parquet(s"$indexPath/centroids")
+      val g0 = generationDir(indexPath, 0L)
+      cents0.write.mode("overwrite").parquet(s"$g0/centroids")
+      touch(fs, s"$g0/_GEN_OK")
+      writeGenPointer(spark, indexPath, 0L)
     }
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val genDir = generationDir(indexPath,
+      currentGeneration(spark, indexPath).get)
+    val cents = spark.read.parquet(s"$genDir/centroids")
     val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val ranked = batch.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .crossJoin(broadcast(cents))
@@ -295,14 +439,14 @@ object StreamingOps {
       .where(col("rn") <= math.max(nProbe, 1))
       .select(col("q_id"), col("q_vec"), col("c_id").as("centroid_id"), col("rn"))
       .persist()
-    val postingsExist = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/postings"))
+    val postingsExist = fs.exists(new org.apache.hadoop.fs.Path(s"$genDir/postings"))
     val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
     val hits = if (postingsExist) {
       val cells = ranked.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
       val wR = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
-      spark.read.schema(postingsSchema).parquet(s"$indexPath/postings")
+      spark.read.schema(postingsSchema).parquet(s"$genDir/postings")
         // a REPLAYED batch must not see its own failed attempt's rows —
         // without this partition filter, batch-internal pairs would leak
         // into the replayed hits (self-pairs alone are not the issue)
@@ -334,7 +478,7 @@ object StreamingOps {
       .repartition(col("centroid_id"))
       .write.option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("centroid_id", "batch_id")
-      .parquet(s"$indexPath/postings")
+      .parquet(s"$genDir/postings")
     ranked.unpersist()
     hits
   }
@@ -354,18 +498,25 @@ object StreamingOps {
     * dot-prefixed dir readers ignore — reads run against untouched live
     * dirs, so nothing depends on cache or lineage; phase 2 swaps per
     * cell, and [[recoverPostings]] rolls a mid-swap crash forward (or
-    * discards an incomplete staging). */
+    * discards an incomplete staging). Operates on the CURRENT
+    * generation's postings (a compaction never spans a refresh). */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String, upToBatchId: Long): Unit =
-    if (stageCompactedPostings(spark, indexPath, upToBatchId))
-      swapCompactedPostings(spark, indexPath, upToBatchId)
+                      indexPath: String, upToBatchId: Long): Unit = {
+    recoverIndex(spark, indexPath)
+    currentGeneration(spark, indexPath).foreach { g =>
+      val gd = generationDir(indexPath, g)
+      if (stageCompactedPostings(spark, gd, upToBatchId))
+        swapCompactedPostings(spark, gd, upToBatchId)
+    }
+  }
 
-  /** Phase 1 of [[compactPostings]]: stage the merged horizon content.
-    * Returns false (staging nothing) when the horizon is already one
-    * batch dir per cell. */
+  /** Phase 1 of [[compactPostings]]: stage the merged horizon content
+    * under the GENERATION dir. Returns false (staging nothing) when the
+    * horizon is already one batch dir per cell. */
   private[graft] def stageCompactedPostings(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, upToBatchId: Long): Boolean = {
+      genDir: String, upToBatchId: Long): Boolean = {
+    val indexPath = genDir
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     val postingsPath = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
@@ -395,10 +546,11 @@ object StreamingOps {
     * a cell whose staged dir is gone was fully swapped (the rename is
     * that cell's last step), so re-running rolls the compaction forward;
     * an INCOMPLETE staging (no parquet `_SUCCESS`) is discarded with the
-    * live dirs untouched. */
+    * live dirs untouched. Takes the GENERATION dir. */
   private[graft] def swapCompactedPostings(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, upToBatchId: Long): Unit = {
+      genDir: String, upToBatchId: Long): Unit = {
+    val indexPath = genDir
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -420,20 +572,27 @@ object StreamingOps {
     fs.delete(staging, true): Unit
   }
 
-  /** Rolls the postings layout to a consistent state after a crash
-    * mid-[[compactPostings]]: completed stagings roll forward,
-    * incomplete ones are discarded. Run at index open when a prior
+  /** Rolls the whole index to a consistent state after a crash in ANY
+    * maintenance op — generation recovery ([[recoverIndex]]: unfinished
+    * refreshes discarded or rolled forward, pointer repaired) plus
+    * in-generation compaction recovery (completed stagings roll forward,
+    * incomplete ones are discarded). Run at index open when a prior
     * maintenance run may have died (the sibling of
     * [[graft.ops.DedupOps.recoverSignatureIndex]]). */
   def recoverPostings(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+                      indexPath: String): Unit =
+    recoverIndex(spark, indexPath)
+
+  /** Compaction-staging recovery within one generation dir (the
+    * pre-generation recoverPostings body). */
+  private def recoverCompactions(spark: org.apache.spark.sql.SparkSession,
+                                 genDir: String): Unit = {
+    val fs = fsOf(spark, genDir)
+    val postingsPath = hPath(s"$genDir/postings")
     if (!fs.exists(postingsPath)) return
     fs.listStatus(postingsPath).toSeq
       .filter(_.getPath.getName.startsWith(".compact_upto_"))
-      .foreach(d => swapCompactedPostings(spark, indexPath,
+      .foreach(d => swapCompactedPostings(spark, genDir,
         d.getPath.getName.stripPrefix(".compact_upto_").toLong))
   }
 
@@ -458,26 +617,35 @@ object StreamingOps {
     * replayed batch still dynamically overwrites exactly its own
     * (cell, batch) dirs).
     *
-    * Maintenance-window op, like [[compactPostings]]: centroid ids
-    * change, so a search concurrent with the swap could probe old ids
-    * against new cells — run it between batches (the foreachBatch serial
-    * contract gives exactly that window). Both tables are staged
-    * completely next to the live dirs and swapped by rename, old content
-    * retained until the new is live (the crash-safety idiom of
-    * DedupOps.swapShards). */
+    * ZERO-DOWNTIME via the generation layout (see the section comment):
+    * the reassigned postings and new centroids are written as a complete
+    * NEW generation, sealed with `_GEN_OK`, and the `_gen` pointer is
+    * repointed — so a reader that resolved the index before (or during)
+    * the refresh keeps reading its own generation's consistent
+    * (centroids, postings) pair, and a reader resolving after sees only
+    * the refreshed pair. A crash anywhere before the repoint leaves the
+    * live generation untouched ([[recoverIndex]] discards the unsealed
+    * new generation, or rolls a sealed one forward). Generations older
+    * than the predecessor are pruned here — the predecessor itself
+    * survives until the NEXT refresh, giving in-flight readers their
+    * lookback window. */
   def refreshCentroids(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, iters: Int = 3): Unit = {
     import graft.ops.KMeansOps
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    if (!fs.exists(p(s"$indexPath/postings"))) return
+    val fs = fsOf(spark, indexPath)
+    def p(s: String) = hPath(s)
+    recoverIndex(spark, indexPath)
+    val curOpt = currentGeneration(spark, indexPath)
+    if (curOpt.isEmpty) return
+    val cur = curOpt.get
+    val genDir = generationDir(indexPath, cur)
+    if (!fs.exists(p(s"$genDir/postings"))) return
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
     // persisted: every Lloyd iteration scans the postings (plus the final
     // reassignment write) — one parquet read instead of iters + 1
-    val posts = spark.read.schema(schema).parquet(s"$indexPath/postings").persist()
-    val k = spark.read.parquet(s"$indexPath/centroids").count().toInt
+    val posts = spark.read.schema(schema).parquet(s"$genDir/postings").persist()
+    val k = spark.read.parquet(s"$genDir/centroids").count().toInt
     val unit = { // L2-normalize in-row (codegen dot; no shuffle)
       val nrm = sqrt(graft.expressions.F.dot(col("embedding"), col("embedding")))
       transform(col("embedding"), x => (x / nrm).cast("float"))
@@ -497,23 +665,26 @@ object StreamingOps {
     val newCents = cUnit.toSeq.zipWithIndex
       .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
       .toDF("c_id", "c_vec")
+    val next = generationDir(indexPath, cur + 1)
+    // recoverIndex above removed any unsealed leftover; belt-and-braces
+    fs.delete(p(next), true)
     posts
       .withColumn("centroid_id", KMeansOps.assignmentExact(
         KMeansOps.quantize(unit, 1000000L), cqUnit).cast("long"))
       .select("centroid_id", "vec_id", "embedding", "batch_id")
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id", "batch_id")
-      .parquet(s"$indexPath/.refresh_postings")
+      .parquet(s"$next/postings")
     posts.unpersist()
-    newCents.write.mode("overwrite").parquet(s"$indexPath/.refresh_centroids")
-    for (name <- Seq("postings", "centroids")) {
-      val live = p(s"$indexPath/$name")
-      val old = p(s"$indexPath/.old_$name")
-      fs.delete(old, true)
-      if (fs.exists(live)) { fs.rename(live, old): Unit }
-      fs.rename(p(s"$indexPath/.refresh_$name"), live)
-      fs.delete(old, true): Unit
-    }
+    newCents.write.mode("overwrite").parquet(s"$next/centroids")
+    touch(fs, s"$next/_GEN_OK") // sealed: recovery now rolls FORWARD
+    writeGenPointer(spark, indexPath, cur + 1)
+    // prune generations older than the immediate predecessor; `cur`
+    // itself stays as the in-flight readers' lookback until next refresh
+    fs.listStatus(p(indexPath)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      .filter(_ < cur)
+      .foreach(g => fs.delete(p(generationDir(indexPath, g)), true): Unit)
   }
 
   /** Streaming snapshot maintenance via foreachBatch: fold each micro-batch

@@ -53,8 +53,9 @@ class IvfRefreshSpec extends SparkSpec {
   private def meanRecallE4(indexPath: String,
                            queries: Seq[(Long, Seq[Float])]): Long = {
     val q = queries.toDF("q_id", "q_vec")
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    val gd = StreamingOps.resolveIndex(spark, indexPath)
+    val cents = spark.read.parquet(s"$gd/centroids")
+    val postings = spark.read.parquet(s"$gd/postings")
       .select("vec_id", "embedding", "centroid_id")
     val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -86,11 +87,13 @@ class IvfRefreshSpec extends SparkSpec {
 
     val corpusQ = corpus.filter(_._1 % 50 == 1)   // 8 in-distribution queries
     val driftedQ = drifted.filter(_._1 % 10 == 7) // 10 drifted queries
-    def postingsContent() = spark.read.parquet(s"$indexPath/postings")
+    def postingsContent() = spark.read
+      .parquet(s"${StreamingOps.resolveIndex(spark, indexPath)}/postings")
       .select(col("vec_id"), col("batch_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val frozenContent = postingsContent()
-    val frozenK = spark.read.parquet(s"$indexPath/centroids").count()
+    val frozenGen = StreamingOps.resolveIndex(spark, indexPath)
+    val frozenK = spark.read.parquet(s"$frozenGen/centroids").count()
     val frozenAll = meanRecallE4(indexPath, corpusQ ++ driftedQ)
     val frozenDrifted = meanRecallE4(indexPath, driftedQ)
     // the fixture must exhibit the failure the op fixes, or the test is
@@ -103,12 +106,20 @@ class IvfRefreshSpec extends SparkSpec {
     // content: every (vec_id, batch_id) posting survives exactly once
     assert(postingsContent() == frozenContent,
       "refresh lost, duplicated, or re-stamped postings")
+    // generation swap: pointer advanced, the PREVIOUS generation dir
+    // survives untouched (the zero-downtime lookback for readers that
+    // resolved before the repoint)
+    val refreshedGen = StreamingOps.resolveIndex(spark, indexPath)
+    assert(refreshedGen != frozenGen, "refresh did not advance the generation")
+    assert(new java.io.File(s"$frozenGen/centroids").exists() &&
+      new java.io.File(s"$frozenGen/postings").exists(),
+      "refresh pruned the immediate predecessor generation")
     // structure: k centroids with ids 0..k-1; every posting in a live cell
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.parquet(s"$refreshedGen/centroids")
     assert(cents.count() == frozenK)
     val cids = cents.select("c_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(cids == (0L until frozenK).toSeq, s"centroid ids not 0..k-1: $cids")
-    val orphan = spark.read.parquet(s"$indexPath/postings")
+    val orphan = spark.read.parquet(s"$refreshedGen/postings")
       .select("centroid_id").distinct()
       .join(cents.select(col("c_id").as("centroid_id")),
         Seq("centroid_id"), "left_anti").count()
@@ -123,9 +134,10 @@ class IvfRefreshSpec extends SparkSpec {
       s"refresh regressed overall recall: frozen=$frozenAll refreshed=$refreshedAll")
     assert(refreshedDrifted > frozenDrifted,
       s"refresh did not recover drifted recall: $frozenDrifted -> $refreshedDrifted")
-    // no litter from the staged swap
+    // no litter: only the pointer (and its local-FS checksum companion)
+    // and generation dirs remain
     val litter = new java.io.File(indexPath).listFiles().map(_.getName)
-      .filter(n => n.startsWith(".refresh_") || n.startsWith(".old_"))
+      .filterNot(n => n == "_gen" || n.startsWith("g=") || n.endsWith(".crc"))
     assert(litter.isEmpty, s"swap litter: ${litter.mkString(",")}")
     // a search through the REAL op still works against the refreshed
     // layout (replay of batch 2: excludes its own rows, returns hits,

@@ -737,14 +737,15 @@ class StreamingOpsSpec extends SparkSpec {
     val rootB = java.nio.file.Files.createTempDirectory("p_cpost").toString + "/b"
     for (root <- Seq(rootA, rootB); (b, i) <- thirds.take(3).zipWithIndex)
       StreamingOps.ivfSearchInsertBatch(df(b.toSeq), root, batchId = i.toLong)
-    def content(root: String) = spark.read.parquet(s"$root/postings")
+    def content(root: String) = spark.read
+      .parquet(s"${StreamingOps.resolveIndex(spark, root)}/postings")
       .select(col("vec_id"), col("centroid_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     def parquetFiles(root: String): Int = {
       def walk(f: java.io.File): Int =
         if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
         else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(s"$root/postings"))
+      walk(new java.io.File(s"${StreamingOps.resolveIndex(spark, root)}/postings"))
     }
     val filesBefore = parquetFiles(rootA)
     StreamingOps.compactPostings(spark, rootA, upToBatchId = 2L)
@@ -771,7 +772,8 @@ class StreamingOpsSpec extends SparkSpec {
         StreamingOps.ivfSearchInsertBatch(df(b.toSeq), root, batchId = i.toLong)
       root
     }
-    def content(root: String) = spark.read.parquet(s"$root/postings")
+    def content(root: String) = spark.read
+      .parquet(s"${StreamingOps.resolveIndex(spark, root)}/postings")
       .select(col("vec_id"), col("centroid_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val fsOf = (root: String) => org.apache.hadoop.fs.FileSystem.get(
@@ -781,12 +783,13 @@ class StreamingOpsSpec extends SparkSpec {
     // crash after phase 1 (staging complete, no swap): reads see the
     // original layout byte-identically; recovery rolls FORWARD
     val a = build(); val before = content(a)
-    assert(StreamingOps.stageCompactedPostings(spark, a, upToBatchId = 2L))
+    val ga = StreamingOps.resolveIndex(spark, a)
+    assert(StreamingOps.stageCompactedPostings(spark, ga, upToBatchId = 2L))
     assert(content(a) == before, "pre-swap staging leaked into reads")
     StreamingOps.recoverPostings(spark, a)
     assert(content(a) == before, "forward recovery changed postings content")
-    assert(!fsOf(a).exists(pth(s"$a/postings/.compact_upto_2")), "staging litter")
-    val horizonDirs = new java.io.File(s"$a/postings").listFiles()
+    assert(!fsOf(a).exists(pth(s"$ga/postings/.compact_upto_2")), "staging litter")
+    val horizonDirs = new java.io.File(s"$ga/postings").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
       .map(_.listFiles().count(b => b.isDirectory &&
         b.getName.stripPrefix("batch_id=").toLong <= 2L))
@@ -795,10 +798,11 @@ class StreamingOpsSpec extends SparkSpec {
     // crash mid-swap (a cell's merged dirs deleted, staged rename pending):
     // recovery completes that cell from the staging — nothing lost
     val b = build(); val beforeB = content(b)
-    assert(StreamingOps.stageCompactedPostings(spark, b, upToBatchId = 2L))
-    val cellB = new java.io.File(s"$b/postings").listFiles()
+    val gb = StreamingOps.resolveIndex(spark, b)
+    assert(StreamingOps.stageCompactedPostings(spark, gb, upToBatchId = 2L))
+    val cellB = new java.io.File(s"$gb/postings").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).head.getName
-    new java.io.File(s"$b/postings/$cellB").listFiles()
+    new java.io.File(s"$gb/postings/$cellB").listFiles()
       .filter(d => d.isDirectory && d.getName.stripPrefix("batch_id=").toLong <= 2L)
       .foreach(d => fsOf(b).delete(pth(d.getPath), true): Unit)
     StreamingOps.recoverPostings(spark, b)
@@ -807,11 +811,12 @@ class StreamingOpsSpec extends SparkSpec {
     // incomplete staging (no _SUCCESS): ROLLBACK — live dirs untouched,
     // staging discarded
     val c = build(); val beforeC = content(c)
-    assert(StreamingOps.stageCompactedPostings(spark, c, upToBatchId = 2L))
-    fsOf(c).delete(pth(s"$c/postings/.compact_upto_2/_SUCCESS"), false)
+    val gc = StreamingOps.resolveIndex(spark, c)
+    assert(StreamingOps.stageCompactedPostings(spark, gc, upToBatchId = 2L))
+    fsOf(c).delete(pth(s"$gc/postings/.compact_upto_2/_SUCCESS"), false)
     StreamingOps.recoverPostings(spark, c)
     assert(content(c) == beforeC)
-    assert(!fsOf(c).exists(pth(s"$c/postings/.compact_upto_2")),
+    assert(!fsOf(c).exists(pth(s"$gc/postings/.compact_upto_2")),
       "incomplete staging not discarded")
   }
 
@@ -862,8 +867,9 @@ class StreamingOpsSpec extends SparkSpec {
     val ivfB = java.nio.file.Files.createTempDirectory("p_heal").toString + "/ib"
     for (root <- Seq(ivfA, ivfB); (b, i) <- thirds.take(3).zipWithIndex)
       StreamingOps.ivfSearchInsertBatch(dfv(b.toSeq), root, batchId = i.toLong)
-    assert(StreamingOps.stageCompactedPostings(spark, ivfA, upToBatchId = 2L))
-    val cell = new java.io.File(s"$ivfA/postings").listFiles()
+    val gia = StreamingOps.resolveIndex(spark, ivfA)
+    assert(StreamingOps.stageCompactedPostings(spark, gia, upToBatchId = 2L))
+    val cell = new java.io.File(s"$gia/postings").listFiles()
       .filter(d => d.isDirectory && d.getName.startsWith("centroid_id=")).head
     cell.listFiles()
       .filter(d => d.isDirectory && d.getName.stripPrefix("batch_id=").toLong <= 2L)
@@ -875,7 +881,7 @@ class StreamingOpsSpec extends SparkSpec {
     assert(hits(ivfA) == hits(ivfB),
       "search on the crashed postings diverged from the clean index")
     assert(hits(ivfA).nonEmpty)
-    assert(!new java.io.File(s"$ivfA/postings").listFiles()
+    assert(!new java.io.File(s"$gia/postings").listFiles()
       .exists(_.getName.startsWith(".compact_upto_")), "compaction staging not healed")
   }
 
@@ -889,7 +895,8 @@ class StreamingOpsSpec extends SparkSpec {
     val (b1, b2) = shifted.splitAt(shifted.length / 2)
     val root = java.nio.file.Files.createTempDirectory("p_seed").toString + "/idx"
     StreamingOps.ivfSearchInsertBatch(b1.toSeq.toDF("vec_id", "embedding"), root, batchId = 1L)
-    assert(spark.read.parquet(s"$root/centroids").count() == 1,
+    assert(spark.read.parquet(
+        s"${StreamingOps.resolveIndex(spark, root)}/centroids").count() == 1,
       "fallback must seed exactly one centroid")
     val h2 = StreamingOps.ivfSearchInsertBatch(
       b2.toSeq.toDF("vec_id", "embedding"), root, batchId = 2L)

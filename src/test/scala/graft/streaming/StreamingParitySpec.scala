@@ -336,10 +336,12 @@ class StreamingParitySpec extends SparkSpec {
     // foreachBatch replay contract: re-running batch 2 under the same id
     // returns identical hits (its own failed-attempt rows are invisible)
     // and the dynamic overwrite leaves the postings row count unchanged
-    val postingsN = spark.read.parquet(s"$indexPath/postings").count()
+    def postingsCount() = spark.read.parquet(
+      s"${StreamingOps.resolveIndex(spark, indexPath)}/postings").count()
+    val postingsN = postingsCount()
     val h2r = hitSet(ivfSearchInsertBatch(df(b2.toSeq), indexPath, batchId = 2L))
     assert(h2r == h2, "replayed batch 2 diverged")
-    assert(spark.read.parquet(s"$indexPath/postings").count() == postingsN,
+    assert(postingsCount() == postingsN,
       "replay appended duplicate postings")
     // in-memory replay: centroids = stride rule over batch 1; postings
     // after batch 1 = its rn=1 assignments; batch 2 probes its 2 nearest
