@@ -521,9 +521,11 @@ object DedupOps {
       swapShards(spark, s"$indexPath/bands", "band_pt", removedBandPts)
   }
 
-  /** Doc ids from `ids` currently present in the index's payload table —
-    * probed on their own doc_pt shards only (partition filter + broadcast
-    * semi), so the I/O is id-set-shard-sized, never index-sized. */
+  /** Doc ids from `ids` currently MATCHABLE in the index: present in the
+    * payload table (probed on their own doc_pt shards only — partition
+    * filter + broadcast semi, so the I/O is id-set-shard-sized, never
+    * index-sized) and not logically forgotten
+    * ([[tombstoneInSignatureIndex]]). */
   def presentInSignatureIndex(ids: DataFrame, indexPath: String,
                               nParts: Int = IndexParts): DataFrame = {
     val spark = ids.sparkSession
@@ -531,10 +533,63 @@ object DedupOps {
     val dpts = d.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (dpts.isEmpty) d.where(lit(false))
-    else spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
+    else antiTombstoned(spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
       .where(col("doc_pt").isin(dpts: _*))
       .join(broadcast(d), Seq("doc_id"), "left_semi")
-      .select("doc_id")
+      .select("doc_id"), indexPath)
+  }
+
+  // ----- logical forget: tombstones (the deletion-vector idiom) ------------
+  //
+  // [[removeFromSignatureIndex]] is the PHYSICAL forget: affected shards
+  // are rewritten immediately, and its I/O is shards-hit-sized — for a
+  // |F|-doc forget that is the collision-expectation fraction of the bands
+  // table (~1-(1-1/nParts)^(|F|·nBands)), because band rows hash-scatter.
+  // No band-key-derived re-layout can shrink that: the expected number of
+  // touched equal-sized shards depends only on (|F|·nBands draws, total
+  // shard count), not on WHICH key function assigns rows to shards — the
+  // only physical knob is nParts (more, smaller shards). When retraction
+  // traffic matters at 100 TB, the industry answer is a DELETION VECTOR:
+  // forget appends doc ids to a tiny tombstone table (O(|F|) write I/O,
+  // corpus-independent), every probe and presence check anti-joins the
+  // broadcast tombstone set (bounded by retraction volume between
+  // maintenance passes), and the next [[compactSignatureIndex]] settles
+  // the debt physically — after it, the files hold no trace of the
+  // forgotten docs. Logical-then-purge produces byte-equivalent verdicts
+  // to the physical path at every point (spec-pinned); the trade is that
+  // forgotten PAYLOADS remain on disk until compaction, which is the
+  // documented retention contract of this path (use the physical op when
+  // "gone from disk now" is required).
+
+  private val tombSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT")
+
+  private def tombstonePath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+
+  /** LOGICAL forget: append `removeIds` to the index's tombstone table —
+    * O(|F|) write I/O, corpus-independent. Idempotent under at-least-once
+    * replay (duplicate tombstone rows are harmless to the anti-joins and
+    * collapsed at purge). Physical purge happens at the next
+    * [[compactSignatureIndex]]. */
+  def tombstoneInSignatureIndex(removeIds: DataFrame, indexPath: String): Unit = {
+    // manifest presence = this is a writeSignatureIndex layout; fail
+    // loudly otherwise instead of tombstoning a non-index
+    readManifest(removeIds.sparkSession, indexPath): Unit
+    removeIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+  }
+
+  /** Filters logically-forgotten docs out of `df` (anti-join on the
+    * broadcast tombstone set) — a no-op plan when the index has no
+    * tombstone table, so tombstone-free probes keep their exact shape. */
+  private def antiTombstoned(df: DataFrame, indexPath: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!hadoopFs(spark, indexPath).exists(tombstonePath(indexPath))) df
+    else df.join(broadcast(
+        spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
@@ -559,6 +614,23 @@ object DedupOps {
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, minFiles: Int = 2): Unit = {
     val fs = hadoopFs(spark, indexPath)
+    recoverSignatureIndex(spark, indexPath)
+    // settle the logical-forget debt first: purge tombstoned docs
+    // physically (the crash-safe staged rewrite), then drop the tombstone
+    // table. A crash between the two leaves the docs both purged AND
+    // tombstoned — anti-joins no-op, and the next compaction finishes the
+    // drop (idempotent). Single maintenance writer assumed, as for every
+    // index-mutating op here (the foreachBatch serial contract).
+    if (fs.exists(tombstonePath(indexPath))) {
+      val ids = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+        .distinct().localCheckpoint(true) // settled: the purge outlives the table
+      if (!ids.isEmpty) {
+        val m = readManifest(spark, indexPath)
+        removeFromSignatureIndex(ids, indexPath,
+          m.nPerm, m.nBands, m.rowsPerBand, m.nParts)
+      }
+      fs.delete(tombstonePath(indexPath), true): Unit
+    }
     for ((table, schema, ptCol) <- Seq(
         ("bands", bandsSchema, "band_pt"), ("sigs", sigsSchema, "doc_pt"))) {
       val tablePath = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
@@ -647,10 +719,13 @@ object DedupOps {
     // persisted: feeds both the doc_pt prune below and the candidate
     // join; collided-rows-sized — batch-proportional, never corpus-
     // proportional
-    val bandsMatchedRaw = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
-      .where(col("band_pt").isin(pts: _*))
-      .join(broadcast(batchBands), Seq("bk"), "left_semi")
-      .select("doc_id", "bk")
+    // logically-forgotten docs must not act as corpus partners: anti-join
+    // the broadcast tombstone set (plan-neutral when no tombstones exist)
+    val bandsMatchedRaw = antiTombstoned(
+      spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
+        .where(col("band_pt").isin(pts: _*))
+        .join(broadcast(batchBands), Seq("bk"), "left_semi")
+        .select("doc_id", "bk"), indexPath)
     // excludeOwnIds: a RETRIED batch whose kept signatures were already
     // appended must not see its own attempt's index rows — beyond the
     // self-pair guard, a larger-id batch doc indexed by the failed

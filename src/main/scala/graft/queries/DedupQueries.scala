@@ -1706,11 +1706,57 @@ object DedupQueries {
          |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin)
   }
 
+  /** Right-to-be-forgotten on the LOGICAL (tombstone / deletion-vector)
+    * path: same protocol and oracle as [[dedupDeltaForget]], but the
+    * forget set is appended to the index's tombstone table — O(|F|)
+    * write I/O, corpus-independent
+    * ([[graft.ops.DedupOps.tombstoneInSignatureIndex]]) — and the probe's
+    * broadcast anti-join makes the tombstoned docs unmatchable. Verdicts
+    * must be BYTE-IDENTICAL to the physical rewrite's (one shared oracle
+    * SQL), which is the cross-engine proof that the deletion-vector path
+    * loses nothing; the physical purge happens at the next compaction
+    * (IncrementalDedupSpec pins the convergence).
+    *
+    * Scale shape: retraction cost stops being shards-hit-sized
+    * (~1-(1-1/nParts)^(|F|·nBands) of the bands table for the physical
+    * rewrite — forget_scaling.json) and becomes a one-file append; the
+    * probe adds one broadcast anti-join bounded by retraction volume
+    * between maintenance passes. */
+  val dedupDeltaForgetLogical: Q = new Q {
+    val name = "dedup_delta_forget_logical"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val isBatch = col("doc_id") % 5 === 0
+      // bootstrap + tombstone ONCE per JVM (Staging.once): probes never
+      // mutate the index or the tombstone table, so sharing is safe; the
+      // per-invocation cost is the per-batch probe with the anti-join
+      val indexPath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "sig_index_forget_logical") { p =>
+        DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+          docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+          p, NumPerms, NumBands, RowsPerBand, nParts = TestIndexParts)
+        DedupOps.tombstoneInSignatureIndex(
+          docs.where(!isBatch && col("doc_id") % 7 === 1).select("doc_id"), p)
+      }
+      val batchSigs = DedupOps.signatureIndex(
+        docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+      val out = DedupOps.dedupDeltaBatchPruned(
+        docs.where(isBatch).select("doc_id"), batchSigs, indexPath,
+        JaccardThreshold, nParts = TestIndexParts)
+      batchSigs.unpersist()
+      out.orderBy("doc_id")
+    }
+    // the SAME oracle as dedup_delta_forget: logical and physical forget
+    // must be indistinguishable at the verdict surface
+    val oracle = dedupDeltaForget.oracle
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
-    dedupDeltaBatch2, dedupDeltaForget)
+    dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical)
 }

@@ -229,6 +229,36 @@ object StreamingOps {
     receipt
   }
 
+  /** LOGICAL right-to-be-forgotten twin of [[forgetBatch]], on the
+    * tombstone path ([[graft.ops.DedupOps.tombstoneInSignatureIndex]]):
+    * the batch's ids are appended to the index's deletion vector —
+    * O(|batch|) write I/O, corpus-independent — instead of rewriting the
+    * hit shards immediately; every later probe and presence check
+    * anti-joins the tombstones, so the docs are unmatchable from this
+    * batch on, and the next compaction purges them physically. Same
+    * receipt contract as [[forgetBatch]]: one SETTLED
+    * (doc_id, was_indexed) row per distinct batch id, checkpointed
+    * before the mutation; replay-safe (a retried batch re-tombstones
+    * idempotently and its receipt reports was_indexed=false for ids the
+    * first attempt already forgot — monotone in the safe direction).
+    * Use [[forgetBatch]] when the payloads must leave DISK immediately;
+    * this twin when retraction throughput matters and
+    * purge-at-next-compaction retention is acceptable. */
+  def forgetBatchLogical(batch: DataFrame, indexPath: String,
+                         nParts: Int = 8): DataFrame = {
+    import graft.ops.DedupOps
+    DedupOps.recoverSignatureIndex(batch.sparkSession, indexPath)
+    val ids = batch.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val present = DedupOps.presentInSignatureIndex(ids, indexPath, nParts)
+      .withColumn("was_indexed", lit(true))
+    val receipt = ids.join(present, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("was_indexed"), lit(false)).as("was_indexed"))
+      .localCheckpoint(true)
+    DedupOps.tombstoneInSignatureIndex(ids, indexPath)
+    receipt
+  }
+
   // ----- generation-versioned IVF index layout ----------------------------
   //
   // All IVF index state lives under `<index>/g=<N>/{centroids,postings}`
@@ -1171,6 +1201,7 @@ object StreamingOps {
     "nearDupDedupBatch" -> "driver replay of the two-batch LSH band-store fold",
     "deltaDedupVerifiedBatch" -> "flat-index batch replay of the bootstrap/probe/append protocol",
     "forgetBatch" -> "driver presence check + post-removal index content vs a batch-side recompute",
+    "forgetBatchLogical" -> "physical-forget equivalence: receipts and probe verdicts match forgetBatch; compaction purge converges the files",
     "ivfSearchInsertBatch" -> "in-memory batch replay of the search-then-insert protocol",
     "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
     "streamIntervalJoin" -> "inline batch join with the same interval predicate",

@@ -115,7 +115,31 @@ object ForgetScaling {
         f"read ${rB / 1e6}%7.1fMB write ${wB / 1e6}%7.1fMB ${sec}%.2fs")
       f"""    {"forget_docs": $k, "index_mb": ${idxBytes / 1e6}%.1f, "read_mb": ${rB / 1e6}%.2f, "write_mb": ${wB / 1e6}%.2f, "sec": $sec%.3f, "read_over_index": ${rB.toDouble / idxBytes}%.3f, "expected_touched_frac": ${k.toDouble / NParts + expectedBandFrac(k)}%.3f}"""
     }
-    out.append(rows2.mkString(",\n")).append("\n  ]\n}\n")
+    out.append(rows2.mkString(",\n")).append("\n  ],\n")
+    // LOGICAL forget (tombstone append): write I/O is O(|F|) and
+    // corpus-independent — the deletion-vector path for retraction
+    // traffic that can tolerate purge-at-next-compaction retention
+    out.append("  \"logical_forget5\": [\n")
+    var purgeTarget: String = null
+    val rows3 = for (replicas <- Seq(1, 4, 16)) yield {
+      val (path, idxBytes) = bootstrap(replicas, s"l$replicas")
+      if (replicas == 16) purgeTarget = path
+      val (_, rB, wB, sec) = measured {
+        DedupOps.tombstoneInSignatureIndex(forgetIds.take(5).toDF("doc_id"), path)
+      }
+      println(f"[forget] logical x$replicas%-3d idx ${idxBytes / 1e6}%8.1fMB " +
+        f"read ${rB / 1e6}%7.2fMB write ${wB / 1e6}%7.2fMB ${sec}%.2fs")
+      f"""    {"replicas": $replicas, "index_mb": ${idxBytes / 1e6}%.1f, "read_mb": ${rB / 1e6}%.3f, "write_mb": ${wB / 1e6}%.3f, "sec": $sec%.3f, "write_over_index": ${wB.toDouble / idxBytes}%.5f}"""
+    }
+    out.append(rows3.mkString(",\n")).append("\n  ],\n")
+    // the purge at maintenance time settles the physical debt — its cost
+    // is the physical forget's, paid once per compaction instead of per
+    // retraction batch
+    val (_, rP, wP, secP) = measured {
+      DedupOps.compactSignatureIndex(spark, purgeTarget)
+    }
+    println(f"[forget] purge  x16  read ${rP / 1e6}%7.1fMB write ${wP / 1e6}%7.1fMB ${secP}%.2fs")
+    out.append(f"""  "purge_x16": {"read_mb": ${rP / 1e6}%.2f, "write_mb": ${wP / 1e6}%.2f, "sec": $secP%.3f}\n}\n""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out.toString)
     println(s"[forget] wrote $outPath")
     spark.stop()

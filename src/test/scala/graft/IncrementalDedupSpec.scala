@@ -381,6 +381,58 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
   }
 
+  test("logical forget (tombstones): probe verdicts equal physical removal; purge at compaction converges and clears") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    val forgetPred = !isBatch && col("doc_id") % 7 === 1
+    val phys = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "tomb_phys")
+    val logi = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "tomb_logi")
+    for (p <- Seq(phys, logi))
+      DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+        docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+        p, NumPerms, NumBands, RowsPerBand)
+    val forget = docs.where(forgetPred).select("doc_id")
+    DedupOps.removeFromSignatureIndex(forget, phys, NumPerms, NumBands, RowsPerBand)
+    DedupOps.tombstoneInSignatureIndex(forget, logi)
+    // the tombstone table is tiny — O(|F|), not shards-hit-sized
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    assert(dirBytes(s"$logi/tombstones") < dirBytes(s"$logi/sigs") / 10,
+      "tombstone table not small relative to the index — logical forget lost its point")
+    // probe verdicts: logical == physical == driver recompute
+    val bs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    def probe(p: String) = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      docs.where(isBatch).select("doc_id"), bs, p, JaccardThreshold))
+    val vPhys = probe(phys)
+    val vLogi = probe(logi)
+    assert(vLogi == vPhys, "tombstoned partners still (or wrongly not) matchable")
+    val batchIds = docs.where(isBatch).collect().map(_.getLong(0)).toSeq
+    assert(vLogi == expectedVerdicts(batchIds, collectSigs(docs.where(isBatch)),
+      collectSigs(docs.where(!isBatch && !forgetPred))))
+    // presence excludes tombstoned docs (the receipt semantics)
+    assert(DedupOps.presentInSignatureIndex(forget, logi).count() == 0)
+    // purge: compaction physically removes tombstoned docs, clears the
+    // table, and the index files converge to the physical path's content
+    DedupOps.compactSignatureIndex(spark, logi)
+    assert(!new java.io.File(s"$logi/tombstones").exists(), "tombstones not cleared")
+    def ids(p: String, t: String) = spark.read.parquet(s"$p/$t")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids(logi, "sigs") == ids(phys, "sigs"))
+    assert(ids(logi, "bands") == ids(phys, "bands"))
+    assert(probe(logi) == vPhys, "post-purge verdicts drifted")
+    // idempotent purge debt: a crash between purge and clear replays safely
+    DedupOps.tombstoneInSignatureIndex(forget, logi) // already-purged ids
+    DedupOps.compactSignatureIndex(spark, logi)
+    assert(ids(logi, "sigs") == ids(phys, "sigs") && probe(logi) == vPhys)
+    bs.unpersist(): Unit
+  }
+
   test("mid-append crash: duplicated bands rows are verdict-harmless and compaction collapses them") {
     // appendNewToSignatureIndex keys its idempotence probe on sigs, but
     // the append writes bands FIRST: a crash between the two table writes

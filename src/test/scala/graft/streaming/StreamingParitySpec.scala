@@ -81,6 +81,7 @@ class StreamingParitySpec extends SparkSpec {
     "nearDupDedupBatch" -> (() => nearDupParity()),
     "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
     "forgetBatch" -> (() => forgetBatchParity()),
+    "forgetBatchLogical" -> (() => forgetBatchLogicalParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
@@ -316,6 +317,67 @@ class StreamingParitySpec extends SparkSpec {
     assert(spark.read.parquet(s"$indexPath/sigs").count() == sr &&
       spark.read.parquet(s"$indexPath/bands").count() == br,
       "replayed mixed forget changed the index")
+  }
+
+  private def forgetBatchLogicalParity(): Unit = {
+    import graft.ops.DedupOps
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val phys = java.nio.file.Files.createTempDirectory("p_lforget").toString + "/phys"
+    val logi = java.nio.file.Files.createTempDirectory("p_lforget").toString + "/logi"
+    for (root <- Seq(phys, logi))
+      deltaDedupVerifiedBatch(d1.toSeq.toDF("doc_id", "text"), root, 0.7).count()
+    val indexed = spark.read.parquet(s"$phys/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    // forget: every 3rd indexed id plus synthetic never-indexed ids that
+    // NEVER re-arrive (the documented equivalence scope: a tombstoned id
+    // re-ingested before the purge stays unmatchable — pinned below)
+    val maxId = docs.map(_._1).max
+    val toForget = indexed.toSeq.sorted.grouped(3).map(_.head).toSeq ++
+      (1L to 5L).map(maxId + _)
+    val rPhys = forgetBatch(toForget.toDF("doc_id"), phys)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rLogi = forgetBatchLogical(toForget.toDF("doc_id"), logi)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rLogi == rPhys, "logical receipt diverged from the physical twin")
+    assert(rLogi.values.exists(identity) && rLogi.values.exists(!_), "one-sided fixture")
+    // replayed logical forget: all-false receipt (same monotone contract)
+    val rReplay = forgetBatchLogical(toForget.toDF("doc_id"), logi)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rReplay.values.forall(!_))
+    // the next ingest micro-batch produces identical verdicts on both
+    // paths: tombstoned partners are as unmatchable as removed ones
+    def verdicts(root: String) = deltaDedupVerifiedBatch(
+      d2.toSeq.toDF("doc_id", "text"), root, 0.7)
+      .collect().map(_.toSeq.toList).toSet
+    assert(verdicts(logi) == verdicts(phys),
+      "post-forget ingest verdicts diverged between logical and physical")
+    // purge at compaction converges the FILES to the physical state and
+    // clears the tombstone table
+    DedupOps.compactSignatureIndex(spark, logi)
+    DedupOps.compactSignatureIndex(spark, phys)
+    def tableIds(root: String, t: String) = spark.read.parquet(s"$root/$t")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(tableIds(logi, "sigs") == tableIds(phys, "sigs"))
+    assert(tableIds(logi, "bands") == tableIds(phys, "bands"))
+    assert(!new java.io.File(s"$logi/tombstones").exists(),
+      "purge left the tombstone table behind")
+    // documented divergence, pinned: an id tombstoned and RE-INGESTED
+    // before the purge stays unmatchable and is removed by the purge
+    // (content-derived ids: identical content stays forgotten); the
+    // physical twin re-admits it
+    val reIngest = toForget.filter(indexed).take(1)
+    val reDocs = docs.filter(d => reIngest.contains(d._1))
+    forgetBatchLogical(reIngest.toDF("doc_id"), logi).count()
+    deltaDedupVerifiedBatch(reDocs.toSeq.toDF("doc_id", "text"), logi, 0.7).count()
+    assert(DedupOps.presentInSignatureIndex(
+        reIngest.toDF("doc_id"), logi, nParts = 8).count() == 0,
+      "tombstoned-then-reingested id became matchable before the purge")
+    DedupOps.compactSignatureIndex(spark, logi)
+    assert(!tableIds(logi, "sigs").exists(reIngest.contains),
+      "purge kept a tombstoned id's re-ingested rows")
   }
 
   private def ivfSearchInsertParity(): Unit = {
