@@ -1268,6 +1268,212 @@ object VectorQueries {
          |GROUP BY 1, 2 ORDER BY epoch""".stripMargin)
   }
 
+  /** CENTROID-REFRESH RECALL, oracle-checked on a synthesized
+    * structured-drift corpus — the cross-engine promotion of
+    * IvfRefreshSpec's planted-drift claim (the real fixture's embeddings
+    * are unstructured, so any centroid set is recall-equivalent there;
+    * here drift has structure and the refresh benefit is a hash-checked
+    * number). 600 vectors are synthesized IN-ROW with id-derived cluster
+    * blocks (integer components, so every float operation both engines
+    * perform is exactly rounded): the bootstrap corpus (ids < 300) spans
+    * clusters 0–3; the two inserted batches (ids ≥ 300) form DRIFT
+    * clusters 4–5 on coordinate blocks the frozen stride-drawn centroids
+    * never saw. The index is built through the REAL streaming ops
+    * (bootstrap + two ivfSearchInsertBatch epochs), then
+    * [[graft.streaming.StreamingOps.refreshCentroids]] re-clusters it
+    * into a new GENERATION — and the entry reports recall@k of the IVF
+    * probe per (arm, cohort): `frozen` reads the retained lookback
+    * generation g=0, `refreshed` resolves the current one. The DuckDB
+    * oracle replays the whole lifecycle from closed form — stride
+    * bootstrap, cosine-argmax inserts, L2-normalize → quantize → exact
+    * integer Lloyd's (k = centroid count, 3 iterations) → centroid
+    * re-normalization → integer-argmin reassignment → cosine probes —
+    * so the refresh's recall recovery on the drifted cohort is proven
+    * cross-engine, not just spec-pinned.
+    *
+    * Scale shape: one candidate-scoring pass shared by truth and both
+    * arms; queries broadcast; the arms differ only in which generation's
+    * (centroids, postings) pair they read — the zero-downtime layout is
+    * what makes reporting both arms from one index possible. */
+  val annRefreshRecall: Q = new Q {
+    val name = "q_ann_refresh_recall"
+    private val NDocs = 600
+    private val NCorpus = 300
+    private val RrTopK = 10 // deeper than the probe-side TopK: the tail of
+                            // the true neighbor list is what cell scatter loses
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.streaming.StreamingOps
+      val cl = when(col("vec_id") < NCorpus, col("vec_id") % 4)
+        .otherwise(lit(4) + col("vec_id") % 2)
+      // cluster block (amp 8) + per-id spike inside the corpus block range
+      // (amp 8 — scatters each drifted vector's cell assignment) + two-round
+      // mixed jitter mod 7 (decorrelates ranking from assignment); all
+      // components small integers, so both engines' float ops round identically
+      val vecs = spark.range(NDocs).select(col("id").as("vec_id"))
+        .withColumn("embedding", transform(sequence(lit(0), lit(Dim - 1)), j =>
+          (when(j >= cl * 8 && j < cl * 8 + 8, lit(8L)).otherwise(lit(0L)) +
+            when(col("vec_id") >= NCorpus &&
+              j.cast("long") === pmod(col("vec_id") * 17L, lit(32L)), lit(8L))
+              .otherwise(lit(0L)) +
+            pmod(pmod(shiftright(col("vec_id") * 2654435761L +
+              (j + 1).cast("long") * 40503L, 7) * 48271L,
+              lit(2147483647L)), lit(7L))).cast("float")))
+      // lifecycle ONCE per JVM (Staging.once): bootstrap + 2 inserts +
+      // refresh; invocations only READ the two generations, so sharing
+      // is safe (the refresh already ran inside the build)
+      val indexPath = graft.ops.Staging.once(
+          "/tmp/graft_ann_index", dir, "ivf_refresh_recall") { p =>
+        StreamingOps.ivfSearchInsertBatch(
+          vecs.where(col("vec_id") < NCorpus), p, batchId = 0L)
+        StreamingOps.ivfSearchInsertBatch(
+          vecs.where(col("vec_id") >= NCorpus && col("vec_id") < 450), p, batchId = 1L)
+        StreamingOps.ivfSearchInsertBatch(
+          vecs.where(col("vec_id") >= 450), p, batchId = 2L)
+        StreamingOps.refreshCentroids(spark, p)
+      }
+      val refreshedDir = StreamingOps.resolveIndex(spark, indexPath) // g=1
+      val frozenDir = s"$indexPath/g=0" // the retained lookback generation
+      val v = vecs.persist()
+      val queries = v.where(col("vec_id") % 25 === 1)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // ONE scoring pass: all (query, candidate) cosines; truth and both
+      // arms' hits are restrictions of it
+      val scored = v.crossJoin(broadcast(queries))
+        .where(col("q_id") =!= col("vec_id"))
+        .withColumn("cs", VectorOps.cosine(col("q_vec"), col("embedding"), Dim))
+        .select("q_id", "vec_id", "cs").persist()
+      val wR = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id").asc)
+      val truth = scored.withColumn("rn", row_number().over(wR))
+        .where(col("rn") <= RrTopK).select("q_id", "vec_id")
+      def armRows(arm: String, armDir: String): DataFrame = {
+        val cents = spark.read.parquet(s"$armDir/centroids")
+        val assign = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT"))
+          .parquet(s"$armDir/postings")
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+        val probes = queries.crossJoin(broadcast(cents))
+          .withColumn("cs", VectorOps.cosine(col("q_vec"), col("c_vec"), Dim))
+          .withColumn("rn", row_number().over(wQ)).where(col("rn") <= NProbe)
+          .select(col("q_id"), col("c_id").cast("long").as("centroid_id"))
+        val hits = scored.join(assign, Seq("vec_id"))
+          .join(probes, Seq("q_id", "centroid_id"), "left_semi")
+          .withColumn("rn", row_number().over(wR))
+          .where(col("rn") <= RrTopK).select("q_id", "vec_id")
+        val matched = hits.join(truth, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("matched"))
+        queries.select("q_id").join(matched, Seq("q_id"), "left")
+          .select(lit(arm).as("arm"), col("q_id"),
+            coalesce(col("matched"), lit(0L)).as("matched"))
+      }
+      val out = armRows("frozen", frozenDir)
+        .unionByName(armRows("refreshed", refreshedDir))
+        .withColumn("cohort",
+          when(col("q_id") < NCorpus, "corpus").otherwise("drifted"))
+        .groupBy("arm", "cohort")
+        .agg(count(lit(1)).as("nq"), sum("matched").as("m"),
+          min("matched").as("mn"))
+        .select(col("arm"), col("cohort"),
+          col("nq").cast("long").as("n_queries"),
+          expr(s"CAST((m * 10000) DIV ($RrTopK * nq) AS BIGINT)")
+            .as("mean_recall_e4"),
+          (col("mn") * lit(10000 / RrTopK)).cast("long").as("min_recall_e4"))
+        .orderBy("arm", "cohort")
+        .localCheckpoint(true)
+      scored.unpersist(); v.unpersist()
+      out
+    }
+    val oracle = {
+      // ordered double sums as sequential list_reduce folds (matches the
+      // engine's left-to-right kernels) — everything else is exact
+      def sq(v: String) = s"(CAST($v AS DOUBLE)/1000000)*(CAST($v AS DOUBLE)/1000000)"
+      Some(
+      s"""WITH cdef AS (
+         |  SELECT vec_id, CASE WHEN vec_id < 300 THEN vec_id % 4
+         |                      ELSE 4 + vec_id % 2 END AS clu
+         |  FROM range(600) t(vec_id)),
+         |vecs AS (
+         |  SELECT vec_id, list_transform(range(0, $Dim), j ->
+         |    CAST(CASE WHEN j >= clu*8 AND j < clu*8+8 THEN 8 ELSE 0 END
+         |         + CASE WHEN vec_id >= 300 AND j = (vec_id*17) % 32 THEN 8 ELSE 0 END
+         |         + ((((vec_id*2654435761 + (j+1)*40503) >> 7) * 48271) % 2147483647) % 7 AS FLOAT)) AS embedding
+         |  FROM cdef),
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM vecs WHERE vec_id % 25 = 1),
+         |sc AS (
+         |  SELECT q_id, v.vec_id,
+         |    ${sqlDot("q_vec", "v.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("v.embedding")}) AS cs
+         |  FROM vecs v CROSS JOIN qs WHERE v.vec_id <> q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+         |  FROM sc) t WHERE rn <= $RrTopK),
+         |fc AS (SELECT vec_id AS c_id, embedding AS c_vec FROM vecs
+         |       WHERE vec_id < 300 AND vec_id % $IvfStride = 0),
+         |fa AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT v.vec_id, f.c_id AS centroid_id, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${sqlDot("v.embedding", "f.c_vec")} / (${sqlNorm("v.embedding")} * ${sqlNorm("f.c_vec")}) DESC, f.c_id) AS rn
+         |  FROM vecs v CROSS JOIN fc f) t WHERE rn = 1),
+         |fp AS (SELECT q_id, centroid_id FROM (
+         |  SELECT q_id, f.c_id AS centroid_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${sqlDot("q_vec", "f.c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("f.c_vec")}) DESC, f.c_id) AS rn
+         |  FROM qs CROSS JOIN fc f) t WHERE rn <= $NProbe),
+         |fhits AS (SELECT q_id, vec_id FROM (
+         |  SELECT sc.q_id, sc.vec_id, row_number() OVER (PARTITION BY sc.q_id ORDER BY sc.cs DESC, sc.vec_id) AS rn
+         |  FROM sc JOIN fa USING (vec_id)
+         |  JOIN fp ON fp.q_id = sc.q_id AND fp.centroid_id = fa.centroid_id) t
+         |  WHERE rn <= $RrTopK),
+         |unitq AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(round(CAST(CAST(CAST(x AS DOUBLE) / nrm AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM vecs) s),
+         |qd AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+         |  FROM unitq, range(1, ${Dim + 1}) t(i)),
+         |c0 AS (
+         |  SELECT cid, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+         |        FROM unitq ORDER BY vec_id LIMIT 8) s, range(1, ${Dim + 1}) t(i)),
+         |${lloydChainCtes(3)},
+         |cagg AS (SELECT cid, list(x ORDER BY i) AS xs FROM c3 GROUP BY cid),
+         |cnorm AS (
+         |  SELECT cid, xs, greatest(sqrt(${sqlSeqSum(s"list_transform(xs, v -> ${sq("v")})")}), 1e-12) AS nc
+         |  FROM cagg),
+         |rc AS (
+         |  SELECT cid,
+         |    list_transform(xs, v -> CAST(round(CAST(v AS DOUBLE)/1000000/nc*1000000) AS BIGINT)) AS qv,
+         |    list_transform(xs, v -> CAST(CAST(v AS DOUBLE)/1000000/nc AS FLOAT)) AS fv
+         |  FROM cnorm),
+         |rcd AS (
+         |  SELECT cid, CAST(i AS INT) AS i, qv[CAST(i AS INT)] AS x
+         |  FROM rc, range(1, ${Dim + 1}) t(i)),
+         |${sqlAssign("ra", "rcd")},
+         |rp AS (SELECT q_id, cid FROM (
+         |  SELECT q_id, r.cid, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${sqlDot("q_vec", "r.fv")} / (${sqlNorm("q_vec")} * ${sqlNorm("r.fv")}) DESC, r.cid) AS rn
+         |  FROM qs CROSS JOIN rc r) t WHERE rn <= $NProbe),
+         |rhits AS (SELECT q_id, vec_id FROM (
+         |  SELECT sc.q_id, sc.vec_id, row_number() OVER (PARTITION BY sc.q_id ORDER BY sc.cs DESC, sc.vec_id) AS rn
+         |  FROM sc JOIN ra USING (vec_id)
+         |  JOIN rp ON rp.q_id = sc.q_id AND rp.cid = ra.cid) t
+         |  WHERE rn <= $RrTopK),
+         |m AS (
+         |  SELECT 'frozen' AS arm, t.q_id, count(*) AS matched
+         |  FROM fhits h JOIN truth t ON h.q_id = t.q_id AND h.vec_id = t.vec_id GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'refreshed', t.q_id, count(*)
+         |  FROM rhits h JOIN truth t ON h.q_id = t.q_id AND h.vec_id = t.vec_id GROUP BY 2),
+         |grid AS (SELECT arm, q_id FROM (VALUES ('frozen'), ('refreshed')) a(arm) CROSS JOIN qs),
+         |per AS (
+         |  SELECT g.arm, g.q_id, coalesce(m.matched, 0) AS matched
+         |  FROM grid g LEFT JOIN m ON m.arm = g.arm AND m.q_id = g.q_id)
+         |SELECT arm, CASE WHEN q_id < 300 THEN 'corpus' ELSE 'drifted' END AS cohort,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(CAST(sum(matched) AS BIGINT) * 10000 // ($RrTopK * count(*)) AS BIGINT) AS mean_recall_e4,
+         |  CAST(min(matched) * ${10000 / RrTopK} AS BIGINT) AS min_recall_e4
+         |FROM per GROUP BY 1, 2 ORDER BY arm, cohort""".stripMargin)
+    }
+  }
+
   /** k-means cluster assignment (Lloyd's, deterministic init) on the
     * integer-exact path: embeddings quantized to BIGINT (round(x·1e6)),
     * assignments by integer squared distance (ties → lowest index),
@@ -1282,17 +1488,27 @@ object VectorQueries {
     * Relational form: vectors and centroids as (id, dim-index, value) rows;
     * floordiv(a,b) spelled (a - pmod(a,b)) // b — the numerator is exactly
     * divisible, so DuckDB's truncating `//` equals floor. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  /** Integer-argmin assignment CTE: every `qd` vector to its nearest `c`
+    * centroid (ties → lowest cid) — the relational mirror of
+    * KMeansOps.assignmentExact. Shared by [[kmeansOracle]] and the
+    * refresh-recall oracle. */
+  private def sqlAssign(a: String, c: String) =
+    s"""$a AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT qd.vec_id, $c.cid,
+       |      row_number() OVER (PARTITION BY qd.vec_id
+       |        ORDER BY sum((qd.x - $c.x) * (qd.x - $c.x)) ASC, $c.cid ASC) AS rn
+       |    FROM qd JOIN $c ON qd.i = $c.i
+       |    GROUP BY qd.vec_id, $c.cid) t WHERE rn = 1)""".stripMargin
+
+  /** The assign/update CTE chain of exact integer Lloyd's (expects `qd` =
+    * (vec_id, i, x) quantized vectors and `c0` = (cid, i, x) init
+    * centroids in scope); ends with `afinal` (vec_id, cid), leaving
+    * `c<iters>` as the fitted centroids — the relational mirror of
+    * KMeansOps.fitExact. */
+  private def lloydChainCtes(iters: Int): String = {
     def floordiv(a: String, b: String) =
       s"($a - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
-    def assign(a: String, c: String) =
-      s"""$a AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT qd.vec_id, $c.cid,
-         |      row_number() OVER (PARTITION BY qd.vec_id
-         |        ORDER BY sum((qd.x - $c.x) * (qd.x - $c.x)) ASC, $c.cid ASC) AS rn
-         |    FROM qd JOIN $c ON qd.i = $c.i
-         |    GROUP BY qd.vec_id, $c.cid) t WHERE rn = 1)""".stripMargin
     def update(cNew: String, a: String, cPrev: String) =
       s"""$cNew AS (
          |  SELECT cid, i, ${floordiv("2 * s + n", "2 * n")} AS x FROM (
@@ -1301,9 +1517,12 @@ object VectorQueries {
          |  UNION ALL
          |  SELECT cid, i, x FROM $cPrev
          |  WHERE cid NOT IN (SELECT DISTINCT cid FROM $a))""".stripMargin
-    val steps = (1 to iters).flatMap { t =>
-      Seq(assign(s"a$t", s"c${t - 1}"), update(s"c$t", s"a$t", s"c${t - 1}"))
-    } :+ assign("afinal", s"c$iters")
+    ((1 to iters).flatMap { t =>
+      Seq(sqlAssign(s"a$t", s"c${t - 1}"), update(s"c$t", s"a$t", s"c${t - 1}"))
+    } :+ sqlAssign("afinal", s"c$iters")).mkString(",\n")
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String = {
     s"""WITH q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -1316,7 +1535,7 @@ object VectorQueries {
        |  SELECT cid, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
        |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
        |        FROM q ORDER BY vec_id LIMIT $k) s, range(1, ${Dim + 1}) t(i)),
-       |${steps.mkString(",\n")}
+       |${lloydChainCtes(iters)}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""".stripMargin
   }
 
@@ -2208,7 +2427,7 @@ object VectorQueries {
     dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
     ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annDeltaEvolve,
-    annRecallEvolution, annRecallAtK, qAnnNprobeSweep,
+    annRecallEvolution, annRefreshRecall, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,
     labelCentroidSim, hardNegatives, qNdcgMrr, qEmbeddingNormProfile)
