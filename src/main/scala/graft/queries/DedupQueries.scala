@@ -1752,11 +1752,179 @@ object DedupQueries {
     val oracle = dedupDeltaForget.oracle
   }
 
+  /** Per-epoch BANDED-RECALL gate over the persisted signature index —
+    * the text-dedup mirror of q_ann_recall_evolution (r14 verdict #6):
+    * the ANN side measures IVF recall decay as batches accrete; this
+    * entry measures what the LSH index's band stage LOSES, per epoch, as
+    * the corpus mix evolves. The index is built through the REAL
+    * lifecycle (bootstrap → two [[graft.ops.DedupOps.appendNewToSignatureIndex]]
+    * appends of whole batches), and for a fixed query sample the entry
+    * reports, per epoch (0 = corpus, 1, 2 = after each append), the
+    * fraction of TRUE near-dup partners (exact Jaccard ≥ θ over stored
+    * shingle sets — the lossless truth) that the banded candidate stage
+    * SURFACES (shares ≥1 stored band key). Band collision probability is
+    * a per-pair property, so the per-epoch drift this measures is the
+    * corpus-mix effect — new batches contribute pairs with different
+    * similarity profiles — exactly the number an operator watches to
+    * decide when nBands/rowsPerBand need retuning.
+    *
+    * The index under measurement uses a RECALL-STRESSED banding (4 bands
+    * × 16 rows over the same 64 permutations) rather than the operating
+    * 16×4: the fixture's true pairs sit at jac 0.9–0.99 (measured,
+    * bimodal against a < 0.08 background), where 16×4 collides with
+    * probability ≈ 1 — a gate on it could never move. At 4×16 the
+    * S-curve bites exactly in the planted range (≈ 56% at jac 0.9,
+    * ≈ 98% at 0.97), so per-epoch recall genuinely tracks the corpus
+    * mix: an epoch whose appended batch contributes weaker near-dups
+    * shows a lower banded recall — the drift an operator watches.
+    * Candidate volume and precision are reported alongside (the cost
+    * axis banding trades against recall).
+    *
+    * Scale shape: the truth arm is deliberate ground truth over a FIXED
+    * bounded query sample (broadcast; the index streams map-side) — the
+    * lsh-recall-gate pattern; the banded arm is an equi-join on stored
+    * band keys; epochs are an in-row explode(sequence(pt, 2)), so adding
+    * epochs adds no index rescans. */
+  val dedupRecallEvolution: Q = new Q {
+    val name = "q_dedup_recall_evolution"
+    private val EvoBands = 4
+    private val EvoRows = 16 // NumPerms / EvoBands
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+      // bootstrap + both appends ONCE per JVM (Staging.once): probes are
+      // read-only, so sharing the staged lifecycle output is safe
+      val indexPath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "sig_index_recall_evo") { p =>
+        DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+          part(0), ShingleK, NumPerms, EvoBands, EvoRows), p,
+          NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+        for (m <- Seq(1, 2))
+          DedupOps.appendNewToSignatureIndex(DedupOps.signatureIndex(
+            part(m), ShingleK, NumPerms, EvoBands, EvoRows), p,
+            NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+      }
+      val qSigs = DedupOps.signatureIndex(
+        docs.where(col("doc_id") % 2 === 1), ShingleK, NumPerms, EvoBands,
+        EvoRows).persist()
+      val qs = qSigs.select(col("doc_id").as("q_id"), col("hs").as("q_hs"))
+      val qBands = qSigs
+        .select(col("doc_id").as("q_id"), explode(col("bands")).as("bk"))
+        .distinct()
+      val pHs = spark.read.parquet(s"$indexPath/sigs")
+        .select(col("doc_id").as("p_id"), col("hs").as("p_hs"))
+      // lossless truth: exact Jaccard from STORED partner shingle sets
+      val truth = pHs.crossJoin(broadcast(qs))
+        .where(col("q_id") =!= col("p_id"))
+        .withColumn("inter",
+          DedupOps.intersectSizeSorted(col("q_hs"), col("p_hs")))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("q_hs")) + size(col("p_hs")) - col("inter")))
+        .where(col("jac") >= JaccardThreshold)
+        .select("q_id", "p_id")
+      // banded arm: does the index's STORED band table surface the pair?
+      val collided = spark.read.parquet(s"$indexPath/bands")
+        .select(col("doc_id").as("p_id"), col("bk"))
+        .join(broadcast(qBands), Seq("bk"))
+        .where(col("q_id") =!= col("p_id"))
+        .select("q_id", "p_id").distinct()
+        .persist()
+      val epochOf = explode(sequence(pmod(col("p_id"), lit(3L)), lit(2L)))
+      val perEpoch = truth
+        .join(collided.withColumn("hit", lit(1L)), Seq("q_id", "p_id"), "left")
+        .withColumn("epoch", epochOf)
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("found_pairs"))
+      val candEpoch = collided
+        .join(truth.withColumn("tp", lit(1L)), Seq("q_id", "p_id"), "left")
+        .withColumn("epoch", epochOf)
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("tp"), lit(0L))).as("tp"))
+      val nIdx = pHs
+        .withColumn("epoch", epochOf)
+        .groupBy("epoch").agg(count(lit(1)).as("n_indexed"))
+      val out = nIdx.join(perEpoch, Seq("epoch"), "left")
+        .join(candEpoch, Seq("epoch"), "left")
+        .select(col("epoch").cast("long").as("epoch"), col("n_indexed"),
+          coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+          coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+          when(coalesce(col("n_true_pairs"), lit(0L)) > 0,
+            expr("CAST((found_pairs * 10000) DIV n_true_pairs AS BIGINT)"))
+            .otherwise(lit(-1L)).as("banded_recall_e4"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            expr("CAST((tp * 10000) DIV n_candidates AS BIGINT)"))
+            .otherwise(lit(-1L)).as("precision_e4"))
+        .orderBy("epoch")
+        .localCheckpoint(true)
+      collided.unpersist()
+      qSigs.unpersist()
+      out
+    }
+    val oracle = Some(
+      s"""WITH $SqlShingleSets,
+         |shn AS (SELECT * FROM sh WHERE len(hs) > 0),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
+         |m AS (
+         |  SELECT doc_id, i,
+         |    min((((2*i + 1) * h + (i * 2654435761) % $P) % $P)) AS mh
+         |  FROM e CROSS JOIN range($NumPerms) r(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // $EvoRows AS band,
+         |         string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM m GROUP BY doc_id, i // $EvoRows),
+         |qs AS (SELECT doc_id AS q_id, hs AS q_hs FROM shn WHERE doc_id % 2 = 1),
+         |truth AS (
+         |  SELECT q_id, p.doc_id AS p_id FROM shn p CROSS JOIN qs
+         |  WHERE p.doc_id <> q_id
+         |    AND CAST(len(list_intersect(q_hs, p.hs)) AS DOUBLE) /
+         |        (len(q_hs) + len(p.hs) - len(list_intersect(q_hs, p.hs))) >= $JaccardThreshold),
+         |coll AS (
+         |  SELECT DISTINCT qa.doc_id AS q_id, pb.doc_id AS p_id
+         |  FROM bands qa JOIN bands pb ON qa.band = pb.band AND qa.sig = pb.sig
+         |  WHERE qa.doc_id % 2 = 1 AND qa.doc_id <> pb.doc_id),
+         |per AS (
+         |  SELECT ep.e AS epoch, count(*) AS n_true_pairs,
+         |    CAST(sum(CASE WHEN coll.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_pairs
+         |  FROM truth
+         |  LEFT JOIN coll ON coll.q_id = truth.q_id AND coll.p_id = truth.p_id
+         |  JOIN range(3) ep(e) ON truth.p_id % 3 <= ep.e
+         |  GROUP BY 1),
+         |ce AS (
+         |  SELECT ep.e AS epoch, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN t.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM coll
+         |  LEFT JOIN truth t ON t.q_id = coll.q_id AND t.p_id = coll.p_id
+         |  JOIN range(3) ep(e) ON coll.p_id % 3 <= ep.e
+         |  GROUP BY 1),
+         |ni AS (
+         |  SELECT ep.e AS epoch, CAST(count(*) AS BIGINT) AS n_indexed
+         |  FROM shn JOIN range(3) ep(e) ON shn.doc_id % 3 <= ep.e GROUP BY 1)
+         |SELECT ni.epoch, ni.n_indexed,
+         |  CAST(coalesce(per.n_true_pairs, 0) AS BIGINT) AS n_true_pairs,
+         |  CAST(coalesce(per.found_pairs, 0) AS BIGINT) AS found_pairs,
+         |  CASE WHEN coalesce(per.n_true_pairs, 0) > 0
+         |       THEN CAST(coalesce(per.found_pairs, 0) * 10000 // per.n_true_pairs AS BIGINT)
+         |       ELSE -1 END AS banded_recall_e4,
+         |  CAST(coalesce(ce.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CASE WHEN coalesce(ce.n_candidates, 0) > 0
+         |       THEN CAST(coalesce(ce.tp, 0) * 10000 // ce.n_candidates AS BIGINT)
+         |       ELSE -1 END AS precision_e4
+         |FROM ni LEFT JOIN per ON per.epoch = ni.epoch
+         |LEFT JOIN ce ON ce.epoch = ni.epoch
+         |ORDER BY ni.epoch""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
     qContaminationReport, qDedupCrossSource, qShuffledDups,
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
-    dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical)
+    dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical,
+    dedupRecallEvolution)
 }

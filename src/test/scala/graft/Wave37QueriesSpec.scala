@@ -33,4 +33,20 @@ class Wave37QueriesSpec extends SparkSpec {
     assert(refrCorpus >= frozenCorpus,
       s"refresh regressed corpus recall: $frozenCorpus -> $refrCorpus")
   }
+
+  test("q_dedup_recall_evolution: every epoch has truth pairs and the gate can move (recall < 1 somewhere)") {
+    val rows = graft.queries.DedupQueries.dedupRecallEvolution.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.forall(_._2 > 0), s"an epoch has no true pairs — gate vacuous: ${rows.toSeq}")
+    // the epochs must be a real evolution (truth set grows with appends)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
+    assert(rows.last._2 > rows.head._2, "appends added no true pairs — no evolution measured")
+    // non-vacuous banding: at least one epoch misses at least one true
+    // pair (the stressed 4x16 banding is chosen so the S-curve bites in
+    // the fixture's planted-similarity range)
+    assert(rows.exists(r => r._3 < r._2),
+      s"banded recall saturated at every epoch — stressed banding lost its point: ${rows.toSeq}")
+    assert(rows.forall(r => r._4 == -1L || (r._4 > 0L && r._4 <= 10000L)))
+  }
 }
