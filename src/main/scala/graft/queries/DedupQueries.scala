@@ -1812,7 +1812,12 @@ object DedupQueries {
       val qBands = qSigs
         .select(col("doc_id").as("q_id"), explode(col("bands")).as("bk"))
         .distinct()
-      val pHs = spark.read.parquet(s"$indexPath/sigs")
+      // explicit schemas: an empty-corpus index has shard dirs with no
+      // files, and schema inference would fail instead of returning empty
+      val pHs = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, hs ARRAY<BIGINT>, doc_pt INT"))
+        .parquet(s"$indexPath/sigs")
         .select(col("doc_id").as("p_id"), col("hs").as("p_hs"))
       // lossless truth: exact Jaccard from STORED partner shingle sets
       val truth = pHs.crossJoin(broadcast(qs))
@@ -1824,7 +1829,10 @@ object DedupQueries {
         .where(col("jac") >= JaccardThreshold)
         .select("q_id", "p_id")
       // banded arm: does the index's STORED band table surface the pair?
-      val collided = spark.read.parquet(s"$indexPath/bands")
+      val collided = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, bk STRING, band_pt INT"))
+        .parquet(s"$indexPath/bands")
         .select(col("doc_id").as("p_id"), col("bk"))
         .join(broadcast(qBands), Seq("bk"))
         .where(col("q_id") =!= col("p_id"))

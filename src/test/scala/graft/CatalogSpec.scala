@@ -25,12 +25,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(dumped.toSet === SparkEntry.catalog.map(_.name).toSet)
   }
 
-  test("oracle SQL strings are non-empty and reference at least one table") {
+  test("oracle SQL strings are non-empty and reference a table or a synthesized corpus") {
     val tables = Seq("lineitem", "orders", "customer", "nation", "region",
       "events", "documents", "embeddings", "part", "supplier")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
-      assert(tables.exists(sql.contains), s"$name: oracle references no known table")
+      // a fully-synthesized entry (in-row id-derived corpus) legitimately
+      // reads no input table; its oracle must then generate rows itself
+      assert(tables.exists(sql.contains) || sql.contains("FROM range("),
+        s"$name: oracle references no known table and synthesizes nothing")
     }
   }
 }

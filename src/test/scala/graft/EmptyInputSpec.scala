@@ -39,7 +39,10 @@ class EmptyInputSpec extends SparkSpec {
     // one row per workload probe range (deployment constant), zero files/rows
     "q_zorder_pruning_gain" -> 16,
     // one row per swept bit-array size (deployment constant), fpr_ppm = -1
-    "q_bloom_fpr_sweep" -> 4)
+    "q_bloom_fpr_sweep" -> 4,
+    // fully SYNTHESIZED corpus (in-row id-derived vectors; reads no input
+    // table at all): (arm x cohort) grid is a fixture constant
+    "q_ann_refresh_recall" -> 4)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"
