@@ -1780,11 +1780,13 @@ object DedupQueries {
     * Candidate volume and precision are reported alongside (the cost
     * axis banding trades against recall).
     *
-    * Scale shape: the truth arm is deliberate ground truth over a FIXED
-    * bounded query sample (broadcast; the index streams map-side) — the
-    * lsh-recall-gate pattern; the banded arm is an equi-join on stored
-    * band keys; epochs are an in-row explode(sequence(pt, 2)), so adding
-    * epochs adds no index rescans. */
+    * Scale shape: the truth arm is deliberate ground truth over a
+    * FIXED-SIZE hash-threshold query sample (the sampled-gate idiom —
+    * [[RecallSampleTarget]] docs regardless of corpus size, broadcast;
+    * the index streams map-side), so the gate stays LINEAR in corpus
+    * size; the banded arm is an equi-join on stored band keys; epochs
+    * are an in-row explode(sequence(pt, 2)), so adding epochs adds no
+    * index rescans. */
   val dedupRecallEvolution: Q = new Q {
     val name = "q_dedup_recall_evolution"
     private val EvoBands = 4
@@ -1805,9 +1807,22 @@ object DedupQueries {
             part(m), ShingleK, NumPerms, EvoBands, EvoRows), p,
             NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
       }
-      val qSigs = DedupOps.signatureIndex(
-        docs.where(col("doc_id") % 2 === 1), ShingleK, NumPerms, EvoBands,
-        EvoRows).persist()
+      // fixed-size query sample: hash60(salt:doc_id) threshold scaled by
+      // the corpus count — the q_lsh_recall_sampled idiom, so the truth
+      // arm is sample x corpus (linear), never a corpus fraction squared
+      val docsHs = docs.select(col("doc_id"),
+          graft.ops.TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+      val nDocs = docsHs.agg(count(lit(1)).as("n_docs"))
+      val qSigs = docsHs
+        .withColumn("h_ppm", graft.ops.HashOps.hash60(
+          concat(lit("evo:"), col("doc_id").cast("string"))) % 1000000L)
+        .crossJoin(broadcast(nDocs))
+        .where(col("h_ppm") < least(lit(1000000L),
+          expr(s"$RecallSampleTarget * 1000000 div n_docs + 1")))
+        .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
+        .withColumn("bands", DedupOps.lshBandKeys(col("sig"), EvoBands, EvoRows))
+        .persist()
       val qs = qSigs.select(col("doc_id").as("q_id"), col("hs").as("q_hs"))
       val qBands = qSigs
         .select(col("doc_id").as("q_id"), explode(col("bands")).as("bk"))
@@ -1885,7 +1900,11 @@ object DedupQueries {
          |  SELECT doc_id, i // $EvoRows AS band,
          |         string_agg(mh, ',' ORDER BY i) AS sig
          |  FROM m GROUP BY doc_id, i // $EvoRows),
-         |qs AS (SELECT doc_id AS q_id, hs AS q_hs FROM shn WHERE doc_id % 2 = 1),
+         |nd AS (SELECT count(*) AS n_docs FROM shn),
+         |qs AS (
+         |  SELECT doc_id AS q_id, hs AS q_hs FROM shn, nd
+         |  WHERE ${graft.ops.HashOps.sqlHash60("'evo:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |        < least(1000000, $RecallSampleTarget * 1000000 // n_docs + 1)),
          |truth AS (
          |  SELECT q_id, p.doc_id AS p_id FROM shn p CROSS JOIN qs
          |  WHERE p.doc_id <> q_id
@@ -1894,7 +1913,8 @@ object DedupQueries {
          |coll AS (
          |  SELECT DISTINCT qa.doc_id AS q_id, pb.doc_id AS p_id
          |  FROM bands qa JOIN bands pb ON qa.band = pb.band AND qa.sig = pb.sig
-         |  WHERE qa.doc_id % 2 = 1 AND qa.doc_id <> pb.doc_id),
+         |  JOIN qs ON qa.doc_id = qs.q_id
+         |  WHERE qa.doc_id <> pb.doc_id),
          |per AS (
          |  SELECT ep.e AS epoch, count(*) AS n_true_pairs,
          |    CAST(sum(CASE WHEN coll.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_pairs
