@@ -823,6 +823,211 @@ object DedupOps {
         coalesce(col("b.src"), lit("none")).as("matched_in"))
   }
 
+  // ----- incremental near-dup cluster store --------------------------------
+  //
+  // [[connectedComponents]] labels a STATIC pair set; production keeps the
+  // labels as state and folds each micro-batch's near-dup pairs in — the
+  // missing incremental piece between per-batch verdicts
+  // ([[dedupDeltaBatchPruned]]) and corpus-wide keep/drop decisions. The
+  // store is two sharded tables (the signature-index idiom):
+  //
+  //  - `by_doc/doc_pt=K`      — (doc_id, cluster_id), the LOOKUP side: a
+  //    batch resolves its endpoints' labels with a doc_pt partition filter
+  //    + broadcast semi (batch-shard-sized I/O, never store-sized);
+  //  - `by_cluster/cluster_pt=K` — (cluster_id, doc_id), the MERGE side:
+  //    when clusters merge, the losing clusters' members are enumerated
+  //    with a cluster_pt filter and only affected shards are rewritten.
+  //
+  // Merging contracts each existing component to its label node (labels
+  // are min-member ids, so min-root union-find over {labels} ∪ {batch ids}
+  // reproduces min-reachable-id over the FULL edge history — the catalog
+  // entry proves equality to the from-scratch recompute cross-engine).
+  // The contracted graph is batch-grain (batch pairs + touched labels), so
+  // the driver union-find is bounded by the micro-batch, never the corpus;
+  // member relabeling stays distributed. Shard rewrites are the crash-safe
+  // stage-then-swap with `_pts` manifests: both tables stage completely
+  // before either swaps, so a crash anywhere rolls FORWARD to the merged
+  // state ([[recoverClusterStore]] at open). Replay-idempotent: a retried
+  // batch finds its roots already merged and its docs already present, and
+  // writes nothing.
+
+  private val byDocSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, cluster_id BIGINT, doc_pt INT")
+  private val byClusterSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cluster_id BIGINT, doc_id BIGINT, cluster_pt INT")
+
+  /** Rolls both cluster-store tables to a rewrite boundary (the
+    * [[recoverSignatureIndex]] sibling); run at store open. */
+  def recoverClusterStore(spark: org.apache.spark.sql.SparkSession,
+                          storePath: String): Unit =
+    for ((t, pt) <- Seq(("by_doc", "doc_pt"), ("by_cluster", "cluster_pt")))
+      recoverTable(spark, s"$storePath/$t", pt)
+
+  private def clusterManifestFile(storePath: String) =
+    new org.apache.hadoop.fs.Path(s"$storePath/_manifest.json")
+
+  private def readClusterManifest(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String): Int = {
+    val fs = hadoopFs(spark, storePath)
+    require(fs.exists(clusterManifestFile(storePath)),
+      s"cluster store at $storePath has no manifest — not a mergeClustersBatch " +
+        "layout (or an incomplete bootstrap)")
+    val in = fs.open(clusterManifestFile(storePath))
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    "\"nParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cluster-store manifest at $storePath missing 'nParts': $s"))
+  }
+
+  private def writeClusterStore(labels: DataFrame, storePath: String,
+                                nParts: Int): Unit = {
+    val spark = labels.sparkSession
+    val l = labels.persist()
+    try {
+      l.select(col("doc_id"), col("cluster_id"))
+        .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("doc_pt"))
+        .write.mode("overwrite").partitionBy("doc_pt").parquet(s"$storePath/by_doc")
+      l.select(col("cluster_id"), col("doc_id"))
+        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("cluster_pt"))
+        .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/by_cluster")
+    } finally l.unpersist()
+    // manifest written LAST: a readable manifest implies a complete bootstrap
+    val out = hadoopFs(spark, storePath).create(clusterManifestFile(storePath), true)
+    try out.write(s"""{"nParts":$nParts}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Folds one micro-batch of near-dup PAIRS (and its node set) into the
+    * persisted cluster store — incremental connected components with the
+    * min-member-id labeling of [[connectedComponents]] (the catalog entry
+    * pins equality to the from-scratch recompute against the DuckDB
+    * recursive-CTE oracle). First call bootstraps the store. Returns one
+    * (doc_id, cluster_id) row per batch node — the batch's final labels.
+    *
+    * `nodes` needs column `id`; `pairs` columns `id_l`,`id_r` (either
+    * endpoint may be new or already stored). Batch-grain driver state
+    * only (pairs + touched labels, guarded by `driverPairLimit`); member
+    * relabeling is a distributed, shard-pruned staged rewrite. */
+  def mergeClustersBatch(nodes: DataFrame, pairs: DataFrame, storePath: String,
+                         nParts: Int = IndexParts,
+                         driverPairLimit: Long = 1000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    recoverClusterStore(spark, storePath)
+    val ns = nodes.select(col("id").cast("long").as("id")).distinct()
+    val ps = pairs.select(col("id_l").cast("long").as("id_l"),
+      col("id_r").cast("long").as("id_r")).distinct()
+    val fs = hadoopFs(spark, storePath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath)) ||
+        !fs.exists(clusterManifestFile(storePath))) {
+      val allNodes = ns.union(ps.select(col("id_l").as("id")))
+        .union(ps.select(col("id_r").as("id"))).distinct()
+      val cc = connectedComponents(allNodes, ps)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .localCheckpoint(true)
+      writeClusterStore(cc, storePath, nParts)
+      return cc.join(ns.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    val mParts = readClusterManifest(spark, storePath)
+    require(mParts == nParts,
+      s"cluster store at $storePath has nParts=$mParts, caller supplied $nParts" +
+        " — partition pruning would miss shards")
+    // batch-grain driver state: pairs + node ids, guarded
+    val pairRows = ps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(pairRows.length <= driverPairLimit,
+      s"mergeClustersBatch: ${pairRows.length} pairs exceeds driverPairLimit=" +
+        s"$driverPairLimit — split the batch")
+    val nodeIds = ns.collect().map(_.getLong(0))
+    val touched = (nodeIds ++ pairRows.flatMap(p => Seq(p._1, p._2))).distinct
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, cluster_id BIGINT"))
+    // resolve touched ids' existing labels: doc_pt prune + broadcast semi
+    val dpts = touched.map(id => (((id % nParts) + nParts) % nParts).toInt).distinct.toSeq
+    val known: Map[Long, Long] = spark.read.schema(byDocSchema)
+      .parquet(s"$storePath/by_doc")
+      .where(col("doc_pt").isin(dpts: _*))
+      .join(broadcast(touched.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contracted union-find over {labels} ∪ {new ids} — min-root, so the
+    // final labels are min-reachable-id over the full edge history
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit = { parent.putIfAbsent(x, x): Unit }
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def rep(id: Long): Long = known.getOrElse(id, id)
+    touched.foreach(id => add(rep(id)))
+    pairRows.foreach { case (l, r) =>
+      val (a, b) = (find(rep(l)), find(rep(r)))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    import scala.jdk.CollectionConverters._
+    val rootOf: Map[Long, Long] =
+      parent.keySet().asScala.map(k => k -> find(k)).toMap
+    // losers: stored labels whose component now has a smaller root (their
+    // members must relabel); newDocs: touched ids absent from the store
+    val losers = known.values.toSet.filter(l => rootOf(l) != l)
+    val newDocs = touched.filterNot(known.contains)
+      .map(id => (id, rootOf(rep(id)))).toSeq
+    val receipt = nodeIds.map(id => (id, rootOf(find(rep(id))))).toSeq
+      .toDF("doc_id", "cluster_id")
+    if (losers.isEmpty && newDocs.isEmpty) return receipt
+    val remap = losers.toSeq.map(l => (l, rootOf(l))).toDF("cluster_id", "__root")
+    // every component that changed contributes its final root's shard
+    val finalRoots = (losers.map(rootOf) ++ newDocs.map(_._2)).toSeq.distinct
+    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
+    // phase 0 (settled reads): the losing clusters' members — needed for
+    // the by_doc rewrite's shard list — are read from live dirs and
+    // settled BEFORE any staging/swap touches the store
+    val loserPts = losers.map(ptOf).toSeq.distinct
+    val loserMembers = if (losers.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+    else spark.read.schema(byClusterSchema).parquet(s"$storePath/by_cluster")
+      .where(col("cluster_pt").isin(loserPts: _*))
+      .join(broadcast(losers.toSeq.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    val docPts = (loserMembers.select(
+        pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)) ++ newDocs.map(d => ptOf(d._1)))
+      .distinct.toSeq
+    // phase 1 (stage both tables completely, live dirs untouched)
+    val clusterPts = (loserPts ++ finalRoots.map(ptOf)).distinct
+    val newRows = newDocs.toDF("doc_id", "cluster_id")
+    val byClusterKept = spark.read.schema(byClusterSchema)
+      .parquet(s"$storePath/by_cluster")
+      .where(col("cluster_pt").isin(clusterPts: _*))
+      .join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(coalesce(col("__root"), col("cluster_id")).as("cluster_id"),
+        col("doc_id"))
+      .unionByName(newRows.select(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+    stageShards(byClusterKept, s"$storePath/by_cluster", "cluster_pt",
+      math.min(nParts, clusterPts.size), clusterPts)
+    val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
+      .where(col("doc_pt").isin(docPts: _*))
+      .join(broadcast(remap), Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
+      .unionByName(newRows)
+      .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+    stageShards(byDocKept, s"$storePath/by_doc", "doc_pt",
+      math.min(nParts, docPts.size), docPts)
+    // phase 2: both stagings are complete, so a crash anywhere from here
+    // rolls FORWARD to the merged state at the next open
+    swapShards(spark, s"$storePath/by_cluster", "cluster_pt", clusterPts)
+    swapShards(spark, s"$storePath/by_doc", "doc_pt", docPts)
+    receipt
+  }
+
   /** Small-graph path: min-root union-find on the driver. The root of each
     * tree is always its component's minimum id (union attaches the larger
     * root under the smaller), so labels equal min-reachable-id exactly. */

@@ -80,6 +80,7 @@ class StreamingParitySpec extends SparkSpec {
     "dedupStream" -> (() => dedupStreamParity()),
     "nearDupDedupBatch" -> (() => nearDupParity()),
     "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
+    "clusterMaintainBatch" -> (() => clusterMaintainParity()),
     "forgetBatch" -> (() => forgetBatchParity()),
     "forgetBatchLogical" -> (() => forgetBatchLogicalParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
@@ -245,6 +246,56 @@ class StreamingParitySpec extends SparkSpec {
     assert(v2.exists(_._5 == "corpus"),
       "fixture produced no cross-batch near-dup — parity vacuous")
     assert((v1 ++ v2).exists(_._2 == "keep"), "everything dropped — fixture degenerate")
+  }
+
+  private def clusterMaintainParity(): Unit = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("p_clm").toString
+    val indexPath = s"$root/index"; val storePath = s"$root/clusters"
+    // two micro-batches through the REAL ingest twin, each batch's
+    // verdicts folded into the cluster store
+    val edges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    for (b <- Seq(d1, d2)) {
+      val v = deltaDedupVerifiedBatch(b.toSeq.toDF("doc_id", "text"), indexPath, 0.7)
+      v.collect().foreach { r =>
+        if (r.getLong(2) >= 0) edges += ((r.getLong(0), r.getLong(2)))
+      }
+      clusterMaintainBatch(v, storePath).count()
+    }
+    // driver recompute: min-reachable-id union-find over ALL verdict
+    // edges, singletons for every doc that produced a verdict
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // every batch doc gets a verdict row (keeps included), so the store
+    // must hold exactly the full doc set
+    val want = docs.map(_._1).map(id => id -> find(id)).toMap
+    val got = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+      .parquet(s"$storePath/by_doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "cluster store diverged from the union-find recompute")
+    assert(want.values.toSet.size < want.size, "no multi-doc cluster — vacuous")
+    // replay the second batch end-to-end: verdicts identical (ingest twin
+    // contract) and the store unchanged
+    val v2r = deltaDedupVerifiedBatch(d2.toSeq.toDF("doc_id", "text"), indexPath, 0.7)
+    clusterMaintainBatch(v2r, storePath).count()
+    val got2 = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+      .parquet(s"$storePath/by_doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want, "replayed batch changed the cluster store")
   }
 
   private def forgetBatchParity(): Unit = {
