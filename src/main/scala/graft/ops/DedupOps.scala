@@ -196,19 +196,17 @@ object DedupOps {
                                  rowsPerBand: Int, nParts: Int)
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    ShardedStore.fs(spark, path)
 
-  private def manifestFile(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"$indexPath/_manifest.json")
+  private def manifestFile(indexPath: String) = s"$indexPath/_manifest.json"
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String, m: IndexManifest): Unit = {
-    val out = hadoopFs(spark, indexPath).create(manifestFile(indexPath), true)
-    try out.write((s"""{"nPerm":${m.nPerm},"nBands":${m.nBands},""" +
-      s""""rowsPerBand":${m.rowsPerBand},"nParts":${m.nParts}}""").getBytes("UTF-8"))
-    finally out.close()
-  }
+                            indexPath: String, m: IndexManifest,
+                            tombMaxBytes: Long = DefaultTombstoneBroadcastBytes): Unit =
+    ShardedStore.writeTextFile(spark, manifestFile(indexPath),
+      s"""{"nPerm":${m.nPerm},"nBands":${m.nBands},""" +
+        s""""rowsPerBand":${m.rowsPerBand},"nParts":${m.nParts},""" +
+        s""""tombMaxBytes":$tombMaxBytes}""")
 
   /** Reads the parameter manifest of a [[writeSignatureIndex]] layout;
     * throws if absent (an index without one predates the bootstrap or is
@@ -216,13 +214,11 @@ object DedupOps {
   def readManifest(spark: org.apache.spark.sql.SparkSession,
                    indexPath: String): IndexManifest = {
     val fs = hadoopFs(spark, indexPath)
-    require(fs.exists(manifestFile(indexPath)),
+    require(fs.exists(ShardedStore.hp(manifestFile(indexPath))),
       s"signature index at $indexPath has no parameter manifest — " +
         "not a writeSignatureIndex layout (or an incomplete bootstrap)")
-    val in = fs.open(manifestFile(indexPath))
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def f(k: String): Int = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
-      .map(_.group(1).toInt)
+    val s = ShardedStore.readTextFile(spark, manifestFile(indexPath))
+    def f(k: String): Int = ShardedStore.jsonField(s, k).map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"manifest at $indexPath missing '$k': $s"))
     IndexManifest(f("nPerm"), f("nBands"), f("rowsPerBand"), f("nParts"))
@@ -236,131 +232,37 @@ object DedupOps {
         s"caller supplied $want — band/shard assignments would silently diverge")
   }
 
-  // ----- crash-safe shard rewrite ------------------------------------------
+  // ----- crash-safe shard rewrite -------------------------------------------
   //
-  // Forget and compaction replace whole shard directories. A naive
-  // delete-then-write loses a shard if the process dies between the two
-  // (multi-second window — the write recomputes from upstream). The rewrite
-  // here is two phases with a recovery routine, so the live table is never
-  // observably partial:
-  //
-  //  phase 1 (stage)  — the complete replacement content lands under
-  //                     `<table>/.staging/<ptCol>=K` (dot-prefixed: parquet
-  //                     partition discovery ignores it). All reads feeding it
-  //                     run against the UNTOUCHED live dirs, and the write
-  //                     materializes everything to disk, so no lineage into
-  //                     live data survives into phase 2 — the round-13
-  //                     settle-before-mutate hazard is structural here, not
-  //                     a persist/checkpoint convention.
-  //  phase 2 (swap)   — per shard: live → `.old.<ptCol>=K`, staged → live,
-  //                     drop `.old.`. The only non-atomic window is between
-  //                     two renames of ONE shard, and the old content is
-  //                     still on disk then, so [[recoverSignatureIndex]] can
-  //                     always roll forward to the staged state (or back, if
-  //                     staging never completed).
+  // Forget and compaction replace whole shard directories, possibly across
+  // BOTH index tables. The protocol is [[ShardedStore]]'s staged-shard-swap
+  // with a store-level `_commit` marker: every affected table stages its
+  // complete replacement first (live dirs untouched, emptied shards get
+  // explicit marker dirs), the marker is written, every table swaps, the
+  // marker clears. [[recoverSignatureIndex]] at open rolls ALL tables to
+  // the same side of the boundary — marker present → forward, absent →
+  // back — so sigs and bands can never disagree about whether a forget
+  // happened (the round-16 cross-table fix; previously a crash between the
+  // two stagings recovered each table in a different direction, leaving
+  // forgotten docs' band rows permanently unpurgeable).
 
-  /** Phase 1: write `kept` (the full replacement content for the shards
-    * being rewritten) under the table's staging dir. `maxParts` bounds the
-    * shuffle width; rows are repartitioned BY THE SHARD KEY so each shard
-    * dir receives one file (see [[writeSignatureIndex]]).
-    *
-    * `pts` — the FULL affected-shard list — is persisted with the staging
-    * as a `_pts` manifest, written AFTER the parquet `_SUCCESS` and before
-    * any swap begins: a shard whose replacement is EMPTY has no staged
-    * dir (and, before its swap runs, no `.old.` backup), so without this
-    * list a roll-forward could not know to retire it and a forget's
-    * emptied shard would stay matchable until the batch replayed.
-    * [[recoverSignatureIndex]] treats a staging without `_pts` as
-    * incomplete (no swap can have started) and rolls back. */
+  private def sigTables(indexPath: String) = Seq(
+    ShardedStore.Table(s"$indexPath/sigs", "doc_pt"),
+    ShardedStore.Table(s"$indexPath/bands", "band_pt"))
+
+  /** [[ShardedStore.stage]] on one index/store table (spec hook). */
   private[graft] def stageShards(kept: DataFrame, tableDir: String,
                                  ptCol: String, maxParts: Int,
-                                 pts: Seq[Int]): Unit = {
-    kept.repartition(math.max(maxParts, 1), col(ptCol))
-      .write.mode("overwrite").partitionBy(ptCol).parquet(s"$tableDir/.staging")
-    val out = hadoopFs(kept.sparkSession, tableDir).create(
-      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_pts"), true)
-    try out.write(pts.mkString(",").getBytes("UTF-8")) finally out.close()
-  }
+                                 pts: Seq[Int]): Unit =
+    ShardedStore.stage(kept, ShardedStore.Table(tableDir, ptCol), maxParts, pts)
 
-  /** Idempotent single-shard swap (phase 2 step). Entry states it must
-    * handle: fresh swap (staged+live), fresh swap onto a missing shard
-    * (staged only), emptied shard (live only, no `.old.` — the staged
-    * content for it is empty), and every crash point of a previous attempt
-    * (`.old.` present in any combination). An `.old.` dir present WITHOUT a
-    * staged dir means a prior attempt already renamed staged→live, so live
-    * is final and only the backup is dropped. */
-  private def swapOne(fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
-                      ptCol: String, pt: Int): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$tableDir/$ptCol=$pt")
-    val old = new org.apache.hadoop.fs.Path(s"$tableDir/.old.$ptCol=$pt")
-    val staged = new org.apache.hadoop.fs.Path(s"$tableDir/.staging/$ptCol=$pt")
-    if (fs.exists(staged)) {
-      if (fs.exists(live)) { fs.delete(old, true); fs.rename(live, old): Unit }
-      fs.rename(staged, live): Unit
-    } else if (fs.exists(live) && !fs.exists(old)) {
-      // replacement is empty and no swap has started: retire live (backup
-      // kept until the delete below so the window stays recoverable)
-      fs.rename(live, old): Unit
-    }
-    fs.delete(old, true): Unit
-  }
-
-  /** Phase 2: swap every rewritten shard, then drop the staging dir. */
-  private[graft] def swapShards(spark: org.apache.spark.sql.SparkSession,
-                                tableDir: String, ptCol: String,
-                                pts: Seq[Int]): Unit = {
-    val fs = hadoopFs(spark, tableDir)
-    pts.foreach(swapOne(fs, tableDir, ptCol, _))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/.staging"), true): Unit
-  }
-
-  /** Rolls both index tables to a consistent rewrite boundary after a
-    * crash mid-[[removeFromSignatureIndex]]/[[compactSignatureIndex]].
-    * If a table's staging completed (parquet `_SUCCESS` marker AND the
-    * `_pts` affected-shard manifest — `_pts` is written last in phase 1
-    * and phase 2 only starts after it, so its presence implies a complete
-    * staging), the rewrite rolls FORWARD — phase 2 re-runs for every
-    * shard in the manifest plus every staged and half-swapped one
-    * ([[swapOne]] is idempotent across all its crash states, and the
-    * manifest covers EMPTIED shards, which leave neither a staged dir nor
-    * — before their swap — an `.old.` backup); otherwise it rolls BACK —
-    * half-swapped shards are restored from their `.old.` backups and the
-    * incomplete staging is discarded. Run this at index open when a
-    * prior writer may have died. */
+  /** Rolls both index tables to one consistent rewrite boundary after a
+    * crash mid-[[removeFromSignatureIndex]]/[[compactSignatureIndex]]
+    * (see [[ShardedStore.recover]]). Run at index open when a prior
+    * writer may have died. */
   def recoverSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String): Unit =
-    for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt")))
-      recoverTable(spark, s"$indexPath/$table", ptCol)
-
-  private def recoverTable(spark: org.apache.spark.sql.SparkSession,
-                           tableDir: String, ptCol: String): Unit = {
-    val fs = hadoopFs(spark, tableDir)
-    val dir = new org.apache.hadoop.fs.Path(tableDir)
-    if (!fs.exists(dir)) return
-    val staging = new org.apache.hadoop.fs.Path(s"$tableDir/.staging")
-    val ptsFile = new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_pts")
-    val oldPts = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(s".old.$ptCol="))
-      .map(_.stripPrefix(s".old.$ptCol=").toInt)
-    val stagedComplete = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$tableDir/.staging/_SUCCESS")) &&
-      fs.exists(ptsFile)
-    if (stagedComplete) {
-      val in = fs.open(ptsFile)
-      val manifestPts = (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
-      val stagedPts = fs.listStatus(staging).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(s"$ptCol=")).map(_.stripPrefix(s"$ptCol=").toInt)
-      swapShards(spark, tableDir, ptCol, (manifestPts ++ stagedPts ++ oldPts).distinct)
-    } else {
-      oldPts.foreach { pt =>
-        val live = new org.apache.hadoop.fs.Path(s"$tableDir/$ptCol=$pt")
-        val old = new org.apache.hadoop.fs.Path(s"$tableDir/.old.$ptCol=$pt")
-        if (!fs.exists(live)) fs.rename(old, live) else fs.delete(old, true): Unit
-      }
-      if (fs.exists(staging)) fs.delete(staging, true): Unit
-    }
-  }
+    ShardedStore.recover(spark, indexPath, sigTables(indexPath))
 
   /** Writes [[signatureIndex]] rows as the PARTITIONED two-table layout
     * [[dedupDeltaBatchPruned]] probes:
@@ -448,6 +350,27 @@ object DedupOps {
     val dpts = ids.select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (dpts.isEmpty) return
+    // RE-INGEST of a logically-forgotten id (tombstoned, purge pending):
+    // without this, the tombstone-blind presence probe below would skip
+    // the doc's new rows — it would stay unmatchable and the next
+    // compaction would purge it entirely (a permanent recall hole). So:
+    // purge its stale physical rows (shard-pruned, re-ingest-set-sized),
+    // clear its tombstone rows, and let the probe re-admit it fresh —
+    // logical forget ≡ physical forget at the id level, including
+    // forget → re-ingest → match (parity-pinned). Crash between the two
+    // steps leaves the id purged AND tombstoned — the same consistent
+    // forgotten state compaction's purge window documents; the batch's
+    // replay converges it.
+    if (hadoopFs(spark, indexPath).exists(tombstonePath(indexPath))) {
+      val tombed = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .distinct().localCheckpoint(true)
+      if (!tombed.isEmpty) {
+        removeFromSignatureIndex(tombed, indexPath,
+          nPerm, nBands, rowsPerBand, nParts)
+        untombstone(tombed, indexPath)
+      }
+    }
     val present = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
       .where(col("doc_pt").isin(dpts: _*))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
@@ -509,16 +432,19 @@ object DedupOps {
       .distinct().collect().map(_.getInt(0)).toSeq
     val bandShards = spark.read.schema(bandsSchema).parquet(s"$indexPath/bands")
       .where(col("band_pt").isin(removedBandPts: _*))
-    stageShards(sigShards.join(ids, Seq("doc_id"), "left_anti"),
-      s"$indexPath/sigs", "doc_pt", math.min(nParts, dpts.size), dpts)
+    val Seq(sigsT, bandsT) = sigTables(indexPath)
+    ShardedStore.stage(sigShards.join(ids, Seq("doc_id"), "left_anti"),
+      sigsT, math.min(nParts, dpts.size), dpts)
     if (removedBandPts.nonEmpty)
-      stageShards(bandShards.join(ids, Seq("doc_id"), "left_anti"),
-        s"$indexPath/bands", "band_pt", math.min(nParts, removedBandPts.size),
-        removedBandPts)
+      ShardedStore.stage(bandShards.join(ids, Seq("doc_id"), "left_anti"),
+        bandsT, math.min(nParts, removedBandPts.size), removedBandPts)
     sigShards.unpersist(); ids.unpersist(): Unit
-    swapShards(spark, s"$indexPath/sigs", "doc_pt", dpts)
-    if (removedBandPts.nonEmpty)
-      swapShards(spark, s"$indexPath/bands", "band_pt", removedBandPts)
+    // both tables staged: commit, then swap — a crash anywhere from here
+    // rolls BOTH tables forward at the next open
+    ShardedStore.commit(spark, indexPath)
+    ShardedStore.swap(spark, sigsT, dpts)
+    if (removedBandPts.nonEmpty) ShardedStore.swap(spark, bandsT, removedBandPts)
+    ShardedStore.clearCommit(spark, indexPath)
   }
 
   /** Doc ids from `ids` currently MATCHABLE in the index: present in the
@@ -567,29 +493,119 @@ object DedupOps {
   private def tombstonePath(indexPath: String) =
     new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
 
+  /** Default for the broadcast-size guard on the tombstone deletion
+    * vector: tombstone tables up to this many on-disk bytes are broadcast
+    * into the probes' anti-joins; above it the probe falls back to a
+    * shuffle anti-join (identical verdicts, no driver/executor-memory
+    * cliff). 64 MB ≈ several million retraction ids — a table that large
+    * between maintenance passes means compaction is overdue, and the
+    * fallback keeps probes CORRECT rather than fast until it runs. */
+  val DefaultTombstoneBroadcastBytes: Long = 64L << 20
+
+  /** Appends below this many tombstone files skip folding; at or above
+    * it, [[tombstoneInSignatureIndex]] consolidates the table to one file
+    * (every forget call appends one file, and probe-side listing/read
+    * cost grows with file count). */
+  val TombstoneFoldMinFiles: Int = 4
+
+  /** The index's recorded tombstone broadcast threshold (bytes) — stamped
+    * into `_manifest.json` at bootstrap, adjustable via
+    * [[setTombstoneBroadcastLimit]]; indexes bootstrapped before the field
+    * existed fall back to the default. */
+  def tombstoneBroadcastLimit(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Long =
+    ShardedStore.jsonField(
+      ShardedStore.readTextFile(spark, manifestFile(indexPath)), "tombMaxBytes")
+      .getOrElse(DefaultTombstoneBroadcastBytes)
+
+  /** Rewrites the manifest's tombstone broadcast threshold (layout
+    * parameters preserved) — the operator knob the fallback spec drives. */
+  def setTombstoneBroadcastLimit(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, maxBytes: Long): Unit =
+    writeManifest(spark, indexPath, readManifest(spark, indexPath), maxBytes)
+
   /** LOGICAL forget: append `removeIds` to the index's tombstone table —
     * O(|F|) write I/O, corpus-independent. Idempotent under at-least-once
     * replay (duplicate tombstone rows are harmless to the anti-joins and
     * collapsed at purge). Physical purge happens at the next
-    * [[compactSignatureIndex]]. */
+    * [[compactSignatureIndex]]. Small files are FOLDED here: once the
+    * table reaches [[TombstoneFoldMinFiles]] files, the distinct ids are
+    * rewritten as one file and the pre-fold files dropped — append-only
+    * crash safety (any crash point leaves a SUPERSET of the final rows,
+    * so no forgotten doc ever becomes matchable; the next fold converges
+    * the file count). */
   def tombstoneInSignatureIndex(removeIds: DataFrame, indexPath: String): Unit = {
     // manifest presence = this is a writeSignatureIndex layout; fail
     // loudly otherwise instead of tombstoning a non-index
-    readManifest(removeIds.sparkSession, indexPath): Unit
+    val spark = removeIds.sparkSession
+    readManifest(spark, indexPath): Unit
     removeIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
       .coalesce(1)
       .write.mode("append").parquet(s"$indexPath/tombstones")
+    val fs = hadoopFs(spark, indexPath)
+    val files = fs.listStatus(tombstonePath(indexPath)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.size >= TombstoneFoldMinFiles) {
+      // settle first (the fold reads the table it appends to), write the
+      // consolidated file, THEN drop exactly the pre-fold files
+      val folded = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+        .distinct().localCheckpoint(true)
+      folded.coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+      files.foreach(f => fs.delete(f.getPath, false): Unit)
+    }
   }
 
-  /** Filters logically-forgotten docs out of `df` (anti-join on the
-    * broadcast tombstone set) — a no-op plan when the index has no
-    * tombstone table, so tombstone-free probes keep their exact shape. */
+  /** On-disk size of the tombstone table (bytes); 0 when absent. */
+  private def tombstoneBytes(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String): Long = {
+    val fs = hadoopFs(spark, indexPath)
+    if (!fs.exists(tombstonePath(indexPath))) 0L
+    else fs.listStatus(tombstonePath(indexPath)).toSeq
+      .filter(_.isFile).map(_.getLen).sum
+  }
+
+  /** Filters logically-forgotten docs out of `df` — a no-op plan when the
+    * index has no tombstone table, so tombstone-free probes keep their
+    * exact shape. The anti-join BROADCASTS the tombstone set only while
+    * the table is under the manifest's `tombMaxBytes` threshold; past it
+    * — pathological retraction volume with compaction overdue — the plan
+    * falls back to a shuffle anti-join instead of materializing an
+    * unbounded set on the driver (same verdicts, spec-pinned). */
   private def antiTombstoned(df: DataFrame, indexPath: String): DataFrame = {
     val spark = df.sparkSession
     if (!hadoopFs(spark, indexPath).exists(tombstonePath(indexPath))) df
-    else df.join(broadcast(
-        spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")),
-      Seq("doc_id"), "left_anti")
+    else {
+      val tombs = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+      // past the threshold the hint must FORCE the shuffle plan — without
+      // it the planner's size estimate could still pick a broadcast and
+      // re-open the driver-memory cliff the guard exists to close
+      val guarded =
+        if (tombstoneBytes(spark, indexPath) <=
+            tombstoneBroadcastLimit(spark, indexPath)) broadcast(tombs)
+        else tombs.hint("shuffle_hash")
+      df.join(guarded, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Removes `ids`' rows from the tombstone table — the re-ingest path's
+    * un-forget step. Crash-safe by the append-only idiom: the kept rows
+    * are settled, written as a NEW file, and only then are the pre-write
+    * files dropped — every intermediate state is a superset of some
+    * consistent tombstone set, so a doc still meant to be forgotten never
+    * loses its row. */
+  private def untombstone(ids: DataFrame, indexPath: String): Unit = {
+    val spark = ids.sparkSession
+    val fs = hadoopFs(spark, indexPath)
+    if (!fs.exists(tombstonePath(indexPath))) return
+    val before = fs.listStatus(tombstonePath(indexPath)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val kept = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+      .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
+      .distinct().localCheckpoint(true)
+    if (!kept.isEmpty)
+      kept.coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    before.foreach(p => fs.delete(p, false): Unit)
   }
 
   /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
@@ -631,25 +647,33 @@ object DedupOps {
       }
       fs.delete(tombstonePath(indexPath), true): Unit
     }
-    for ((table, schema, ptCol) <- Seq(
-        ("bands", bandsSchema, "band_pt"), ("sigs", sigsSchema, "doc_pt"))) {
-      val tablePath = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
-      if (fs.exists(tablePath)) {
-        val crowded = fs.listStatus(tablePath).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$ptCol="))
-          .filter(d => fs.listStatus(d.getPath)
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles)
-          .map(_.getPath.getName.stripPrefix(s"$ptCol=").toInt)
-        if (crowded.nonEmpty) {
-          val raw = spark.read.schema(schema).parquet(s"$indexPath/$table")
-            .where(col(ptCol).isin(crowded: _*))
-          // bands: collapse the exact duplicates a mid-append crash can
-          // leave behind (see the doc comment above)
-          val rows = if (table == "bands") raw.distinct() else raw
-          stageShards(rows, s"$indexPath/$table", ptCol, crowded.size, crowded)
-          swapShards(spark, s"$indexPath/$table", ptCol, crowded)
-        }
-      }
+    // stage every crowded shard of BOTH tables first, then one commit
+    // boundary covers all the swaps (ShardedStore protocol)
+    val staged = for {
+      (table, schema, ptCol) <- Seq(
+        ("bands", bandsSchema, "band_pt"), ("sigs", sigsSchema, "doc_pt"))
+      tablePath = new org.apache.hadoop.fs.Path(s"$indexPath/$table")
+      if fs.exists(tablePath)
+      crowded = fs.listStatus(tablePath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$ptCol="))
+        .filter(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles)
+        .map(_.getPath.getName.stripPrefix(s"$ptCol=").toInt)
+      if crowded.nonEmpty
+    } yield {
+      val raw = spark.read.schema(schema).parquet(s"$indexPath/$table")
+        .where(col(ptCol).isin(crowded: _*))
+      // bands: collapse the exact duplicates a mid-append crash can
+      // leave behind (see the doc comment above)
+      val rows = if (table == "bands") raw.distinct() else raw
+      val t = ShardedStore.Table(s"$indexPath/$table", ptCol)
+      ShardedStore.stage(rows, t, crowded.size, crowded)
+      (t, crowded)
+    }
+    if (staged.nonEmpty) {
+      ShardedStore.commit(spark, indexPath)
+      staged.foreach { case (t, pts) => ShardedStore.swap(spark, t, pts) }
+      ShardedStore.clearCommit(spark, indexPath)
     }
   }
 
@@ -829,58 +853,76 @@ object DedupOps {
   // labels as state and folds each micro-batch's near-dup pairs in — the
   // missing incremental piece between per-batch verdicts
   // ([[dedupDeltaBatchPruned]]) and corpus-wide keep/drop decisions. The
-  // store is two sharded tables (the signature-index idiom):
+  // store is three sharded tables (the [[ShardedStore]] idiom):
   //
   //  - `by_doc/doc_pt=K`      — (doc_id, cluster_id), the LOOKUP side: a
   //    batch resolves its endpoints' labels with a doc_pt partition filter
   //    + broadcast semi (batch-shard-sized I/O, never store-sized);
   //  - `by_cluster/cluster_pt=K` — (cluster_id, doc_id), the MERGE side:
   //    when clusters merge, the losing clusters' members are enumerated
-  //    with a cluster_pt filter and only affected shards are rewritten.
+  //    with a cluster_pt filter and only affected shards are rewritten;
+  //  - `edges/cluster_pt=K`   — (cluster_id, id_l, id_r), the persisted
+  //    PAIR EVIDENCE, keyed by the component's current label: the piece
+  //    that makes retraction exact. Without it, forgetting a doc could
+  //    only drop its label row — the components it alone bridged would
+  //    survive as one cluster forever. With it,
+  //    [[forgetFromClusterStore]] re-derives ONLY the affected
+  //    components from surviving evidence, splitting exactly where a
+  //    from-scratch recompute over surviving docs would.
   //
   // Merging contracts each existing component to its label node (labels
   // are min-member ids, so min-root union-find over {labels} ∪ {batch ids}
   // reproduces min-reachable-id over the FULL edge history — the catalog
   // entry proves equality to the from-scratch recompute cross-engine).
-  // The contracted graph is batch-grain (batch pairs + touched labels), so
-  // the driver union-find is bounded by the micro-batch, never the corpus;
-  // member relabeling stays distributed. Shard rewrites are the crash-safe
-  // stage-then-swap with `_pts` manifests: both tables stage completely
-  // before either swaps, so a crash anywhere rolls FORWARD to the merged
-  // state ([[recoverClusterStore]] at open). Replay-idempotent: a retried
-  // batch finds its roots already merged and its docs already present, and
-  // writes nothing.
+  // The contracted graph is batch-grain (batch pairs + touched labels,
+  // count-guarded BEFORE collection), so the driver union-find is bounded
+  // by the micro-batch, never the corpus; member relabeling stays
+  // distributed. Shard rewrites follow the [[ShardedStore]] commit-marker
+  // protocol: ALL tables stage completely, the store-level `_commit`
+  // marker is written, then every table swaps — so a crash anywhere rolls
+  // the WHOLE store to one side of the boundary ([[recoverClusterStore]]
+  // at open; the r15 cross-table window — by_cluster committed forward,
+  // by_doc rolled back — is structurally impossible). Replay-idempotent:
+  // a retried batch finds its roots merged, its docs present, and its
+  // edges stored, and writes nothing.
 
   private val byDocSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, cluster_id BIGINT, doc_pt INT")
   private val byClusterSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cluster_id BIGINT, doc_id BIGINT, cluster_pt INT")
+  private val edgesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cluster_id BIGINT, id_l BIGINT, id_r BIGINT, cluster_pt INT")
 
-  /** Rolls both cluster-store tables to a rewrite boundary (the
-    * [[recoverSignatureIndex]] sibling); run at store open. */
+  private def clusterTables(storePath: String) = Seq(
+    ShardedStore.Table(s"$storePath/by_doc", "doc_pt"),
+    ShardedStore.Table(s"$storePath/by_cluster", "cluster_pt"),
+    ShardedStore.Table(s"$storePath/edges", "cluster_pt"),
+    ShardedStore.Table(s"$storePath/alloc", "alloc_pt"))
+
+  /** Rolls every cluster-store table to ONE rewrite boundary (the
+    * [[recoverSignatureIndex]] sibling — see [[ShardedStore.recover]]);
+    * run at store open. */
   def recoverClusterStore(spark: org.apache.spark.sql.SparkSession,
                           storePath: String): Unit =
-    for ((t, pt) <- Seq(("by_doc", "doc_pt"), ("by_cluster", "cluster_pt")))
-      recoverTable(spark, s"$storePath/$t", pt)
+    ShardedStore.recover(spark, storePath, clusterTables(storePath))
 
   private def clusterManifestFile(storePath: String) =
-    new org.apache.hadoop.fs.Path(s"$storePath/_manifest.json")
+    s"$storePath/_manifest.json"
 
   private def readClusterManifest(spark: org.apache.spark.sql.SparkSession,
                                   storePath: String): Int = {
     val fs = hadoopFs(spark, storePath)
-    require(fs.exists(clusterManifestFile(storePath)),
+    require(fs.exists(ShardedStore.hp(clusterManifestFile(storePath))),
       s"cluster store at $storePath has no manifest — not a mergeClustersBatch " +
         "layout (or an incomplete bootstrap)")
-    val in = fs.open(clusterManifestFile(storePath))
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    "\"nParts\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    val s = ShardedStore.readTextFile(spark, clusterManifestFile(storePath))
+    ShardedStore.jsonField(s, "nParts").map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"cluster-store manifest at $storePath missing 'nParts': $s"))
   }
 
-  private def writeClusterStore(labels: DataFrame, storePath: String,
-                                nParts: Int): Unit = {
+  private def writeClusterStore(labels: DataFrame, edges: DataFrame,
+                                storePath: String, nParts: Int): Unit = {
     val spark = labels.sparkSession
     val l = labels.persist()
     try {
@@ -892,10 +934,14 @@ object DedupOps {
         .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
         .repartition(nParts, col("cluster_pt"))
         .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/by_cluster")
+      edges.select(col("cluster_id"), col("id_l"), col("id_r"))
+        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("cluster_pt"))
+        .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/edges")
     } finally l.unpersist()
     // manifest written LAST: a readable manifest implies a complete bootstrap
-    val out = hadoopFs(spark, storePath).create(clusterManifestFile(storePath), true)
-    try out.write(s"""{"nParts":$nParts}""".getBytes("UTF-8")) finally out.close()
+    ShardedStore.writeTextFile(spark, clusterManifestFile(storePath),
+      s"""{"nParts":$nParts}""")
   }
 
   /** Folds one micro-batch of near-dup PAIRS (and its node set) into the
@@ -907,11 +953,15 @@ object DedupOps {
     *
     * `nodes` needs column `id`; `pairs` columns `id_l`,`id_r` (either
     * endpoint may be new or already stored). Batch-grain driver state
-    * only (pairs + touched labels, guarded by `driverPairLimit`); member
-    * relabeling is a distributed, shard-pruned staged rewrite. */
+    * only (pairs + touched labels, count-guarded by `driverPairLimit` /
+    * `driverNodeLimit` BEFORE collection); member relabeling is a
+    * distributed, shard-pruned staged rewrite, and the batch's pair
+    * evidence lands in the `edges` table (keyed by final label) so
+    * [[forgetFromClusterStore]] can later split what this merge joined. */
   def mergeClustersBatch(nodes: DataFrame, pairs: DataFrame, storePath: String,
                          nParts: Int = IndexParts,
-                         driverPairLimit: Long = 1000000L): DataFrame = {
+                         driverPairLimit: Long = 1000000L,
+                         driverNodeLimit: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     recoverClusterStore(spark, storePath)
@@ -920,24 +970,39 @@ object DedupOps {
       col("id_r").cast("long").as("id_r")).distinct()
     val fs = hadoopFs(spark, storePath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storePath)) ||
-        !fs.exists(clusterManifestFile(storePath))) {
+        !fs.exists(ShardedStore.hp(clusterManifestFile(storePath)))) {
       val allNodes = ns.union(ps.select(col("id_l").as("id")))
         .union(ps.select(col("id_r").as("id"))).distinct()
       val cc = connectedComponents(allNodes, ps)
         .select(col("node").as("doc_id"), col("cluster_id"))
         .localCheckpoint(true)
-      writeClusterStore(cc, storePath, nParts)
+      // pair evidence keyed by each component's label (both endpoints
+      // share it), canonical lo<hi orientation
+      val canon = ps.where(col("id_l") =!= col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("id_l"),
+          greatest(col("id_l"), col("id_r")).as("id_r")).distinct()
+      val keyed = canon.join(
+          cc.select(col("doc_id").as("id_l"), col("cluster_id")), Seq("id_l"))
+        .select(col("cluster_id"), col("id_l"), col("id_r"))
+      writeClusterStore(cc, keyed, storePath, nParts)
       return cc.join(ns.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
     }
     val mParts = readClusterManifest(spark, storePath)
     require(mParts == nParts,
       s"cluster store at $storePath has nParts=$mParts, caller supplied $nParts" +
         " — partition pruning would miss shards")
-    // batch-grain driver state: pairs + node ids, guarded
-    val pairRows = ps.collect().map(r => (r.getLong(0), r.getLong(1)))
-    require(pairRows.length <= driverPairLimit,
-      s"mergeClustersBatch: ${pairRows.length} pairs exceeds driverPairLimit=" +
+    // batch-grain driver state: pairs + node ids, COUNT-guarded before any
+    // row reaches the driver (an oversized micro-batch fails loudly
+    // instead of OOMing the driver mid-collect)
+    val nPairs = ps.count()
+    require(nPairs <= driverPairLimit,
+      s"mergeClustersBatch: $nPairs pairs exceeds driverPairLimit=" +
         s"$driverPairLimit — split the batch")
+    val nNodes = ns.count()
+    require(nNodes <= driverNodeLimit,
+      s"mergeClustersBatch: $nNodes nodes exceeds driverNodeLimit=" +
+        s"$driverNodeLimit — split the batch")
+    val pairRows = ps.collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodeIds = ns.collect().map(_.getLong(0))
     val touched = (nodeIds ++ pairRows.flatMap(p => Seq(p._1, p._2))).distinct
     if (touched.isEmpty)
@@ -980,11 +1045,35 @@ object DedupOps {
       .map(id => (id, rootOf(rep(id)))).toSeq
     val receipt = nodeIds.map(id => (id, rootOf(find(rep(id))))).toSeq
       .toDF("doc_id", "cluster_id")
-    if (losers.isEmpty && newDocs.isEmpty) return receipt
+    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
+    // pair evidence this batch contributes: canonical lo<hi rows keyed by
+    // the component's FINAL label; replay-idempotence = the stored-edge
+    // anti-join below (a retried batch's edges are already keyed by the
+    // same final labels, so nothing survives the anti-join)
+    val edgeKeyed = pairRows.filter(p => p._1 != p._2)
+      .map { case (l, r) => if (l < r) (l, r) else (r, l) }.distinct
+      .map { case (l, r) => (rootOf(find(rep(l))), l, r) }.toSeq
+    // lazy on purpose: its lineage reads only LIVE edge dirs, which stay
+    // untouched until every staging below completes — no checkpoint write
+    // needed on the replay hot path
+    val newEdges: DataFrame = if (edgeKeyed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cluster_id BIGINT, id_l BIGINT, id_r BIGINT"))
+    else {
+      val batchEdges = edgeKeyed.toDF("cluster_id", "id_l", "id_r")
+      val ePts = edgeKeyed.map(e => ptOf(e._1)).distinct
+      batchEdges.join(
+          spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
+            .where(col("cluster_pt").isin(ePts: _*))
+            .select("cluster_id", "id_l", "id_r"),
+          Seq("cluster_id", "id_l", "id_r"), "left_anti")
+    }
+    val hasNewEdges = edgeKeyed.nonEmpty && !newEdges.isEmpty
+    if (losers.isEmpty && newDocs.isEmpty && !hasNewEdges) return receipt
     val remap = losers.toSeq.map(l => (l, rootOf(l))).toDF("cluster_id", "__root")
     // every component that changed contributes its final root's shard
     val finalRoots = (losers.map(rootOf) ++ newDocs.map(_._2)).toSeq.distinct
-    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
     // phase 0 (settled reads): the losing clusters' members — needed for
     // the by_doc rewrite's shard list — are read from live dirs and
     // settled BEFORE any staging/swap touches the store
@@ -1000,32 +1089,300 @@ object DedupOps {
         pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)) ++ newDocs.map(d => ptOf(d._1)))
       .distinct.toSeq
-    // phase 1 (stage both tables completely, live dirs untouched)
+    val Seq(byDocT, byClusterT, edgesT, _) = clusterTables(storePath)
+    val relabel = losers.nonEmpty || newDocs.nonEmpty
+    // phase 1 (stage EVERY affected table completely, live dirs untouched)
     val clusterPts = (loserPts ++ finalRoots.map(ptOf)).distinct
-    val newRows = newDocs.toDF("doc_id", "cluster_id")
+    if (relabel) {
+      val newRows = newDocs.toDF("doc_id", "cluster_id")
+      val byClusterKept = spark.read.schema(byClusterSchema)
+        .parquet(s"$storePath/by_cluster")
+        .where(col("cluster_pt").isin(clusterPts: _*))
+        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(coalesce(col("__root"), col("cluster_id")).as("cluster_id"),
+          col("doc_id"))
+        .unionByName(newRows.select(col("cluster_id"), col("doc_id")))
+        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+      ShardedStore.stage(byClusterKept, byClusterT,
+        math.min(nParts, clusterPts.size), clusterPts)
+      val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
+        .where(col("doc_pt").isin(docPts: _*))
+        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(col("doc_id"), coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
+        .unionByName(newRows)
+        .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+      ShardedStore.stage(byDocKept, byDocT, math.min(nParts, docPts.size), docPts)
+    }
+    // edges: losing clusters' evidence re-keys to the final root (same
+    // remap as the label tables), plus this batch's new evidence. New
+    // SINGLETON docs alone never touch evidence — skip the rewrite when
+    // no cluster lost its label and the batch brought no new pairs.
+    val edgePts = (loserPts ++ losers.map(l => ptOf(rootOf(l))) ++
+      edgeKeyed.map(e => ptOf(e._1))).toSeq.distinct
+    if (losers.nonEmpty || hasNewEdges) {
+      val edgesKept = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
+        .where(col("cluster_pt").isin(edgePts: _*))
+        .join(broadcast(remap), Seq("cluster_id"), "left")
+        .select(coalesce(col("__root"), col("cluster_id")).as("cluster_id"),
+          col("id_l"), col("id_r"))
+        .unionByName(newEdges)
+        .distinct()
+        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+      ShardedStore.stage(edgesKept, edgesT,
+        math.min(nParts, edgePts.size), edgePts)
+    }
+    // phase 2: every staging is complete — write the store-level commit
+    // marker; a crash anywhere from here rolls the WHOLE store forward
+    ShardedStore.commit(spark, storePath)
+    if (relabel) {
+      ShardedStore.swap(spark, byClusterT, clusterPts)
+      ShardedStore.swap(spark, byDocT, docPts)
+    }
+    if (losers.nonEmpty || hasNewEdges) ShardedStore.swap(spark, edgesT, edgePts)
+    ShardedStore.clearCommit(spark, storePath)
+    receipt
+  }
+
+  /** Removes documents from a persisted cluster store — the retraction
+    * side of [[mergeClustersBatch]], and the op that keeps the store
+    * equal to a from-scratch labeling over SURVIVING docs (the catalog
+    * entry's cross-engine proof). Only the forgotten docs' components are
+    * recomputed, from the persisted pair evidence: a forgotten BRIDGE doc
+    * splits its component exactly as recomputing from scratch would —
+    * labels-only stores cannot do this, which is why the `edges` table
+    * exists.
+    *
+    * Steps (all reads settled before any staging; all three tables swap
+    * under ONE [[ShardedStore]] commit boundary):
+    *  1. the forget set's current labels — doc_pt-pruned lookup
+    *     (forget-set-shard-sized I/O);
+    *  2. the affected components' members and edges — cluster_pt-pruned
+    *     reads of `by_cluster`/`edges`;
+    *  3. survivors relabel via [[connectedComponents]] over surviving
+    *     members and evidence (driver union-find below the limit, the
+    *     distributed pointer-doubling loop above it) — min-reachable-id,
+    *     so untouched components' labels can never collide with the new
+    *     ones (labels are member ids, components are disjoint);
+    *  4. affected shards of all three tables are rewritten: forgotten
+    *     docs' rows dropped, survivors relabeled, surviving evidence
+    *     re-keyed.
+    *
+    * Returns one settled (doc_id, was_clustered) receipt row per distinct
+    * input id. Replay-safe: a retried forget finds the ids absent and
+    * writes nothing. Cost ∝ affected components' shards, never store
+    * size. */
+  def forgetFromClusterStore(removeIds: DataFrame, storePath: String,
+                             nParts: Int = IndexParts,
+                             driverPairLimit: Long = 1000000L): DataFrame = {
+    val spark = removeIds.sparkSession
+    import spark.implicits._
+    recoverClusterStore(spark, storePath)
+    val mParts = readClusterManifest(spark, storePath)
+    require(mParts == nParts,
+      s"cluster store at $storePath has nParts=$mParts, caller supplied $nParts" +
+        " — partition pruning would miss shards")
+    val ids = removeIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val nIds = ids.count()
+    require(nIds <= driverPairLimit,
+      s"forgetFromClusterStore: $nIds ids exceeds driverPairLimit=" +
+        s"$driverPairLimit — split the batch")
+    val idRows = ids.collect().map(_.getLong(0))
+    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
+    if (idRows.isEmpty)
+      return Seq.empty[(Long, Boolean)].toDF("doc_id", "was_clustered")
+    val dpts = idRows.map(ptOf).distinct.toSeq
+    val stored: Map[Long, Long] = spark.read.schema(byDocSchema)
+      .parquet(s"$storePath/by_doc")
+      .where(col("doc_pt").isin(dpts: _*))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val receipt = idRows.map(id => (id, stored.contains(id))).toSeq
+      .toDF("doc_id", "was_clustered")
+    if (stored.isEmpty) return receipt
+    val affected = stored.values.toSeq.distinct
+    val apts = affected.map(ptOf).distinct
+    val affDf = affected.toDF("cluster_id")
+    // settled reads of the affected components (live dirs untouched until
+    // every staging below completes)
+    val members = spark.read.schema(byClusterSchema)
+      .parquet(s"$storePath/by_cluster")
+      .where(col("cluster_pt").isin(apts: _*))
+      .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    val edgesA = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
+      .where(col("cluster_pt").isin(apts: _*))
+      .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
+      .select("id_l", "id_r").localCheckpoint(true)
+    val survNodes = members.select(col("doc_id").as("id"))
+      .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+    val survEdges = edgesA
+      .join(broadcast(ids.select(col("doc_id").as("id_l"))), Seq("id_l"), "left_anti")
+      .join(broadcast(ids.select(col("doc_id").as("id_r"))), Seq("id_r"), "left_anti")
+    val newLabels = connectedComponents(survNodes, survEdges,
+        driverEdgeLimit = driverPairLimit)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val newLabelPts = newLabels
+      .select(pmod(col("cluster_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val memberPts = members
+      .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cPts = (apts ++ newLabelPts).distinct
+    val Seq(byDocT, byClusterT, edgesT, _) = clusterTables(storePath)
+    // stage all three tables, then one commit boundary
+    val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
+      .where(col("doc_pt").isin(memberPts: _*))
+      .join(members, Seq("doc_id"), "left_anti") // every affected row out
+      .select("doc_id", "cluster_id")
+      .unionByName(newLabels)                    // survivors back, relabeled
+      .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
+    ShardedStore.stage(byDocKept, byDocT, math.min(nParts, memberPts.size),
+      memberPts)
     val byClusterKept = spark.read.schema(byClusterSchema)
       .parquet(s"$storePath/by_cluster")
-      .where(col("cluster_pt").isin(clusterPts: _*))
-      .join(broadcast(remap), Seq("cluster_id"), "left")
-      .select(coalesce(col("__root"), col("cluster_id")).as("cluster_id"),
-        col("doc_id"))
-      .unionByName(newRows.select(col("cluster_id"), col("doc_id")))
+      .where(col("cluster_pt").isin(cPts: _*))
+      .join(broadcast(affDf), Seq("cluster_id"), "left_anti")
+      .select("cluster_id", "doc_id")
+      .unionByName(newLabels.select(col("cluster_id"), col("doc_id")))
       .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
-    stageShards(byClusterKept, s"$storePath/by_cluster", "cluster_pt",
-      math.min(nParts, clusterPts.size), clusterPts)
-    val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
-      .where(col("doc_pt").isin(docPts: _*))
-      .join(broadcast(remap), Seq("cluster_id"), "left")
-      .select(col("doc_id"), coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
-      .unionByName(newRows)
-      .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
-    stageShards(byDocKept, s"$storePath/by_doc", "doc_pt",
-      math.min(nParts, docPts.size), docPts)
-    // phase 2: both stagings are complete, so a crash anywhere from here
-    // rolls FORWARD to the merged state at the next open
-    swapShards(spark, s"$storePath/by_cluster", "cluster_pt", clusterPts)
-    swapShards(spark, s"$storePath/by_doc", "doc_pt", docPts)
+    ShardedStore.stage(byClusterKept, byClusterT, math.min(nParts, cPts.size), cPts)
+    val edgesKept = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
+      .where(col("cluster_pt").isin(cPts: _*))
+      .join(broadcast(affDf), Seq("cluster_id"), "left_anti")
+      .select("cluster_id", "id_l", "id_r")
+      .unionByName(survEdges
+        .join(newLabels.select(col("doc_id").as("id_l"), col("cluster_id")),
+          Seq("id_l"))
+        .select("cluster_id", "id_l", "id_r"))
+      .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+    ShardedStore.stage(edgesKept, edgesT, math.min(nParts, cPts.size), cPts)
+    ShardedStore.commit(spark, storePath)
+    ShardedStore.swap(spark, byDocT, memberPts)
+    ShardedStore.swap(spark, byClusterT, cPts)
+    ShardedStore.swap(spark, edgesT, cPts)
+    ShardedStore.clearCommit(spark, storePath)
     receipt
+  }
+
+  // ----- stable external cluster ids ----------------------------------------
+  //
+  // Min-member labels are DETERMINISTIC but not STABLE: a cluster relabels
+  // whenever a smaller id joins its component, so they make poor external
+  // keys (downstream systems would see the same content under a new id).
+  // [[mergeClustersStable]] layers an ALLOCATION table over the
+  // oracle-verbatim core: `alloc/alloc_pt=K` maps each CURRENT min-member
+  // label to (ext_id, ep) — the external id and the epoch it was first
+  // allocated. New components allocate ext_id = their label at allocation
+  // time; when components MERGE, the FIRST-ALLOCATED constituent's ext_id
+  // wins (ties broken by smaller ext_id) — so an external id survives any
+  // amount of label churn and changes only when two already-allocated
+  // components genuinely fuse (where SOME id must yield, by definition).
+  // ext ids never collide: each is the min-member doc id of its component
+  // at allocation time, components are disjoint, and a doc's component
+  // only ever grows — no other component can later allocate that id.
+
+  private val allocSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT")
+
+  /** [[mergeClustersBatch]] plus stable-external-id maintenance. `epoch`
+    * is the caller's batch/epoch counter (monotone across calls — it IS
+    * the allocation-order tiebreaker). Returns one settled row per batch
+    * node: (doc_id, cluster_id, ext_id, ext_epoch). Replay-idempotent:
+    * a retried batch recomputes identical allocations and skips the
+    * write; the alloc rewrite is alloc_pt-pruned and swaps under the
+    * store's commit marker like every other table. */
+  def mergeClustersStable(nodes: DataFrame, pairs: DataFrame, storePath: String,
+                          epoch: Long, nParts: Int = IndexParts,
+                          driverPairLimit: Long = 1000000L,
+                          driverNodeLimit: Long = 1000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ns = nodes.select(col("id").cast("long").as("id")).distinct()
+    val ps = pairs.select(col("id_l").cast("long").as("id_l"),
+      col("id_r").cast("long").as("id_r")).distinct().localCheckpoint(true)
+    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
+    val fs = hadoopFs(spark, storePath)
+    // pre-merge labels of everything this batch touches (guards run in
+    // the core too, but the collects here must be bounded first)
+    val nPairs = ps.count()
+    require(nPairs <= driverPairLimit,
+      s"mergeClustersStable: $nPairs pairs exceeds driverPairLimit")
+    val nsS = ns.localCheckpoint(true)
+    val nNodes = nsS.count()
+    require(nNodes <= driverNodeLimit,
+      s"mergeClustersStable: $nNodes nodes exceeds driverNodeLimit")
+    val touched = (nsS.collect().map(_.getLong(0)) ++
+      ps.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))).distinct
+    val tpts = touched.map(ptOf).distinct.toSeq
+    def labelsOf(ids: Array[Long]): Map[Long, Long] =
+      if (ids.isEmpty || !fs.exists(ShardedStore.hp(s"$storePath/by_doc"))) Map.empty
+      else spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
+        .where(col("doc_pt").isin(ids.map(ptOf).distinct.toSeq: _*))
+        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .select("doc_id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = labelsOf(touched)
+    val receipt = mergeClustersBatch(nsS.select(col("id")), ps, storePath,
+      nParts, driverPairLimit, driverNodeLimit).localCheckpoint(true)
+    val post = labelsOf(touched)
+    // per final label: the pre-merge labels that fused into it (a merged
+    // component always carries >=1 touched stored member whose pre-label
+    // names it; all-new components contribute none)
+    val groups: Map[Long, Set[Long]] = touched.toSeq
+      .flatMap(id => post.get(id).map(p => p -> pre.get(id)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
+    val constituents = groups.values.flatten.toSet
+    val keysAll = (groups.keySet ++ constituents).toSeq
+    val allocDir = s"$storePath/alloc"
+    val existing: Map[Long, (Long, Long)] =
+      if (keysAll.isEmpty || !fs.exists(ShardedStore.hp(allocDir))) Map.empty
+      else spark.read.schema(allocSchema).parquet(allocDir)
+        .where(col("alloc_pt").isin(keysAll.map(ptOf).distinct: _*))
+        .join(broadcast(keysAll.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
+        .select("cluster_id", "ext_id", "ep")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val newRows: Seq[(Long, Long, Long)] = groups.toSeq.map { case (p, cs) =>
+      // first-allocated constituent wins: min (ep, ext_id)
+      val cands = cs.flatMap(c => existing.get(c).map { case (e, ep0) => (ep0, e) })
+      val (ep0, ext) = if (cands.nonEmpty) cands.min else (epoch, p)
+      (p, ext, ep0)
+    }
+    val loserKeys = constituents -- groups.keySet
+    val unchanged =
+      newRows.forall { case (p, ext, ep0) => existing.get(p).contains((ext, ep0)) } &&
+        loserKeys.forall(!existing.contains(_))
+    if (!unchanged && newRows.nonEmpty) {
+      val removeKeys = (loserKeys ++ groups.keySet).toSeq
+      val apts = (removeKeys ++ newRows.map(_._1)).map(ptOf).distinct
+      val allocT = clusterTables(storePath).last
+      val base =
+        if (fs.exists(ShardedStore.hp(allocDir)))
+          spark.read.schema(allocSchema).parquet(allocDir)
+            .where(col("alloc_pt").isin(apts: _*))
+            .join(broadcast(removeKeys.toDF("cluster_id")),
+              Seq("cluster_id"), "left_anti")
+            .select("cluster_id", "ext_id", "ep")
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cluster_id BIGINT, ext_id BIGINT, ep BIGINT"))
+      val kept = base.unionByName(newRows.toDF("cluster_id", "ext_id", "ep"))
+        .withColumn("alloc_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+      ShardedStore.stage(kept, allocT, math.min(nParts, apts.size), apts)
+      ShardedStore.commit(spark, storePath)
+      ShardedStore.swap(spark, allocT, apts)
+      ShardedStore.clearCommit(spark, storePath)
+    }
+    // empty-batch bootstrap writes no alloc rows; readers still expect the
+    // table dir (explicit-schema reads of an empty dir return empty)
+    if (!fs.exists(ShardedStore.hp(allocDir)))
+      fs.mkdirs(ShardedStore.hp(allocDir)): Unit
+    receipt.join(broadcast(newRows.toDF("cluster_id", "ext_id", "ext_epoch")),
+      Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("ext_id"), col("ext_epoch"))
   }
 
   /** Small-graph path: min-root union-find on the driver. The root of each

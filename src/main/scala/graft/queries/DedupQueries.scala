@@ -298,6 +298,185 @@ object DedupQueries {
     val oracle = dedupClusters.oracle
   }
 
+  /** FORGET-AWARE incremental cluster maintenance, end-to-end through the
+    * persisted store — the retraction sibling of [[dedupClustersDelta]]
+    * and the round-16 capstone: the store folds epochs 0 and 1 in, a
+    * forget batch RETRACTS every stored doc with doc_id % 7 == 1
+    * ([[graft.ops.DedupOps.forgetFromClusterStore]]), epoch 2 merges on
+    * top, and the final labels must equal a from-scratch
+    * connected-components recompute over SURVIVING docs and
+    * surviving-endpoint pairs — the recursive-CTE oracle with the
+    * survivor filter, so "forget splits exactly what the forgotten docs
+    * alone bridged" is cross-engine proven, not just spec-pinned.
+    *
+    * Why this needs the store's `edges` table: labels alone cannot split
+    * a component when its bridge doc is forgotten; the persisted pair
+    * evidence lets the op recompute ONLY the affected components
+    * (cluster_pt-pruned reads, batch-grain relabeling, one commit-marker
+    * swap across all three tables). Cost ∝ affected components' shards,
+    * never store size. The replayed epoch-2 merge per invocation
+    * exercises idempotence (roots merged, docs present, edges stored →
+    * zero writes). */
+  val dedupClustersForget: Q = new Q {
+    val name = "dedup_clusters_forget"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      def nodesOf(m: Int) = docs.where(col("doc_id") % 3 === m)
+        .select(col("doc_id").as("id"))
+      def pairsOf(all: DataFrame, m: Int) = all.where(
+        greatest(col("id_l") % 3, col("id_r") % 3) === m)
+      def surv(c: org.apache.spark.sql.Column) = !(c % 7 === 1 && c % 3 < 2)
+      // bootstrap + epoch-1 merge + FORGET once per JVM (Staging.once):
+      // production pays the retraction when the deletion request arrives;
+      // per-invocation cost is epoch 2's merge, whose re-run is the op's
+      // replay path (idempotent — see Staging.once's contract)
+      val storePath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "cluster_store_forget") { p =>
+        val all = minhashPairs(spark, dir).select("id_l", "id_r").persist()
+        DedupOps.mergeClustersBatch(nodesOf(0), pairsOf(all, 0), p,
+          nParts = TestIndexParts)
+        DedupOps.mergeClustersBatch(nodesOf(1), pairsOf(all, 1), p,
+          nParts = TestIndexParts)
+        DedupOps.forgetFromClusterStore(
+          docs.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 < 2), p,
+          nParts = TestIndexParts)
+        all.unpersist(): Unit
+      }
+      // epoch 2 arrives AFTER the retraction: its pairs can only involve
+      // surviving partners (the signature-index forget guarantees no
+      // verdict against forgotten content)
+      val all2 = minhashPairs(spark, dir).select("id_l", "id_r")
+      DedupOps.mergeClustersBatch(nodesOf(2),
+        pairsOf(all2, 2).where(surv(col("id_l")) && surv(col("id_r"))),
+        storePath, nParts = TestIndexParts)
+      val labels = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+        .parquet(s"$storePath/by_doc")
+        .select("doc_id", "cluster_id")
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }
+    // dedup_clusters' oracle restricted to SURVIVORS: docs and pairs with
+    // a forgotten endpoint are excluded, and the store must be
+    // indistinguishable from labeling that world from scratch
+    val oracle = Some(
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold
+         |  AND NOT (id_l % 7 = 1 AND id_l % 3 < 2)
+         |  AND NOT (id_r % 7 = 1 AND id_r % 3 < 2)),
+         |base AS (
+         |  SELECT id_l AS a, id_r AS b FROM pairs
+         |  UNION SELECT id_r, id_l FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents
+         |  WHERE NOT (doc_id % 7 = 1 AND doc_id % 3 < 2)),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN base e ON r.b = e.a),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
+         |ORDER BY cc.doc_id""".stripMargin)
+  }
+
+  /** STABLE EXTERNAL cluster ids over the incremental store
+    * ([[graft.ops.DedupOps.mergeClustersStable]]) — min-member labels are
+    * deterministic but RELABEL whenever a smaller id joins, so they make
+    * poor external keys; the allocation table gives every component an
+    * ext_id fixed at first allocation, surviving label churn, with
+    * merges resolved first-allocated-wins (tie: smaller ext_id). Three
+    * epochs by doc_id % 3 drive bootstrap + two merges; the output is the
+    * final (doc_id, min-member cluster_id, ext_id, ext_epoch) — so the
+    * oracle proves BOTH halves of the contract cross-engine: membership
+    * equals the min-member partition (cluster_id column), and the
+    * allocation rule replays exactly (ext columns — the DuckDB side
+    * recomputes per-epoch connected components and folds the
+    * first-allocated-wins rule through the same three epochs). */
+  val dedupClustersStableIds: Q = new Q {
+    val name = "dedup_clusters_stable_ids"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      def nodesOf(m: Int) = docs.where(col("doc_id") % 3 === m)
+        .select(col("doc_id").as("id"))
+      def pairsOf(all: DataFrame, m: Int) = all.where(
+        greatest(col("id_l") % 3, col("id_r") % 3) === m)
+      val storePath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "cluster_store_stable") { p =>
+        val all = minhashPairs(spark, dir).select("id_l", "id_r").persist()
+        for (m <- 0 to 1)
+          DedupOps.mergeClustersStable(nodesOf(m), pairsOf(all, m), p,
+            epoch = m.toLong, nParts = TestIndexParts)
+        all.unpersist(): Unit
+      }
+      // per-invocation: epoch 2's merge — its replay recomputes identical
+      // allocations and writes nothing (the op's idempotence path)
+      val all2 = minhashPairs(spark, dir).select("id_l", "id_r")
+      DedupOps.mergeClustersStable(nodesOf(2), pairsOf(all2, 2), storePath,
+        epoch = 2L, nParts = TestIndexParts)
+      val labels = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+        .parquet(s"$storePath/by_doc")
+        .select("doc_id", "cluster_id")
+      val alloc = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+        .parquet(s"$storePath/alloc")
+        .select(col("cluster_id"), col("ext_id"), col("ep").as("ext_epoch"))
+      labels.join(alloc, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("ext_id"), col("ext_epoch"))
+        .orderBy("doc_id")
+    }
+    // per-epoch-prefix connected components (c0 ⊂ c1 ⊂ c2) + the
+    // first-allocated-wins fold: each epoch's winner is the min
+    // (ep, ext_id) word over the previous epoch's allocations of the
+    // fused components; components new at epoch e allocate (label, e)
+    val oracle = Some {
+      def ccFor(e: Int) =
+        s"""base$e AS (
+           |  SELECT id_l AS a, id_r AS b FROM pairs
+           |  WHERE greatest(id_l % 3, id_r % 3) <= $e
+           |  UNION SELECT id_r, id_l FROM pairs
+           |  WHERE greatest(id_l % 3, id_r % 3) <= $e
+           |  UNION SELECT doc_id, doc_id FROM documents WHERE doc_id % 3 <= $e),
+           |r$e(a, b) AS (
+           |  SELECT a, b FROM base$e
+           |  UNION
+           |  SELECT r.a, e.b FROM r$e r JOIN base$e e ON r.b = e.a),
+           |c$e AS (SELECT a AS doc_id, min(b) AS cluster_id FROM r$e GROUP BY a)"""
+          .stripMargin
+      def allocStep(e: Int) =
+        s"""m$e AS (
+           |  SELECT cx.cluster_id AS lbl,
+           |         min(a${e - 1}.ep * 1000000000000 + a${e - 1}.ext_id) AS word
+           |  FROM a${e - 1} JOIN c$e cx ON cx.doc_id = a${e - 1}.cluster_id
+           |  GROUP BY cx.cluster_id),
+           |a$e AS (
+           |  SELECT l.cluster_id,
+           |    coalesce(m$e.word % 1000000000000, l.cluster_id) AS ext_id,
+           |    coalesce(m$e.word // 1000000000000, $e) AS ep
+           |  FROM (SELECT DISTINCT cluster_id FROM c$e) l
+           |  LEFT JOIN m$e ON m$e.lbl = l.cluster_id)""".stripMargin
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |${ccFor(0)},
+         |${ccFor(1)},
+         |${ccFor(2)},
+         |a0 AS (SELECT DISTINCT cluster_id, cluster_id AS ext_id, 0 AS ep FROM c0),
+         |${allocStep(1)},
+         |${allocStep(2)}
+         |SELECT c2.doc_id, c2.cluster_id,
+         |  CAST(a2.ext_id AS BIGINT) AS ext_id,
+         |  CAST(a2.ep AS BIGINT) AS ext_epoch
+         |FROM c2 JOIN a2 ON a2.cluster_id = c2.cluster_id
+         |ORDER BY c2.doc_id""".stripMargin
+    }
+  }
+
   /** The keep-one step that completes the near-dup pipeline: per cluster,
     * keep the representative with the most content (max n_chars, ties to
     * the smallest doc_id) and flag everything else for drop. Tie-break is
@@ -2007,6 +2186,184 @@ object DedupQueries {
          |ORDER BY ni.epoch""".stripMargin)
   }
 
+  /** BANDED-RECALL gate across a FORGET + PURGE cycle — the retraction
+    * sibling of [[dedupRecallEvolution]] (which gates appends) and the
+    * round-16 closing gate: the lifecycle arm drives the index through
+    * bootstrap → append → logical forget ([[graft.ops.DedupOps.tombstoneInSignatureIndex]])
+    * → physical purge ([[graft.ops.DedupOps.compactSignatureIndex]]) →
+    * another append; the baseline arm NEVER INSERTED the forgotten docs.
+    * Both arms then answer the same question from their STORED state —
+    * what fraction of true near-dup partners (exact Jaccard ≥ θ over
+    * stored shingle sets) does the band stage surface for a fixed query
+    * sample — and must emit IDENTICAL rows: a purge that strands band
+    * rows, drops a survivor's payload, or leaves a forgotten doc
+    * matchable diverges one arm from the oracle's single recomputation
+    * over surviving docs.
+    *
+    * Same recall-stressed 4×16 banding and fixed-size hash-threshold
+    * query sample as the evolution gate (the truth arm stays LINEAR in
+    * corpus size); forget set = stored docs with doc_id % 7 == 1 (epochs
+    * 0–1), so the epoch-2 append lands on a post-purge index. */
+  val dedupRecallForget: Q = new Q {
+    val name = "q_dedup_recall_forget"
+    private val EvoBands = 4
+    private val EvoRows = 16 // NumPerms / EvoBands
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      def part(m: Int) = docs.where(col("doc_id") % 3 === m)
+      val isForgot = col("doc_id") % 7 === 1 && col("doc_id") % 3 < 2
+      def sigsOf(d: DataFrame) =
+        DedupOps.signatureIndex(d, ShingleK, NumPerms, EvoBands, EvoRows)
+      // lifecycle arm: the REAL ops, forget + purge mid-stream
+      val lifecyclePath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "sig_index_recall_fgt_life") { p =>
+        DedupOps.writeSignatureIndex(sigsOf(part(0)), p,
+          NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+        DedupOps.appendNewToSignatureIndex(sigsOf(part(1)), p,
+          NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+        DedupOps.tombstoneInSignatureIndex(
+          docs.where(isForgot).select("doc_id"), p)
+        DedupOps.compactSignatureIndex(spark, p) // physical purge
+        DedupOps.appendNewToSignatureIndex(sigsOf(part(2)), p,
+          NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+      }
+      // baseline arm: the forgotten docs never existed
+      val baselinePath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "sig_index_recall_fgt_base") { p =>
+        DedupOps.writeSignatureIndex(sigsOf(docs.where(!isForgot)), p,
+          NumPerms, EvoBands, EvoRows, nParts = TestIndexParts)
+      }
+      // fixed-size query sample over SURVIVORS (the sampled-gate idiom)
+      val docsHs = docs.where(!isForgot)
+        .select(col("doc_id"),
+          graft.ops.TextOps.shingleHashes(col("text"), ShingleK).as("hs"))
+        .where(size(col("hs")) > 0)
+      val nDocs = docsHs.agg(count(lit(1)).as("n_docs"))
+      val qSigs = docsHs
+        .withColumn("h_ppm", graft.ops.HashOps.hash60(
+          concat(lit("fgt:"), col("doc_id").cast("string"))) % 1000000L)
+        .crossJoin(broadcast(nDocs))
+        .where(col("h_ppm") < least(lit(1000000L),
+          expr(s"$RecallSampleTarget * 1000000 div n_docs + 1")))
+        .withColumn("sig", DedupOps.minhashSignature(col("hs"), NumPerms))
+        .withColumn("bands", DedupOps.lshBandKeys(col("sig"), EvoBands, EvoRows))
+        .persist()
+      val qs = qSigs.select(col("doc_id").as("q_id"), col("hs").as("q_hs"))
+      val qBands = qSigs
+        .select(col("doc_id").as("q_id"), explode(col("bands")).as("bk"))
+        .distinct()
+      // each arm answers from ITS OWN stored files
+      def metrics(indexPath: String, arm: String): DataFrame = {
+        val pHs = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, hs ARRAY<BIGINT>, doc_pt INT"))
+          .parquet(s"$indexPath/sigs")
+          .select(col("doc_id").as("p_id"), col("hs").as("p_hs"))
+        val truth = pHs.crossJoin(broadcast(qs))
+          .where(col("q_id") =!= col("p_id"))
+          .withColumn("inter",
+            DedupOps.intersectSizeSorted(col("q_hs"), col("p_hs")))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("q_hs")) + size(col("p_hs")) - col("inter")))
+          .where(col("jac") >= JaccardThreshold)
+          .select("q_id", "p_id")
+        val collided = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, bk STRING, band_pt INT"))
+          .parquet(s"$indexPath/bands")
+          .select(col("doc_id").as("p_id"), col("bk"))
+          .join(broadcast(qBands), Seq("bk"))
+          .where(col("q_id") =!= col("p_id"))
+          .select("q_id", "p_id").distinct()
+          .persist()
+        val per = truth
+          .join(collided.withColumn("hit", lit(1L)), Seq("q_id", "p_id"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("found_pairs"))
+        val cand = collided
+          .join(truth.withColumn("tp", lit(1L)), Seq("q_id", "p_id"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("tp"), lit(0L))).as("tp"))
+        val nIdx = pHs.agg(count(lit(1)).as("n_indexed"))
+        val out = nIdx.crossJoin(per).crossJoin(cand)
+          .select(lit(arm).as("arm"), col("n_indexed"),
+            coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+            coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+            when(coalesce(col("n_true_pairs"), lit(0L)) > 0,
+              expr("CAST((found_pairs * 10000) DIV n_true_pairs AS BIGINT)"))
+              .otherwise(lit(-1L)).as("banded_recall_e4"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            when(coalesce(col("n_candidates"), lit(0L)) > 0,
+              expr("CAST((tp * 10000) DIV n_candidates AS BIGINT)"))
+              .otherwise(lit(-1L)).as("precision_e4"))
+          .localCheckpoint(true)
+        collided.unpersist()
+        out
+      }
+      val out = metrics(baselinePath, "baseline")
+        .unionByName(metrics(lifecyclePath, "lifecycle"))
+        .where(col("n_indexed") > 0) // empty corpus → no gate rows
+        .orderBy("arm").localCheckpoint(true)
+      qSigs.unpersist()
+      out
+    }
+    // ONE recomputation over surviving docs, emitted for BOTH arms: the
+    // lifecycle's post-purge state must be indistinguishable from the
+    // never-inserted baseline — cross-engine
+    val oracle = Some(
+      s"""WITH $SqlShingleSets,
+         |shn AS (SELECT * FROM sh
+         |  WHERE len(hs) > 0 AND NOT (doc_id % 7 = 1 AND doc_id % 3 < 2)),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM shn),
+         |m AS (
+         |  SELECT doc_id, i,
+         |    min((((2*i + 1) * h + (i * 2654435761) % $P) % $P)) AS mh
+         |  FROM e CROSS JOIN range($NumPerms) r(i)
+         |  GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // $EvoRows AS band,
+         |         string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM m GROUP BY doc_id, i // $EvoRows),
+         |nd AS (SELECT count(*) AS n_docs FROM shn),
+         |qs AS (
+         |  SELECT doc_id AS q_id, hs AS q_hs FROM shn, nd
+         |  WHERE ${graft.ops.HashOps.sqlHash60("'fgt:' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |        < least(1000000, $RecallSampleTarget * 1000000 // n_docs + 1)),
+         |truth AS (
+         |  SELECT q_id, p.doc_id AS p_id FROM shn p CROSS JOIN qs
+         |  WHERE p.doc_id <> q_id
+         |    AND CAST(len(list_intersect(q_hs, p.hs)) AS DOUBLE) /
+         |        (len(q_hs) + len(p.hs) - len(list_intersect(q_hs, p.hs))) >= $JaccardThreshold),
+         |coll AS (
+         |  SELECT DISTINCT qa.doc_id AS q_id, pb.doc_id AS p_id
+         |  FROM bands qa JOIN bands pb ON qa.band = pb.band AND qa.sig = pb.sig
+         |  JOIN qs ON qa.doc_id = qs.q_id
+         |  WHERE qa.doc_id <> pb.doc_id),
+         |met AS (
+         |  SELECT
+         |    (SELECT count(*) FROM shn) AS n_indexed,
+         |    (SELECT count(*) FROM truth) AS n_true_pairs,
+         |    (SELECT count(*) FROM truth t JOIN coll c
+         |       ON c.q_id = t.q_id AND c.p_id = t.p_id) AS found_pairs,
+         |    (SELECT count(*) FROM coll) AS n_candidates,
+         |    (SELECT count(*) FROM coll c JOIN truth t
+         |       ON t.q_id = c.q_id AND t.p_id = c.p_id) AS tp),
+         |arms AS (SELECT 'baseline' AS arm UNION ALL SELECT 'lifecycle')
+         |SELECT arm,
+         |  CAST(n_indexed AS BIGINT) AS n_indexed,
+         |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+         |  CAST(found_pairs AS BIGINT) AS found_pairs,
+         |  CASE WHEN n_true_pairs > 0
+         |       THEN CAST(found_pairs * 10000 // n_true_pairs AS BIGINT)
+         |       ELSE -1 END AS banded_recall_e4,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CASE WHEN n_candidates > 0
+         |       THEN CAST(tp * 10000 // n_candidates AS BIGINT)
+         |       ELSE -1 END AS precision_e4
+         |FROM arms CROSS JOIN met WHERE n_indexed > 0 ORDER BY arm""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
@@ -2014,5 +2371,6 @@ object DedupQueries {
     qJaccardThresholdSweep, qDupInflation, qMinhashAccuracy,
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
     dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical,
-    dedupRecallEvolution, dedupClustersDelta)
+    dedupRecallEvolution, dedupClustersDelta, dedupClustersForget,
+    dedupRecallForget, dedupClustersStableIds)
 }

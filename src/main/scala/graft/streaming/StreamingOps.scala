@@ -285,11 +285,12 @@ object StreamingOps {
   //    is adopted into g=0, idempotently per table.
   //  - anything else partial is deleted; the index bootstraps fresh.
 
+  // fs/pointer plumbing shared with the sharded-store family lives in
+  // graft.ops.ShardedStore (round-16 unification)
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    graft.ops.ShardedStore.fs(spark, path)
 
-  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def hPath(s: String) = graft.ops.ShardedStore.hp(s)
 
   private def generationDir(indexPath: String, gen: Long) = s"$indexPath/g=$gen"
 
@@ -298,37 +299,23 @@ object StreamingOps {
     * [[recoverIndex]] first if a prior writer may have died). */
   def currentGeneration(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Option[Long] = {
-    val fs = fsOf(spark, indexPath)
-    val ptr = hPath(s"$indexPath/_gen")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      Some(s.toLong)
-    }
+    if (!fsOf(spark, indexPath).exists(hPath(s"$indexPath/_gen"))) None
+    else Some(graft.ops.ShardedStore
+      .readTextFile(spark, s"$indexPath/_gen").trim.toLong)
   }
 
-  private def touch(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
-    val out = fs.create(hPath(path), true)
-    out.close()
-  }
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    graft.ops.ShardedStore.touch(fs, path)
 
-  /** Pointer rewrite: staged to a temp file, then delete+rename. The
-    * window between delete and rename leaves NO pointer — recoverable,
-    * because [[recoverIndex]] repoints the max complete generation when
-    * the pointer is missing (HDFS rename cannot overwrite, so a truly
-    * atomic in-place rewrite is not available; missing-pointer recovery
-    * makes the two-step rewrite safe). */
+  /** Pointer rewrite via [[graft.ops.ShardedStore.writePointer]] (staged
+    * temp + delete+rename). The window between delete and rename leaves
+    * NO pointer — recoverable, because [[recoverIndex]] repoints the max
+    * complete generation when the pointer is missing (HDFS rename cannot
+    * overwrite, so a truly atomic in-place rewrite is not available;
+    * missing-pointer recovery makes the two-step rewrite safe). */
   private def writeGenPointer(spark: org.apache.spark.sql.SparkSession,
-                              indexPath: String, gen: Long): Unit = {
-    val fs = fsOf(spark, indexPath)
-    val tmp = hPath(s"$indexPath/._gen_tmp")
-    val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(hPath(s"$indexPath/_gen"), false)
-    fs.rename(tmp, hPath(s"$indexPath/_gen")): Unit
-  }
+                              indexPath: String, gen: Long): Unit =
+    graft.ops.ShardedStore.writePointer(spark, indexPath, "_gen", gen.toString)
 
   /** Resolves the index to its current generation directory, running
     * recovery first — the one call every reader makes at open. The
@@ -422,6 +409,30 @@ object StreamingOps {
       verdicts.where(col("matched_id") >= 0)
         .select(col("doc_id").as("id_l"), col("matched_id").as("id_r")),
       storePath, nParts)
+  }
+
+  /** Streaming cluster RETRACTION via foreachBatch — the forget twin of
+    * [[clusterMaintainBatch]] and the downstream consumer of
+    * [[forgetBatch]]/[[forgetBatchLogical]] receipts: each micro-batch of
+    * deletion-request `doc_id` rows is removed from the persisted cluster
+    * store ([[graft.ops.DedupOps.forgetFromClusterStore]]), recomputing
+    * ONLY the affected components from the stored pair evidence — a
+    * forgotten bridge doc splits its component exactly as a from-scratch
+    * recompute over surviving docs would (the catalog entry's oracle).
+    * Returns one settled (doc_id, was_clustered) receipt row per distinct
+    * batch id; replay-safe (a retried batch finds the ids absent, reports
+    * was_clustered=false — monotone in the safe direction — and writes
+    * nothing).
+    *
+    * Wire into the deletion-request stream AFTER the index forget, so
+    * verdicts and labels retract together:
+    * `dels.writeStream.foreachBatch { (b, _) =>
+    *   forgetBatch(b, indexPath); clusterForgetBatch(b, storePath) … }`. */
+  def clusterForgetBatch(batch: DataFrame, storePath: String,
+                         nParts: Int = 8): DataFrame = {
+    import graft.ops.DedupOps
+    DedupOps.forgetFromClusterStore(
+      batch.select(col("doc_id").cast("long").as("doc_id")), storePath, nParts)
   }
 
   /** Streaming IVF search-then-insert via foreachBatch against a
@@ -1229,6 +1240,7 @@ object StreamingOps {
     "nearDupDedupBatch" -> "driver replay of the two-batch LSH band-store fold",
     "deltaDedupVerifiedBatch" -> "flat-index batch replay of the bootstrap/probe/append protocol",
     "clusterMaintainBatch" -> "driver union-find over all batches' verdict edges (min-reachable-id labels)",
+    "clusterForgetBatch" -> "driver union-find recompute over surviving verdict edges (forget splits bridged components)",
     "forgetBatch" -> "driver presence check + post-removal index content vs a batch-side recompute",
     "forgetBatchLogical" -> "physical-forget equivalence: receipts and probe verdicts match forgetBatch; compaction purge converges the files",
     "ivfSearchInsertBatch" -> "in-memory batch replay of the search-then-insert protocol",

@@ -310,18 +310,29 @@ class IncrementalDedupSpec extends SparkSpec {
     // phase 1 of a compaction, then CRASH before any swap: the staged
     // content sits in dot-prefixed dirs parquet discovery ignores, so the
     // live index reads byte-identical — never observably partial
-    for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt"))) {
-      val pts = new java.io.File(s"$indexPath/$table").listFiles()
-        .filter(d => d.isDirectory && d.getName.startsWith(s"$ptCol="))
-        .map(_.getName.stripPrefix(s"$ptCol=").toInt).toSeq
-      val rows = spark.read.parquet(s"$indexPath/$table").where(col(ptCol).isin(pts: _*))
-      DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, pts.size, pts)
-    }
+    def stageAll(): Unit =
+      for ((table, ptCol) <- Seq(("sigs", "doc_pt"), ("bands", "band_pt"))) {
+        val pts = new java.io.File(s"$indexPath/$table").listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith(s"$ptCol="))
+          .map(_.getName.stripPrefix(s"$ptCol=").toInt).toSeq
+        val rows = spark.read.parquet(s"$indexPath/$table").where(col(ptCol).isin(pts: _*))
+        DedupOps.stageShards(rows, s"$indexPath/$table", ptCol, pts.size, pts)
+      }
+    stageAll()
     assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore,
       "pre-swap staging leaked into reads")
     assert(maxFilesPerShard("sigs") >= 2, "staging mutated live dirs")
-    // recovery rolls FORWARD (staging completed): content preserved, one
-    // file per shard, no staging/backup litter left behind
+    // crash BEFORE the store-level commit marker: recovery rolls BACK —
+    // the staging is discarded, live dirs stay byte-identical (still
+    // crowded: the compaction never happened)
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore)
+    assert(maxFilesPerShard("sigs") >= 2,
+      "rollback should leave the pre-compaction layout untouched")
+    // crash AFTER the marker: recovery rolls FORWARD — content preserved,
+    // one file per shard, no staging/backup litter left behind
+    stageAll()
+    graft.ops.ShardedStore.commit(spark, indexPath)
     DedupOps.recoverSignatureIndex(spark, indexPath)
     assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore)
     assert(maxFilesPerShard("sigs") == 1 && maxFilesPerShard("bands") == 1)
@@ -358,11 +369,13 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(d => d.isDirectory && d.getName.startsWith("doc_pt="))
       .map(_.getName.stripPrefix("doc_pt=").toInt).sorted.toSeq
     assert(shards.size >= 2, "need >=2 shards for distinct crash states")
-    // stage a full self-rewrite, then simulate the WORST mid-swap crash:
-    // shard A renamed aside (live missing, staged+old present) and shard
-    // B fully swapped except the backup delete (live new, old present)
+    // stage a full self-rewrite and COMMIT (swaps only run post-marker),
+    // then simulate the WORST mid-swap crash: shard A renamed aside (live
+    // missing, staged+old present) and shard B fully swapped except the
+    // backup delete (live new, old present)
     val rows = spark.read.parquet(s"$indexPath/sigs")
     DedupOps.stageShards(rows, s"$indexPath/sigs", "doc_pt", shards.size, shards)
+    graft.ops.ShardedStore.commit(spark, indexPath)
     val (a, b) = (shards.head, shards(1))
     fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
     fs.rename(p(s"$indexPath/sigs/doc_pt=$b"), p(s"$indexPath/sigs/.old.doc_pt=$b"))
@@ -508,11 +521,13 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(forgotten.nonEmpty, "chosen shard empty — vacuous")
     // phase 1 exactly as removeFromSignatureIndex stages it: the kept
-    // rows for this shard set are EMPTY, so no staged dir appears — only
-    // the _pts manifest records the shard. Then CRASH before any swap.
+    // rows for this shard set are EMPTY, so the staging holds only the
+    // shard's empty RETIRE-marker dir (plus the _pts manifest). Commit,
+    // then CRASH before any swap.
     val kept = spark.read.parquet(s"$indexPath/sigs")
       .where(col("doc_pt") === shard && lit(false))
     DedupOps.stageShards(kept, s"$indexPath/sigs", "doc_pt", 1, Seq(shard))
+    graft.ops.ShardedStore.commit(spark, indexPath)
     assert(fs.exists(p(s"$indexPath/sigs/doc_pt=$shard")), "live shard gone pre-swap")
     DedupOps.recoverSignatureIndex(spark, indexPath)
     assert(!fs.exists(p(s"$indexPath/sigs/doc_pt=$shard")),
@@ -521,6 +536,45 @@ class IncrementalDedupSpec extends SparkSpec {
     val left = spark.read.parquet(s"$indexPath/sigs")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(left.intersect(forgotten).isEmpty)
+  }
+
+  test("roll-forward never retires a fully-swapped shard (retire markers disambiguate)") {
+    // The r15 layout could not tell "this shard's replacement was empty"
+    // from "this shard's swap already completed" — both looked like a
+    // manifest pt with no staged dir — so re-running the swap after a
+    // mid-swap crash RETIRED the completed shard's live content (data
+    // loss). The explicit empty-marker staging closes it: a completed
+    // shard has NO staged dir and is left alone.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "swapped_keep")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs, ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def snapshot() = spark.read.parquet(s"$indexPath/sigs")
+      .collect().map(_.toString).sorted.toSeq
+    val before = snapshot()
+    val shards = new java.io.File(s"$indexPath/sigs").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("doc_pt="))
+      .map(_.getName.stripPrefix("doc_pt=").toInt).sorted.toSeq
+    assert(shards.size >= 2, "need >=2 shards")
+    val rows = spark.read.parquet(s"$indexPath/sigs")
+    DedupOps.stageShards(rows, s"$indexPath/sigs", "doc_pt", shards.size, shards)
+    graft.ops.ShardedStore.commit(spark, indexPath)
+    // shard A's swap runs TO COMPLETION (live→old, staged→live, old
+    // dropped), then CRASH with the other shards still staged
+    val a = shards.head
+    fs.rename(p(s"$indexPath/sigs/doc_pt=$a"), p(s"$indexPath/sigs/.old.doc_pt=$a"))
+    fs.rename(p(s"$indexPath/sigs/.staging/doc_pt=$a"), p(s"$indexPath/sigs/doc_pt=$a"))
+    fs.delete(p(s"$indexPath/sigs/.old.doc_pt=$a"), true)
+    DedupOps.recoverSignatureIndex(spark, indexPath)
+    assert(fs.exists(p(s"$indexPath/sigs/doc_pt=$a")),
+      "recovery retired a fully-swapped shard's live content")
+    assert(snapshot() == before, "recovery lost or duplicated rows")
+    assert(!fs.exists(p(s"$indexPath/sigs/.staging")))
   }
 
   test("crash after swap before backup delete: recovery sweeps .old. dirs on both tables") {
@@ -555,6 +609,7 @@ class IncrementalDedupSpec extends SparkSpec {
         p(s"$indexPath/$table/$ptCol=$shard"))
       // CRASH: .old. present, staging dir (with _SUCCESS + _pts) present
     }
+    graft.ops.ShardedStore.commit(spark, indexPath) // swaps run post-marker
     DedupOps.recoverSignatureIndex(spark, indexPath)
     assert(snapshot("sigs") == sigsBefore && snapshot("bands") == bandsBefore,
       "recovery changed content while sweeping backups")
@@ -563,6 +618,73 @@ class IncrementalDedupSpec extends SparkSpec {
         .map(_.getName).filter(n => n == ".staging" || n.startsWith(".old."))
       assert(litter.isEmpty, s"$t left ${litter.mkString(",")}")
     }
+  }
+
+  test("tombstone guard: past the broadcast threshold the probe falls back to a shuffle anti-join, verdicts unchanged; appends fold small files") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 5 === 0
+    import spark.implicits._
+    val indexPath = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "tomb_guard")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+      indexPath, NumPerms, NumBands, RowsPerBand)
+    // the manifest records the threshold; bootstrap stamps the default
+    assert(DedupOps.tombstoneBroadcastLimit(spark, indexPath) ==
+      DedupOps.DefaultTombstoneBroadcastBytes)
+    // one forget call per id: each appends a file — the fold must keep
+    // the table's file count bounded regardless of call count
+    val forgetIds = docs.where(!isBatch && col("doc_id") % 7 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(forgetIds.size > DedupOps.TombstoneFoldMinFiles, "fixture too small")
+    forgetIds.foreach(id =>
+      DedupOps.tombstoneInSignatureIndex(Seq(id).toDF("doc_id"), indexPath))
+    val tombFiles = new java.io.File(s"$indexPath/tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(tombFiles <= DedupOps.TombstoneFoldMinFiles,
+      s"$tombFiles tombstone files after ${forgetIds.size} appends — fold broken")
+    assert(spark.read.parquet(s"$indexPath/tombstones")
+      .select("doc_id").as[Long].collect().toSet == forgetIds.toSet,
+      "folding changed the tombstone set")
+    val batchSigs = DedupOps.signatureIndex(
+      docs.where(isBatch), ShingleK, NumPerms, NumBands, RowsPerBand).persist()
+    def antiJoinNodes(plan: String): Seq[String] = plan.split("\n")
+      .filter(_.contains("LeftAnti")).toSeq
+    def probePlan(): (Map[Long, (String, Long, Long, String)], Seq[String]) = {
+      val (lazyFrame, cached) = DedupOps.dedupDeltaBatchPrunedPlan(
+        docs.where(isBatch).select("doc_id"), batchSigs, indexPath,
+        JaccardThreshold)
+      val plan = lazyFrame.queryExecution.executedPlan.toString
+      val out = verdictMap(lazyFrame)
+      cached.foreach(_.unpersist(): Unit)
+      (out, antiJoinNodes(plan))
+    }
+    // under the default threshold: the tombstone anti-join broadcasts
+    val (vBroadcast, antisDefault) = probePlan()
+    assert(antisDefault.nonEmpty && antisDefault.forall(_.contains("BroadcastHashJoin")),
+      s"expected broadcast anti-join under the threshold:\n${antisDefault.mkString("\n")}")
+    // drive the table PAST the (operator-lowered) threshold: the probe
+    // must fall back to a non-broadcast anti-join with identical verdicts
+    DedupOps.setTombstoneBroadcastLimit(spark, indexPath, 1L)
+    assert(DedupOps.tombstoneBroadcastLimit(spark, indexPath) == 1L)
+    val (vShuffle, antisLow) = probePlan()
+    assert(antisLow.exists(n => !n.contains("BroadcastHashJoin")),
+      s"probe still broadcasts past the threshold:\n${antisLow.mkString("\n")}")
+    assert(vShuffle == vBroadcast,
+      "the fallback anti-join changed verdicts")
+    // and the verdicts match the physically-forgotten world (the logical
+    // path's contract survives the fallback)
+    assert(vShuffle.values.exists(_._1 == "drop"), "no drop in fixture — weak")
+    val phys = graft.ops.Staging.dir("/tmp/graft_dedup_index_spec", dir, "tomb_guard_phys")
+    DedupOps.writeSignatureIndex(DedupOps.signatureIndex(
+      docs.where(!isBatch), ShingleK, NumPerms, NumBands, RowsPerBand),
+      phys, NumPerms, NumBands, RowsPerBand)
+    DedupOps.removeFromSignatureIndex(forgetIds.toDF("doc_id"), phys,
+      NumPerms, NumBands, RowsPerBand)
+    val vPhys = verdictMap(DedupOps.dedupDeltaBatchPruned(
+      docs.where(isBatch).select("doc_id"), batchSigs, phys, JaccardThreshold))
+    assert(vShuffle == vPhys, "fallback verdicts diverged from physical forget")
+    batchSigs.unpersist(): Unit
   }
 
   test("delta pass plans are equi-joins — no cartesian/broadcast-NL against the index") {

@@ -49,17 +49,30 @@ class StagingSpec extends SparkSpec {
     val first = call()
     // a NON-IDEMPOTENT mutation: destructively rewrites the artifact state
     write(new java.io.File(first, "state.txt"), "mutated-by-invocation-1")
+    write(new java.io.File(first, "litter.txt"), "leftover from invocation 1")
     assert(new java.io.File(first, "sub/nested.txt").exists())
 
     val second = call()
-    assert(second !== first, "each invocation must own a distinct copy")
     assert(builds === 1, "master build must be memoized across invocations")
     assert(read(new java.io.File(second, "state.txt")) === "pristine",
       "a later invocation must never observe an earlier invocation's mutation")
     assert(read(new java.io.File(second, "sub/nested.txt")) === "deep",
       "copies must be recursive")
-    // the first invocation's copy keeps its own mutation (no sharing either way)
-    assert(read(new java.io.File(first, "state.txt")) === "mutated-by-invocation-1")
+    assert(!new java.io.File(second, "litter.txt").exists(),
+      "the reset must remove files an earlier invocation ADDED, not just overwrite")
+    // the master itself is never touched by any invocation's mutation
+    val master = Staging.dir("/tmp/graft_staging_spec", in.getPath, "mut-master")
+    assert(read(new java.io.File(master, "state.txt")) === "pristine")
+    // disk is BOUNDED: the same thread reuses one slot (round-15 advice —
+    // per-invocation copies accumulated for the JVM's lifetime before)
+    assert(second === first,
+      "same-thread invocations should reuse one reset slot, not grow a copy each")
+    // and a concurrent thread gets its OWN slot — no cross-thread sharing
+    var other: String = null
+    val t = new Thread(() => { other = call() })
+    t.start(); t.join()
+    assert(other !== first, "two threads must never share a working copy")
+    assert(read(new java.io.File(other, "state.txt")) === "pristine")
   }
 
   test("once vs onceCopied: a mutation through `once` IS shared (why the contract exists)") {

@@ -81,6 +81,7 @@ class StreamingParitySpec extends SparkSpec {
     "nearDupDedupBatch" -> (() => nearDupParity()),
     "deltaDedupVerifiedBatch" -> (() => deltaDedupVerifiedParity()),
     "clusterMaintainBatch" -> (() => clusterMaintainParity()),
+    "clusterForgetBatch" -> (() => clusterForgetParity()),
     "forgetBatch" -> (() => forgetBatchParity()),
     "forgetBatchLogical" -> (() => forgetBatchLogicalParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
@@ -298,6 +299,63 @@ class StreamingParitySpec extends SparkSpec {
     assert(got2 == want, "replayed batch changed the cluster store")
   }
 
+  private def clusterForgetParity(): Unit = {
+    // the full retraction wiring: ingest verdicts fold into the cluster
+    // store, then a deletion-request batch retracts from the index AND
+    // the store; the store must equal a driver union-find recompute over
+    // the SURVIVING verdict edges (forget splits what only the forgotten
+    // doc bridged)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (d1, d2) = docs.splitAt(docs.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("p_clf").toString
+    val indexPath = s"$root/index"; val storePath = s"$root/clusters"
+    val edges = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    for (b <- Seq(d1, d2)) {
+      val v = deltaDedupVerifiedBatch(b.toSeq.toDF("doc_id", "text"), indexPath, 0.7)
+      v.collect().foreach { r =>
+        if (r.getLong(2) >= 0) edges += ((r.getLong(0), r.getLong(2)))
+      }
+      clusterMaintainBatch(v, storePath).count()
+    }
+    assert(edges.nonEmpty, "no verdict edges — vacuous")
+    // forget every matched PARTNER (guaranteed in a multi-doc cluster)
+    // plus an absent id — receipts must distinguish them
+    val partners = edges.map(_._2).distinct.sorted.take(3).toSeq
+    val absent = docs.map(_._1).max + 99L
+    val toForget = partners :+ absent
+    forgetBatch(toForget.toDF("doc_id"), indexPath).count()
+    val receipt = clusterForgetBatch(toForget.toDF("doc_id"), storePath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(partners.forall(receipt(_) == true) && receipt(absent) == false,
+      s"forget receipt misclassified: $receipt")
+    // driver recompute over surviving docs and surviving edges
+    val gone = partners.toSet
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.filterNot(e => gone(e._1) || gone(e._2)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = docs.map(_._1).filterNot(gone).map(id => id -> find(id)).toMap
+    def byDoc() = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+      .parquet(s"$storePath/by_doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc() == want,
+      "post-forget store diverged from the surviving-edge recompute")
+    // replay: all-false receipt, store untouched
+    val replay = clusterForgetBatch(toForget.toDF("doc_id"), storePath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(replay.values.forall(!_), "replayed forget receipt not monotone-safe")
+    assert(byDoc() == want, "replayed forget changed the store")
+  }
+
   private def forgetBatchParity(): Unit = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -382,9 +440,7 @@ class StreamingParitySpec extends SparkSpec {
       deltaDedupVerifiedBatch(d1.toSeq.toDF("doc_id", "text"), root, 0.7).count()
     val indexed = spark.read.parquet(s"$phys/sigs")
       .select("doc_id").as[Long].collect().toSet
-    // forget: every 3rd indexed id plus synthetic never-indexed ids that
-    // NEVER re-arrive (the documented equivalence scope: a tombstoned id
-    // re-ingested before the purge stays unmatchable — pinned below)
+    // forget: every 3rd indexed id plus synthetic never-indexed ids
     val maxId = docs.map(_._1).max
     val toForget = indexed.toSeq.sorted.grouped(3).map(_.head).toSeq ++
       (1L to 5L).map(maxId + _)
@@ -415,20 +471,40 @@ class StreamingParitySpec extends SparkSpec {
     assert(tableIds(logi, "bands") == tableIds(phys, "bands"))
     assert(!new java.io.File(s"$logi/tombstones").exists(),
       "purge left the tombstone table behind")
-    // documented divergence, pinned: an id tombstoned and RE-INGESTED
-    // before the purge stays unmatchable and is removed by the purge
-    // (content-derived ids: identical content stays forgotten); the
-    // physical twin re-admits it
+    // forget → RE-INGEST → probe matches, on BOTH twins (r15 advice):
+    // the append path purges a tombstoned id's stale rows and clears its
+    // tombstone, so logical ≡ physical at the id level even across a
+    // forget-then-re-ingest sequence
     val reIngest = toForget.filter(indexed).take(1)
     val reDocs = docs.filter(d => reIngest.contains(d._1))
     forgetBatchLogical(reIngest.toDF("doc_id"), logi).count()
-    deltaDedupVerifiedBatch(reDocs.toSeq.toDF("doc_id", "text"), logi, 0.7).count()
-    assert(DedupOps.presentInSignatureIndex(
-        reIngest.toDF("doc_id"), logi, nParts = 8).count() == 0,
-      "tombstoned-then-reingested id became matchable before the purge")
+    forgetBatch(reIngest.toDF("doc_id"), phys)
+    val vReL = deltaDedupVerifiedBatch(reDocs.toSeq.toDF("doc_id", "text"), logi, 0.7)
+      .collect().map(_.toSeq.toList).toSet
+    val vReP = deltaDedupVerifiedBatch(reDocs.toSeq.toDF("doc_id", "text"), phys, 0.7)
+      .collect().map(_.toSeq.toList).toSet
+    assert(vReL == vReP, "re-ingest verdicts diverged between the twins")
+    val presL = DedupOps.presentInSignatureIndex(
+      reIngest.toDF("doc_id"), logi, nParts = 8).count()
+    val presP = DedupOps.presentInSignatureIndex(
+      reIngest.toDF("doc_id"), phys, nParts = 8).count()
+    assert(presL == presP,
+      "re-ingested id's presence diverged between logical and physical")
+    // a KEPT re-ingested id is matchable again: its tombstone row is gone
+    if (vReL.exists(v => v(1) == "keep")) {
+      assert(presL == 1, "kept re-ingested id still unmatchable")
+      val tombs = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+        .parquet(s"$logi/tombstones")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!tombs.exists(reIngest.contains),
+        "re-ingest left the id's tombstone row behind")
+    }
+    // and the files still converge to the physical state at compaction
     DedupOps.compactSignatureIndex(spark, logi)
-    assert(!tableIds(logi, "sigs").exists(reIngest.contains),
-      "purge kept a tombstoned id's re-ingested rows")
+    DedupOps.compactSignatureIndex(spark, phys)
+    assert(tableIds(logi, "sigs") == tableIds(phys, "sigs"),
+      "post-re-ingest compaction diverged from the physical twin")
   }
 
   private def ivfSearchInsertParity(): Unit = {
