@@ -361,14 +361,14 @@ object DedupOps {
     // steps leaves the id purged AND tombstoned — the same consistent
     // forgotten state compaction's purge window documents; the batch's
     // replay converges it.
-    if (hadoopFs(spark, indexPath).exists(tombstonePath(indexPath))) {
-      val tombed = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+    if (tombVector(indexPath).exists(spark)) {
+      val tombed = tombVector(indexPath).ids(spark)
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
         .distinct().localCheckpoint(true)
       if (!tombed.isEmpty) {
         removeFromSignatureIndex(tombed, indexPath,
           nPerm, nBands, rowsPerBand, nParts)
-        untombstone(tombed, indexPath)
+        tombVector(indexPath).remove(tombed)
       }
     }
     val present = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
@@ -487,12 +487,6 @@ object DedupOps {
   // documented retention contract of this path (use the physical op when
   // "gone from disk now" is required).
 
-  private val tombSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "doc_id BIGINT")
-
-  private def tombstonePath(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-
   /** Default for the broadcast-size guard on the tombstone deletion
     * vector: tombstone tables up to this many on-disk bytes are broadcast
     * into the probes' anti-joins; above it the probe falls back to a
@@ -534,78 +528,27 @@ object DedupOps {
     * crash safety (any crash point leaves a SUPERSET of the final rows,
     * so no forgotten doc ever becomes matchable; the next fold converges
     * the file count). */
+  private def tombVector(indexPath: String) =
+    ShardedStore.DeletionVector(s"$indexPath/tombstones", "doc_id")
+
   def tombstoneInSignatureIndex(removeIds: DataFrame, indexPath: String): Unit = {
     // manifest presence = this is a writeSignatureIndex layout; fail
     // loudly otherwise instead of tombstoning a non-index
-    val spark = removeIds.sparkSession
-    readManifest(spark, indexPath): Unit
-    removeIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .coalesce(1)
-      .write.mode("append").parquet(s"$indexPath/tombstones")
-    val fs = hadoopFs(spark, indexPath)
-    val files = fs.listStatus(tombstonePath(indexPath)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (files.size >= TombstoneFoldMinFiles) {
-      // settle first (the fold reads the table it appends to), write the
-      // consolidated file, THEN drop exactly the pre-fold files
-      val folded = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
-        .distinct().localCheckpoint(true)
-      folded.coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
-      files.foreach(f => fs.delete(f.getPath, false): Unit)
-    }
-  }
-
-  /** On-disk size of the tombstone table (bytes); 0 when absent. */
-  private def tombstoneBytes(spark: org.apache.spark.sql.SparkSession,
-                             indexPath: String): Long = {
-    val fs = hadoopFs(spark, indexPath)
-    if (!fs.exists(tombstonePath(indexPath))) 0L
-    else fs.listStatus(tombstonePath(indexPath)).toSeq
-      .filter(_.isFile).map(_.getLen).sum
+    readManifest(removeIds.sparkSession, indexPath): Unit
+    tombVector(indexPath).append(removeIds.select(col("doc_id")),
+      TombstoneFoldMinFiles)
   }
 
   /** Filters logically-forgotten docs out of `df` — a no-op plan when the
     * index has no tombstone table, so tombstone-free probes keep their
-    * exact shape. The anti-join BROADCASTS the tombstone set only while
-    * the table is under the manifest's `tombMaxBytes` threshold; past it
-    * — pathological retraction volume with compaction overdue — the plan
-    * falls back to a shuffle anti-join instead of materializing an
-    * unbounded set on the driver (same verdicts, spec-pinned). */
+    * exact shape. Broadcast below the manifest's `tombMaxBytes`
+    * threshold, forced shuffle-hash past it (pathological retraction
+    * volume with compaction overdue — same verdicts, spec-pinned; see
+    * [[ShardedStore.DeletionVector.anti]]). */
   private def antiTombstoned(df: DataFrame, indexPath: String): DataFrame = {
-    val spark = df.sparkSession
-    if (!hadoopFs(spark, indexPath).exists(tombstonePath(indexPath))) df
-    else {
-      val tombs = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
-      // past the threshold the hint must FORCE the shuffle plan — without
-      // it the planner's size estimate could still pick a broadcast and
-      // re-open the driver-memory cliff the guard exists to close
-      val guarded =
-        if (tombstoneBytes(spark, indexPath) <=
-            tombstoneBroadcastLimit(spark, indexPath)) broadcast(tombs)
-        else tombs.hint("shuffle_hash")
-      df.join(guarded, Seq("doc_id"), "left_anti")
-    }
-  }
-
-  /** Removes `ids`' rows from the tombstone table — the re-ingest path's
-    * un-forget step. Crash-safe by the append-only idiom: the kept rows
-    * are settled, written as a NEW file, and only then are the pre-write
-    * files dropped — every intermediate state is a superset of some
-    * consistent tombstone set, so a doc still meant to be forgotten never
-    * loses its row. */
-  private def untombstone(ids: DataFrame, indexPath: String): Unit = {
-    val spark = ids.sparkSession
-    val fs = hadoopFs(spark, indexPath)
-    if (!fs.exists(tombstonePath(indexPath))) return
-    val before = fs.listStatus(tombstonePath(indexPath)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    val kept = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
-      .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
-      .distinct().localCheckpoint(true)
-    if (!kept.isEmpty)
-      kept.coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
-    before.foreach(p => fs.delete(p, false): Unit)
+    val dv = tombVector(indexPath)
+    if (!dv.exists(df.sparkSession)) df
+    else dv.anti(df, tombstoneBroadcastLimit(df.sparkSession, indexPath))
   }
 
   /** Compacts a persisted [[writeSignatureIndex]] layout: every APPEND
@@ -637,15 +580,15 @@ object DedupOps {
     // tombstoned — anti-joins no-op, and the next compaction finishes the
     // drop (idempotent). Single maintenance writer assumed, as for every
     // index-mutating op here (the foreachBatch serial contract).
-    if (fs.exists(tombstonePath(indexPath))) {
-      val ids = spark.read.schema(tombSchema).parquet(s"$indexPath/tombstones")
+    if (tombVector(indexPath).exists(spark)) {
+      val ids = tombVector(indexPath).ids(spark)
         .distinct().localCheckpoint(true) // settled: the purge outlives the table
       if (!ids.isEmpty) {
         val m = readManifest(spark, indexPath)
         removeFromSignatureIndex(ids, indexPath,
           m.nPerm, m.nBands, m.rowsPerBand, m.nParts)
       }
-      fs.delete(tombstonePath(indexPath), true): Unit
+      tombVector(indexPath).drop(spark)
     }
     // stage every crowded shard of BOTH tables first, then one commit
     // boundary covers all the swaps (ShardedStore protocol)

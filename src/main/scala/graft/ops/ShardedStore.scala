@@ -235,6 +235,91 @@ object ShardedStore {
     }
   }
 
+  // ----- deletion vector ------------------------------------------------------
+  //
+  // The logical-forget idiom shared by the signature index and the IVF
+  // index: retraction appends ids to a tiny table (O(|F|) write I/O,
+  // corpus-independent), probes anti-join it (broadcast below a size
+  // threshold, FORCED shuffle-hash above — the planner's own estimate
+  // could still broadcast an unbounded set), and a maintenance pass
+  // settles the debt physically. Appends FOLD the table once it
+  // accumulates `foldMinFiles` files; folds and removals follow the
+  // append-then-delete-old idiom, so every crash point leaves a SUPERSET
+  // of the intended rows — a forgotten id never becomes matchable early.
+
+  /** One deletion vector: its directory and its id column name. */
+  final case class DeletionVector(dir: String, idCol: String) {
+    private def schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"$idCol BIGINT")
+
+    def exists(spark: org.apache.spark.sql.SparkSession): Boolean =
+      fs(spark, dir).exists(hp(dir))
+
+    /** On-disk bytes; 0 when absent. */
+    def bytes(spark: org.apache.spark.sql.SparkSession): Long =
+      if (!exists(spark)) 0L
+      else fs(spark, dir).listStatus(hp(dir)).toSeq.filter(_.isFile).map(_.getLen).sum
+
+    def ids(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.read.schema(schema).parquet(dir)
+
+    private def parquetFiles(spark: org.apache.spark.sql.SparkSession) =
+      fs(spark, dir).listStatus(hp(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+
+    /** Append `newIds` (single `idCol` column or coercible); folds to one
+      * file at `foldMinFiles`. Idempotent under replay (duplicates are
+      * harmless to the anti-joins and collapsed at the next fold). */
+    def append(newIds: DataFrame, foldMinFiles: Int = 4): Unit = {
+      val spark = newIds.sparkSession
+      newIds.select(col(idCol).cast("long").as(idCol)).distinct()
+        .coalesce(1).write.mode("append").parquet(dir)
+      val files = parquetFiles(spark)
+      if (files.size >= foldMinFiles) {
+        // settle first (the fold reads the table it appends to), write
+        // the consolidated file, THEN drop exactly the pre-fold files
+        val folded = ids(spark).distinct().localCheckpoint(true)
+        folded.coalesce(1).write.mode("append").parquet(dir)
+        files.foreach(p => fs(spark, dir).delete(p, false): Unit)
+      }
+    }
+
+    /** Anti-join `df` against the vector on `idCol` — a no-op plan when
+      * the vector is absent, broadcast below `maxBroadcastBytes`, forced
+      * shuffle-hash above. */
+    def anti(df: DataFrame, maxBroadcastBytes: Long): DataFrame = {
+      val spark = df.sparkSession
+      if (!exists(spark)) df
+      else {
+        val t = ids(spark)
+        val guarded =
+          if (bytes(spark) <= maxBroadcastBytes) broadcast(t)
+          else t.hint("shuffle_hash")
+        df.join(guarded, Seq(idCol), "left_anti")
+      }
+    }
+
+    /** Remove `dropIds`' rows (the re-ingest path's un-forget step):
+      * settled kept rows land as a NEW file before the pre-write files
+      * drop — every intermediate state is a superset. */
+    def remove(dropIds: DataFrame): Unit = {
+      val spark = dropIds.sparkSession
+      if (!exists(spark)) return
+      val before = parquetFiles(spark)
+      val kept = ids(spark)
+        .join(broadcast(dropIds.select(col(idCol))), Seq(idCol), "left_anti")
+        .distinct().localCheckpoint(true)
+      if (!kept.isEmpty) kept.coalesce(1).write.mode("append").parquet(dir)
+      before.foreach(p => fs(spark, dir).delete(p, false): Unit)
+    }
+
+    /** Drop the whole vector (after a physical purge settled the debt). */
+    def drop(spark: org.apache.spark.sql.SparkSession): Unit = {
+      fs(spark, dir).delete(hp(dir), true): Unit
+    }
+  }
+
   private def rollBack(f: org.apache.hadoop.fs.FileSystem, t: Table): Unit = {
     listOldPts(f, t).foreach { pt =>
       val live = hp(s"${t.dir}/${t.ptCol}=$pt")

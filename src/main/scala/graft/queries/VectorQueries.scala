@@ -1053,8 +1053,11 @@ object VectorQueries {
     * search-before-insert ordering and the batch_id layout) is
     * cross-engine hash-checked per run, not just spec-pinned.
     *
-    * Protocol: corpus = vec_id % 5 != 0; batch 1 = % 5 == 0 ∧ < 500;
-    * batch 2 = % 5 == 0 ∧ [500, 1000). */
+    * Protocol: corpus = vec_id % 5 != 0; batch 1 = % 5 == 0 ∧ < 250;
+    * batch 2 = % 5 == 0 ∧ [250, 500) — splits chosen INSIDE the
+    * fixture's vec_id range (0–499), so the final probe carries real
+    * queries (the r15 [500, 1000) split made batch 2 empty and the
+    * entry's hash check vacuous — 0 rows on both engines). */
   val annDeltaEvolve: Q = new Q {
     val name = "ann_delta_evolve"
     def run(spark: SparkSession, dir: String): DataFrame = {
@@ -1070,11 +1073,11 @@ object VectorQueries {
       val indexPath = graft.ops.Staging.once(
           "/tmp/graft_ann_index", dir, "ivf_evolve") { p =>
         ivfSearchInsertBatch(emb.where(col("vec_id") % 5 =!= 0), p, batchId = 0L)
-        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 500),
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 250),
           p, batchId = 1L): Unit
       }
       ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 &&
-          col("vec_id") >= 500 && col("vec_id") < 1000),
+          col("vec_id") >= 250 && col("vec_id") < 500),
         indexPath, batchId = 2L)
         .orderBy("q_id", "rank")
     }
@@ -1087,7 +1090,7 @@ object VectorQueries {
          |  SELECT vec_id, embedding FROM cor
          |  UNION ALL
          |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 5 = 0 AND vec_id < 500),
+         |  WHERE vec_id % 5 = 0 AND vec_id < 250),
          |s AS (
          |  SELECT e.vec_id, e.embedding, c.c_id,
          |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
@@ -1098,7 +1101,103 @@ object VectorQueries {
          |    FROM s) t WHERE rn = 1),
          |q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-         |  WHERE vec_id % 5 = 0 AND vec_id >= 500 AND vec_id < 1000),
+         |  WHERE vec_id % 5 = 0 AND vec_id >= 250 AND vec_id < 500),
+         |qs AS (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM q CROSS JOIN c),
+         |probes AS (
+         |  SELECT q_id, q_vec, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM qs) t WHERE rn <= $NProbe),
+         |sc AS (
+         |  SELECT q_id, a.vec_id AS c_id2,
+         |    ${sqlDot("q_vec", "a.embedding")} / (${sqlNorm("q_vec")} * ${sqlNorm("a.embedding")}) AS cosine_sim
+         |  FROM assigned a JOIN probes USING (centroid_id)
+         |  WHERE q_id <> a.vec_id),
+         |r AS (
+         |  SELECT q_id, c_id2, cosine_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id2) AS rank
+         |  FROM sc)
+         |SELECT q_id, c_id2 AS c_id, CAST(rank AS BIGINT) AS rank,
+         |       CAST(round(cosine_sim * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+  }
+
+  /** Right-to-be-forgotten for the VECTOR index — the retraction step
+    * [[annDeltaEvolve]]'s lifecycle was missing (the text index has had
+    * physical + logical forget since r13/r15; vectors had none): after
+    * bootstrap + batch-1 insert, a forget batch appends the retraction
+    * set to the index's deletion vector
+    * ([[graft.streaming.StreamingOps.forgetVectorsBatch]] — O(|F|)
+    * write, corpus-independent), and batch 2's search must behave as if
+    * the forgotten vectors were NEVER INSERTED: a query whose best
+    * partner was forgotten surfaces its next-best surviving neighbor.
+    * The oracle recomputes the whole protocol from scratch with the
+    * forget set excluded from the indexed side — a stale posting row
+    * that stays matchable (or an over-eager filter that hides a
+    * survivor) hash-fails the round.
+    *
+    * Protocol: corpus = vec_id % 5 != 0; batch 1 = % 5 == 0 ∧ < 250;
+    * forget = (corpus ∪ batch 1) members with vec_id % 9 == 1 — but
+    * never centroid seeds (c_id stride rule), so the cell geometry stays
+    * identical and the oracle's centroid CTE is unchanged; batch 2 =
+    * % 5 == 0 ∧ [250, 500). Scale shape: the forget itself is a tiny
+    * append + a column-pruned presence audit; the probe adds one
+    * broadcast anti-join bounded by retraction volume between
+    * maintenance passes (refresh purges physically for free). */
+  val annDeltaForget: Q = new Q {
+    val name = "ann_delta_forget"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.streaming.StreamingOps.{forgetVectorsBatch, ivfSearchInsertBatch}
+      val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val isForgot = col("vec_id") % 9 === 1 &&
+        !(col("vec_id") % IvfStride === 0 && col("vec_id") < IvfCentCap) &&
+        (col("vec_id") % 5 =!= 0 || col("vec_id") < 250)
+      // bootstrap + batch-1 insert + the FORGET once per JVM: production
+      // pays the retraction when the deletion request arrives; the
+      // per-invocation cost is batch 2's search+insert, whose re-run is
+      // the op's replay path (own-batch partition excluded, dynamic
+      // overwrite of its own dirs)
+      val indexPath = graft.ops.Staging.once(
+          "/tmp/graft_ann_index", dir, "ivf_forget") { p =>
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 =!= 0), p, batchId = 0L)
+        ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 250),
+          p, batchId = 1L)
+        forgetVectorsBatch(emb.where(isForgot).select("vec_id"), p): Unit
+      }
+      ivfSearchInsertBatch(emb.where(col("vec_id") % 5 === 0 &&
+          col("vec_id") >= 250 && col("vec_id") < 500),
+        indexPath, batchId = 2L)
+        .orderBy("q_id", "rank")
+    }
+    // annDeltaEvolve's oracle with the forgotten vectors excluded from
+    // the INDEXED side (centroid seeds are protected by the forget
+    // predicate, so the cell geometry is shared verbatim)
+    val oracle = Some(
+      s"""WITH cor AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |c AS (
+         |  SELECT vec_id AS c_id, embedding AS c_vec FROM cor
+         |  WHERE vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap),
+         |indexed AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT vec_id, embedding FROM cor
+         |    UNION ALL
+         |    SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id % 5 = 0 AND vec_id < 250) t
+         |  WHERE NOT (vec_id % 9 = 1
+         |    AND NOT (vec_id % $IvfStride = 0 AND vec_id < $IvfCentCap))),
+         |s AS (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    ${sqlDot("e.embedding", "c_vec")} / (${sqlNorm("e.embedding")} * ${sqlNorm("c_vec")}) AS cs
+         |  FROM indexed e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, c_id AS centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+         |    FROM s) t WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND vec_id >= 250 AND vec_id < 500),
          |qs AS (
          |  SELECT q.q_id, q.q_vec, c.c_id,
          |    ${sqlDot("q_vec", "c_vec")} / (${sqlNorm("q_vec")} * ${sqlNorm("c_vec")}) AS cs
@@ -2427,6 +2526,7 @@ object VectorQueries {
     dedupEmbeddingClusters, dedupEmbeddingKeepCanonical, qEmbeddingDrift,
     annFilteredTopk, qAnnFilteredRecall,
     ivfAssign, annIvfTopk, annIvfMpTopk, annDeltaTopk, annDeltaEvolve,
+    annDeltaForget,
     annRecallEvolution, annRefreshRecall, annRecallAtK, qAnnNprobeSweep,
     kmeansClusters,
     embedQuantize, pqCodes, annPqAdcTopk, hybridSearchTopk, annLabelConsistency,

@@ -435,6 +435,96 @@ object StreamingOps {
       batch.select(col("doc_id").cast("long").as("doc_id")), storePath, nParts)
   }
 
+  private val ivfPostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
+
+  /** The IVF index's deletion vector — INDEX-level, not per-generation
+    * (vec_ids persist across a refresh; the refresh is also where the
+    * debt is settled physically). Same idiom as the signature index's
+    * tombstones ([[graft.ops.ShardedStore.DeletionVector]]). */
+  private def vecTombs(indexPath: String) =
+    graft.ops.ShardedStore.DeletionVector(s"$indexPath/tombstones", "vec_id")
+
+  /** Streaming right-to-be-forgotten for the VECTOR index — the
+    * retraction twin of [[ivfSearchInsertBatch]] and the IVF mirror of
+    * [[forgetBatchLogical]]: each micro-batch of deletion-request
+    * `vec_id` rows is appended to the index's deletion vector (O(|batch|)
+    * write, corpus-independent); every later search anti-joins it, so the
+    * vectors are unmatchable from this batch on. Physical purge happens
+    * at the next [[refreshCentroids]] (which rewrites every posting
+    * anyway — the purge is FREE there and the table is dropped after the
+    * repoint) and incrementally at [[compactPostings]] (the merged
+    * horizon is written tombstone-free; the table survives because rows
+    * above the horizon may remain).
+    *
+    * Returns one SETTLED (vec_id, was_indexed) receipt row per distinct
+    * batch id, checkpointed before the mutation — the audit reads ONE
+    * column of the postings (column-pruned vec_id scan; the embedding
+    * payload, which dominates postings bytes, is never read), the one
+    * rows-proportional step of this path. Replay-safe: re-tombstoning is
+    * idempotent and a retried batch's receipt reports was_indexed=false
+    * for already-forgotten ids — monotone in the safe direction. */
+  def forgetVectorsBatch(batch: DataFrame, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    recoverIndex(spark, indexPath)
+    val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    val postingsDir = currentGeneration(spark, indexPath)
+      .map(g => s"${generationDir(indexPath, g)}/postings")
+      .filter(p => fsOf(spark, indexPath).exists(hPath(p)))
+    val present = postingsDir match {
+      case Some(p) => vecTombs(indexPath).anti(
+          spark.read.schema(ivfPostingsSchema).parquet(p).select("vec_id")
+            .join(broadcast(ids), Seq("vec_id"), "left_semi"),
+          graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
+        .distinct().withColumn("was_indexed", lit(true))
+      case None => ids.where(lit(false)).withColumn("was_indexed", lit(true))
+    }
+    val receipt = ids.join(present, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("was_indexed"), lit(false)).as("was_indexed"))
+      .localCheckpoint(true)
+    vecTombs(indexPath).append(ids)
+    receipt
+  }
+
+  /** Physically removes `ids`' posting rows from one generation — the
+    * RE-INGEST path's purge ([[ivfSearchInsertBatch]] calls it for batch
+    * ids that are tombstoned): without it, the re-inserted vector's old
+    * row would resurface beside the new one once the tombstone clears.
+    * Touched (cell, batch) dirs are found with a vec_id-column scan
+    * (re-ingest-sized output), their kept rows are SETTLED, rewritten via
+    * dynamic overwrite, and emptied dirs retired; crash anywhere leaves
+    * the ids still tombstoned (the caller removes tombstones LAST), so a
+    * retry converges. */
+  private def purgeVectors(spark: org.apache.spark.sql.SparkSession,
+                           genDir: String, ids: DataFrame): Unit = {
+    val postingsPath = s"$genDir/postings"
+    if (!fsOf(spark, genDir).exists(hPath(postingsPath))) return
+    val posts = spark.read.schema(ivfPostingsSchema).parquet(postingsPath)
+    val touched = posts.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select("centroid_id", "batch_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (touched.isEmpty) return
+    val dirsPred = touched.map { case (c, b) =>
+      col("centroid_id") === c && col("batch_id") === b }.reduce(_ || _)
+    val kept = posts.where(dirsPred)
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .select("centroid_id", "vec_id", "embedding", "batch_id")
+      .localCheckpoint(true) // settled BEFORE the overwrite mutates its source
+    kept.repartition(col("centroid_id"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("centroid_id", "batch_id")
+      .parquet(postingsPath)
+    // a touched dir whose kept content is EMPTY was not rewritten by the
+    // dynamic overwrite — retire it explicitly
+    val keptDirs = kept.select("centroid_id", "batch_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fs = fsOf(spark, genDir)
+    touched.filterNot(keptDirs).foreach { case (c, b) =>
+      fs.delete(hPath(s"$postingsPath/centroid_id=$c/batch_id=$b"), true): Unit }
+  }
+
   /** Streaming IVF search-then-insert via foreachBatch against a
     * persisted, cell-partitioned vector index — the search-side sibling
     * of [[deltaDedupVerifiedBatch]] and the streaming twin of
@@ -499,6 +589,22 @@ object StreamingOps {
     }
     val genDir = generationDir(indexPath,
       currentGeneration(spark, indexPath).get)
+    // RE-INGEST of a tombstoned vec_id (forgotten, purge pending): purge
+    // its stale posting rows first, then clear its tombstone — otherwise
+    // the new row would be invisible until the next refresh and the old
+    // one would resurface beside it afterwards (the mirror of the
+    // signature index's append-path fix; crash between the two steps
+    // leaves the id purged AND tombstoned — consistent, replay converges)
+    if (vecTombs(indexPath).exists(spark)) {
+      val reIngest = vecTombs(indexPath).ids(spark)
+        .join(broadcast(batch.select(col("vec_id").cast("long").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .distinct().localCheckpoint(true)
+      if (!reIngest.isEmpty) {
+        purgeVectors(spark, genDir, reIngest)
+        vecTombs(indexPath).remove(reIngest)
+      }
+    }
     val cents = spark.read.parquet(s"$genDir/centroids")
     val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
     val ranked = batch.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -515,11 +621,15 @@ object StreamingOps {
       val cells = ranked.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSeq
       val wR = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
-      spark.read.schema(postingsSchema).parquet(s"$genDir/postings")
-        // a REPLAYED batch must not see its own failed attempt's rows —
-        // without this partition filter, batch-internal pairs would leak
-        // into the replayed hits (self-pairs alone are not the issue)
-        .where(col("batch_id") =!= batchId && col("centroid_id").isin(cells: _*))
+      // logically-forgotten vectors must not act as partners: anti-join
+      // the deletion vector (plan-neutral when none exist)
+      vecTombs(indexPath).anti(
+        spark.read.schema(postingsSchema).parquet(s"$genDir/postings")
+          // a REPLAYED batch must not see its own failed attempt's rows —
+          // without this partition filter, batch-internal pairs would leak
+          // into the replayed hits (self-pairs alone are not the issue)
+          .where(col("batch_id") =!= batchId && col("centroid_id").isin(cells: _*)),
+        graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
         .join(broadcast(ranked), Seq("centroid_id"))
         .where(col("q_id") =!= col("vec_id")) // belt-and-braces vs own rows
         .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), dim))
@@ -600,8 +710,15 @@ object StreamingOps {
     if (batchDirs.size <= batchDirs.map(_.getParent.getName).distinct.size) return false
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
-    spark.read.schema(schema).parquet(s"$indexPath/postings")
-      .where(col("batch_id") <= upToBatchId)
+    // the merged horizon is written TOMBSTONE-FREE (incremental purge,
+    // free inside a rewrite that happens anyway); the deletion vector
+    // itself survives — rows ABOVE the horizon may still carry
+    // tombstoned ids, and only the refresh rewrites everything
+    val genRoot = hPath(indexPath).getParent.toString // <index> above g=N
+    vecTombs(genRoot)
+      .anti(spark.read.schema(schema).parquet(s"$indexPath/postings")
+          .where(col("batch_id") <= upToBatchId),
+        graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
       .select(col("centroid_id"), col("vec_id"), col("embedding"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -712,8 +829,14 @@ object StreamingOps {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
     // persisted: every Lloyd iteration scans the postings (plus the final
-    // reassignment write) — one parquet read instead of iters + 1
-    val posts = spark.read.schema(schema).parquet(s"$genDir/postings").persist()
+    // reassignment write) — one parquet read instead of iters + 1.
+    // Tombstoned vectors are excluded from BOTH the fit and the new
+    // generation (retracted content must not shape centroids): the
+    // refresh is the vector index's free physical purge, and the
+    // deletion vector is dropped after the repoint below.
+    val posts = vecTombs(indexPath).anti(
+      spark.read.schema(schema).parquet(s"$genDir/postings"),
+      graft.ops.DedupOps.DefaultTombstoneBroadcastBytes).persist()
     val k = spark.read.parquet(s"$genDir/centroids").count().toInt
     val unit = { // L2-normalize in-row (codegen dot; no shuffle)
       val nrm = sqrt(graft.expressions.F.dot(col("embedding"), col("embedding")))
@@ -748,6 +871,13 @@ object StreamingOps {
     newCents.write.mode("overwrite").parquet(s"$next/centroids")
     touch(fs, s"$next/_GEN_OK") // sealed: recovery now rolls FORWARD
     writeGenPointer(spark, indexPath, cur + 1)
+    // the new generation is tombstone-free: the debt is settled, drop the
+    // vector (a crash before this leaves purged rows + live tombstones —
+    // anti-joins no-op on them; the next refresh or forget converges it).
+    // Lookback caveat (documented contract): a reader still pinned to the
+    // PREVIOUS generation loses the tombstone filter from here — fine
+    // under the foreachBatch serial-writer contract this index assumes.
+    vecTombs(indexPath).drop(spark)
     // prune generations older than the immediate predecessor; `cur`
     // itself stays as the in-flight readers' lookback until next refresh
     fs.listStatus(p(indexPath)).toSeq.map(_.getPath.getName)
@@ -1244,6 +1374,7 @@ object StreamingOps {
     "forgetBatch" -> "driver presence check + post-removal index content vs a batch-side recompute",
     "forgetBatchLogical" -> "physical-forget equivalence: receipts and probe verdicts match forgetBatch; compaction purge converges the files",
     "ivfSearchInsertBatch" -> "in-memory batch replay of the search-then-insert protocol",
+    "forgetVectorsBatch" -> "post-forget hits equal a never-inserted twin index; receipts classify indexed/absent; re-ingest re-admits",
     "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
     "streamIntervalJoin" -> "inline batch join with the same interval predicate",
     "sessionWindowCounts" -> "q_session_window_sql",

@@ -75,6 +75,22 @@ class Wave38QueriesSpec extends SparkSpec {
     assert(extOwners.size == byCluster.size, "an ext id is shared by two components")
   }
 
+  test("ann_delta_forget: retraction displaced real partners and no forgotten vector surfaces") {
+    import graft.queries.VectorQueries
+    val noForget = VectorQueries.annDeltaEvolve.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val withForget = VectorQueries.annDeltaForget.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(noForget.nonEmpty && withForget.nonEmpty, "empty probes — vacuous")
+    def isForgot(id: Long) = id % 9 == 1 && !(id % 41 == 0 && id < 1312)
+    assert(noForget.exists(h => isForgot(h._2)),
+      "no forgotten id was ever a partner — the forget had nothing to displace")
+    assert(!withForget.exists(h => isForgot(h._2)),
+      "a forgotten vector surfaced as a partner after the forget")
+    assert(noForget.toSet != withForget.toSet,
+      "forget changed nothing — vacuous")
+  }
+
   test("q_dedup_recall_forget: the purge left no forgotten trace in either index table") {
     // the entry's staged lifecycle index is shared per-JVM; drive it once
     DedupQueries.dedupRecallForget.run(spark, dir).count()

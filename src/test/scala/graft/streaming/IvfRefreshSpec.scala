@@ -76,6 +76,48 @@ class IvfRefreshSpec extends SparkSpec {
     m * 10000 / (TopK * queries.size)
   }
 
+  test("forgotten vectors: refresh purges them for free and drops the deletion vector; compaction purges the merged horizon") {
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("ivf_fgt").toString + "/index"
+    ivfSearchInsertBatch(corpus.toDF("vec_id", "embedding"), indexPath, batchId = 0L)
+    ivfSearchInsertBatch(drifted.take(50).toDF("vec_id", "embedding"),
+      indexPath, batchId = 1L)
+    ivfSearchInsertBatch(drifted.drop(50).toDF("vec_id", "embedding"),
+      indexPath, batchId = 2L)
+    val gone = Seq(7L, 13L, 421L, 473L) // corpus + both drifted batches
+    forgetVectorsBatch(gone.toDF("vec_id"), indexPath).count()
+    def postings() = spark.read.parquet(
+      s"${StreamingOps.resolveIndex(spark, indexPath)}/postings")
+    // still on disk (logical forget), but unmatchable: a probe AT one of
+    // the forgotten vectors must not return it
+    assert(postings().where(col("vec_id").isin(gone: _*)).count() == gone.size)
+    val probeAtGone = ivfSearchInsertBatch(
+      Seq((2000007L, corpus(7)._2)).toDF("vec_id", "embedding"),
+      indexPath, batchId = 8L)
+      .collect().map(_.getLong(1)).toSet
+    assert(probeAtGone.nonEmpty && !probeAtGone.exists(gone.contains),
+      s"forgotten vector surfaced as a partner: $probeAtGone")
+    // compaction purges the merged horizon (batches <= 1) but keeps the
+    // deletion vector (batch-2 rows may still carry tombstoned ids)
+    compactPostings(spark, indexPath, upToBatchId = 1L)
+    val afterCompact = postings().where(col("vec_id").isin(gone: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterCompact == Set(473L),
+      s"horizon purge wrong: $afterCompact (only the batch-2 row should survive)")
+    assert(new java.io.File(s"$indexPath/tombstones").exists,
+      "compaction must NOT drop the deletion vector")
+    // refresh rewrites everything: zero forgotten rows in the new
+    // generation, centroids fitted without them, vector dropped
+    refreshCentroids(spark, indexPath)
+    assert(postings().where(col("vec_id").isin(gone: _*)).count() == 0,
+      "refresh left forgotten rows in the new generation")
+    assert(!new java.io.File(s"$indexPath/tombstones").exists,
+      "refresh settled the debt but kept the deletion vector")
+    // survivors intact
+    assert(postings().select("vec_id").distinct().count() ==
+      corpus.size + drifted.size + 1 - gone.size) // +1: the probe insert
+  }
+
   test("refreshCentroids: content preserved, cells rebuilt, recall >= frozen (and recovers on the drifted cluster)") {
     val indexPath =
       java.nio.file.Files.createTempDirectory("ivf_refresh").toString + "/index"

@@ -85,6 +85,7 @@ class StreamingParitySpec extends SparkSpec {
     "forgetBatch" -> (() => forgetBatchParity()),
     "forgetBatchLogical" -> (() => forgetBatchLogicalParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
+    "forgetVectorsBatch" -> (() => forgetVectorsParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
     "sessionWindowCounts" -> (() => sessionWindowParity()),
@@ -505,6 +506,66 @@ class StreamingParitySpec extends SparkSpec {
     DedupOps.compactSignatureIndex(spark, phys)
     assert(tableIds(logi, "sigs") == tableIds(phys, "sigs"),
       "post-re-ingest compaction diverged from the physical twin")
+  }
+
+  private def forgetVectorsParity(): Unit = {
+    // vector retraction vs a twin index that NEVER saw the forgotten
+    // vectors: post-forget searches must be indistinguishable, receipts
+    // must classify indexed/absent, replays must be no-ops, and a
+    // re-ingest must re-admit (tombstone cleared, stale rows purged)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    def dfv(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("p_vforget").toString
+    val logi = s"$root/logi"; val twin = s"$root/twin"
+    // forget set: inserted batch-2 ids (never centroid seeds — centroids
+    // come from batch 1's bootstrap) plus ids never indexed
+    val gone = b2.map(_._1).filter(_ % 3 == 1).take(5).toSeq
+    val absent = (1L to 3L).map(vecs.map(_._1).max + _)
+    assert(gone.nonEmpty)
+    ivfSearchInsertBatch(dfv(b1.toSeq), logi, batchId = 1L)
+    ivfSearchInsertBatch(dfv(b2.toSeq), logi, batchId = 2L)
+    ivfSearchInsertBatch(dfv(b1.toSeq), twin, batchId = 1L)
+    ivfSearchInsertBatch(dfv(b2.toSeq.filterNot(v => gone.contains(v._1))),
+      twin, batchId = 2L)
+    val receipt = forgetVectorsBatch((gone ++ absent).toDF("vec_id"), logi)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gone.forall(receipt(_) == true) && absent.forall(receipt(_) == false),
+      s"vector forget receipt misclassified: $receipt")
+    // probes (fresh ids so they insert cleanly on both): hits identical
+    val probe = vecs.takeRight(12).map { case (id, v) => (id + 1000000L, v) }
+    def hits(rootP: String, bid: Long) = ivfSearchInsertBatch(
+      dfv(probe.toSeq), rootP, batchId = bid)
+      .collect().map(_.toSeq.toList).toSet
+    assert(hits(logi, 9L) == hits(twin, 9L),
+      "post-forget search distinguishable from the never-inserted twin")
+    assert(hits(logi, 9L).nonEmpty, "probe found nothing — vacuous")
+    // replayed forget: all-false receipt (monotone-safe), nothing changes
+    val replay = forgetVectorsBatch((gone ++ absent).toDF("vec_id"), logi)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(replay.values.forall(!_))
+    // RE-INGEST the forgotten vectors: both twins converge again — the
+    // logical index purges the stale rows and clears the tombstones
+    val goneVecs = b2.filter(v => gone.contains(v._1))
+    ivfSearchInsertBatch(dfv(goneVecs.toSeq), logi, batchId = 10L)
+    ivfSearchInsertBatch(dfv(goneVecs.toSeq), twin, batchId = 10L)
+    assert(hits(logi, 11L) == hits(twin, 11L),
+      "re-ingest left the twins distinguishable")
+    val gl = StreamingOps.resolveIndex(spark, logi)
+    val logiRows = spark.read.parquet(s"$gl/postings")
+      .where(col("vec_id").isin(gone: _*)).count()
+    assert(logiRows == gone.size,
+      s"expected exactly one posting row per re-ingested id, got $logiRows")
+    val tombs = new java.io.File(s"$logi/tombstones")
+    if (tombs.exists) {
+      val left = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+        .parquet(tombs.getPath).as[Long].collect().toSet
+      assert(!left.exists(gone.contains),
+        "re-ingest left the ids' tombstone rows behind")
+    }
   }
 
   private def ivfSearchInsertParity(): Unit = {
