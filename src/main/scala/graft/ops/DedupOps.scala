@@ -1116,10 +1116,21 @@ object DedupOps {
     * size. */
   def forgetFromClusterStore(removeIds: DataFrame, storePath: String,
                              nParts: Int = IndexParts,
-                             driverPairLimit: Long = 1000000L): DataFrame = {
+                             driverPairLimit: Long = 1000000L,
+                             allocEpoch: Option[Long] = None): DataFrame = {
     val spark = removeIds.sparkSession
     import spark.implicits._
     recoverClusterStore(spark, storePath)
+    // a STABLE store (mergeClustersStable) keeps per-cluster external-id
+    // allocations keyed by the current label; a forget that relabels or
+    // splits components MUST repair them in the same commit boundary, and
+    // split remainders need an allocation epoch — fail loudly rather than
+    // silently strand alloc rows under vanished labels
+    val allocExists = hadoopFs(spark, storePath)
+      .exists(ShardedStore.hp(s"$storePath/alloc"))
+    require(!allocExists || allocEpoch.isDefined,
+      s"cluster store at $storePath carries stable-id allocations — pass " +
+        "allocEpoch so split remainders can allocate new external ids")
     val mParts = readClusterManifest(spark, storePath)
     require(mParts == nParts,
       s"cluster store at $storePath has nParts=$mParts, caller supplied $nParts" +
@@ -1153,7 +1164,7 @@ object DedupOps {
       .parquet(s"$storePath/by_cluster")
       .where(col("cluster_pt").isin(apts: _*))
       .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
-      .select("doc_id").localCheckpoint(true)
+      .select("cluster_id", "doc_id").localCheckpoint(true)
     val edgesA = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
       .where(col("cluster_pt").isin(apts: _*))
       .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
@@ -1178,7 +1189,7 @@ object DedupOps {
     // stage all three tables, then one commit boundary
     val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
       .where(col("doc_pt").isin(memberPts: _*))
-      .join(members, Seq("doc_id"), "left_anti") // every affected row out
+      .join(members.select("doc_id"), Seq("doc_id"), "left_anti") // affected rows out
       .select("doc_id", "cluster_id")
       .unionByName(newLabels)                    // survivors back, relabeled
       .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
@@ -1202,10 +1213,56 @@ object DedupOps {
         .select("cluster_id", "id_l", "id_r"))
       .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
     ShardedStore.stage(edgesKept, edgesT, math.min(nParts, cPts.size), cPts)
+    // alloc repair (stable stores only), staged under the SAME commit
+    // boundary: every affected old label's row is dropped; each surviving
+    // sub-component either INHERITS the old component's (ext_id, ep) —
+    // the min-new-label sub-component wins, deterministically — or
+    // allocates fresh at `allocEpoch`. A vanished component's row simply
+    // drops. ext-id uniqueness contract: unique among live allocations
+    // as long as forgotten doc ids are not re-ingested as new component
+    // seeds (doc ids are stable external identities — the natural
+    // contract; a re-used id could re-allocate an ext an old component
+    // still holds).
+    val allocT = clusterTables(storePath).last
+    val allocPtsOpt = if (!allocExists) None else {
+      val oldToNew = members
+        .join(newLabels.withColumnRenamed("cluster_id", "new_label"), Seq("doc_id"))
+        .select(col("cluster_id"), col("new_label")).distinct()
+        .localCheckpoint(true)
+      val nMap = oldToNew.count()
+      require(nMap <= driverPairLimit,
+        s"forgetFromClusterStore: $nMap (old,new) label pairs exceeds " +
+          s"driverPairLimit=$driverPairLimit — split the forget batch")
+      val mapping = oldToNew.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val existing: Map[Long, (Long, Long)] = spark.read.schema(allocSchema)
+        .parquet(s"$storePath/alloc")
+        .where(col("alloc_pt").isin(apts: _*))
+        .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
+        .select("cluster_id", "ext_id", "ep")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val newRows = mapping.groupBy(_._1).toSeq.flatMap { case (old, subs) =>
+        val winner = subs.map(_._2).min
+        subs.map(_._2).distinct.map { nl =>
+          if (nl == winner && existing.contains(old)) {
+            val (ext, ep) = existing(old); (nl, ext, ep)
+          } else (nl, nl, allocEpoch.get)
+        }
+      }
+      val aPts = (apts ++ newRows.map(r => (((r._1 % nParts) + nParts) % nParts).toInt)).distinct
+      val allocKept = spark.read.schema(allocSchema).parquet(s"$storePath/alloc")
+        .where(col("alloc_pt").isin(aPts: _*))
+        .join(broadcast(affDf), Seq("cluster_id"), "left_anti")
+        .select("cluster_id", "ext_id", "ep")
+        .unionByName(newRows.toDF("cluster_id", "ext_id", "ep"))
+        .withColumn("alloc_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+      ShardedStore.stage(allocKept, allocT, math.min(nParts, aPts.size), aPts)
+      Some(aPts)
+    }
     ShardedStore.commit(spark, storePath)
     ShardedStore.swap(spark, byDocT, memberPts)
     ShardedStore.swap(spark, byClusterT, cPts)
     ShardedStore.swap(spark, edgesT, cPts)
+    allocPtsOpt.foreach(aPts => ShardedStore.swap(spark, allocT, aPts))
     ShardedStore.clearCommit(spark, storePath)
     receipt
   }

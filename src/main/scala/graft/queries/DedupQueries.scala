@@ -477,6 +477,123 @@ object DedupQueries {
     }
   }
 
+  /** STABLE ids ∘ FORGET — the composition [[dedupClustersStableIds]] and
+    * [[dedupClustersForget]] leave open: retracting docs from a stable
+    * store must repair the allocation table IN THE SAME commit boundary
+    * (labels vanish, components split). The rule, replayed by the oracle:
+    * each affected component's row drops; of its surviving
+    * sub-components, the MIN-NEW-LABEL one inherits the old (ext_id,
+    * epoch) and the others allocate fresh at the forget's epoch; vanished
+    * components simply drop. Protocol: stable merges at epochs 0 and 1,
+    * forget (doc_id % 7 == 1 among epochs 0–1 docs, allocEpoch = 2),
+    * stable merge of epoch-2 docs at epoch 3. The DuckDB oracle folds
+    * per-epoch-prefix connected components through merge → merge →
+    * forget-split → merge, so inheritance, fresh allocation, AND the
+    * final membership partition are all hash-checked cross-engine. */
+  val dedupClustersStableForget: Q = new Q {
+    val name = "dedup_clusters_stable_forget"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      def nodesOf(m: Int) = docs.where(col("doc_id") % 3 === m)
+        .select(col("doc_id").as("id"))
+      def pairsOf(all: DataFrame, m: Int) = all.where(
+        greatest(col("id_l") % 3, col("id_r") % 3) === m)
+      def surv(c: org.apache.spark.sql.Column) = !(c % 7 === 1 && c % 3 < 2)
+      val storePath = graft.ops.Staging.once(
+          "/tmp/graft_dedup_index", dir, "cluster_store_stable_fgt") { p =>
+        val all = minhashPairs(spark, dir).select("id_l", "id_r").persist()
+        for (m <- 0 to 1)
+          DedupOps.mergeClustersStable(nodesOf(m), pairsOf(all, m), p,
+            epoch = m.toLong, nParts = TestIndexParts)
+        DedupOps.forgetFromClusterStore(
+          docs.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 < 2), p,
+          nParts = TestIndexParts, allocEpoch = Some(2L))
+        all.unpersist(): Unit
+      }
+      val all2 = minhashPairs(spark, dir).select("id_l", "id_r")
+      DedupOps.mergeClustersStable(nodesOf(2),
+        pairsOf(all2, 2).where(surv(col("id_l")) && surv(col("id_r"))),
+        storePath, epoch = 3L, nParts = TestIndexParts)
+      val labels = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, cluster_id BIGINT, doc_pt INT"))
+        .parquet(s"$storePath/by_doc")
+        .select("doc_id", "cluster_id")
+      val alloc = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+        .parquet(s"$storePath/alloc")
+        .select(col("cluster_id"), col("ext_id"), col("ep").as("ext_epoch"))
+      labels.join(alloc, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("ext_id"), col("ext_epoch"))
+        .orderBy("doc_id")
+    }
+    val oracle = Some {
+      def ccOver(name: String, docFilter: String, pairFilter: String) =
+        s"""base$name AS (
+           |  SELECT id_l AS a, id_r AS b FROM pairs WHERE $pairFilter
+           |  UNION SELECT id_r, id_l FROM pairs WHERE $pairFilter
+           |  UNION SELECT doc_id, doc_id FROM documents WHERE $docFilter),
+           |r$name(a, b) AS (
+           |  SELECT a, b FROM base$name
+           |  UNION
+           |  SELECT r.a, e.b FROM r$name r JOIN base$name e ON r.b = e.a),
+           |c$name AS (SELECT a AS doc_id, min(b) AS cluster_id FROM r$name GROUP BY a)"""
+          .stripMargin
+      val sv = "NOT (%s %% 7 = 1 AND %s %% 3 < 2)"
+      def svp(c: String) = sv.format(c, c)
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |pairs AS (SELECT id_l, id_r FROM j WHERE jac >= $JaccardThreshold),
+         |${ccOver("0", "doc_id % 3 <= 0", "greatest(id_l % 3, id_r % 3) <= 0")},
+         |${ccOver("1", "doc_id % 3 <= 1", "greatest(id_l % 3, id_r % 3) <= 1")},
+         |${ccOver("1s", s"doc_id % 3 <= 1 AND ${svp("doc_id")}",
+             s"greatest(id_l % 3, id_r % 3) <= 1 AND ${svp("id_l")} AND ${svp("id_r")}")},
+         |${ccOver("2s", svp("doc_id"),
+             s"${svp("id_l")} AND ${svp("id_r")}")},
+         |a0 AS (SELECT DISTINCT cluster_id, cluster_id AS ext_id, 0 AS ep FROM c0),
+         |m1 AS (
+         |  SELECT cx.cluster_id AS lbl,
+         |         min(a0.ep * 1000000000000 + a0.ext_id) AS word
+         |  FROM a0 JOIN c1 cx ON cx.doc_id = a0.cluster_id
+         |  GROUP BY cx.cluster_id),
+         |a1 AS (
+         |  SELECT l.cluster_id,
+         |    coalesce(m1.word % 1000000000000, l.cluster_id) AS ext_id,
+         |    coalesce(m1.word // 1000000000000, 1) AS ep
+         |  FROM (SELECT DISTINCT cluster_id FROM c1) l
+         |  LEFT JOIN m1 ON m1.lbl = l.cluster_id),
+         |-- forget step: each surviving sub-component of a c1 component
+         |-- either inherits (min sub-label) or allocates fresh at epoch 2
+         |subs AS (
+         |  SELECT s.cluster_id AS sub_label, c1.cluster_id AS parent,
+         |    row_number() OVER (PARTITION BY c1.cluster_id
+         |      ORDER BY s.cluster_id) AS rk
+         |  FROM (SELECT DISTINCT cluster_id FROM c1s) s
+         |  JOIN c1 ON c1.doc_id = s.cluster_id),
+         |a1s AS (
+         |  SELECT subs.sub_label AS cluster_id,
+         |    CASE WHEN rk = 1 THEN a1.ext_id ELSE subs.sub_label END AS ext_id,
+         |    CASE WHEN rk = 1 THEN a1.ep ELSE 2 END AS ep
+         |  FROM subs JOIN a1 ON a1.cluster_id = subs.parent),
+         |m2 AS (
+         |  SELECT cx.cluster_id AS lbl,
+         |         min(a1s.ep * 1000000000000 + a1s.ext_id) AS word
+         |  FROM a1s JOIN c2s cx ON cx.doc_id = a1s.cluster_id
+         |  GROUP BY cx.cluster_id),
+         |a2 AS (
+         |  SELECT l.cluster_id,
+         |    coalesce(m2.word % 1000000000000, l.cluster_id) AS ext_id,
+         |    coalesce(m2.word // 1000000000000, 3) AS ep
+         |  FROM (SELECT DISTINCT cluster_id FROM c2s) l
+         |  LEFT JOIN m2 ON m2.lbl = l.cluster_id)
+         |SELECT c2s.doc_id, c2s.cluster_id,
+         |  CAST(a2.ext_id AS BIGINT) AS ext_id,
+         |  CAST(a2.ep AS BIGINT) AS ext_epoch
+         |FROM c2s JOIN a2 ON a2.cluster_id = c2s.cluster_id
+         |ORDER BY c2s.doc_id""".stripMargin
+    }
+  }
+
   /** The keep-one step that completes the near-dup pipeline: per cluster,
     * keep the representative with the most content (max n_chars, ties to
     * the smallest doc_id) and flag everything else for drop. Tie-break is
@@ -2372,5 +2489,5 @@ object DedupQueries {
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
     dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical,
     dedupRecallEvolution, dedupClustersDelta, dedupClustersForget,
-    dedupRecallForget, dedupClustersStableIds)
+    dedupRecallForget, dedupClustersStableIds, dedupClustersStableForget)
 }

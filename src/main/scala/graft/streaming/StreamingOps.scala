@@ -429,10 +429,12 @@ object StreamingOps {
     * `dels.writeStream.foreachBatch { (b, _) =>
     *   forgetBatch(b, indexPath); clusterForgetBatch(b, storePath) … }`. */
   def clusterForgetBatch(batch: DataFrame, storePath: String,
-                         nParts: Int = 8): DataFrame = {
+                         nParts: Int = 8,
+                         allocEpoch: Option[Long] = None): DataFrame = {
     import graft.ops.DedupOps
     DedupOps.forgetFromClusterStore(
-      batch.select(col("doc_id").cast("long").as("doc_id")), storePath, nParts)
+      batch.select(col("doc_id").cast("long").as("doc_id")), storePath, nParts,
+      allocEpoch = allocEpoch)
   }
 
   private val ivfPostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(

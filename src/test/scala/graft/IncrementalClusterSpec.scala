@@ -275,6 +275,35 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(alloc() == Map(2L -> ((10L, 0L)), 20L -> ((20L, 0L))))
   }
 
+  test("stable ids ∘ forget: min sub-component inherits, remainders allocate fresh, stale rows drop") {
+    val p = store("stable_forget")
+    // chain {10,11,12} bridged by 11 (ext 10, epoch 0); {20,21} ext 20
+    DedupOps.mergeClustersStable(dfNodes(Seq(10L, 11L, 12L, 20L, 21L)),
+      dfPairs(Seq((10L, 11L), (11L, 12L), (20L, 21L))), p, epoch = 0L)
+    // forgetting WITHOUT an epoch on a stable store must fail loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.forgetFromClusterStore(Seq(11L).toDF("doc_id"), p)
+    }
+    def alloc(): Map[Long, (Long, Long)] = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+      .parquet(s"$p/alloc")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(alloc() == Map(10L -> ((10L, 0L)), 20L -> ((20L, 0L))))
+    // forget the bridge AND all of {20,21}: {10} inherits ext 10, {12}
+    // allocates fresh at the forget epoch, cluster 20's row vanishes
+    DedupOps.forgetFromClusterStore(Seq(11L, 20L, 21L).toDF("doc_id"), p,
+      allocEpoch = Some(5L)).count()
+    assert(byDoc(p) == Map(10L -> 10L, 12L -> 12L))
+    assert(alloc() == Map(10L -> ((10L, 0L)), 12L -> ((12L, 5L))),
+      s"split repair wrong: ${alloc()}")
+    // re-merging the split halves: FIRST-ALLOCATED wins (epoch 0 ext 10)
+    DedupOps.mergeClustersStable(dfNodes(Seq.empty),
+      dfPairs(Seq((10L, 12L))), p, epoch = 6L).count()
+    assert(byDoc(p) == Map(10L -> 10L, 12L -> 10L))
+    assert(alloc() == Map(10L -> ((10L, 0L))), s"re-merge wrong: ${alloc()}")
+  }
+
   test("three-epoch merge + forget equals from-scratch labeling over survivors on the real fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
