@@ -865,7 +865,8 @@ object DedupOps {
   }
 
   private def writeClusterStore(labels: DataFrame, edges: DataFrame,
-                                storePath: String, nParts: Int): Unit = {
+                                storePath: String, nParts: Int,
+                                allocEpoch: Option[Long]): Unit = {
     val spark = labels.sparkSession
     val l = labels.persist()
     try {
@@ -881,6 +882,16 @@ object DedupOps {
         .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
         .repartition(nParts, col("cluster_pt"))
         .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/edges")
+      // stable stores: every component allocates its label as ext_id at
+      // the bootstrap epoch
+      allocEpoch.foreach { ep =>
+        l.select(col("cluster_id")).distinct()
+          .select(col("cluster_id"), col("cluster_id").as("ext_id"),
+            lit(ep).as("ep"))
+          .withColumn("alloc_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+          .repartition(nParts, col("alloc_pt"))
+          .write.mode("overwrite").partitionBy("alloc_pt").parquet(s"$storePath/alloc")
+      }
     } finally l.unpersist()
     // manifest written LAST: a readable manifest implies a complete bootstrap
     ShardedStore.writeTextFile(spark, clusterManifestFile(storePath),
@@ -904,10 +915,22 @@ object DedupOps {
   def mergeClustersBatch(nodes: DataFrame, pairs: DataFrame, storePath: String,
                          nParts: Int = IndexParts,
                          driverPairLimit: Long = 1000000L,
-                         driverNodeLimit: Long = 1000000L): DataFrame = {
+                         driverNodeLimit: Long = 1000000L,
+                         allocEpoch: Option[Long] = None): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     recoverClusterStore(spark, storePath)
+    // a STABLE store's allocation table must be maintained in the SAME
+    // commit boundary as the label tables (a second transaction loses
+    // the pre-merge constituent labels if the process dies between the
+    // two — the retry could then only allocate fresh, silently breaking
+    // inheritance): fail loudly when a stable store is merged without
+    // an epoch
+    val allocExists = hadoopFs(spark, storePath)
+      .exists(ShardedStore.hp(s"$storePath/alloc"))
+    require(!allocExists || allocEpoch.isDefined,
+      s"cluster store at $storePath carries stable-id allocations — merge " +
+        "through mergeClustersStable (or pass allocEpoch) so they stay consistent")
     val ns = nodes.select(col("id").cast("long").as("id")).distinct()
     val ps = pairs.select(col("id_l").cast("long").as("id_l"),
       col("id_r").cast("long").as("id_r")).distinct()
@@ -927,7 +950,7 @@ object DedupOps {
       val keyed = canon.join(
           cc.select(col("doc_id").as("id_l"), col("cluster_id")), Seq("id_l"))
         .select(col("cluster_id"), col("id_l"), col("id_r"))
-      writeClusterStore(cc, keyed, storePath, nParts)
+      writeClusterStore(cc, keyed, storePath, nParts, allocEpoch)
       return cc.join(ns.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
     }
     val mParts = readClusterManifest(spark, storePath)
@@ -1074,6 +1097,60 @@ object DedupOps {
       ShardedStore.stage(edgesKept, edgesT,
         math.min(nParts, edgePts.size), edgePts)
     }
+    // alloc maintenance (stable stores), staged under the SAME commit
+    // boundary — see the guard at the top of this function: constituents
+    // of each changed component are its losing labels plus its final root
+    // when that label pre-existed; the FIRST-ALLOCATED constituent's
+    // (ext_id, ep) wins (tie: smaller ext_id); brand-new components
+    // allocate (root, allocEpoch)
+    val allocT = clusterTables(storePath).last
+    val allocStaged: Option[Seq[Int]] = allocEpoch.flatMap { ep =>
+      val prevLabels = known.values.toSet
+      if (finalRoots.isEmpty) None
+      else {
+        val consts: Map[Long, Set[Long]] = finalRoots.map { r =>
+          r -> (losers.filter(l => rootOf(l) == r) ++
+            (if (prevLabels.contains(r)) Set(r) else Set.empty[Long]))
+        }.toMap
+        val keys = (losers.toSeq ++ finalRoots).distinct
+        val allocDir = s"$storePath/alloc"
+        val existing: Map[Long, (Long, Long)] =
+          if (!fs.exists(ShardedStore.hp(allocDir))) Map.empty
+          else spark.read.schema(allocSchema).parquet(allocDir)
+            .where(col("alloc_pt").isin(keys.map(ptOf).distinct: _*))
+            .join(broadcast(keys.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
+            .select("cluster_id", "ext_id", "ep")
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val newRows = finalRoots.map { r =>
+          val cands = consts(r).flatMap(c =>
+            existing.get(c).map { case (e, e0) => (e0, e) })
+          val (ep0, ext) = if (cands.nonEmpty) cands.min else (ep, r)
+          (r, ext, ep0)
+        }
+        val unchanged = newRows.forall { case (r, ext, ep0) =>
+          existing.get(r).contains((ext, ep0)) } &&
+          losers.filterNot(finalRoots.contains).forall(!existing.contains(_))
+        if (unchanged) None
+        else {
+          val aPts = keys.map(ptOf).distinct
+          val base =
+            if (fs.exists(ShardedStore.hp(allocDir)))
+              spark.read.schema(allocSchema).parquet(allocDir)
+                .where(col("alloc_pt").isin(aPts: _*))
+                .join(broadcast(keys.toDF("cluster_id")), Seq("cluster_id"), "left_anti")
+                .select("cluster_id", "ext_id", "ep")
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "cluster_id BIGINT, ext_id BIGINT, ep BIGINT"))
+          val kept = base.unionByName(newRows.toDF("cluster_id", "ext_id", "ep"))
+            .withColumn("alloc_pt",
+              pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+          ShardedStore.stage(kept, allocT, math.min(nParts, aPts.size), aPts)
+          Some(aPts)
+        }
+      }
+    }
     // phase 2: every staging is complete — write the store-level commit
     // marker; a crash anywhere from here rolls the WHOLE store forward
     ShardedStore.commit(spark, storePath)
@@ -1082,6 +1159,7 @@ object DedupOps {
       ShardedStore.swap(spark, byDocT, docPts)
     }
     if (losers.nonEmpty || hasNewEdges) ShardedStore.swap(spark, edgesT, edgePts)
+    allocStaged.foreach(aPts => ShardedStore.swap(spark, allocT, aPts))
     ShardedStore.clearCommit(spark, storePath)
     receipt
   }
@@ -1289,99 +1367,36 @@ object DedupOps {
 
   /** [[mergeClustersBatch]] plus stable-external-id maintenance. `epoch`
     * is the caller's batch/epoch counter (monotone across calls — it IS
-    * the allocation-order tiebreaker). Returns one settled row per batch
-    * node: (doc_id, cluster_id, ext_id, ext_epoch). Replay-idempotent:
-    * a retried batch recomputes identical allocations and skips the
-    * write; the alloc rewrite is alloc_pt-pruned and swaps under the
-    * store's commit marker like every other table. */
+    * the allocation-order tiebreaker). The allocation table is maintained
+    * INSIDE the core merge's single commit boundary (passing `allocEpoch`
+    * through), so a crash can never land labels and allocations on
+    * different sides of a rewrite — this wrapper only attaches the batch
+    * nodes' (ext_id, ext_epoch) to the receipt afterwards (a pruned
+    * read-only lookup). Returns one settled row per batch node:
+    * (doc_id, cluster_id, ext_id, ext_epoch). Replay-idempotent: a
+    * retried batch recomputes identical allocations and the core skips
+    * the write. */
   def mergeClustersStable(nodes: DataFrame, pairs: DataFrame, storePath: String,
                           epoch: Long, nParts: Int = IndexParts,
                           driverPairLimit: Long = 1000000L,
                           driverNodeLimit: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val ns = nodes.select(col("id").cast("long").as("id")).distinct()
-    val ps = pairs.select(col("id_l").cast("long").as("id_l"),
-      col("id_r").cast("long").as("id_r")).distinct().localCheckpoint(true)
+    val receipt = mergeClustersBatch(nodes, pairs, storePath, nParts,
+      driverPairLimit, driverNodeLimit, allocEpoch = Some(epoch))
+      .localCheckpoint(true)
+    // batch-grain: the receipt covers the batch's nodes only
+    val labels = receipt.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
-    val fs = hadoopFs(spark, storePath)
-    // pre-merge labels of everything this batch touches (guards run in
-    // the core too, but the collects here must be bounded first)
-    val nPairs = ps.count()
-    require(nPairs <= driverPairLimit,
-      s"mergeClustersStable: $nPairs pairs exceeds driverPairLimit")
-    val nsS = ns.localCheckpoint(true)
-    val nNodes = nsS.count()
-    require(nNodes <= driverNodeLimit,
-      s"mergeClustersStable: $nNodes nodes exceeds driverNodeLimit")
-    val touched = (nsS.collect().map(_.getLong(0)) ++
-      ps.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))).distinct
-    val tpts = touched.map(ptOf).distinct.toSeq
-    def labelsOf(ids: Array[Long]): Map[Long, Long] =
-      if (ids.isEmpty || !fs.exists(ShardedStore.hp(s"$storePath/by_doc"))) Map.empty
-      else spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
-        .where(col("doc_pt").isin(ids.map(ptOf).distinct.toSeq: _*))
-        .join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
-        .select("doc_id", "cluster_id")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pre = labelsOf(touched)
-    val receipt = mergeClustersBatch(nsS.select(col("id")), ps, storePath,
-      nParts, driverPairLimit, driverNodeLimit).localCheckpoint(true)
-    val post = labelsOf(touched)
-    // per final label: the pre-merge labels that fused into it (a merged
-    // component always carries >=1 touched stored member whose pre-label
-    // names it; all-new components contribute none)
-    val groups: Map[Long, Set[Long]] = touched.toSeq
-      .flatMap(id => post.get(id).map(p => p -> pre.get(id)))
-      .groupBy(_._1).map { case (p, xs) => p -> xs.flatMap(_._2).toSet }
-    val constituents = groups.values.flatten.toSet
-    val keysAll = (groups.keySet ++ constituents).toSeq
-    val allocDir = s"$storePath/alloc"
-    val existing: Map[Long, (Long, Long)] =
-      if (keysAll.isEmpty || !fs.exists(ShardedStore.hp(allocDir))) Map.empty
-      else spark.read.schema(allocSchema).parquet(allocDir)
-        .where(col("alloc_pt").isin(keysAll.map(ptOf).distinct: _*))
-        .join(broadcast(keysAll.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
-        .select("cluster_id", "ext_id", "ep")
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val newRows: Seq[(Long, Long, Long)] = groups.toSeq.map { case (p, cs) =>
-      // first-allocated constituent wins: min (ep, ext_id)
-      val cands = cs.flatMap(c => existing.get(c).map { case (e, ep0) => (ep0, e) })
-      val (ep0, ext) = if (cands.nonEmpty) cands.min else (epoch, p)
-      (p, ext, ep0)
-    }
-    val loserKeys = constituents -- groups.keySet
-    val unchanged =
-      newRows.forall { case (p, ext, ep0) => existing.get(p).contains((ext, ep0)) } &&
-        loserKeys.forall(!existing.contains(_))
-    if (!unchanged && newRows.nonEmpty) {
-      val removeKeys = (loserKeys ++ groups.keySet).toSeq
-      val apts = (removeKeys ++ newRows.map(_._1)).map(ptOf).distinct
-      val allocT = clusterTables(storePath).last
-      val base =
-        if (fs.exists(ShardedStore.hp(allocDir)))
-          spark.read.schema(allocSchema).parquet(allocDir)
-            .where(col("alloc_pt").isin(apts: _*))
-            .join(broadcast(removeKeys.toDF("cluster_id")),
-              Seq("cluster_id"), "left_anti")
-            .select("cluster_id", "ext_id", "ep")
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "cluster_id BIGINT, ext_id BIGINT, ep BIGINT"))
-      val kept = base.unionByName(newRows.toDF("cluster_id", "ext_id", "ep"))
-        .withColumn("alloc_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
-      ShardedStore.stage(kept, allocT, math.min(nParts, apts.size), apts)
-      ShardedStore.commit(spark, storePath)
-      ShardedStore.swap(spark, allocT, apts)
-      ShardedStore.clearCommit(spark, storePath)
-    }
-    // empty-batch bootstrap writes no alloc rows; readers still expect the
-    // table dir (explicit-schema reads of an empty dir return empty)
-    if (!fs.exists(ShardedStore.hp(allocDir)))
-      fs.mkdirs(ShardedStore.hp(allocDir)): Unit
-    receipt.join(broadcast(newRows.toDF("cluster_id", "ext_id", "ext_epoch")),
-      Seq("cluster_id"), "left")
+    val ext: DataFrame =
+      if (labels.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("cluster_id", "ext_id", "ext_epoch")
+      else spark.read.schema(allocSchema).parquet(s"$storePath/alloc")
+        .where(col("alloc_pt").isin(labels.map(ptOf).distinct: _*))
+        .join(broadcast(labels.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
+        .select(col("cluster_id"), col("ext_id"), col("ep").as("ext_epoch"))
+    receipt.join(broadcast(ext), Seq("cluster_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("ext_id"), col("ext_epoch"))
   }
 
