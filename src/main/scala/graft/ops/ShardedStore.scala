@@ -302,13 +302,23 @@ object ShardedStore {
 
     /** Remove `dropIds`' rows (the re-ingest path's un-forget step):
       * settled kept rows land as a NEW file before the pre-write files
-      * drop — every intermediate state is a superset. */
-    def remove(dropIds: DataFrame): Unit = {
+      * drop — every intermediate state is a superset. The build side is
+      * guarded like [[anti]]'s (broadcast below `maxBroadcastBytes`,
+      * forced shuffle-hash above — batch-sized by contract, but the
+      * contract is cheap to insure): `dropIds` is in-memory, so the
+      * estimate is row-count-based rather than on-disk bytes. */
+    def remove(dropIds: DataFrame,
+               maxBroadcastBytes: Long = 64L << 20): Unit = {
       val spark = dropIds.sparkSession
       if (!exists(spark)) return
       val before = parquetFiles(spark)
+      val drops = dropIds.select(col(idCol)).localCheckpoint(true)
+      // ~24 bytes per broadcast-hash-table long row, conservatively
+      val build =
+        if (drops.count() * 24L <= maxBroadcastBytes) broadcast(drops)
+        else drops.hint("shuffle_hash")
       val kept = ids(spark)
-        .join(broadcast(dropIds.select(col(idCol))), Seq(idCol), "left_anti")
+        .join(build, Seq(idCol), "left_anti")
         .distinct().localCheckpoint(true)
       if (!kept.isEmpty) kept.coalesce(1).write.mode("append").parquet(dir)
       before.foreach(p => fs(spark, dir).delete(p, false): Unit)

@@ -447,6 +447,52 @@ object StreamingOps {
   private def vecTombs(indexPath: String) =
     graft.ops.ShardedStore.DeletionVector(s"$indexPath/tombstones", "vec_id")
 
+  /** The PER-GENERATION tombstone snapshot: [[refreshCentroids]] settles
+    * the index-level deletion vector physically in the NEW generation and
+    * then drops it — but the generation it supersedes survives as the
+    * in-flight readers' lookback, and a reader still pinned there must
+    * keep filtering the forgotten ids (without the snapshot, the drop
+    * re-exposed retracted vectors to exactly those readers — a
+    * right-to-be-forgotten leak). The refresh copies the vector INTO the
+    * superseded generation dir before sealing its successor, so every
+    * resolvable (centroids, postings, tombstones) triple is
+    * self-consistent; the snapshot is pruned with its generation.
+    * Invariant after [[recoverIndex]]: the CURRENT generation never has
+    * one (a snapshot there can only be litter from a refresh that died
+    * before sealing — recovery deletes it, because the index-level vector
+    * is authoritative for the live generation and a stale snapshot would
+    * keep filtering an id whose re-ingest has since cleared its
+    * tombstone). */
+  private def genTombSnapshot(genDir: String) =
+    graft.ops.ShardedStore.DeletionVector(s"$genDir/tombstones", "vec_id")
+
+  /** Anti-join `df` against every tombstone set a reader of `genDir` must
+    * respect: the generation-local snapshot (non-current generations;
+    * frozen at supersession) plus the index-level live vector (forgets
+    * since — retraction applies to ALL readers immediately). Each side is
+    * plan-neutral when absent. */
+  private def antiVecTombs(indexPath: String, genDir: String,
+                           df: DataFrame): DataFrame = {
+    val max = graft.ops.DedupOps.DefaultTombstoneBroadcastBytes
+    genTombSnapshot(genDir).anti(vecTombs(indexPath).anti(df, max), max)
+  }
+
+  /** Deletes snapshot litter a crashed refresh left in the CURRENT
+    * generation (died after copying, before sealing its successor).
+    * Harmless while it sits there (⊆ the live vector, and anti-joins are
+    * idempotent over the union) — it diverges only once a mutation
+    * CLEARS a tombstone the stale copy still lists, so exactly the two
+    * serial-writer ops that can do that call this first: the refresh
+    * retry (rewrites the snapshot) and the re-ingest purge. NOT done in
+    * [[recoverIndex]]: readers run recovery concurrently with a live
+    * refresh and would delete the snapshot mid-protocol. */
+  private def clearSnapshotLitter(spark: org.apache.spark.sql.SparkSession,
+                                  genDir: String): Unit = {
+    val fs = fsOf(spark, genDir)
+    fs.delete(hPath(s"$genDir/.tombstones_tmp"), true)
+    fs.delete(hPath(s"$genDir/tombstones"), true): Unit
+  }
+
   /** Streaming right-to-be-forgotten for the VECTOR index — the
     * retraction twin of [[ivfSearchInsertBatch]] and the IVF mirror of
     * [[forgetBatchLogical]]: each micro-batch of deletion-request
@@ -471,14 +517,14 @@ object StreamingOps {
     recoverIndex(spark, indexPath)
     val ids = batch.select(col("vec_id").cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
-    val postingsDir = currentGeneration(spark, indexPath)
-      .map(g => s"${generationDir(indexPath, g)}/postings")
-      .filter(p => fsOf(spark, indexPath).exists(hPath(p)))
-    val present = postingsDir match {
-      case Some(p) => vecTombs(indexPath).anti(
-          spark.read.schema(ivfPostingsSchema).parquet(p).select("vec_id")
-            .join(broadcast(ids), Seq("vec_id"), "left_semi"),
-          graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
+    val genDirOpt = currentGeneration(spark, indexPath)
+      .map(g => generationDir(indexPath, g))
+      .filter(gd => fsOf(spark, indexPath).exists(hPath(s"$gd/postings")))
+    val present = genDirOpt match {
+      case Some(gd) => antiVecTombs(indexPath, gd,
+          spark.read.schema(ivfPostingsSchema).parquet(s"$gd/postings")
+            .select("vec_id")
+            .join(broadcast(ids), Seq("vec_id"), "left_semi"))
         .distinct().withColumn("was_indexed", lit(true))
       case None => ids.where(lit(false)).withColumn("was_indexed", lit(true))
     }
@@ -508,9 +554,17 @@ object StreamingOps {
       .select("centroid_id", "batch_id").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (touched.isEmpty) return
-    val dirsPred = touched.map { case (c, b) =>
-      col("centroid_id") === c && col("batch_id") === b }.reduce(_ || _)
-    val kept = posts.where(dirsPred)
+    // static partition pruning to the touched (cell × batch) RECTANGLE —
+    // two isin filters stay linear in distinct values — then an exact
+    // broadcast semi-join on the pair (an OR-chain of per-dir predicates
+    // grows the expression tree linearly in touched dirs and risks
+    // analyzer/codegen blowup on a large re-ingest batch)
+    import spark.implicits._
+    val touchedDf = touched.toSeq.toDF("centroid_id", "batch_id")
+    val kept = posts
+      .where(col("centroid_id").isin(touched.map(_._1).distinct.toSeq: _*) &&
+        col("batch_id").isin(touched.map(_._2).distinct.toSeq: _*))
+      .join(broadcast(touchedDf), Seq("centroid_id", "batch_id"), "left_semi")
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .select("centroid_id", "vec_id", "embedding", "batch_id")
       .localCheckpoint(true) // settled BEFORE the overwrite mutates its source
@@ -603,8 +657,13 @@ object StreamingOps {
           Seq("vec_id"), "left_semi")
         .distinct().localCheckpoint(true)
       if (!reIngest.isEmpty) {
+        // the tombstone clear below is the one mutation a stale
+        // current-generation snapshot cannot survive (it would keep
+        // filtering the re-admitted id) — clear crash litter first
+        clearSnapshotLitter(spark, genDir)
         purgeVectors(spark, genDir, reIngest)
-        vecTombs(indexPath).remove(reIngest)
+        vecTombs(indexPath).remove(reIngest,
+          graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
       }
     }
     val cents = spark.read.parquet(s"$genDir/centroids")
@@ -624,14 +683,14 @@ object StreamingOps {
         .collect().map(_.getLong(0)).toSeq
       val wR = Window.partitionBy("q_id").orderBy(col("cosine_sim").desc, col("vec_id").asc)
       // logically-forgotten vectors must not act as partners: anti-join
-      // the deletion vector (plan-neutral when none exist)
-      vecTombs(indexPath).anti(
+      // the tombstone sets (index-level vector + any generation-local
+      // snapshot; each plan-neutral when absent)
+      antiVecTombs(indexPath, genDir,
         spark.read.schema(postingsSchema).parquet(s"$genDir/postings")
           // a REPLAYED batch must not see its own failed attempt's rows —
           // without this partition filter, batch-internal pairs would leak
           // into the replayed hits (self-pairs alone are not the issue)
-          .where(col("batch_id") =!= batchId && col("centroid_id").isin(cells: _*)),
-        graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
+          .where(col("batch_id") =!= batchId && col("centroid_id").isin(cells: _*)))
         .join(broadcast(ranked), Seq("centroid_id"))
         .where(col("q_id") =!= col("vec_id")) // belt-and-braces vs own rows
         .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), dim))
@@ -660,6 +719,60 @@ object StreamingOps {
       .write.option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("centroid_id", "batch_id")
       .parquet(s"$genDir/postings")
+    ranked.unpersist()
+    hits
+  }
+
+  /** Read-only IVF top-k search against a RESOLVED generation dir — the
+    * concurrent-reader path of the zero-downtime contract: a reader
+    * resolves once ([[resolveIndex]]) and may keep probing that
+    * generation while a [[refreshCentroids]] supersedes it. The probe
+    * respects every tombstone set the generation must honor
+    * ([[antiVecTombs]]): forgotten vectors never surface as partners,
+    * including AFTER a refresh settles the debt and drops the index-level
+    * vector — the generation-local snapshot takes over (spec-pinned; the
+    * pre-r17 lookback leak). Same probe shape as the insert path's
+    * search (nProbe cells by centroid cosine, exact cosine top-k inside
+    * them) minus the own-batch exclusion — a pure reader has no batch.
+    * `queries` needs (vec_id, embedding); returns settled
+    * (q_id, c_id, rank, cos_e6) rows. */
+  def ivfSearchResolved(queries: DataFrame, indexPath: String, genDir: String,
+                        nProbe: Int = 2, topK: Int = 5): DataFrame = {
+    import graft.ops.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val dim = 64
+    if (!fsOf(spark, genDir).exists(hPath(s"$genDir/postings")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "q_id BIGINT, c_id BIGINT, rank BIGINT, cos_e6 BIGINT"))
+    val cents = spark.read.parquet(s"$genDir/centroids")
+    val wQ = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+    val ranked = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", VectorOps.cosine(col("q_vec"), col("c_vec"), dim))
+      .withColumn("rn", row_number().over(wQ))
+      .where(col("rn") <= math.max(nProbe, 1))
+      .select(col("q_id"), col("q_vec"), col("c_id").as("centroid_id"))
+      .persist()
+    val cells = ranked.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val wR = Window.partitionBy("q_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    val hits = antiVecTombs(indexPath, genDir,
+        spark.read.schema(ivfPostingsSchema).parquet(s"$genDir/postings")
+          .where(col("centroid_id").isin(cells: _*)))
+      .join(broadcast(ranked), Seq("centroid_id"))
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine_sim", VectorOps.cosine(col("q_vec"), col("embedding"), dim))
+      .withColumn("rank", row_number().over(wR)).where(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cosine_sim") * 1000000).cast("long").as("cos_e6"))
+      // settled: the caller may hold these hits across later maintenance
+      .localCheckpoint(true)
     ranked.unpersist()
     hits
   }
@@ -717,10 +830,9 @@ object StreamingOps {
     // itself survives — rows ABOVE the horizon may still carry
     // tombstoned ids, and only the refresh rewrites everything
     val genRoot = hPath(indexPath).getParent.toString // <index> above g=N
-    vecTombs(genRoot)
-      .anti(spark.read.schema(schema).parquet(s"$indexPath/postings")
-          .where(col("batch_id") <= upToBatchId),
-        graft.ops.DedupOps.DefaultTombstoneBroadcastBytes)
+    antiVecTombs(genRoot, indexPath,
+        spark.read.schema(schema).parquet(s"$indexPath/postings")
+          .where(col("batch_id") <= upToBatchId))
       .select(col("centroid_id"), col("vec_id"), col("embedding"))
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -828,6 +940,9 @@ object StreamingOps {
     val cur = curOpt.get
     val genDir = generationDir(indexPath, cur)
     if (!fs.exists(p(s"$genDir/postings"))) return
+    // a crashed predecessor's snapshot litter would be frozen into this
+    // refresh's superseded-generation state — rewrite from the live vector
+    clearSnapshotLitter(spark, genDir)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
     // persisted: every Lloyd iteration scans the postings (plus the final
@@ -836,9 +951,8 @@ object StreamingOps {
     // generation (retracted content must not shape centroids): the
     // refresh is the vector index's free physical purge, and the
     // deletion vector is dropped after the repoint below.
-    val posts = vecTombs(indexPath).anti(
-      spark.read.schema(schema).parquet(s"$genDir/postings"),
-      graft.ops.DedupOps.DefaultTombstoneBroadcastBytes).persist()
+    val posts = antiVecTombs(indexPath, genDir,
+      spark.read.schema(schema).parquet(s"$genDir/postings")).persist()
     val k = spark.read.parquet(s"$genDir/centroids").count().toInt
     val unit = { // L2-normalize in-row (codegen dot; no shuffle)
       val nrm = sqrt(graft.expressions.F.dot(col("embedding"), col("embedding")))
@@ -871,14 +985,28 @@ object StreamingOps {
       .parquet(s"$next/postings")
     posts.unpersist()
     newCents.write.mode("overwrite").parquet(s"$next/centroids")
+    // snapshot the deletion vector INTO the generation being superseded,
+    // UNDER the successor's seal (seal durable ⇒ snapshot present): a
+    // reader still pinned to `cur` keeps its forget filter after the
+    // index-level vector drops below (see [[genTombSnapshot]]). Staged
+    // via temp dir + rename so a concurrent pinned reader never sees a
+    // partial snapshot; if the refresh dies before the seal, recovery
+    // deletes the then-current generation's litter.
+    if (vecTombs(indexPath).exists(spark)) {
+      val tmp = s"$genDir/.tombstones_tmp"
+      fs.delete(p(tmp), true)
+      vecTombs(indexPath).ids(spark).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.delete(p(s"$genDir/tombstones"), true)
+      fs.rename(p(tmp), p(s"$genDir/tombstones")): Unit
+    }
     touch(fs, s"$next/_GEN_OK") // sealed: recovery now rolls FORWARD
     writeGenPointer(spark, indexPath, cur + 1)
     // the new generation is tombstone-free: the debt is settled, drop the
     // vector (a crash before this leaves purged rows + live tombstones —
     // anti-joins no-op on them; the next refresh or forget converges it).
-    // Lookback caveat (documented contract): a reader still pinned to the
-    // PREVIOUS generation loses the tombstone filter from here — fine
-    // under the foreachBatch serial-writer contract this index assumes.
+    // Readers pinned to the PREVIOUS generation keep filtering via its
+    // snapshot — the pre-r17 lookback leak is closed.
     vecTombs(indexPath).drop(spark)
     // prune generations older than the immediate predecessor; `cur`
     // itself stays as the in-flight readers' lookback until next refresh
@@ -1376,6 +1504,7 @@ object StreamingOps {
     "forgetBatch" -> "driver presence check + post-removal index content vs a batch-side recompute",
     "forgetBatchLogical" -> "physical-forget equivalence: receipts and probe verdicts match forgetBatch; compaction purge converges the files",
     "ivfSearchInsertBatch" -> "in-memory batch replay of the search-then-insert protocol",
+    "ivfSearchResolved" -> "pinned-generation read-only probe: hits frozen across a refresh, forget filter intact via the generation-local snapshot",
     "forgetVectorsBatch" -> "post-forget hits equal a never-inserted twin index; receipts classify indexed/absent; re-ingest re-admits",
     "snapshotMaintainBatch" -> "inline batch WindowOps.latestPerKey over all updates",
     "streamIntervalJoin" -> "inline batch join with the same interval predicate",

@@ -85,6 +85,7 @@ class StreamingParitySpec extends SparkSpec {
     "forgetBatch" -> (() => forgetBatchParity()),
     "forgetBatchLogical" -> (() => forgetBatchLogicalParity()),
     "ivfSearchInsertBatch" -> (() => ivfSearchInsertParity()),
+    "ivfSearchResolved" -> (() => ivfSearchResolvedParity()),
     "forgetVectorsBatch" -> (() => forgetVectorsParity()),
     "snapshotMaintainBatch" -> (() => snapshotParity()),
     "streamIntervalJoin" -> (() => intervalJoinParity()),
@@ -566,6 +567,48 @@ class StreamingParitySpec extends SparkSpec {
       assert(!left.exists(gone.contains),
         "re-ingest left the ids' tombstone rows behind")
     }
+  }
+
+  private def ivfSearchResolvedParity(): Unit = {
+    // the pinned-reader contract: a reader resolved BEFORE a refresh keeps
+    // reading a self-consistent (centroids, postings, tombstones) triple —
+    // identical hits before and after the refresh drops the index-level
+    // deletion vector (the generation-local snapshot takes over), and
+    // forgotten vectors never surface on either side of the repoint
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    def dfv(xs: Seq[(Long, Seq[Float])]) = xs.toDF("vec_id", "embedding")
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("p_ivfres").toString + "/index"
+    ivfSearchInsertBatch(dfv(b1.toSeq), indexPath, batchId = 1L)
+    ivfSearchInsertBatch(dfv(b2.toSeq), indexPath, batchId = 2L)
+    val gone = b2.map(_._1).filter(_ % 3 == 1).take(8).toSeq
+    assert(gone.nonEmpty)
+    forgetVectorsBatch(gone.toDF("vec_id"), indexPath): Unit
+    val pinned = StreamingOps.resolveIndex(spark, indexPath)
+    val queries = vecs.take(24).map { case (id, v) => (id + 2000000L, v) }
+    def hitSet(h: org.apache.spark.sql.DataFrame) = h.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pre = hitSet(ivfSearchResolved(dfv(queries.toSeq), indexPath, pinned))
+    assert(pre.nonEmpty, "resolved search found nothing — parity vacuous")
+    assert(!pre.exists(h => gone.contains(h._2)),
+      "pre-refresh resolved search surfaced a forgotten vector")
+    StreamingOps.refreshCentroids(spark, indexPath)
+    val cur = StreamingOps.resolveIndex(spark, indexPath)
+    assert(cur != pinned, "refresh did not advance the generation")
+    assert(!new java.io.File(s"$indexPath/tombstones").exists,
+      "refresh left the index-level deletion vector behind")
+    assert(new java.io.File(s"$pinned/tombstones").exists,
+      "superseded generation got no tombstone snapshot")
+    val post = hitSet(ivfSearchResolved(dfv(queries.toSeq), indexPath, pinned))
+    assert(post == pre,
+      "pinned reader's hits changed across the refresh (lookback leak)")
+    val curHits = hitSet(ivfSearchResolved(dfv(queries.toSeq), indexPath, cur))
+    assert(!curHits.exists(h => gone.contains(h._2)),
+      "refreshed generation still matches a forgotten vector")
+    assert(curHits.nonEmpty)
   }
 
   private def ivfSearchInsertParity(): Unit = {
