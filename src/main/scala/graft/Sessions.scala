@@ -18,10 +18,16 @@ object Sessions {
     *    and setting it HERE (session setup) keeps `Tables.events`
     *    read-only instead of mutating conf per plan construction.
     *  - graft extensions: the as-of-join planner pipeline + SQL functions.
+    *  - IN-pushdown threshold raised to 1000: presence probes over
+    *    bloom-filtered postings push the forget batch's id list down as
+    *    per-value parquet predicates (row-group bloom skip); above the
+    *    default 10 Spark would degrade the pushdown to a [min,max] range,
+    *    which broad scattered id sets cannot prune with.
     */
   val defaults: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.ui.enabled" -> "false",
+    "spark.sql.parquet.pushdown.inFilterThreshold" -> "1000",
     "spark.sql.extensions" -> "graft.GraftExtensions")
 }

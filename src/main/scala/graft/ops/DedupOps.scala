@@ -368,7 +368,8 @@ object DedupOps {
       if (!tombed.isEmpty) {
         removeFromSignatureIndex(tombed, indexPath,
           nPerm, nBands, rowsPerBand, nParts)
-        tombVector(indexPath).remove(tombed)
+        tombVector(indexPath).remove(tombed,
+          tombstoneBroadcastLimit(spark, indexPath))
       }
     }
     val present = spark.read.schema(sigsSchema).parquet(s"$indexPath/sigs")
@@ -796,7 +797,7 @@ object DedupOps {
   // labels as state and folds each micro-batch's near-dup pairs in — the
   // missing incremental piece between per-batch verdicts
   // ([[dedupDeltaBatchPruned]]) and corpus-wide keep/drop decisions. The
-  // store is three sharded tables (the [[ShardedStore]] idiom):
+  // store is a family of sharded tables (the [[ShardedStore]] idiom):
   //
   //  - `by_doc/doc_pt=K`      — (doc_id, cluster_id), the LOOKUP side: a
   //    batch resolves its endpoints' labels with a doc_pt partition filter
@@ -804,14 +805,18 @@ object DedupOps {
   //  - `by_cluster/cluster_pt=K` — (cluster_id, doc_id), the MERGE side:
   //    when clusters merge, the losing clusters' members are enumerated
   //    with a cluster_pt filter and only affected shards are rewritten;
-  //  - `edges/cluster_pt=K`   — (cluster_id, id_l, id_r), the persisted
-  //    PAIR EVIDENCE, keyed by the component's current label: the piece
+  //  - `edges/edge_pt=K`      — (id_l, id_r), the persisted PAIR
+  //    EVIDENCE, keyed by the canonical MIN ENDPOINT (fmt 2): the piece
   //    that makes retraction exact. Without it, forgetting a doc could
   //    only drop its label row — the components it alone bridged would
   //    survive as one cluster forever. With it,
   //    [[forgetFromClusterStore]] re-derives ONLY the affected
   //    components from surviving evidence, splitting exactly where a
-  //    from-scratch recompute over surviving docs would.
+  //    from-scratch recompute over surviving docs would. Label-free
+  //    rows mean relabels never rewrite evidence, and presence probes
+  //    prune by the batch's own endpoints (no label dependency);
+  //  - stable stores add `alloc/alloc_pt=K` (label → external id) and
+  //    `ext_retired/ext_pt=K` (the fresh-mint uniqueness guard).
   //
   // Merging contracts each existing component to its label node (labels
   // are min-member ids, so min-root union-find over {labels} ∪ {batch ids}
@@ -833,14 +838,28 @@ object DedupOps {
     "doc_id BIGINT, cluster_id BIGINT, doc_pt INT")
   private val byClusterSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cluster_id BIGINT, doc_id BIGINT, cluster_pt INT")
+  // edges are keyed by their CANONICAL MIN ENDPOINT (edge_pt =
+  // id_l % nParts, id_l < id_r), not by component label (layout fmt 2):
+  // presence probes prune by the batch pairs' own endpoints — no
+  // dependency on current labels, so the probe rides the SAME collect as
+  // the by_doc lookup (one pruned read per merge, the r16 two-read floor
+  // gone) — and relabeling never moves an edge row, so merges stopped
+  // rewriting edge shards entirely (evidence is label-free). Forget still
+  // prunes exactly: an affected component's edges all have id_l ∈ its
+  // members, whose shard list the forget already computes for by_doc.
   private val edgesSchema = org.apache.spark.sql.types.StructType.fromDDL(
-    "cluster_id BIGINT, id_l BIGINT, id_r BIGINT, cluster_pt INT")
+    "id_l BIGINT, id_r BIGINT, edge_pt INT")
+
+  /** Store layout version, stamped in the manifest: 2 = min-endpoint-keyed
+    * edges + the ext-retired guard table (r17). */
+  private val ClusterStoreFmt = 2L
 
   private def clusterTables(storePath: String) = Seq(
     ShardedStore.Table(s"$storePath/by_doc", "doc_pt"),
     ShardedStore.Table(s"$storePath/by_cluster", "cluster_pt"),
-    ShardedStore.Table(s"$storePath/edges", "cluster_pt"),
-    ShardedStore.Table(s"$storePath/alloc", "alloc_pt"))
+    ShardedStore.Table(s"$storePath/edges", "edge_pt"),
+    ShardedStore.Table(s"$storePath/alloc", "alloc_pt"),
+    ShardedStore.Table(s"$storePath/ext_retired", "ext_pt"))
 
   /** Rolls every cluster-store table to ONE rewrite boundary (the
     * [[recoverSignatureIndex]] sibling — see [[ShardedStore.recover]]);
@@ -859,6 +878,13 @@ object DedupOps {
       s"cluster store at $storePath has no manifest — not a mergeClustersBatch " +
         "layout (or an incomplete bootstrap)")
     val s = ShardedStore.readTextFile(spark, clusterManifestFile(storePath))
+    val fmt = ShardedStore.jsonField(s, "fmt")
+    require(fmt.contains(ClusterStoreFmt),
+      s"cluster store at $storePath has layout fmt=${fmt.getOrElse("pre-r17")}" +
+        s" but this build reads fmt=$ClusterStoreFmt (min-endpoint-keyed" +
+        " edges, ext-retired guard table) — rebuild the store from its" +
+        " source batches or migrate it offline; mutating it in place" +
+        " would corrupt the old layout")
     ShardedStore.jsonField(s, "nParts").map(_.toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"cluster-store manifest at $storePath missing 'nParts': $s"))
@@ -878,10 +904,10 @@ object DedupOps {
         .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
         .repartition(nParts, col("cluster_pt"))
         .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/by_cluster")
-      edges.select(col("cluster_id"), col("id_l"), col("id_r"))
-        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
-        .repartition(nParts, col("cluster_pt"))
-        .write.mode("overwrite").partitionBy("cluster_pt").parquet(s"$storePath/edges")
+      edges.select(col("id_l"), col("id_r"))
+        .withColumn("edge_pt", pmod(col("id_l"), lit(nParts.toLong)).cast("int"))
+        .repartition(nParts, col("edge_pt"))
+        .write.mode("overwrite").partitionBy("edge_pt").parquet(s"$storePath/edges")
       // stable stores: every component allocates its label as ext_id at
       // the bootstrap epoch
       allocEpoch.foreach { ep =>
@@ -895,7 +921,7 @@ object DedupOps {
     } finally l.unpersist()
     // manifest written LAST: a readable manifest implies a complete bootstrap
     ShardedStore.writeTextFile(spark, clusterManifestFile(storePath),
-      s"""{"nParts":$nParts}""")
+      s"""{"nParts":$nParts,"fmt":$ClusterStoreFmt}""")
   }
 
   /** Folds one micro-batch of near-dup PAIRS (and its node set) into the
@@ -910,7 +936,8 @@ object DedupOps {
     * only (pairs + touched labels, count-guarded by `driverPairLimit` /
     * `driverNodeLimit` BEFORE collection); member relabeling is a
     * distributed, shard-pruned staged rewrite, and the batch's pair
-    * evidence lands in the `edges` table (keyed by final label) so
+    * evidence lands in the `edges` table (keyed by canonical min
+    * endpoint — label-free, so relabels never rewrite it) so
     * [[forgetFromClusterStore]] can later split what this merge joined. */
   def mergeClustersBatch(nodes: DataFrame, pairs: DataFrame, storePath: String,
                          nParts: Int = IndexParts,
@@ -931,9 +958,24 @@ object DedupOps {
     require(!allocExists || allocEpoch.isDefined,
       s"cluster store at $storePath carries stable-id allocations — merge " +
         "through mergeClustersStable (or pass allocEpoch) so they stay consistent")
-    val ns = nodes.select(col("id").cast("long").as("id")).distinct()
+    // ... and the REVERSE direction: an epoch on an existing store that
+    // was bootstrapped WITHOUT stable ids must not silently "upgrade" it —
+    // the alloc table would cover only batch-touched components, and every
+    // other component's ext would later read back as a silent wrong id
+    val bootstrapping = !hadoopFs(spark, storePath)
+      .exists(ShardedStore.hp(clusterManifestFile(storePath)))
+    require(allocEpoch.isEmpty || bootstrapping || allocExists,
+      s"cluster store at $storePath was bootstrapped without stable-id " +
+        "allocations — an epoch-carrying merge would create an alloc table " +
+        "covering only this batch's components, silently mis-allocating " +
+        "every other component; rebuild the store with a stable bootstrap")
+    // persisted: the count-guard and the collect are separate actions, and
+    // the caller's pair lineage is typically the full candidate pipeline
+    // (e.g. banded minhash + exact-Jaccard refinement) — without the cache
+    // every guarded batch pays that pipeline twice
+    val ns = nodes.select(col("id").cast("long").as("id")).distinct().persist()
     val ps = pairs.select(col("id_l").cast("long").as("id_l"),
-      col("id_r").cast("long").as("id_r")).distinct()
+      col("id_r").cast("long").as("id_r")).distinct().persist()
     val fs = hadoopFs(spark, storePath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storePath)) ||
         !fs.exists(ShardedStore.hp(clusterManifestFile(storePath)))) {
@@ -942,16 +984,17 @@ object DedupOps {
       val cc = connectedComponents(allNodes, ps)
         .select(col("node").as("doc_id"), col("cluster_id"))
         .localCheckpoint(true)
-      // pair evidence keyed by each component's label (both endpoints
-      // share it), canonical lo<hi orientation
+      // pair evidence in canonical lo<hi orientation — label-free (fmt 2:
+      // keyed by min endpoint, so later relabels never move a row)
       val canon = ps.where(col("id_l") =!= col("id_r"))
         .select(least(col("id_l"), col("id_r")).as("id_l"),
           greatest(col("id_l"), col("id_r")).as("id_r")).distinct()
-      val keyed = canon.join(
-          cc.select(col("doc_id").as("id_l"), col("cluster_id")), Seq("id_l"))
-        .select(col("cluster_id"), col("id_l"), col("id_r"))
-      writeClusterStore(cc, keyed, storePath, nParts, allocEpoch)
-      return cc.join(ns.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val receipt0 = cc
+        .join(ns.select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      writeClusterStore(cc, canon, storePath, nParts, allocEpoch)
+      ps.unpersist(); ns.unpersist()
+      return receipt0
     }
     val mParts = readClusterManifest(spark, storePath)
     require(mParts == nParts,
@@ -970,20 +1013,42 @@ object DedupOps {
         s"$driverNodeLimit — split the batch")
     val pairRows = ps.collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodeIds = ns.collect().map(_.getLong(0))
+    ps.unpersist(); ns.unpersist() // driver state from here on
     val touched = (nodeIds ++ pairRows.flatMap(p => Seq(p._1, p._2))).distinct
     if (touched.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, cluster_id BIGINT"))
-    // resolve touched ids' existing labels: doc_pt prune + broadcast semi
-    val dpts = touched.map(id => (((id % nParts) + nParts) % nParts).toInt).distinct.toSeq
-    val known: Map[Long, Long] = spark.read.schema(byDocSchema)
+    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
+    // resolve touched ids' existing labels AND the batch pairs' stored-
+    // evidence presence in ONE pruned collect: both prunes derive from
+    // the batch alone (doc_pt of touched ids; edge_pt of the canonical
+    // min endpoints — fmt 2 keys edges by endpoint, not by label), so
+    // neither scan waits on the other, and the replay hot path costs a
+    // single job where r16 paid two (the by_doc lookup, then a label-
+    // keyed probe that could not start until the lookup resolved)
+    val canonPairs = pairRows.filter(p => p._1 != p._2)
+      .map { case (l, r) => if (l < r) (l, r) else (r, l) }.distinct
+    val dpts = touched.map(ptOf).distinct.toSeq
+    val byDocScan = spark.read.schema(byDocSchema)
       .parquet(s"$storePath/by_doc")
       .where(col("doc_pt").isin(dpts: _*))
       .join(broadcast(touched.toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
-      .select("doc_id", "cluster_id")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"),
+        lit(0).as("tag"))
+    val scan = if (canonPairs.isEmpty) byDocScan else byDocScan.unionByName(
+      spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
+        .where(col("edge_pt").isin(canonPairs.map(p => ptOf(p._1)).distinct.toSeq: _*))
+        .join(broadcast(canonPairs.toSeq.toDF("id_l", "id_r")),
+          Seq("id_l", "id_r"), "left_semi")
+        .select(col("id_l").as("a"), col("id_r").as("b"), lit(1).as("tag")))
+    // bounded by |touched| + |canonPairs|, both count-guarded above
+    val collected = scan.collect()
+    val known: Map[Long, Long] = collected.iterator
+      .filter(_.getInt(2) == 0).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val storedPairs: Set[(Long, Long)] = collected.iterator
+      .filter(_.getInt(2) == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
     // contracted union-find over {labels} ∪ {new ids} — min-root, so the
     // final labels are min-reachable-id over the full edge history
     val parent = new java.util.HashMap[Long, Long]()
@@ -1011,31 +1076,12 @@ object DedupOps {
       .map(id => (id, rootOf(rep(id)))).toSeq
     val receipt = nodeIds.map(id => (id, rootOf(find(rep(id))))).toSeq
       .toDF("doc_id", "cluster_id")
-    def ptOf(id: Long) = (((id % nParts) + nParts) % nParts).toInt
-    // pair evidence this batch contributes: canonical lo<hi rows keyed by
-    // the component's FINAL label; replay-idempotence = the stored-edge
-    // anti-join below (a retried batch's edges are already keyed by the
-    // same final labels, so nothing survives the anti-join)
-    val edgeKeyed = pairRows.filter(p => p._1 != p._2)
-      .map { case (l, r) => if (l < r) (l, r) else (r, l) }.distinct
-      .map { case (l, r) => (rootOf(find(rep(l))), l, r) }.toSeq
-    // lazy on purpose: its lineage reads only LIVE edge dirs, which stay
-    // untouched until every staging below completes — no checkpoint write
-    // needed on the replay hot path
-    val newEdges: DataFrame = if (edgeKeyed.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "cluster_id BIGINT, id_l BIGINT, id_r BIGINT"))
-    else {
-      val batchEdges = edgeKeyed.toDF("cluster_id", "id_l", "id_r")
-      val ePts = edgeKeyed.map(e => ptOf(e._1)).distinct
-      batchEdges.join(
-          spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
-            .where(col("cluster_pt").isin(ePts: _*))
-            .select("cluster_id", "id_l", "id_r"),
-          Seq("cluster_id", "id_l", "id_r"), "left_anti")
-    }
-    val hasNewEdges = edgeKeyed.nonEmpty && !newEdges.isEmpty
+    // evidence this batch adds: canonical pairs absent from the store —
+    // a driver set-difference over the SAME collect as the label lookup.
+    // Replay-idempotence: a retried batch finds every pair stored and
+    // stages nothing
+    val newEdgeRows = canonPairs.filterNot(storedPairs).toSeq
+    val hasNewEdges = newEdgeRows.nonEmpty
     if (losers.isEmpty && newDocs.isEmpty && !hasNewEdges) return receipt
     val remap = losers.toSeq.map(l => (l, rootOf(l))).toDF("cluster_id", "__root")
     // every component that changed contributes its final root's shard
@@ -1055,7 +1101,7 @@ object DedupOps {
         pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)) ++ newDocs.map(d => ptOf(d._1)))
       .distinct.toSeq
-    val Seq(byDocT, byClusterT, edgesT, _) = clusterTables(storePath)
+    val Seq(byDocT, byClusterT, edgesT, allocT, _) = clusterTables(storePath)
     val relabel = losers.nonEmpty || newDocs.nonEmpty
     // phase 1 (stage EVERY affected table completely, live dirs untouched)
     val clusterPts = (loserPts ++ finalRoots.map(ptOf)).distinct
@@ -1079,21 +1125,17 @@ object DedupOps {
         .withColumn("doc_pt", pmod(col("doc_id"), lit(nParts.toLong)).cast("int"))
       ShardedStore.stage(byDocKept, byDocT, math.min(nParts, docPts.size), docPts)
     }
-    // edges: losing clusters' evidence re-keys to the final root (same
-    // remap as the label tables), plus this batch's new evidence. New
-    // SINGLETON docs alone never touch evidence — skip the rewrite when
-    // no cluster lost its label and the batch brought no new pairs.
-    val edgePts = (loserPts ++ losers.map(l => ptOf(rootOf(l))) ++
-      edgeKeyed.map(e => ptOf(e._1))).toSeq.distinct
-    if (losers.nonEmpty || hasNewEdges) {
+    // edges: fmt 2 rows are label-free, so relabeling never touches them —
+    // only NEW evidence stages, into its min-endpoint shards (the r16
+    // loser re-key rewrite is gone entirely)
+    val edgePts = newEdgeRows.map(p => ptOf(p._1)).distinct
+    if (hasNewEdges) {
       val edgesKept = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
-        .where(col("cluster_pt").isin(edgePts: _*))
-        .join(broadcast(remap), Seq("cluster_id"), "left")
-        .select(coalesce(col("__root"), col("cluster_id")).as("cluster_id"),
-          col("id_l"), col("id_r"))
-        .unionByName(newEdges)
+        .where(col("edge_pt").isin(edgePts: _*))
+        .select("id_l", "id_r")
+        .unionByName(newEdgeRows.toDF("id_l", "id_r"))
         .distinct()
-        .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
+        .withColumn("edge_pt", pmod(col("id_l"), lit(nParts.toLong)).cast("int"))
       ShardedStore.stage(edgesKept, edgesT,
         math.min(nParts, edgePts.size), edgePts)
     }
@@ -1102,8 +1144,10 @@ object DedupOps {
     // of each changed component are its losing labels plus its final root
     // when that label pre-existed; the FIRST-ALLOCATED constituent's
     // (ext_id, ep) wins (tie: smaller ext_id); brand-new components
-    // allocate (root, allocEpoch)
-    val allocT = clusterTables(storePath).last
+    // allocate (root, allocEpoch) — FRESH mints are guarded against the
+    // ext-retired table (a forgotten ext-holder doc id re-ingested as a
+    // new component seed must fail loudly, not silently duplicate a live
+    // ext — see [[requireExtNotRetired]])
     val allocStaged: Option[Seq[Int]] = allocEpoch.flatMap { ep =>
       val prevLabels = known.values.toSet
       if (finalRoots.isEmpty) None
@@ -1121,12 +1165,15 @@ object DedupOps {
             .join(broadcast(keys.toDF("cluster_id")), Seq("cluster_id"), "left_semi")
             .select("cluster_id", "ext_id", "ep")
             .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-        val newRows = finalRoots.map { r =>
+        val newRowsF = finalRoots.map { r =>
           val cands = consts(r).flatMap(c =>
             existing.get(c).map { case (e, e0) => (e0, e) })
-          val (ep0, ext) = if (cands.nonEmpty) cands.min else (ep, r)
-          (r, ext, ep0)
+          if (cands.nonEmpty) { val (ep0, ext) = cands.min; (r, ext, ep0, false) }
+          else (r, r, ep, true) // fresh mint — guarded below
         }
+        requireExtNotRetired(spark, storePath,
+          newRowsF.collect { case (_, e, _, true) => e }, nParts)
+        val newRows = newRowsF.map(t => (t._1, t._2, t._3))
         val unchanged = newRows.forall { case (r, ext, ep0) =>
           existing.get(r).contains((ext, ep0)) } &&
           losers.filterNot(finalRoots.contains).forall(!existing.contains(_))
@@ -1158,7 +1205,7 @@ object DedupOps {
       ShardedStore.swap(spark, byClusterT, clusterPts)
       ShardedStore.swap(spark, byDocT, docPts)
     }
-    if (losers.nonEmpty || hasNewEdges) ShardedStore.swap(spark, edgesT, edgePts)
+    if (hasNewEdges) ShardedStore.swap(spark, edgesT, edgePts)
     allocStaged.foreach(aPts => ShardedStore.swap(spark, allocT, aPts))
     ShardedStore.clearCommit(spark, storePath)
     receipt
@@ -1173,20 +1220,21 @@ object DedupOps {
     * labels-only stores cannot do this, which is why the `edges` table
     * exists.
     *
-    * Steps (all reads settled before any staging; all three tables swap
-    * under ONE [[ShardedStore]] commit boundary):
+    * Steps (all reads settled before any staging; every affected table
+    * swaps under ONE [[ShardedStore]] commit boundary):
     *  1. the forget set's current labels — doc_pt-pruned lookup
     *     (forget-set-shard-sized I/O);
-    *  2. the affected components' members and edges — cluster_pt-pruned
-    *     reads of `by_cluster`/`edges`;
+    *  2. the affected components' members (cluster_pt-pruned `by_cluster`
+    *     read) and edges (edge_pt-pruned by the member shard list — an
+    *     affected component's evidence always has id_l among its members);
     *  3. survivors relabel via [[connectedComponents]] over surviving
     *     members and evidence (driver union-find below the limit, the
     *     distributed pointer-doubling loop above it) — min-reachable-id,
     *     so untouched components' labels can never collide with the new
     *     ones (labels are member ids, components are disjoint);
-    *  4. affected shards of all three tables are rewritten: forgotten
-    *     docs' rows dropped, survivors relabeled, surviving evidence
-    *     re-keyed.
+    *  4. affected shards are rewritten: forgotten docs' rows dropped,
+    *     survivors relabeled; surviving evidence stays PUT (label-free
+    *     edges) — only rows incident to a forgotten id drop.
     *
     * Returns one settled (doc_id, was_clustered) receipt row per distinct
     * input id. Replay-safe: a retried forget finds the ids absent and
@@ -1243,9 +1291,16 @@ object DedupOps {
       .where(col("cluster_pt").isin(apts: _*))
       .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
       .select("cluster_id", "doc_id").localCheckpoint(true)
+    val memberPts = members
+      .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // fmt 2 edges are keyed by canonical min endpoint: an affected
+    // component's evidence always has id_l ∈ its members, so the member
+    // shard list (already needed for the by_doc rewrite) prunes the read
+    // exactly; the semi-join restricts shared shards to affected rows
     val edgesA = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
-      .where(col("cluster_pt").isin(apts: _*))
-      .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
+      .where(col("edge_pt").isin(memberPts: _*))
+      .join(members.select(col("doc_id").as("id_l")), Seq("id_l"), "left_semi")
       .select("id_l", "id_r").localCheckpoint(true)
     val survNodes = members.select(col("doc_id").as("id"))
       .join(broadcast(ids.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
@@ -1259,12 +1314,10 @@ object DedupOps {
     val newLabelPts = newLabels
       .select(pmod(col("cluster_id"), lit(nParts.toLong)).cast("int").as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val memberPts = members
-      .select(pmod(col("doc_id"), lit(nParts.toLong)).cast("int").as("pt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val cPts = (apts ++ newLabelPts).distinct
-    val Seq(byDocT, byClusterT, edgesT, _) = clusterTables(storePath)
-    // stage all three tables, then one commit boundary
+    val Seq(byDocT, byClusterT, edgesT, allocT, retiredT) =
+      clusterTables(storePath)
+    // stage every affected table, then one commit boundary
     val byDocKept = spark.read.schema(byDocSchema).parquet(s"$storePath/by_doc")
       .where(col("doc_pt").isin(memberPts: _*))
       .join(members.select("doc_id"), Seq("doc_id"), "left_anti") // affected rows out
@@ -1281,28 +1334,34 @@ object DedupOps {
       .unionByName(newLabels.select(col("cluster_id"), col("doc_id")))
       .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
     ShardedStore.stage(byClusterKept, byClusterT, math.min(nParts, cPts.size), cPts)
+    // fmt 2 edges never re-key: the rewrite only REMOVES rows incident to
+    // a forgotten id — both removal classes live in the member shards
+    // (id_l forgotten ⇒ a member's shard; id_r forgotten ⇒ id_l is a
+    // surviving member of the same component), so memberPts is exact
     val edgesKept = spark.read.schema(edgesSchema).parquet(s"$storePath/edges")
-      .where(col("cluster_pt").isin(cPts: _*))
-      .join(broadcast(affDf), Seq("cluster_id"), "left_anti")
-      .select("cluster_id", "id_l", "id_r")
-      .unionByName(survEdges
-        .join(newLabels.select(col("doc_id").as("id_l"), col("cluster_id")),
-          Seq("id_l"))
-        .select("cluster_id", "id_l", "id_r"))
-      .withColumn("cluster_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
-    ShardedStore.stage(edgesKept, edgesT, math.min(nParts, cPts.size), cPts)
+      .where(col("edge_pt").isin(memberPts: _*))
+      .join(broadcast(ids.select(col("doc_id").as("id_l"))), Seq("id_l"), "left_anti")
+      .join(broadcast(ids.select(col("doc_id").as("id_r"))), Seq("id_r"), "left_anti")
+      .select("id_l", "id_r")
+      .withColumn("edge_pt", pmod(col("id_l"), lit(nParts.toLong)).cast("int"))
+    ShardedStore.stage(edgesKept, edgesT, math.min(nParts, memberPts.size),
+      memberPts)
     // alloc repair (stable stores only), staged under the SAME commit
     // boundary: every affected old label's row is dropped; each surviving
-    // sub-component either INHERITS the old component's (ext_id, ep) —
-    // the min-new-label sub-component wins, deterministically — or
-    // allocates fresh at `allocEpoch`. A vanished component's row simply
-    // drops. ext-id uniqueness contract: unique among live allocations
-    // as long as forgotten doc ids are not re-ingested as new component
-    // seeds (doc ids are stable external identities — the natural
-    // contract; a re-used id could re-allocate an ext an old component
-    // still holds).
-    val allocT = clusterTables(storePath).last
-    val allocPtsOpt = if (!allocExists) None else {
+    // sub-component either INHERITS the old component's (ext_id, ep) or
+    // allocates fresh at `allocEpoch`; a vanished component's row simply
+    // drops. Inheritance FOLLOWS THE HOLDER: the sub-component still
+    // containing the allocation's ext_id doc wins (ext ids are
+    // allocation-time min-member DOC ids). Inheriting by min-new-label
+    // alone — the pre-r17 rule — could hand the ext to one sub-component
+    // while another freshly mints ITS min label, which can BE that same
+    // ext id (allocated older-but-larger under first-allocated-wins):
+    // two live rows, one ext, silently. When the holder doc is itself
+    // forgotten, the min-new-label sub-component inherits and the ext is
+    // RECORDED in the ext-retired table, so a later merge re-minting it
+    // (the holder doc re-ingested as a new component seed) fails loudly.
+    val allocPtsOpt: Option[(Seq[Int], Option[Seq[Int]])] =
+      if (!allocExists) None else {
       val oldToNew = members
         .join(newLabels.withColumnRenamed("cluster_id", "new_label"), Seq("doc_id"))
         .select(col("cluster_id"), col("new_label")).distinct()
@@ -1318,15 +1377,26 @@ object DedupOps {
         .join(broadcast(affDf), Seq("cluster_id"), "left_semi")
         .select("cluster_id", "ext_id", "ep")
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val newRows = mapping.groupBy(_._1).toSeq.flatMap { case (old, subs) =>
-        val winner = subs.map(_._2).min
-        subs.map(_._2).distinct.map { nl =>
-          if (nl == winner && existing.contains(old)) {
-            val (ext, ep) = existing(old); (nl, ext, ep)
-          } else (nl, nl, allocEpoch.get)
+      // which surviving sub-component holds each allocation's ext doc
+      val extDocs = existing.values.map(_._1).toSeq.distinct
+      val holderSub: Map[Long, Long] = if (extDocs.isEmpty) Map.empty
+        else newLabels
+          .join(broadcast(extDocs.toDF("doc_id")), Seq("doc_id"), "left_semi")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val newRowsF = mapping.groupBy(_._1).toSeq.flatMap { case (old, subs) =>
+        val labels = subs.map(_._2).distinct
+        val winner: Option[Long] = existing.get(old).map { case (ext, _) =>
+          holderSub.get(ext).filter(labels.contains).getOrElse(labels.min) }
+        labels.map { nl =>
+          if (winner.contains(nl)) {
+            val (ext, ep) = existing(old); (nl, ext, ep, false)
+          } else (nl, nl, allocEpoch.get, true) // fresh mint — guarded below
         }
       }
-      val aPts = (apts ++ newRows.map(r => (((r._1 % nParts) + nParts) % nParts).toInt)).distinct
+      requireExtNotRetired(spark, storePath,
+        newRowsF.collect { case (_, e, _, true) => e }, nParts)
+      val newRows = newRowsF.map(t => (t._1, t._2, t._3))
+      val aPts = (apts ++ newRows.map(r => ptOf(r._1))).distinct
       val allocKept = spark.read.schema(allocSchema).parquet(s"$storePath/alloc")
         .where(col("alloc_pt").isin(aPts: _*))
         .join(broadcast(affDf), Seq("cluster_id"), "left_anti")
@@ -1334,13 +1404,42 @@ object DedupOps {
         .unionByName(newRows.toDF("cluster_id", "ext_id", "ep"))
         .withColumn("alloc_pt", pmod(col("cluster_id"), lit(nParts.toLong)).cast("int"))
       ShardedStore.stage(allocKept, allocT, math.min(nParts, aPts.size), aPts)
-      Some(aPts)
+      // retire exts whose holder doc is forgotten while the allocation
+      // survives (inherited above) — staged in the SAME boundary: losing
+      // the record would silently re-open the reuse hole. Conservative:
+      // records persist even if the holding component later vanishes (a
+      // false-positive loud failure beats a silent duplicate ext).
+      val forgottenSet = idRows.toSet
+      val retiredNow = existing.toSeq.collect {
+        case (old, (ext, _))
+          if mapping.exists(_._1 == old) && !holderSub.contains(ext) &&
+            forgottenSet.contains(ext) => ext
+      }.distinct
+      val retiredPts = if (retiredNow.isEmpty) None else {
+        val rPts = retiredNow.map(ptOf).distinct
+        val retiredDir = s"$storePath/ext_retired"
+        val base =
+          if (!hadoopFs(spark, storePath).exists(ShardedStore.hp(retiredDir)))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL("ext_id BIGINT"))
+          else spark.read.schema(retiredSchema).parquet(retiredDir)
+            .where(col("ext_pt").isin(rPts: _*)).select("ext_id")
+        val kept = base.unionByName(retiredNow.toDF("ext_id")).distinct()
+          .withColumn("ext_pt", pmod(col("ext_id"), lit(nParts.toLong)).cast("int"))
+        ShardedStore.stage(kept, retiredT, math.min(nParts, rPts.size), rPts)
+        Some(rPts)
+      }
+      Some((aPts, retiredPts))
     }
     ShardedStore.commit(spark, storePath)
     ShardedStore.swap(spark, byDocT, memberPts)
     ShardedStore.swap(spark, byClusterT, cPts)
-    ShardedStore.swap(spark, edgesT, cPts)
-    allocPtsOpt.foreach(aPts => ShardedStore.swap(spark, allocT, aPts))
+    ShardedStore.swap(spark, edgesT, memberPts)
+    allocPtsOpt.foreach { case (aPts, retiredPts) =>
+      ShardedStore.swap(spark, allocT, aPts)
+      retiredPts.foreach(rPts => ShardedStore.swap(spark, retiredT, rPts))
+    }
     ShardedStore.clearCommit(spark, storePath)
     receipt
   }
@@ -1358,12 +1457,51 @@ object DedupOps {
   // wins (ties broken by smaller ext_id) — so an external id survives any
   // amount of label churn and changes only when two already-allocated
   // components genuinely fuse (where SOME id must yield, by definition).
-  // ext ids never collide: each is the min-member doc id of its component
-  // at allocation time, components are disjoint, and a doc's component
-  // only ever grows — no other component can later allocate that id.
+  //
+  // ext-id UNIQUENESS among live allocations, under forget (r17): each
+  // ext is the min-member doc id of its component at allocation time;
+  // without retraction components only grow, so no other component can
+  // ever mint that id. With forget, two leaks existed and are closed:
+  //  1. SPLITS: inheritance follows the HOLDER doc (the sub-component
+  //     containing doc ext_id keeps the allocation), so a remainder's
+  //     fresh mint — its min member id — can never equal a live ext
+  //     (that doc would have pulled the allocation with it);
+  //  2. HOLDER FORGOTTEN: the min-new-label sub-component inherits, the
+  //     ext is recorded in `ext_retired/ext_pt=K`, and every later FRESH
+  //     mint (merge or forget) fails loudly if it would re-issue a
+  //     recorded id — the re-ingested-seed hazard that was previously
+  //     only documented.
 
   private val allocSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT")
+
+  private val retiredSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "ext_id BIGINT, ext_pt INT")
+
+  /** Fails loudly when any of `exts` — about to be allocated FRESH — was
+    * retired by a forget while another component still carried it (the
+    * forgotten ext-holder doc id re-ingested as a new component seed):
+    * proceeding would silently violate ext uniqueness. Pruned, batch-
+    * sized read; no-op when the guard table does not exist. */
+  private def requireExtNotRetired(spark: org.apache.spark.sql.SparkSession,
+                                   storePath: String, exts: Seq[Long],
+                                   nParts: Int): Unit = {
+    if (exts.isEmpty) return
+    val dirP = s"$storePath/ext_retired"
+    if (!hadoopFs(spark, storePath).exists(ShardedStore.hp(dirP))) return
+    import spark.implicits._
+    val pts = exts.map(e => (((e % nParts) + nParts) % nParts).toInt).distinct
+    val hits = spark.read.schema(retiredSchema).parquet(dirP)
+      .where(col("ext_pt").isin(pts: _*))
+      .join(broadcast(exts.toDF("ext_id")), Seq("ext_id"), "left_semi")
+      .select("ext_id").collect().map(_.getLong(0))
+    require(hits.isEmpty,
+      s"cluster store at $storePath: refusing to allocate fresh external " +
+        s"id(s) ${hits.mkString(",")} — a forget retired them while " +
+        "another component still carries them (forgotten ext-holder doc " +
+        "id re-ingested as a new component seed); re-key the input doc " +
+        "ids, or ext uniqueness would be silently violated")
+  }
 
   /** [[mergeClustersBatch]] plus stable-external-id maintenance. `epoch`
     * is the caller's batch/epoch counter (monotone across calls — it IS

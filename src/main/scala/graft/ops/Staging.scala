@@ -76,21 +76,34 @@ object Staging {
     * receives a PER-THREAD working copy RESET from the master — mutations
     * never reach the master or any other invocation's active copy, so an
     * entry that destructively evolves its staged index stays correct
-    * across the bench's two passes and the dual verify run. The slot is
-    * reused (deleted and re-copied) per invocation, so disk usage is
-    * bounded by (threads + 1) × artifact size instead of growing by one
-    * full copy per invocation for the JVM's lifetime (round-15 advice);
-    * the shutdown hook still removes everything at exit. Use only when
-    * the mutation is not idempotent (see [[once]]'s contract). */
+    * across the bench's two passes and the dual verify run. TWO slots per
+    * (thread, leaf) rotate per invocation: the slot handed out LAST
+    * invocation stays intact while the other is reset, so a still-
+    * unevaluated DataFrame lineage over the previous path keeps reading
+    * its own frozen copy (r16 advice — a single reused slot silently
+    * reset it). Only the IMMEDIATELY PREVIOUS invocation is protected;
+    * consumers that hold paths across two or more same-thread
+    * invocations must settle (collect/localCheckpoint) first. Disk stays
+    * bounded at (2 × threads + 1) × artifact size; the shutdown hook
+    * removes everything at exit. Use only when the mutation is not
+    * idempotent (see [[once]]'s contract). */
   def onceCopied(root: String, inputDir: String, leaf: String)
                 (build: String => Unit): String = {
     val master = once(root, inputDir, s"$leaf-master")(build)
+    val key = s"$root|$inputDir|$leaf|t${Thread.currentThread().getId}"
+    val slot = slotTurn.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .getAndIncrement() % 2
     val mine = dir(root, inputDir,
-      s"$leaf-t${Thread.currentThread().getId}")
+      s"$leaf-t${Thread.currentThread().getId}-s$slot")
     deleteRecursively(new java.io.File(mine))
     copyRecursively(new java.io.File(master), new java.io.File(mine))
     mine
   }
+
+  private val slotTurn =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
 
   private def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {

@@ -312,8 +312,8 @@ object DedupQueries {
     * Why this needs the store's `edges` table: labels alone cannot split
     * a component when its bridge doc is forgotten; the persisted pair
     * evidence lets the op recompute ONLY the affected components
-    * (cluster_pt-pruned reads, batch-grain relabeling, one commit-marker
-    * swap across all three tables). Cost ∝ affected components' shards,
+    * (shard-pruned reads, batch-grain relabeling, one commit-marker
+    * swap across every affected table). Cost ∝ affected components' shards,
     * never store size. The replayed epoch-2 merge per invocation
     * exercises idempotence (roots merged, docs present, edges stored →
     * zero writes). */
@@ -482,9 +482,13 @@ object DedupQueries {
     * store must repair the allocation table IN THE SAME commit boundary
     * (labels vanish, components split). The rule, replayed by the oracle:
     * each affected component's row drops; of its surviving
-    * sub-components, the MIN-NEW-LABEL one inherits the old (ext_id,
-    * epoch) and the others allocate fresh at the forget's epoch; vanished
-    * components simply drop. Protocol: stable merges at epochs 0 and 1,
+    * sub-components, the one still CONTAINING the allocation's ext_id doc
+    * inherits the old (ext_id, epoch) — holder-follows, so a remainder's
+    * fresh mint can never duplicate a live ext (r17 fix; min-new-label
+    * inheritance could) — falling back to the min-new-label sub-component
+    * when the holder itself is forgotten; the others allocate fresh at
+    * the forget's epoch; vanished components simply drop. Protocol:
+    * stable merges at epochs 0 and 1,
     * forget (doc_id % 7 == 1 among epochs 0–1 docs, allocEpoch = 2),
     * stable merge of epoch-2 docs at epoch 3. The DuckDB oracle folds
     * per-epoch-prefix connected components through merge → merge →
@@ -562,19 +566,29 @@ object DedupQueries {
          |    coalesce(m1.word // 1000000000000, 1) AS ep
          |  FROM (SELECT DISTINCT cluster_id FROM c1) l
          |  LEFT JOIN m1 ON m1.lbl = l.cluster_id),
-         |-- forget step: each surviving sub-component of a c1 component
-         |-- either inherits (min sub-label) or allocates fresh at epoch 2
+         |-- forget step: the sub-component still CONTAINING the
+         |-- allocation's ext_id doc inherits (holder-follows, r17); if
+         |-- the holder is forgotten, the min sub-label inherits; the
+         |-- others allocate fresh at epoch 2
          |subs AS (
-         |  SELECT s.cluster_id AS sub_label, c1.cluster_id AS parent,
-         |    row_number() OVER (PARTITION BY c1.cluster_id
-         |      ORDER BY s.cluster_id) AS rk
+         |  SELECT s.cluster_id AS sub_label, c1.cluster_id AS parent
          |  FROM (SELECT DISTINCT cluster_id FROM c1s) s
          |  JOIN c1 ON c1.doc_id = s.cluster_id),
+         |win AS (
+         |  SELECT subs.parent,
+         |    coalesce(max(hs.cluster_id), min(subs.sub_label)) AS winner
+         |  FROM subs
+         |  JOIN a1 ON a1.cluster_id = subs.parent
+         |  LEFT JOIN c1s hs ON hs.doc_id = a1.ext_id
+         |  GROUP BY subs.parent),
          |a1s AS (
          |  SELECT subs.sub_label AS cluster_id,
-         |    CASE WHEN rk = 1 THEN a1.ext_id ELSE subs.sub_label END AS ext_id,
-         |    CASE WHEN rk = 1 THEN a1.ep ELSE 2 END AS ep
-         |  FROM subs JOIN a1 ON a1.cluster_id = subs.parent),
+         |    CASE WHEN subs.sub_label = win.winner
+         |         THEN a1.ext_id ELSE subs.sub_label END AS ext_id,
+         |    CASE WHEN subs.sub_label = win.winner THEN a1.ep ELSE 2 END AS ep
+         |  FROM subs
+         |  JOIN win ON win.parent = subs.parent
+         |  JOIN a1 ON a1.cluster_id = subs.parent),
          |m2 AS (
          |  SELECT cx.cluster_id AS lbl,
          |         min(a1s.ep * 1000000000000 + a1s.ext_id) AS word
@@ -2481,6 +2495,91 @@ object DedupQueries {
          |FROM arms CROSS JOIN met WHERE n_indexed > 0 ORDER BY arm""".stripMargin)
   }
 
+  // declared BEFORE the entry: the oracle string interpolates it at
+  // object-init time (a later declaration would read as 0)
+  private val WaterlinePairs = 40
+
+  /** RECALL WATERLINE of the OPERATING banding (16 bands × 4 rows) — the
+    * r16 verdict's named gap: every prior banded-recall gate ran the
+    * recall-stressed 4×16 because the corpus's natural near-dups sit at
+    * jac 0.9–0.99, where 16×4 collides with p ≈ 1 and a gate could never
+    * move. Pairs are SYNTHESIZED IN-ROW at six EXACT Jaccard levels —
+    * two element sets sharing J of U hashP words each, jac = J/(2U−J) ∈
+    * {.2,.3,.4,.5,.6,.8}, derived from the same strings in both engines
+    * (the q_ann_refresh_recall construction idiom) — and pushed through
+    * the REAL production kernels ([[graft.ops.DedupOps.minhashSignature]]
+    * + [[graft.ops.DedupOps.lshBandKeys]] at NumBands×RowsPerBand). The
+    * per-level banded hit fraction IS the production S-curve: theory says
+    * p = 1−(1−s⁴)¹⁶ ≈ .03/.12/.34/.63/.89/.999 across the levels, so the
+    * gate has real misses AND real hits in its active range (Wave38 pins
+    * non-vacuity) — the waterline an operator consults before retuning
+    * the banding. Scale shape: fixed-size synthetic frame (6 levels ×
+    * [[WaterlinePairs]]), all in-row codegen kernels, one tiny aggregate
+    * — corpus-free. */
+  val dedupRecallWaterline: Q = new Q {
+    val name = "q_dedup_recall_waterline"
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      import graft.ops.HashOps
+      import spark.implicits._
+      val levels = Seq((2000L, 12, 4), (3000L, 13, 6), (4000L, 14, 8),
+        (5000L, 15, 10), (6000L, 16, 12), (8000L, 18, 16))
+      val base = levels.toDF("jac_e4", "u", "j")
+        .crossJoin(spark.range(WaterlinePairs).select(col("id").as("pair_id")))
+      def word(side: String, idx: org.apache.spark.sql.Column) =
+        HashOps.hashP(concat_ws(":",
+        lit("wl"), col("jac_e4"), col("pair_id"), lit(side), idx))
+      def hsOf(side: String) = concat(
+        transform(sequence(lit(0), col("j") - 1), i => word("s", i)),
+        transform(sequence(lit(0), col("u") - col("j") - 1), i => word(side, i)))
+      def bandsOf(side: String) = DedupOps.lshBandKeys(
+        DedupOps.minhashSignature(hsOf(side), NumPerms), NumBands, RowsPerBand)
+      base
+        .withColumn("hit",
+          when(arrays_overlap(bandsOf("q"), bandsOf("p")), 1L).otherwise(0L))
+        .groupBy("jac_e4")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("found_pairs"))
+        .select(col("jac_e4"), col("n_pairs"), col("found_pairs"),
+          expr("CAST(found_pairs * 10000 DIV n_pairs AS BIGINT)").as("recall_e4"))
+        .orderBy("jac_e4")
+    }
+    val oracle = Some(
+      s"""WITH lv(jac_e4, u, j) AS (VALUES (2000, 12, 4), (3000, 13, 6),
+         |  (4000, 14, 8), (5000, 15, 10), (6000, 16, 12), (8000, 18, 16)),
+         |prs AS (
+         |  SELECT jac_e4, u, j, k AS pair_id
+         |  FROM lv CROSS JOIN range($WaterlinePairs) r(k)),
+         |els AS (
+         |  SELECT jac_e4, pair_id, sd.s AS side, r.i AS i,
+         |    CASE WHEN r.i < j THEN
+         |      ${HashOps.sqlHashP("'wl:' || jac_e4 || ':' || pair_id || ':s:' || r.i")}
+         |    ELSE
+         |      ${HashOps.sqlHashP("'wl:' || jac_e4 || ':' || pair_id || ':' || sd.s || ':' || (r.i - j)")}
+         |    END AS h
+         |  FROM prs CROSS JOIN range(18) r(i) CROSS JOIN (VALUES ('q'), ('p')) sd(s)
+         |  WHERE r.i < u),
+         |m AS (
+         |  SELECT jac_e4, pair_id, side, p.i AS pi,
+         |    min((((2*p.i + 1) * h + (p.i * 2654435761) % ${HashOps.P}) % ${HashOps.P})) AS mh
+         |  FROM els CROSS JOIN range($NumPerms) p(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |bnd AS (
+         |  SELECT jac_e4, pair_id, side, pi // $RowsPerBand AS band,
+         |         string_agg(mh, ',' ORDER BY pi) AS sig
+         |  FROM m GROUP BY 1, 2, 3, pi // $RowsPerBand),
+         |hit AS (
+         |  SELECT DISTINCT q.jac_e4, q.pair_id
+         |  FROM bnd q JOIN bnd p ON q.jac_e4 = p.jac_e4
+         |    AND q.pair_id = p.pair_id AND q.band = p.band AND q.sig = p.sig
+         |  WHERE q.side = 'q' AND p.side = 'p'),
+         |f AS (SELECT jac_e4, count(*) AS found FROM hit GROUP BY 1),
+         |g AS (SELECT jac_e4, count(*) AS n_pairs FROM prs GROUP BY 1)
+         |SELECT CAST(g.jac_e4 AS BIGINT) AS jac_e4,
+         |  CAST(g.n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(f.found, 0) AS BIGINT) AS found_pairs,
+         |  CAST(coalesce(f.found, 0) * 10000 // g.n_pairs AS BIGINT) AS recall_e4
+         |FROM g LEFT JOIN f ON f.jac_e4 = g.jac_e4
+         |ORDER BY jac_e4""".stripMargin)
+  }
   val all: Seq[Q] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
     dedupClusters, dedupKeepCanonical, dedupNgramSpan, dedupLevVerify,
     splitDedupAware, dedupPrefixFilter, dedupContainment, qLshRecall,
@@ -2489,5 +2588,6 @@ object DedupQueries {
     qDedupPairClassify, qMinhashPermSweep, dedupDeltaBatch, qLshRecallSampled,
     dedupDeltaBatch2, dedupDeltaForget, dedupDeltaForgetLogical,
     dedupRecallEvolution, dedupClustersDelta, dedupClustersForget,
-    dedupRecallForget, dedupClustersStableIds, dedupClustersStableForget)
+    dedupRecallForget, dedupClustersStableIds, dedupClustersStableForget,
+    dedupRecallWaterline)
 }

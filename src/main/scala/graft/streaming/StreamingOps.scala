@@ -440,6 +440,46 @@ object StreamingOps {
   private val ivfPostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
 
+  /** Writer for postings dirs: every file carries a parquet BLOOM FILTER
+    * on vec_id (adaptive-sized, parquet ≥1.14), so presence probes — the
+    * forget receipt audit and the re-ingest purge's touched-dir lookup —
+    * prune at ROW-GROUP granularity when the probe pushes its id set down
+    * (see [[presenceProbe]]) instead of scanning the generation's whole
+    * vec_id column. Bloom bytes amortize to well under 1% of a row-group's
+    * embedding payload; min/max stats alone cannot prune here because a
+    * file's vec_ids are scattered (cells group by SIMILARITY, not id). */
+  private def postingsWrite(df: DataFrame) = df.write
+    .option("parquet.bloom.filter.enabled#vec_id", "true")
+    .option("parquet.bloom.filter.adaptive.enabled", "true")
+    .option("parquet.bloom.filter.expected.ndv#vec_id", "200000")
+
+  /** How many probe ids the presence paths push down as per-value parquet
+    * predicates (bloom-prunable). Above this, the probe falls back to a
+    * broadcast semi-join over the (column-pruned) vec_id scan — correct at
+    * any size, corpus-column-sized instead of touched-row-group-sized.
+    * Must stay ≤ spark.sql.parquet.pushdown.inFilterThreshold
+    * ([[graft.Sessions.defaults]]), past which Spark degrades the
+    * pushdown to a min/max range that scattered ids cannot prune with. */
+  private[graft] val PresencePushdownLimit = 1000
+
+  /** Rows of `postings` whose vec_id is in the probe set — the shared
+    * presence probe: id-list pushdown (footer + bloom + matched row
+    * groups) when the caller collected the set, broadcast semi-join
+    * otherwise. */
+  private def presenceProbe(postings: DataFrame, idRows: Option[Seq[Long]],
+                            ids: DataFrame): DataFrame =
+    idRows match {
+      case Some(rows) => postings.where(col("vec_id").isin(rows: _*))
+      case None => postings.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    }
+
+  /** The probe set as driver rows when it is small enough to push down —
+    * `ids` must be settled (both callers localCheckpoint first). */
+  private def probeRows(ids: DataFrame): Option[Seq[Long]] =
+    if (ids.count() <= PresencePushdownLimit)
+      Some(ids.collect().map(_.getLong(0)).toSeq)
+    else None
+
   /** The IVF index's deletion vector — INDEX-level, not per-generation
     * (vec_ids persist across a refresh; the refresh is also where the
     * debt is settled physically). Same idiom as the signature index's
@@ -506,12 +546,17 @@ object StreamingOps {
     * above the horizon may remain).
     *
     * Returns one SETTLED (vec_id, was_indexed) receipt row per distinct
-    * batch id, checkpointed before the mutation — the audit reads ONE
-    * column of the postings (column-pruned vec_id scan; the embedding
-    * payload, which dominates postings bytes, is never read), the one
-    * rows-proportional step of this path. Replay-safe: re-tombstoning is
-    * idempotent and a retried batch's receipt reports was_indexed=false
-    * for already-forgotten ids — monotone in the safe direction. */
+    * batch id, checkpointed before the mutation — the presence audit
+    * pushes the batch's id list into the parquet scan, where per-file
+    * BLOOM FILTERS on vec_id ([[postingsWrite]]) skip every row group
+    * holding none of them: reads are footer/bloom-metadata-sized plus the
+    * matched row groups, not corpus-column-sized (the r16 shape — the
+    * path's one rows-proportional step — measured closed in
+    * vector_forget_scaling.json; batches past [[PresencePushdownLimit]]
+    * fall back to the column-pruned semi-join scan). Replay-safe:
+    * re-tombstoning is idempotent and a retried batch's receipt reports
+    * was_indexed=false for already-forgotten ids — monotone in the safe
+    * direction. */
   def forgetVectorsBatch(batch: DataFrame, indexPath: String): DataFrame = {
     val spark = batch.sparkSession
     recoverIndex(spark, indexPath)
@@ -522,9 +567,9 @@ object StreamingOps {
       .filter(gd => fsOf(spark, indexPath).exists(hPath(s"$gd/postings")))
     val present = genDirOpt match {
       case Some(gd) => antiVecTombs(indexPath, gd,
-          spark.read.schema(ivfPostingsSchema).parquet(s"$gd/postings")
-            .select("vec_id")
-            .join(broadcast(ids), Seq("vec_id"), "left_semi"))
+          presenceProbe(spark.read.schema(ivfPostingsSchema)
+              .parquet(s"$gd/postings").select("vec_id"),
+            probeRows(ids), ids))
         .distinct().withColumn("was_indexed", lit(true))
       case None => ids.where(lit(false)).withColumn("was_indexed", lit(true))
     }
@@ -550,7 +595,7 @@ object StreamingOps {
     val postingsPath = s"$genDir/postings"
     if (!fsOf(spark, genDir).exists(hPath(postingsPath))) return
     val posts = spark.read.schema(ivfPostingsSchema).parquet(postingsPath)
-    val touched = posts.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    val touched = presenceProbe(posts, probeRows(ids), ids)
       .select("centroid_id", "batch_id").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (touched.isEmpty) return
@@ -568,8 +613,8 @@ object StreamingOps {
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .select("centroid_id", "vec_id", "embedding", "batch_id")
       .localCheckpoint(true) // settled BEFORE the overwrite mutates its source
-    kept.repartition(col("centroid_id"))
-      .write.option("partitionOverwriteMode", "dynamic")
+    postingsWrite(kept.repartition(col("centroid_id")))
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("centroid_id", "batch_id")
       .parquet(postingsPath)
     // a touched dir whose kept content is EMPTY was not rewritten by the
@@ -712,11 +757,11 @@ object StreamingOps {
     // the write is a DYNAMIC overwrite, so a replayed batch replaces
     // exactly its own (cell, batch) directories instead of appending
     // duplicates — idempotent under foreachBatch's replay contract
-    ranked.where(col("rn") === 1)
-      .select(col("centroid_id"), col("q_id").as("vec_id"),
-        col("q_vec").as("embedding"), lit(batchId).as("batch_id"))
-      .repartition(col("centroid_id"))
-      .write.option("partitionOverwriteMode", "dynamic")
+    postingsWrite(ranked.where(col("rn") === 1)
+        .select(col("centroid_id"), col("q_id").as("vec_id"),
+          col("q_vec").as("embedding"), lit(batchId).as("batch_id"))
+        .repartition(col("centroid_id")))
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").partitionBy("centroid_id", "batch_id")
       .parquet(s"$genDir/postings")
     ranked.unpersist()
@@ -830,12 +875,12 @@ object StreamingOps {
     // itself survives — rows ABOVE the horizon may still carry
     // tombstoned ids, and only the refresh rewrites everything
     val genRoot = hPath(indexPath).getParent.toString // <index> above g=N
-    antiVecTombs(genRoot, indexPath,
-        spark.read.schema(schema).parquet(s"$indexPath/postings")
-          .where(col("batch_id") <= upToBatchId))
-      .select(col("centroid_id"), col("vec_id"), col("embedding"))
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+    postingsWrite(antiVecTombs(genRoot, indexPath,
+          spark.read.schema(schema).parquet(s"$indexPath/postings")
+            .where(col("batch_id") <= upToBatchId))
+        .select(col("centroid_id"), col("vec_id"), col("embedding"))
+        .repartition(col("centroid_id")))
+      .mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexPath/postings/.compact_upto_$upToBatchId")
     true
   }
@@ -976,12 +1021,12 @@ object StreamingOps {
     val next = generationDir(indexPath, cur + 1)
     // recoverIndex above removed any unsealed leftover; belt-and-braces
     fs.delete(p(next), true)
-    posts
-      .withColumn("centroid_id", KMeansOps.assignmentExact(
-        KMeansOps.quantize(unit, 1000000L), cqUnit).cast("long"))
-      .select("centroid_id", "vec_id", "embedding", "batch_id")
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id", "batch_id")
+    postingsWrite(posts
+        .withColumn("centroid_id", KMeansOps.assignmentExact(
+          KMeansOps.quantize(unit, 1000000L), cqUnit).cast("long"))
+        .select("centroid_id", "vec_id", "embedding", "batch_id")
+        .repartition(col("centroid_id")))
+      .mode("overwrite").partitionBy("centroid_id", "batch_id")
       .parquet(s"$next/postings")
     posts.unpersist()
     newCents.write.mode("overwrite").parquet(s"$next/centroids")

@@ -32,7 +32,8 @@ class CatalogSpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
       // a fully-synthesized entry (in-row id-derived corpus) legitimately
       // reads no input table; its oracle must then generate rows itself
-      assert(tables.exists(sql.contains) || sql.contains("FROM range("),
+      assert(tables.exists(sql.contains) || sql.contains("FROM range(") ||
+        sql.contains("JOIN range("),
         s"$name: oracle references no known table and synthesizes nothing")
     }
   }

@@ -42,7 +42,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_bloom_fpr_sweep" -> 4,
     // fully SYNTHESIZED corpus (in-row id-derived vectors; reads no input
     // table at all): (arm x cohort) grid is a fixture constant
-    "q_ann_refresh_recall" -> 4)
+    "q_ann_refresh_recall" -> 4,
+    // fully SYNTHESIZED pairs (in-row hashP constructions, corpus-free):
+    // one row per exact-Jaccard level — a fixture constant
+    "q_dedup_recall_waterline" -> 6)
 
   test("every query on empty tables: empty result or clear config error") {
     val src = "/root/testdata/sf0.001"

@@ -275,7 +275,7 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(alloc() == Map(2L -> ((10L, 0L)), 20L -> ((20L, 0L))))
   }
 
-  test("stable ids ∘ forget: min sub-component inherits, remainders allocate fresh, stale rows drop") {
+  test("stable ids ∘ forget: surviving sub-components inherit or allocate fresh, stale rows drop") {
     val p = store("stable_forget")
     // chain {10,11,12} bridged by 11 (ext 10, epoch 0); {20,21} ext 20
     DedupOps.mergeClustersStable(dfNodes(Seq(10L, 11L, 12L, 20L, 21L)),
@@ -302,6 +302,115 @@ class IncrementalClusterSpec extends SparkSpec {
       dfPairs(Seq((10L, 12L))), p, epoch = 6L).count()
     assert(byDoc(p) == Map(10L -> 10L, 12L -> 10L))
     assert(alloc() == Map(10L -> ((10L, 0L))), s"re-merge wrong: ${alloc()}")
+  }
+
+  test("split inheritance FOLLOWS THE HOLDER: a remainder's fresh mint " +
+      "can never duplicate a live ext (min-label inheritance could)") {
+    val p = store("holder_follows")
+    def alloc(): Map[Long, (Long, Long)] = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+      .parquet(s"$p/alloc")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // epoch 0: {7,9} allocates ext 7; epoch 1: younger {3,5} (ext 3)
+    // fuses in via bridge 5-7 — FIRST-ALLOCATED wins, so the merged
+    // component is labeled 3 but carries ext 7: label < ext, the state
+    // min-label inheritance gets wrong
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L, 9L)),
+      dfPairs(Seq((7L, 9L))), p, epoch = 0L)
+    DedupOps.mergeClustersStable(dfNodes(Seq(3L, 5L)),
+      dfPairs(Seq((3L, 5L), (5L, 7L))), p, epoch = 1L)
+    assert(alloc() == Map(3L -> ((7L, 0L))), s"setup wrong: ${alloc()}")
+    // forget bridge 5: splits into {3} and {7,9}. The holder doc 7 is in
+    // the NON-min sub-component — it must take ext 7 with it; {3} mints
+    // fresh. Under the pre-r17 min-label rule, {3} inherited ext 7 AND
+    // {7,9} minted ext 7 — two live rows, one ext, silently.
+    DedupOps.forgetFromClusterStore(Seq(5L).toDF("doc_id"), p,
+      allocEpoch = Some(2L)).count()
+    assert(byDoc(p) == Map(3L -> 3L, 7L -> 7L, 9L -> 7L))
+    assert(alloc() == Map(7L -> ((7L, 0L)), 3L -> ((3L, 2L))),
+      s"holder-follows repair wrong: ${alloc()}")
+    val exts = alloc().values.map(_._1).toSeq
+    assert(exts.distinct.size == exts.size, s"ext uniqueness violated: $exts")
+  }
+
+  test("re-minting a retired ext fails loudly: forget the holder, " +
+      "re-ingest its doc id as a new component seed") {
+    val p = store("ext_retired")
+    // {7,9} ext 7 at epoch 0; forget holder 7 — the allocation survives
+    // ({9} inherits via the min-label fallback) and ext 7 is RECORDED
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L, 9L)),
+      dfPairs(Seq((7L, 9L))), p, epoch = 0L)
+    DedupOps.forgetFromClusterStore(Seq(7L).toDF("doc_id"), p,
+      allocEpoch = Some(1L)).count()
+    def alloc(): Map[Long, (Long, Long)] = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+      .parquet(s"$p/alloc")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(alloc() == Map(9L -> ((7L, 0L))),
+      s"holder-forgotten inheritance wrong: ${alloc()}")
+    val retired = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ext_id BIGINT, ext_pt INT"))
+      .parquet(s"$p/ext_retired").select("ext_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(retired == Set(7L), s"retire record wrong: $retired")
+    // doc 7 re-ingested as a NEW component seed: the fresh mint would
+    // re-issue ext 7, which {9} still carries — must fail loudly BEFORE
+    // any mutation
+    val before = byDoc(p)
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.mergeClustersStable(dfNodes(Seq(7L)), dfPairs(Seq.empty), p,
+        epoch = 2L).count()
+    }
+    assert(ex.getMessage.contains("retired"), ex.getMessage)
+    assert(byDoc(p) == before, "failed merge mutated the store")
+    // joining an EXISTING component is fine (no fresh mint): doc 7 pairs
+    // with 9 — the component keeps its inherited ext
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L)),
+      dfPairs(Seq((7L, 9L))), p, epoch = 2L).count()
+    assert(byDoc(p) == Map(7L -> 7L, 9L -> 7L))
+    assert(alloc() == Map(7L -> ((7L, 0L))), s"re-join wrong: ${alloc()}")
+    // ...and a fresh-mint forget path hits the same guard: forgetting 9
+    // splits nothing, but forgetting the pair evidence... drive a split
+    // that would mint 7 fresh: add 5-7 (5 joins, ext unchanged), then
+    // forget 5 — no fresh mint of 7 (holder 7 survives and inherits)
+    DedupOps.mergeClustersStable(dfNodes(Seq(5L)),
+      dfPairs(Seq((5L, 7L))), p, epoch = 3L).count()
+    DedupOps.forgetFromClusterStore(Seq(9L).toDF("doc_id"), p,
+      allocEpoch = Some(4L)).count()
+    assert(alloc() == Map(5L -> ((7L, 0L))), s"post-forget: ${alloc()}")
+  }
+
+  test("an epoch-carrying merge on a store bootstrapped WITHOUT stable " +
+      "ids fails loudly (no silent partial upgrade)") {
+    val p = store("no_upgrade")
+    DedupOps.mergeClustersBatch(dfNodes(Seq(1L, 2L)),
+      dfPairs(Seq((1L, 2L))), p)
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.mergeClustersStable(dfNodes(Seq(3L)), dfPairs(Seq.empty), p,
+        epoch = 1L).count()
+    }
+    assert(ex.getMessage.contains("without stable-id"), ex.getMessage)
+    assert(!new java.io.File(s"$p/alloc").exists,
+      "failed upgrade left a partial alloc table")
+  }
+
+  test("a pre-fmt-2 store layout is rejected with a descriptive error, " +
+      "not a path-not-found") {
+    val p = store("legacy_fmt")
+    DedupOps.mergeClustersBatch(dfNodes(Seq(1L, 2L)),
+      dfPairs(Seq((1L, 2L))), p)
+    // simulate a legacy store: rewrite the manifest without the fmt field
+    graft.ops.ShardedStore.writeTextFile(spark, s"$p/_manifest.json",
+      """{"nParts":8}""")
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.mergeClustersBatch(dfNodes(Seq(3L)),
+        dfPairs(Seq((2L, 3L))), p)
+    }
+    assert(ex.getMessage.contains("pre-r17") && ex.getMessage.contains("fmt"),
+      ex.getMessage)
   }
 
   test("three-epoch merge + forget equals from-scratch labeling over survivors on the real fixture") {

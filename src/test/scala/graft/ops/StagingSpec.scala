@@ -63,10 +63,19 @@ class StagingSpec extends SparkSpec {
     // the master itself is never touched by any invocation's mutation
     val master = Staging.dir("/tmp/graft_staging_spec", in.getPath, "mut-master")
     assert(read(new java.io.File(master, "state.txt")) === "pristine")
-    // disk is BOUNDED: the same thread reuses one slot (round-15 advice —
-    // per-invocation copies accumulated for the JVM's lifetime before)
-    assert(second === first,
-      "same-thread invocations should reuse one reset slot, not grow a copy each")
+    // disk is BOUNDED and the PREVIOUS invocation's copy survives one
+    // more call (r16 advice: a single reused slot silently reset the
+    // path the prior invocation was still reading): two slots rotate
+    assert(second !== first,
+      "the immediately previous invocation's copy must stay intact")
+    assert(read(new java.io.File(first, "state.txt")) === "mutated-by-invocation-1",
+      "handing out slot 2 must not reset slot 1 — a lineage over `first` " +
+        "would silently read reset content")
+    val third = call()
+    assert(third === first,
+      "same-thread invocations rotate TWO slots, not grow a copy each")
+    assert(read(new java.io.File(third, "state.txt")) === "pristine",
+      "the rotated-to slot must be reset from the master")
     // and a concurrent thread gets its OWN slot — no cross-thread sharing
     var other: String = null
     val t = new Thread(() => { other = call() })
