@@ -1406,9 +1406,11 @@ object DedupOps {
       ShardedStore.stage(allocKept, allocT, math.min(nParts, aPts.size), aPts)
       // retire exts whose holder doc is forgotten while the allocation
       // survives (inherited above) — staged in the SAME boundary: losing
-      // the record would silently re-open the reuse hole. Conservative:
-      // records persist even if the holding component later vanishes (a
-      // false-positive loud failure beats a silent duplicate ext).
+      // the record would silently re-open the reuse hole. Records persist
+      // even if the holding component later vanishes — harmless, because
+      // the mint guard re-checks LIVENESS against the alloc table on
+      // every hit (r18: a stale record no longer blocks a legitimate
+      // re-ingest — see [[requireExtNotRetired]]).
       val forgottenSet = idRows.toSet
       val retiredNow = existing.toSeq.collect {
         case (old, (ext, _))
@@ -1469,8 +1471,12 @@ object DedupOps {
   //  2. HOLDER FORGOTTEN: the min-new-label sub-component inherits, the
   //     ext is recorded in `ext_retired/ext_pt=K`, and every later FRESH
   //     mint (merge or forget) fails loudly if it would re-issue a
-  //     recorded id — the re-ingested-seed hazard that was previously
-  //     only documented.
+  //     recorded id THAT A LIVE ALLOCATION STILL CARRIES — the
+  //     re-ingested-seed hazard that was previously only documented.
+  //     A recorded id whose carrying allocation has since vanished is
+  //     STALE: the guard re-checks liveness on every hit (r18), so a
+  //     legitimate re-ingest of such a doc id mints cleanly instead of
+  //     failing forever (the r17 conservative-forever false positive).
 
   private val allocSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT")
@@ -1479,10 +1485,22 @@ object DedupOps {
     "ext_id BIGINT, ext_pt INT")
 
   /** Fails loudly when any of `exts` — about to be allocated FRESH — was
-    * retired by a forget while another component still carried it (the
-    * forgotten ext-holder doc id re-ingested as a new component seed):
-    * proceeding would silently violate ext uniqueness. Pruned, batch-
-    * sized read; no-op when the guard table does not exist. */
+    * retired by a forget AND is still carried by a LIVE allocation (the
+    * forgotten ext-holder doc id re-ingested as a new component seed
+    * while the inheriting component survives): proceeding would silently
+    * violate ext uniqueness. A retired record whose carrying allocation
+    * has since vanished entirely is STALE — the mint proceeds, because
+    * uniqueness is defined over LIVE allocations and liveness is
+    * re-checked here, against the pre-op alloc table, on every hit (the
+    * r17 guard refused such mints forever — a false positive a 100 TB
+    * pipeline with doc-id reuse would really hit). The common no-hit
+    * path is unchanged: a pruned, batch-sized ext_retired probe. The
+    * liveness check — a one-column alloc scan semi-joined to the hit
+    * set — runs only on the rare guard-hit path (alloc shards by
+    * cluster_id, so an ext-keyed prune is not available there; the scan
+    * reads one BIGINT column). Stale records stay in the guard table:
+    * harmless, since every future hit re-checks liveness. No-op when
+    * the guard table does not exist. */
   private def requireExtNotRetired(spark: org.apache.spark.sql.SparkSession,
                                    storePath: String, exts: Seq[Long],
                                    nParts: Int): Unit = {
@@ -1495,12 +1513,22 @@ object DedupOps {
       .where(col("ext_pt").isin(pts: _*))
       .join(broadcast(exts.toDF("ext_id")), Seq("ext_id"), "left_semi")
       .select("ext_id").collect().map(_.getLong(0))
-    require(hits.isEmpty,
+    if (hits.isEmpty) return
+    val allocDir = s"$storePath/alloc"
+    val live: Array[Long] =
+      if (!hadoopFs(spark, storePath).exists(ShardedStore.hp(allocDir)))
+        Array.empty
+      else spark.read.schema(allocSchema).parquet(allocDir)
+        .select("ext_id")
+        .join(broadcast(hits.toSeq.toDF("ext_id")), Seq("ext_id"), "left_semi")
+        .collect().map(_.getLong(0))
+    require(live.isEmpty,
       s"cluster store at $storePath: refusing to allocate fresh external " +
-        s"id(s) ${hits.mkString(",")} — a forget retired them while " +
-        "another component still carries them (forgotten ext-holder doc " +
-        "id re-ingested as a new component seed); re-key the input doc " +
-        "ids, or ext uniqueness would be silently violated")
+        s"id(s) ${live.mkString(",")} — a forget retired them while " +
+        "another component still carries them, and that allocation is " +
+        "still live (forgotten ext-holder doc id re-ingested as a new " +
+        "component seed); re-key the input doc ids, or ext uniqueness " +
+        "would be silently violated")
   }
 
   /** [[mergeClustersBatch]] plus stable-external-id maintenance. `epoch`
@@ -1513,7 +1541,15 @@ object DedupOps {
     * read-only lookup). Returns one settled row per batch node:
     * (doc_id, cluster_id, ext_id, ext_epoch). Replay-idempotent: a
     * retried batch recomputes identical allocations and the core skips
-    * the write. */
+    * the write.
+    *
+    * Re-ingest of a forgotten ext-holder doc id as a NEW component seed:
+    * refused loudly while the allocation that inherited the ext is still
+    * LIVE (minting would duplicate it); mints cleanly once that
+    * allocation has vanished — the `ext_retired` guard record stays in
+    * the table but is re-checked for liveness on every hit, so a
+    * legitimate doc-id reuse is never blocked permanently
+    * (see [[requireExtNotRetired]]). */
   def mergeClustersStable(nodes: DataFrame, pairs: DataFrame, storePath: String,
                           epoch: Long, nParts: Int = IndexParts,
                           driverPairLimit: Long = 1000000L,

@@ -383,6 +383,60 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(alloc() == Map(5L -> ((7L, 0L))), s"post-forget: ${alloc()}")
   }
 
+  test("a STALE retired record no longer blocks a mint: once the " +
+      "inheriting allocation vanishes, the doc id re-ingests cleanly") {
+    val p = store("ext_retired_stale")
+    def alloc(): Map[Long, (Long, Long)] = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "cluster_id BIGINT, ext_id BIGINT, ep BIGINT, alloc_pt INT"))
+      .parquet(s"$p/alloc")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def retired(): Set[Long] = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ext_id BIGINT, ext_pt INT"))
+      .parquet(s"$p/ext_retired").select("ext_id")
+      .collect().map(_.getLong(0)).toSet
+    // {7,9} ext 7 at epoch 0; forget holder 7 → {9} inherits ext 7, the
+    // record lands in ext_retired
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L, 9L)),
+      dfPairs(Seq((7L, 9L))), p, epoch = 0L)
+    DedupOps.forgetFromClusterStore(Seq(7L).toDF("doc_id"), p,
+      allocEpoch = Some(1L)).count()
+    assert(alloc() == Map(9L -> ((7L, 0L))) && retired() == Set(7L))
+    // while the inheriting allocation is LIVE, the re-ingest of doc 7 as
+    // a new seed still fails loudly (the collision is real)
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.mergeClustersStable(dfNodes(Seq(7L)), dfPairs(Seq.empty), p,
+        epoch = 2L).count()
+    }
+    assert(ex.getMessage.contains("still live"), ex.getMessage)
+    // forget 9 too: the inheriting component vanishes entirely — the
+    // alloc row drops, the retired record stays (records are not
+    // compacted; the guard re-checks liveness instead)
+    DedupOps.forgetFromClusterStore(Seq(9L).toDF("doc_id"), p,
+      allocEpoch = Some(3L)).count()
+    assert(alloc() == Map.empty && retired() == Set(7L))
+    // NOW the record is stale: re-ingesting doc 7 as a new component
+    // seed mints ext 7 cleanly (the r17 guard refused this forever)
+    val r = DedupOps.mergeClustersStable(dfNodes(Seq(7L)),
+        dfPairs(Seq.empty), p, epoch = 4L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+    assert(r == Set((7L, 7L, 7L, 4L)), s"stale-record mint wrong: $r")
+    assert(byDoc(p) == Map(7L -> 7L))
+    assert(alloc() == Map(7L -> ((7L, 4L))),
+      s"the fresh mint must carry the MINT epoch: ${alloc()}")
+    // the re-minted ext is live again: a second stale-path attempt (a
+    // hypothetical duplicate seed, id-space collision) must refuse anew —
+    // liveness is re-evaluated per hit, not cached
+    DedupOps.forgetFromClusterStore(Seq(7L).toDF("doc_id"), p,
+      allocEpoch = Some(5L)).count()
+    assert(alloc() == Map.empty)
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L)), dfPairs(Seq.empty), p,
+      epoch = 6L).count() // stale again → clean mint again
+    assert(alloc() == Map(7L -> ((7L, 6L))))
+  }
+
   test("an epoch-carrying merge on a store bootstrapped WITHOUT stable " +
       "ids fails loudly (no silent partial upgrade)") {
     val p = store("no_upgrade")
