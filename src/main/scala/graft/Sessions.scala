@@ -22,7 +22,15 @@ object Sessions {
     *    bloom-filtered postings push the forget batch's id list down as
     *    per-value parquet predicates (row-group bloom skip); above the
     *    default 10 Spark would degrade the pushdown to a [min,max] range,
-    *    which broad scattered id sets cannot prune with.
+    *    which broad scattered id sets cannot prune with. BLAST RADIUS:
+    *    the setting is session-global, so EVERY query with a 10..1000-
+    *    value isin — not just the presence probes — now evaluates its
+    *    OR-tree against each row group's stats/blooms at scan time. On
+    *    this engine's catalog that is the right trade (the large isin
+    *    lists are the probes, which the blooms were built for; the fuzz
+    *    and TPC-H families carry single-digit lists), but a workload
+    *    with huge unselective isin filters over bloom-less tables should
+    *    scope the conf to its probe reads instead.
     */
   val defaults: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",

@@ -440,6 +440,63 @@ object StreamingOps {
   private val ivfPostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, centroid_id BIGINT, batch_id BIGINT")
 
+  /** The IVF index manifest (`_manifest.json` at the index root): the
+    * vector DIMENSION is a CORPUS property, recorded once when the first
+    * non-empty batch arrives and validated against every later batch —
+    * not an engine constant (it was a hardcoded 64 through r17). The
+    * stakes: the dot kernel folds over min(len_a, len_b), so
+    * mixed-dimension input would silently TRUNCATE the product instead
+    * of erroring — the manifest turns that into a loud refusal at the
+    * writer. Pre-manifest (legacy) indexes derive dim read-only from the
+    * stored centroids and are adopted (manifest written) by the next
+    * insert batch. */
+  private def ivfManifestFile(indexPath: String) = s"$indexPath/_manifest.json"
+
+  private def writeIvfManifest(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, dim: Int): Unit =
+    graft.ops.ShardedStore.writeTextFile(spark, ivfManifestFile(indexPath),
+      s"""{"dim":$dim}""")
+
+  /** The index's recorded vector dimension: the manifest when present,
+    * else derived from the current generation's centroids (legacy
+    * index — read-only, so pure readers never write). None when
+    * underivable (no manifest and an empty or never-bootstrapped
+    * index) — dimension validation is skipped then, matching the
+    * empty-input contract (every search is empty anyway). */
+  def ivfIndexDim(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String): Option[Int] = {
+    val fs = fsOf(spark, indexPath)
+    if (fs.exists(hPath(ivfManifestFile(indexPath))))
+      Some(graft.ops.ShardedStore.jsonField(
+          graft.ops.ShardedStore.readTextFile(spark, ivfManifestFile(indexPath)),
+          "dim").map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"IVF index manifest at $indexPath missing 'dim'")))
+    else currentGeneration(spark, indexPath).flatMap { g =>
+      val cd = s"${generationDir(indexPath, g)}/centroids"
+      if (!fs.exists(hPath(cd))) None
+      else spark.read.parquet(cd).select(size(col("c_vec")).as("d"))
+        .head(1).headOption.map(_.getInt(0))
+    }
+  }
+
+  /** One aggregate job over `df`'s embedding column: its uniform
+    * dimension, None when empty. Loud on mixed-length rows — the dot
+    * kernel would silently truncate them. */
+  private def uniformDim(df: DataFrame, colName: String,
+                         what: String): Option[Int] = {
+    val mm = df.agg(min(size(col(colName))).as("lo"),
+      max(size(col(colName))).as("hi")).head
+    if (mm.isNullAt(0)) None
+    else {
+      require(mm.getInt(0) == mm.getInt(1),
+        s"$what: mixed embedding dimensions ${mm.getInt(0)}..${mm.getInt(1)}" +
+          " in one input — the cosine kernel folds over the shorter row," +
+          " which would silently truncate; fix the upstream schema")
+      Some(mm.getInt(0))
+    }
+  }
+
   /** Writer for postings dirs: every file carries a parquet BLOOM FILTER
     * on vec_id (adaptive-sized, parquet ≥1.14), so presence probes — the
     * forget receipt audit and the re-ingest purge's touched-dir lookup —
@@ -497,12 +554,16 @@ object StreamingOps {
     * superseded generation dir before sealing its successor, so every
     * resolvable (centroids, postings, tombstones) triple is
     * self-consistent; the snapshot is pruned with its generation.
-    * Invariant after [[recoverIndex]]: the CURRENT generation never has
-    * one (a snapshot there can only be litter from a refresh that died
-    * before sealing — recovery deletes it, because the index-level vector
-    * is authoritative for the live generation and a stale snapshot would
-    * keep filtering an id whose re-ingest has since cleared its
-    * tombstone). */
+    * A snapshot in the CURRENT generation can only be litter from a
+    * refresh that died before sealing. It is TOLERATED by readers
+    * (snapshot ⊆ live vector, so the union filter equals the live
+    * filter) and cleared ONLY by the two serial-writer ops that can
+    * invalidate it — the refresh retry (rewrites it) and the re-ingest
+    * purge (whose tombstone clear is the one mutation a stale copy
+    * cannot survive). [[recoverIndex]] never touches it: readers run
+    * recovery concurrently with a live refresh, and a reader-side
+    * delete would race the writer's protocol mid-flight
+    * ([[clearSnapshotLitter]]; GenTombstoneSnapshotSpec pins this). */
   private def genTombSnapshot(genDir: String) =
     graft.ops.ShardedStore.DeletionVector(s"$genDir/tombstones", "vec_id")
 
@@ -664,12 +725,29 @@ object StreamingOps {
     import graft.ops.VectorOps
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    val dim = 64
     val fs = fsOf(spark, indexPath)
     // self-heal at open: a refresh or compaction that died mid-protocol
     // leaves staging/generation litter; roll to a boundary before
     // searching (no-op when clean — one listStatus)
     recoverIndex(spark, indexPath)
+    // dimension contract ([[ivfManifestFile]]): recorded at the first
+    // non-empty batch, validated against every later one (a mismatched
+    // or mixed-dim batch fails loudly BEFORE any mutation); legacy
+    // pre-manifest indexes are adopted here, on the writer path
+    val storedDim = ivfIndexDim(spark, indexPath)
+    val batchDim = uniformDim(batch, "embedding", "ivfSearchInsertBatch")
+    batchDim.foreach { bd =>
+      storedDim.foreach(d => require(bd == d,
+        s"ivfSearchInsertBatch: batch embedding dim $bd does not match " +
+          s"the index's recorded dim=$d at $indexPath — one index holds " +
+          "one corpus dimension; use a separate index path"))
+      // record (first non-empty batch) or adopt (legacy index whose dim
+      // was derived from centroids): either way the manifest exists
+      // after the first write that can know the dimension
+      if (!fs.exists(hPath(ivfManifestFile(indexPath))))
+        writeIvfManifest(spark, indexPath, storedDim.getOrElse(bd))
+    }
+    val dim = storedDim.orElse(batchDim).getOrElse(0)
     if (currentGeneration(spark, indexPath).isEmpty) {
       val strided = batch
         .where(col("vec_id") % centStride === 0 && col("vec_id") < centCap)
@@ -769,24 +847,50 @@ object StreamingOps {
   }
 
   /** Read-only IVF top-k search against a RESOLVED generation dir — the
-    * concurrent-reader path of the zero-downtime contract: a reader
-    * resolves once ([[resolveIndex]]) and may keep probing that
-    * generation while a [[refreshCentroids]] supersedes it. The probe
-    * respects every tombstone set the generation must honor
-    * ([[antiVecTombs]]): forgotten vectors never surface as partners,
-    * including AFTER a refresh settles the debt and drops the index-level
-    * vector — the generation-local snapshot takes over (spec-pinned; the
-    * pre-r17 lookback leak). Same probe shape as the insert path's
-    * search (nProbe cells by centroid cosine, exact cosine top-k inside
-    * them) minus the own-batch exclusion — a pure reader has no batch.
+    * pinned-reader path of the zero-downtime contract: a reader resolves
+    * once ([[resolveIndex]]) and may keep probing that generation while
+    * a [[refreshCentroids]] supersedes it. The probe respects every
+    * tombstone set the generation must honor ([[antiVecTombs]]):
+    * forgotten vectors never surface as partners, including AFTER a
+    * refresh settles the debt and drops the index-level vector — the
+    * generation-local snapshot takes over (spec-pinned; the pre-r17
+    * lookback leak). Same probe shape as the insert path's search
+    * (nProbe cells by centroid cosine, exact cosine top-k inside them)
+    * minus the own-batch exclusion — a pure reader has no batch.
     * `queries` needs (vec_id, embedding); returns settled
-    * (q_id, c_id, rank, cos_e6) rows. */
+    * (q_id, c_id, rank, cos_e6) rows.
+    *
+    * CONCURRENCY SCOPE — refresh supersession ONLY: a pin protects the
+    * reader against [[refreshCentroids]] replacing the index (the
+    * superseded generation's files are never mutated, and its tombstone
+    * snapshot keeps the forget filter). Reads concurrent with
+    * SAME-generation writer batches ([[ivfSearchInsertBatch]]'s
+    * re-ingest purge dynamically overwrites old (cell, batch) dirs) are
+    * OUTSIDE the contract — serialize readers against in-generation
+    * writers, or accept mid-scan file churn.
+    *
+    * LOOKBACK WINDOW — one refresh cycle: [[refreshCentroids]] retains
+    * only the immediate predecessor generation, so a pin is valid across
+    * AT MOST one refresh. A reader pinned across two finds its
+    * generation pruned and gets a contract error here (checked at probe
+    * start; a prune racing mid-probe still surfaces as a raw read
+    * failure) — re-resolve and re-issue. */
   def ivfSearchResolved(queries: DataFrame, indexPath: String, genDir: String,
                         nProbe: Int = 2, topK: Int = 5): DataFrame = {
     import graft.ops.VectorOps
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
-    val dim = 64
+    if (!fsOf(spark, genDir).exists(hPath(genDir)))
+      throw new IllegalStateException(
+        s"IVF generation at $genDir has been pruned: a resolved generation" +
+          " is retained for ONE refreshCentroids cycle (the zero-downtime" +
+          " lookback window); this reader pinned it across at least two —" +
+          " re-resolve the index (resolveIndex) and re-issue the probe")
+    val dim = ivfIndexDim(spark, indexPath).getOrElse(0)
+    uniformDim(queries, "embedding", "ivfSearchResolved").foreach(qd =>
+      if (dim > 0) require(qd == dim,
+        s"ivfSearchResolved: query embedding dim $qd does not match the" +
+          s" index's recorded dim=$dim at $indexPath"))
     if (!fsOf(spark, genDir).exists(hPath(s"$genDir/postings")))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1035,8 +1139,11 @@ object StreamingOps {
     // reader still pinned to `cur` keeps its forget filter after the
     // index-level vector drops below (see [[genTombSnapshot]]). Staged
     // via temp dir + rename so a concurrent pinned reader never sees a
-    // partial snapshot; if the refresh dies before the seal, recovery
-    // deletes the then-current generation's litter.
+    // partial snapshot. If the refresh dies before the seal, the copy is
+    // litter in the still-current generation: harmless to readers
+    // (snapshot ⊆ live vector) and cleared only by the refresh retry
+    // (clearSnapshotLitter above) or a re-ingest purge — NEVER by
+    // recovery, which readers run concurrently with live refreshes.
     if (vecTombs(indexPath).exists(spark)) {
       val tmp = s"$genDir/.tombstones_tmp"
       fs.delete(p(tmp), true)

@@ -176,10 +176,12 @@ class IvfRefreshSpec extends SparkSpec {
       s"refresh regressed overall recall: frozen=$frozenAll refreshed=$refreshedAll")
     assert(refreshedDrifted > frozenDrifted,
       s"refresh did not recover drifted recall: $frozenDrifted -> $refreshedDrifted")
-    // no litter: only the pointer (and its local-FS checksum companion)
-    // and generation dirs remain
+    // no litter: only the pointer, the dim manifest (r18 — a corpus
+    // property, not litter), their local-FS checksum companions, and
+    // generation dirs remain
     val litter = new java.io.File(indexPath).listFiles().map(_.getName)
-      .filterNot(n => n == "_gen" || n.startsWith("g=") || n.endsWith(".crc"))
+      .filterNot(n => n == "_gen" || n == "_manifest.json" ||
+        n.startsWith("g=") || n.endsWith(".crc"))
     assert(litter.isEmpty, s"swap litter: ${litter.mkString(",")}")
     // a search through the REAL op still works against the refreshed
     // layout (replay of batch 2: excludes its own rows, returns hits,
