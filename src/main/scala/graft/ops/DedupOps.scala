@@ -1531,6 +1531,60 @@ object DedupOps {
         "would be silently violated")
   }
 
+  /** Offline maintenance for the `ext_retired` guard table: drops every
+    * record whose ext NO live allocation carries. The table is
+    * append-mostly — a record lands when a forget removes a component's
+    * ext-holder doc while the component survives, and the hot path never
+    * removes one (the mint guard re-checks liveness per hit instead,
+    * see [[requireExtNotRetired]]) — so over years of retraction it
+    * grows without bound. This compaction bounds it: stale records are
+    * exactly the ones the guard would wave through anyway, so dropping
+    * them changes no behavior, only the table size (and restores the
+    * fast no-hit probe for re-ingested ids whose history is settled).
+    *
+    * Cost is O(retired + alloc ext column) — an offline pass by design,
+    * like [[compactSignatureIndex]]; run it from the same serial
+    * maintenance slot as merges/forgets (single-writer discipline).
+    * Crash-safe via the store commit protocol: every touched shard
+    * stages (emptied shards get EMPTY markers), then swaps behind the
+    * store-level `_commit` marker. Returns the number of dropped
+    * records; 0 (and no write) when nothing is stale. */
+  def compactRetiredExts(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String,
+                         nParts: Int = IndexParts): Long = {
+    import spark.implicits._
+    recoverClusterStore(spark, storePath)
+    val fs = hadoopFs(spark, storePath)
+    val retiredDir = s"$storePath/ext_retired"
+    if (!fs.exists(ShardedStore.hp(retiredDir))) return 0L
+    val retired = spark.read.schema(retiredSchema).parquet(retiredDir)
+      .select("ext_id", "ext_pt").localCheckpoint(true)
+    val allocDir = s"$storePath/alloc"
+    val liveExts =
+      if (!fs.exists(ShardedStore.hp(allocDir)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("ext_id BIGINT"))
+      else spark.read.schema(allocSchema).parquet(allocDir).select("ext_id")
+    val kept = retired.join(liveExts, Seq("ext_id"), "left_semi")
+      .localCheckpoint(true) // settled BEFORE the rewrite mutates its source
+    val dropped = retired.count() - kept.count()
+    if (dropped == 0L) return 0L
+    // only shards holding a stale record rewrite (stage installs ALL of
+    // kept, so kept is filtered to the touched shards — untouched dirs
+    // stay put); shards emptied entirely are retired via EMPTY markers
+    val pts = retired.join(kept, Seq("ext_id"), "left_anti")
+      .select("ext_pt").distinct().collect().map(_.getInt(0)).toSeq
+    val Seq(_, _, _, _, retiredT) = clusterTables(storePath)
+    ShardedStore.stage(
+      kept.where(col("ext_pt").isin(pts: _*)).select(col("ext_id"), col("ext_pt")),
+      retiredT, math.min(nParts, pts.size), pts)
+    ShardedStore.commit(spark, storePath)
+    ShardedStore.swap(spark, retiredT, pts)
+    ShardedStore.clearCommit(spark, storePath)
+    dropped
+  }
+
   /** [[mergeClustersBatch]] plus stable-external-id maintenance. `epoch`
     * is the caller's batch/epoch counter (monotone across calls — it IS
     * the allocation-order tiebreaker). The allocation table is maintained

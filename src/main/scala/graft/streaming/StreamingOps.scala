@@ -452,10 +452,18 @@ object StreamingOps {
     * insert batch. */
   private def ivfManifestFile(indexPath: String) = s"$indexPath/_manifest.json"
 
+  /** Manifest format version, stamped alongside dim: any future layout
+    * change (posting schema, generation naming, snapshot format) bumps
+    * it, and this build refuses a foreign fmt loudly instead of
+    * misreading the layout — the same gate the cluster store's fmt
+    * field provides. A manifest WITHOUT the field reads as fmt 1 (the
+    * field landed one commit after the manifest itself). */
+  private val IvfManifestFmt = 1L
+
   private def writeIvfManifest(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String, dim: Int): Unit =
     graft.ops.ShardedStore.writeTextFile(spark, ivfManifestFile(indexPath),
-      s"""{"dim":$dim}""")
+      s"""{"fmt":$IvfManifestFmt,"dim":$dim}""")
 
   /** The index's recorded vector dimension: the manifest when present,
     * else derived from the current generation's centroids (legacy
@@ -466,12 +474,18 @@ object StreamingOps {
   def ivfIndexDim(spark: org.apache.spark.sql.SparkSession,
                   indexPath: String): Option[Int] = {
     val fs = fsOf(spark, indexPath)
-    if (fs.exists(hPath(ivfManifestFile(indexPath))))
-      Some(graft.ops.ShardedStore.jsonField(
-          graft.ops.ShardedStore.readTextFile(spark, ivfManifestFile(indexPath)),
-          "dim").map(_.toInt)
+    if (fs.exists(hPath(ivfManifestFile(indexPath)))) {
+      val s = graft.ops.ShardedStore
+        .readTextFile(spark, ivfManifestFile(indexPath))
+      val fmt = graft.ops.ShardedStore.jsonField(s, "fmt").getOrElse(1L)
+      require(fmt == IvfManifestFmt,
+        s"IVF index at $indexPath has manifest fmt=$fmt but this build " +
+          s"reads fmt=$IvfManifestFmt — rebuild the index or migrate it " +
+          "offline; mutating it in place would corrupt the foreign layout")
+      Some(graft.ops.ShardedStore.jsonField(s, "dim").map(_.toInt)
         .getOrElse(throw new IllegalArgumentException(
           s"IVF index manifest at $indexPath missing 'dim'")))
+    }
     else currentGeneration(spark, indexPath).flatMap { g =>
       val cd = s"${generationDir(indexPath, g)}/centroids"
       if (!fs.exists(hPath(cd))) None

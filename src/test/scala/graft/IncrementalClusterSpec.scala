@@ -437,6 +437,52 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(alloc() == Map(7L -> ((7L, 6L))))
   }
 
+  test("compactRetiredExts drops stale guard records, keeps live ones, " +
+      "and leaves untouched shards alone") {
+    val p = store("retired_compact")
+    def retired(): Set[Long] =
+      if (!new java.io.File(s"$p/ext_retired").exists) Set.empty
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "ext_id BIGINT, ext_pt INT"))
+        .parquet(s"$p/ext_retired").select("ext_id")
+        .collect().map(_.getLong(0)).toSet
+    // record 7: holder forgotten, inheriting {9} then fully forgotten →
+    // STALE; record 21: holder forgotten, {23} still carries it → LIVE
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L, 9L)),
+      dfPairs(Seq((7L, 9L))), p, epoch = 0L)
+    DedupOps.mergeClustersStable(dfNodes(Seq(21L, 23L)),
+      dfPairs(Seq((21L, 23L))), p, epoch = 1L)
+    DedupOps.forgetFromClusterStore(Seq(7L, 21L).toDF("doc_id"), p,
+      allocEpoch = Some(2L)).count()
+    DedupOps.forgetFromClusterStore(Seq(9L).toDF("doc_id"), p,
+      allocEpoch = Some(3L)).count()
+    assert(retired() == Set(7L, 21L))
+    val dropped = DedupOps.compactRetiredExts(spark, p)
+    assert(dropped == 1L && retired() == Set(21L),
+      s"compaction wrong: dropped=$dropped retired=${retired()}")
+    // idempotent: nothing stale left, nothing written
+    def stamps(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified)
+      walk(new java.io.File(s"$p/ext_retired")).toMap
+    }
+    val before = stamps()
+    assert(DedupOps.compactRetiredExts(spark, p) == 0L)
+    assert(stamps() == before, "no-op compaction rewrote shards")
+    // behavior unchanged either way: re-ingesting 7 mints cleanly (the
+    // record is gone where the liveness check would have waved it
+    // through), re-ingesting 21 still refuses (its allocation is live)
+    DedupOps.mergeClustersStable(dfNodes(Seq(7L)), dfPairs(Seq.empty), p,
+      epoch = 4L).count()
+    val ex = intercept[IllegalArgumentException] {
+      DedupOps.mergeClustersStable(dfNodes(Seq(21L)), dfPairs(Seq.empty), p,
+        epoch = 5L).count()
+    }
+    assert(ex.getMessage.contains("still live"), ex.getMessage)
+  }
+
   test("an epoch-carrying merge on a store bootstrapped WITHOUT stable " +
       "ids fails loudly (no silent partial upgrade)") {
     val p = store("no_upgrade")

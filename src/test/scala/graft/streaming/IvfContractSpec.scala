@@ -113,6 +113,23 @@ class IvfContractSpec extends SparkSpec {
     }
   }
 
+  test("a foreign manifest fmt is refused loudly; a manifest without the " +
+      "field reads as fmt 1") {
+    val p = freshPath("fmt")
+    ivfSearchInsertBatch(dfv(0L to 9L), p, batchId = 1L)
+    // the field landed one commit after the manifest: dim-only manifests
+    // must keep reading (fmt defaults to 1)
+    graft.ops.ShardedStore.writeTextFile(spark, s"$p/_manifest.json",
+      s"""{"dim":$Dim}""")
+    assert(ivfIndexDim(spark, p).contains(Dim))
+    graft.ops.ShardedStore.writeTextFile(spark, s"$p/_manifest.json",
+      s"""{"fmt":99,"dim":$Dim}""")
+    val ex = intercept[IllegalArgumentException] {
+      ivfSearchInsertBatch(dfv(Seq(10L)), p, batchId = 2L)
+    }
+    assert(ex.getMessage.contains("fmt=99"), ex.getMessage)
+  }
+
   test("pinned reader across ONE refresh works; across TWO gets the named " +
       "lookback contract error, not a raw read failure") {
     val p = freshPath("lookback")
