@@ -479,16 +479,34 @@ object AnalyticQueries {
     * small lookup. Integer-exact: ecdf_e4 = (Σ count ≤ v) · 10000 div n. */
   val qEcdfNormalize: Q = new Q {
     val name = "q_ecdf_normalize"
+    // Two-level cumulative sum (OPTIMIZATION_r18, guide §2.5 two-level
+    // aggregation): the direct Window.partitionBy(l_returnflag) form
+    // shuffles the whole value grain into |flags| = 3 partitions and runs
+    // each cumulative scan as ONE task — a single-task-per-group wall at
+    // any scale (at 100 TB the per-flag value domain is billions of
+    // rows). Bucketing the value domain into fixed cents bands makes the
+    // heavy scan window partition by (flag, band) — parallel in the band
+    // count — and the band offsets come from a band-grain (tiny) window.
+    // cum(flag, c) = Σ_{c' ≤ c} n_rows = bandOffset(flag, band(c)) +
+    // withinBandCum — exact integers, identical output.
+    private val BandCents = 100000L // $1k bands: ~110 bands over the domain
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val w = Window.partitionBy("l_returnflag").orderBy("cents")
-      val wAll = Window.partitionBy("l_returnflag")
-      Tables.lineitem(spark, dir)
+      val wIn = Window.partitionBy("l_returnflag", "bkt").orderBy("cents")
+      val wBkt = Window.partitionBy("l_returnflag").orderBy("bkt")
+      val v = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), Q.cents(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("n_rows"))
-        .withColumn("cum", sum("n_rows").over(w))
-        .withColumn("n", sum("n_rows").over(wAll))
-        .select(col("l_returnflag"), col("cents"), col("n_rows"), col("cum"),
-          expr("cum * 10000 div n").as("ecdf_e4"))
+        .withColumn("bkt", expr(s"cents div $BandCents"))
+      val bands = v.groupBy("l_returnflag", "bkt")
+        .agg(sum("n_rows").as("bn"))
+        .withColumn("off", sum("bn").over(wBkt) - col("bn"))
+        .withColumn("n", sum("bn").over(Window.partitionBy("l_returnflag")))
+        .select("l_returnflag", "bkt", "off", "n")
+      v.withColumn("wcum", sum("n_rows").over(wIn))
+        .join(broadcast(bands), Seq("l_returnflag", "bkt"))
+        .select(col("l_returnflag"), col("cents"), col("n_rows"),
+          (col("off") + col("wcum")).as("cum"),
+          expr("(off + wcum) * 10000 div n").as("ecdf_e4"))
         // persisted before the global sort: the range sample pass would
         // re-run the cumulative window stage over the full value grain
         .persist()

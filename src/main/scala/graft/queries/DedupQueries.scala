@@ -189,6 +189,9 @@ object DedupQueries {
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           GF.simhash(GF.hashPArray(TextOps.tokens(col("text"))), 32).as("simhash32"))
+        // persisted before the global sort: the range sampler otherwise
+        // re-runs the simhash kernel a second time (OPTIMIZATION_r18)
+        .persist()
         .orderBy("doc_id")
     }
     val oracle = Some(
@@ -891,17 +894,25 @@ object DedupQueries {
           when(bucket <= 7, "train").when(bucket === 8, "val")
             .otherwise("test").as("split"))
         .persist() // consumed by train ids, eval side, and the leak probe
-      val trainIds = split.where(col("split") === "train").select("doc_id")
       val evalDocs = split.where(col("split") =!= "train")
       val trainClusters = split.where(col("split") === "train")
         .select("cluster_id").distinct()
       val leak = evalDocs.join(trainClusters, Seq("cluster_id"), "left_semi")
         .select(col("doc_id"), lit(1L).as("leaked"))
+      // ONE tokenize+shingle pass over the corpus (OPTIMIZATION_r18,
+      // guide §2.4/§8 "compute once, reuse"): the gram frame previously
+      // appeared as two independent subtrees (train semi-join + eval
+      // semi-join), re-running the scan and the shingle kernel — the
+      // plan showed documents scanned twice below the gram explodes.
+      // Joining the persisted split in and persisting the result runs
+      // the kernel once; both channels filter the cached frame.
       val docsG = Tables.documents(spark, dir).select(col("doc_id"),
         graft.expressions.F.shingleHashSeq(TextOps.tokens(col("text")), K).as("gs"))
-      val trainGrams = docsG.join(trainIds, Seq("doc_id"), "left_semi")
+        .join(split.select("doc_id", "split"), Seq("doc_id"))
+        .persist()
+      val trainGrams = docsG.where(col("split") === "train")
         .select(explode(col("gs")).as("h")).distinct()
-      val evalPos = docsG.join(evalDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      val evalPos = docsG.where(col("split") =!= "train")
         .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos0", "h")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
       val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -80,6 +80,10 @@ object GeoPipeline {
       enrichedCore(spark, dir)
         .select(col("event_id"), col("zone_id"), col("zone_name"),
           round(col("dist_km") * 100).cast("long").as("dist_km_e2"))
+        // persisted before the global sort: the range sampler otherwise
+        // re-executes the in-row argmin kernel (map-only plan;
+        // OPTIMIZATION_r18)
+        .persist()
         .orderBy("event_id")
     val oracle = Some(
       s"""$SqlEnriched
@@ -95,7 +99,12 @@ object GeoPipeline {
     val name = "geo_enrich_xjoin"
     def run(spark: SparkSession, dir: String): DataFrame =
       GeoOps.nearestZoneViaWindow(
-        Tables.eventsGeo(spark, dir),
+        // project BEFORE the cross join (guide §2.3): the window shuffles
+        // |events|·|zones| rows, and only these three columns are needed —
+        // the full event row (incl. the props payload) was riding through
+        // the exchange + sort (OPTIMIZATION_r18). Same plan shape
+        // (BroadcastNestedLoopJoin + window argmin — the reference twin).
+        Tables.eventsGeo(spark, dir).select("event_id", "lat_e", "lon_e"),
         Tables.zones(spark, dir).withColumn("zone_id", col("zone_id").cast("long")),
         "event_id", "lat_e", "lon_e")
         .select(col("event_id"), col("zone_id"), col("zone_name"),

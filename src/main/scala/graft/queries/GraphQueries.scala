@@ -71,26 +71,37 @@ object GraphQueries {
       // over the |E|-sized frame, not 8 re-reads of lineitem∘orders.
       val edgesOut = e.join(
         e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")).cutLineage()
-      val stats = nodes.agg(count(lit(1)).as("n_nodes"))
-      val r0 = nodes.crossJoin(broadcast(stats))
-        .select(col("node"), expr(s"$E9 div n_nodes").as("r"))
-      val rFinal = (1 to Iters).foldLeft(r0) { (ranks, _) =>
+      // |V| is a 1-row scalar consumed by every iteration: collect it ONCE
+      // and inline the two integer constants (OPTIMIZATION_r18 — the
+      // former crossJoin(broadcast(stats)) re-ran the nation scan + agg +
+      // broadcast build as extra jobs in EVERY iteration body, and the
+      // per-round nodes join re-scanned nation; the ranks frame is
+      // node-complete by induction from r0, so neither is needed).
+      // Driver state: one long — bounded.
+      val nNodes = nodes.count()
+      // empty-graph guard (EmptyInputSpec): zero nodes → empty result via
+      // the empty r0 frame; the constants are never used
+      val base = if (nNodes == 0) 0L else 15L * E9 / (100L * nNodes)
+      val r0 = nodes.select(col("node"),
+        lit(if (nNodes == 0) 0L else E9 / nNodes).as("r"))
+      val rFinal = (1 to Iters).foldLeft(r0) { (ranks, k) =>
         val inflow = edgesOut
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst"), expr("r div outdeg").as("contrib"))
           .groupBy("dst").agg(sum("contrib").as("inflow"))
-        nodes
+        val next = ranks
           .join(inflow, col("node") === col("dst"), "left")
-          .crossJoin(broadcast(stats))
           .select(col("node"),
-            (expr(s"${15 * E9}L div (100 * n_nodes)") +
-              expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
-          // Truncate lineage each step: without this the plan nests k
-          // levels deep and analysis cost grows superlinearly in k (the
-          // GraphX-documented iterative-algorithm pattern; measured 3.5 s
-          // → 2.0 s at sf0.1). At cluster scale you'd use a reliable
-          // checkpoint dir for executor-loss recovery instead.
-          .cutLineage()
+            (lit(base) + expr("(85 * coalesce(inflow, 0)) div 100")).as("r"))
+        // Truncate lineage EVERY OTHER step: without any cut the plan
+        // nests k levels deep and analysis cost grows superlinearly in k
+        // (the GraphX-documented iterative-algorithm pattern; measured
+        // 3.5 s → 2.0 s at sf0.1 for per-round cuts) — but each cut is
+        // itself an eager job, and at a 2-round cadence the uncut plan is
+        // only ever 2 joins deep, halving the materialization jobs
+        // (OPTIMIZATION_r18). At cluster scale you'd use a reliable
+        // checkpoint dir for executor-loss recovery instead.
+        if (k % 2 == 0 && k < Iters) next.cutLineage() else next
       }
       rFinal
         .join(broadcast(nation), col("node") === col("n_nationkey"))
@@ -630,7 +641,9 @@ object GraphQueries {
       val labels = lpaLabels(spark, dir, e).cutLineage()
       val lsrc = labels.select(col("id").as("src"), col("lbl"))
       val ldst = labels.select(col("id").as("dst"), col("lbl").as("lbl_d"))
-      val withL = e.join(lsrc, Seq("src")).join(ldst, Seq("dst"))
+      // withL feeds THREE aggregates (intra / deg / w2): cut once so the
+      // double label join runs once, not per consumer (OPTIMIZATION_r18)
+      val withL = e.join(lsrc, Seq("src")).join(ldst, Seq("dst")).cutLineage()
       val intra = withL.where(col("lbl") === col("lbl_d"))
         .groupBy("lbl").agg(sum("w").as("intra_w2"))
       val deg = withL.groupBy("lbl").agg(sum("w").as("deg_w"))
@@ -826,13 +839,22 @@ object GraphQueries {
         .distinct()
         .cutLineage() // reused by all three half-steps
       // hub₀ ≡ e6 ⇒ auth₁(p) = e6 · indeg(p)
-      val a1 = e.groupBy("part").agg((count(lit(1)) * E6).as("a1"))
+      // Each normalized half-step frame is consumed TWICE (the L∞ max-agg
+      // broadcast branch + the next half-step's join), and the plan
+      // re-derived the whole prefix chain per consumer (a2n's tree held
+      // h1n's twice, each holding a1n's twice — no static ReusedExchange;
+      // OPTIMIZATION_r18, guide §2.4). The frames are DIM-grain
+      // (|parts| / |custs|), so cutting lineage after each half-step
+      // materializes each one exactly once.
+      val a1 = e.groupBy("part").agg((count(lit(1)) * E6).as("a1")).cutLineage()
       val a1n = a1.crossJoin(broadcast(a1.agg(max("a1").as("mx"))))
         .select(col("part"), expr(s"a1 * $E6 div mx").as("a1n"))
       val h1 = e.join(a1n, Seq("part")).groupBy("cust").agg(sum("a1n").as("h1"))
+        .cutLineage()
       val h1n = h1.crossJoin(broadcast(h1.agg(max("h1").as("mx"))))
         .select(col("cust"), expr(s"h1 * $E6 div mx").as("h1n"))
       val a2 = e.join(h1n, Seq("cust")).groupBy("part").agg(sum("h1n").as("a2"))
+        .cutLineage()
       val a2n = a2.crossJoin(broadcast(a2.agg(max("a2").as("mx"))))
         .select(col("part"), expr(s"a2 * $E6 div mx").as("auth_e6"))
       a2n

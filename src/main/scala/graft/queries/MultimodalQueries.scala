@@ -63,6 +63,10 @@ object MultimodalQueries {
           cnts.map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_nonzero_bins"),
           argmax.as("argmax_bin"),
           cnts.zipWithIndex.map { case (c, j) => c * (j + 1) }.reduce(_ + _).as("hist_fp"))
+        // persisted before the global sort: the range sampler otherwise
+        // re-runs the mapPartitions decode stage a second time
+        // (OPTIMIZATION_r18)
+        .persist()
         .orderBy("media_id")
     }
     // documents.text is pure ASCII in the test corpus (verified all SFs), so
@@ -242,6 +246,10 @@ object MultimodalQueries {
         .select(col("media_id"), col("frame_idx"),
           length(col("ft")).cast("long").as("n_samples"),
           expr("aggregate(transform(sequence(1, length(ft)), i -> CAST(ascii(substring(ft, CAST(i AS INT), 1)) AS BIGINT)), 0L, (s, x) -> s + x * x)").as("energy"))
+        // persisted before the global sort: the range sampler otherwise
+        // re-runs the frame explode + energy fold a second time
+        // (OPTIMIZATION_r18)
+        .persist()
         .orderBy("media_id", "frame_idx")
     val oracle = Some(
       """WITH a AS (

@@ -1677,6 +1677,9 @@ object VectorQueries {
           when(col("maxabs") === 0.0, lit(0L))
             .otherwise(aggregate(transform(col("embedding"), errTerm),
               lit(0L), (acc, t) => acc + t)).as("err_e6"))
+        // persisted before the global sort: the range sampler otherwise
+        // re-runs the quantize+error kernel a second time (OPTIMIZATION_r18)
+        .persist()
         .orderBy("vec_id")
     }
     val oracle = Some(
