@@ -25,7 +25,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     GeoPipeline.zoneReport.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CACHE CONTRACT (ADVICE r18): several query builders `persist()` an
+    * intermediate that is consumed more than once inside the same plan
+    * (or shields a kernel from the range-sampler's double execution); the
+    * persists are invocation-scoped by convention, not unpersisted by the
+    * builder — the returned DataFrame still references them. Callers that
+    * run many queries in one session MUST drop them between invocations
+    * with `spark.catalog.clearCache()` (exactly what `graft.Bench`,
+    * `graft.Verify` and the test harness do); a long-lived session that
+    * skips this accumulates cache entries across invocations. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> ((s: SparkSession, dir: String) => q.run(s, dir))).toMap
 

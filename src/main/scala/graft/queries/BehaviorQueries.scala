@@ -211,7 +211,7 @@ object BehaviorQueries {
     val name = "q_freq_triples"
     private val BasketCap = 32
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val baskets = Tables.lineitem(spark, dir)
+      val baskets = Tables.lineitem(spark, dir, fanned = true)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")
         .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, BasketCap).as("ps"))

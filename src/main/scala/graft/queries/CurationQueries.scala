@@ -286,7 +286,7 @@ object CurationQueries {
     val name = "q_gopher_rules"
     def run(spark: SparkSession, dir: String): DataFrame = {
       val stopList = TextOps.Stopwords.head._2
-      Tables.documents(spark, dir)
+      Tables.documents(spark, dir, fanned = true)
         .where(TextOps.tokenCount(col("text")) > 0)
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("tk"))
         .withColumn("n_toks", size(col("tk")).cast("long"))

@@ -104,7 +104,10 @@ object GeoPipeline {
         // the full event row (incl. the props payload) was riding through
         // the exchange + sort (OPTIMIZATION_r18). Same plan shape
         // (BroadcastNestedLoopJoin + window argmin — the reference twin).
-        Tables.eventsGeo(spark, dir).select("event_id", "lat_e", "lon_e"),
+        // fanned: the |events|·|zones| window shuffle below is the
+        // measured winner of the per-query fan-out A/B (OPTIMIZATION_r19)
+        Tables.eventsGeo(spark, dir, fanned = true)
+          .select("event_id", "lat_e", "lon_e"),
         Tables.zones(spark, dir).withColumn("zone_id", col("zone_id").cast("long")),
         "event_id", "lat_e", "lon_e")
         .select(col("event_id"), col("zone_id"), col("zone_name"),

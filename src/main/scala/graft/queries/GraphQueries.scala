@@ -289,7 +289,8 @@ object GraphQueries {
     * pair key finish it. The ≥2 support threshold is what sparsifies the
     * graph (below it, hub orders would connect everything). */
   private[queries] val CoSupport = 2
-  private[queries] def copurchase(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def copurchase(spark: SparkSession, dir: String,
+                                  fanned: Boolean = false): DataFrame = {
     // Basket shape, not self-join shape: collect each order's part SET
     // (one shuffle; set semantics = order-level co-occurrence for free),
     // expand the C(basket, 2) pairs IN-ROW with a higher-order filter (no
@@ -297,7 +298,8 @@ object GraphQueries {
     // shuffle on the pair key. Two exchanges total vs four for
     // join+distinct+count — and the expansion stays bounded by basket
     // size, a deployment constant, exactly like the self-join fan-out.
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val li = Tables.lineitem(spark, dir, fanned)
+      .select(col("l_orderkey"), col("l_partkey"))
     li.groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(col("ps")).as("pa"), col("ps"))
       .select(col("pa"), explode(expr("filter(ps, p -> p > pa)")).as("pb"))
@@ -314,7 +316,7 @@ object GraphQueries {
   val copurchaseEdges: Q = new Q {
     val name = "q_copurchase_edges"
     def run(spark: SparkSession, dir: String): DataFrame =
-      copurchase(spark, dir)
+      copurchase(spark, dir, fanned = true)
         .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_orders"))
         .orderBy("part_a", "part_b")
     val oracle = Some(
@@ -384,7 +386,7 @@ object GraphQueries {
     private val MaxNbrs = 32
     def run(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val cop = copurchase(spark, dir)
+      val cop = copurchase(spark, dir, fanned = true)
         .select(col("pa"), col("pb"), col("n_orders")).cutLineage()
       val adj = cop.select(col("pa").as("w"), col("pb").as("n"), col("n_orders"))
         .union(cop.select(col("pb"), col("pa"), col("n_orders")))
@@ -706,7 +708,7 @@ object GraphQueries {
     val StartStride = 50
     def run(spark: SparkSession, dir: String): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val cop = copurchase(spark, dir)
+      val cop = copurchase(spark, dir, fanned = true)
       val und = cop.select(explode(array(
           struct(col("pa").as("src"), col("pb").as("dst")),
           struct(col("pb").as("src"), col("pa").as("dst")))).as("t"))
@@ -778,7 +780,7 @@ object GraphQueries {
     val K = 3
     val Rounds = 4
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val cop = copurchase(spark, dir)
+      val cop = copurchase(spark, dir, fanned = true)
       var e = cop.select(explode(array(
           struct(col("pa").as("src"), col("pb").as("dst")),
           struct(col("pb").as("src"), col("pa").as("dst")))).as("t"))
@@ -896,7 +898,7 @@ object GraphQueries {
   val degreeHistogram: Q = new Q {
     val name = "q_degree_histogram"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val e = copurchase(spark, dir)
+      val e = copurchase(spark, dir, fanned = true)
       // both endpoints IN-ROW — a self-union re-runs the pair aggregation
       val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -933,7 +935,7 @@ object GraphQueries {
     def run(spark: SparkSession, dir: String): DataFrame = {
       // the pair aggregate feeds degree AND both directions: checkpoint
       // it once, expand in-row (self-unions re-ran it up to 4×)
-      val e = copurchase(spark, dir).select("pa", "pb").cutLineage()
+      val e = copurchase(spark, dir, fanned = true).select("pa", "pb").cutLineage()
       val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val directed = e.select(explode(array(

@@ -235,7 +235,7 @@ object MultimodalQueries {
   val mmAudioEnergy: Q = new Q {
     val name = "mm_audio_energy"
     def run(spark: SparkSession, dir: String): DataFrame =
-      Tables.documents(spark, dir)
+      Tables.documents(spark, dir, fanned = true)
         .where(col("doc_id") % 3 === 1 && length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), col("text"),
           length(col("text")).cast("long").as("n"))

@@ -264,7 +264,7 @@ object ParityQueries {
   val qRegrAggs: Q = new Q {
     val name = "q_regr_aggs"
     def run(spark: SparkSession, dir: String): DataFrame =
-      Tables.lineitem(spark, dir)
+      Tables.lineitem(spark, dir, fanned = true)
         .groupBy("l_returnflag")
         .agg(
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),

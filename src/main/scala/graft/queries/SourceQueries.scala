@@ -253,7 +253,7 @@ object SourceQueries {
   val tableDiff: Q = new Q {
     val name = "q_table_diff"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val base = Tables.orders(spark, dir)
+      val base = Tables.orders(spark, dir, fanned = true)
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           cents(col("o_totalprice")).as("tp"))
       def fp(st: org.apache.spark.sql.Column) =

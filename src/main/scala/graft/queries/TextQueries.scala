@@ -705,7 +705,12 @@ object TextQueries {
         .select(col("a"), col("b"),
           expr("CAST(inter AS BIGINT) * 10000 div CAST(sz - inter AS BIGINT)")
             .as("sim_e4"))
-        .collect().map(r => (r.getAs[Number](0).longValue,
+        // sim_e4 is NULL when both token sets are empty (0 div 0 under
+        // non-ANSI SQL); the oracle's COALESCE(max(sim),0) ignores such
+        // rows, and the greedy loop's getOrElse(0) does the same once they
+        // are dropped here — keeping them would NPE on .longValue
+        // (ADVICE r18 low).
+        .collect().filter(_.get(2) != null).map(r => (r.getAs[Number](0).longValue,
           r.getAs[Number](1).longValue) -> r.getAs[Number](2).longValue).toMap
       val candRows = cand.collect()
         .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
@@ -851,7 +856,7 @@ object TextQueries {
       val score = aggregate(
         transform(toks, t => QualityModel.weight(QualityModel.bucket(t))),
         lit(0L), (acc, x) => acc + x)
-      Tables.documents(spark, dir)
+      Tables.documents(spark, dir, fanned = true)
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           score.as("score"))
@@ -884,7 +889,7 @@ object TextQueries {
   val docNovelty: Q = new Q {
     val name = "doc_novelty"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val toks = Tables.documents(spark, dir)
+      val toks = Tables.documents(spark, dir, fanned = true)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
       // persisted: referenced as both the count build side and the join

@@ -156,7 +156,7 @@ object VectorQueries {
   val dedupEmbedding: Q = new Q {
     val name = "dedup_embedding"
     def run(spark: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(spark, dir)
+      val emb = Tables.embeddings(spark, dir, fanned = true)
         .withColumn("nrm", VectorOps.norm(col("embedding"), Dim))
       val l = emb.select(col("vec_id").as("id_l"), col("embedding").as("v_l"),
         col("nrm").as("n_l"))

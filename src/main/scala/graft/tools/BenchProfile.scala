@@ -67,8 +67,11 @@ object BenchProfile {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // listener bus is async; give it a beat so counters are settled
-      Thread.sleep(60)
+      // listener bus is async; drain it deterministically so no event
+      // lands after the read or bleeds into the next query's counters
+      // (ADVICE r18 low — the old fixed sleep(60) raced the bus under load)
+      org.apache.spark.graftshim.ListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       println(f"[profile]\t$name\t$wall%.3f\t${jobs.get}\t${stages.get}\t${tasks.get}\t${taskTimeMs.get / 1000.0}%.2f\t${shuffleWrite.get / 1e6}%.2f\t${inputBytes.get / 1e6}%.2f")
     }
     spark.stop()
