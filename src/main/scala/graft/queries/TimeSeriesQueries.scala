@@ -676,14 +676,20 @@ object TimeSeriesQueries {
         .groupBy("l_partkey", "week").agg(sum("rev_c").as("rev"))
       val latest = pw.agg(max("week").as("w1"))
         .select(col("w1"), date_sub(col("w1"), 7).as("w0"))
-      val cur = pw.join(broadcast(latest), col("week") === col("w1"))
-        .select(col("l_partkey"), col("rev").as("rev_cur"))
-      val prev = pw.join(broadcast(latest), col("week") === col("w0"))
-        .select(col("l_partkey"), col("rev").as("rev_prev"))
-      cur.join(prev, Seq("l_partkey"), "full_outer")
-        .select(col("l_partkey"),
-          coalesce(col("rev_cur"), lit(0L)).as("rev_cur"),
-          coalesce(col("rev_prev"), lit(0L)).as("rev_prev"))
+      // ONE pass over the week pair instead of two pw joins + a full
+      // outer (OPTIMIZATION_r19): parts present in either week with a
+      // 0 default is exactly a conditional aggregation over the
+      // week ∈ {w0, w1} slice — same rows, same values, and pw's
+      // scan+aggregation runs twice (latest scalar + this pass) instead
+      // of three times
+      val both = pw.join(broadcast(latest),
+          col("week") === col("w1") || col("week") === col("w0"))
+        .groupBy("l_partkey")
+        .agg(sum(when(col("week") === col("w1"), col("rev")).otherwise(0L))
+          .as("rev_cur"),
+          sum(when(col("week") === col("w0"), col("rev")).otherwise(0L))
+            .as("rev_prev"))
+      both
         .withColumn("delta", col("rev_cur") - col("rev_prev"))
         .withColumn("rank", row_number().over(
           Window.orderBy(abs(col("delta")).desc, col("l_partkey"))).cast("long"))
